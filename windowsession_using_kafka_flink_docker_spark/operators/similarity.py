@@ -1,0 +1,132 @@
+"""Embedding similarity search: brute-force cosine top-k and LSH-bucketed ANN.
+
+Vector math is expressed with ``zip_with``/``aggregate`` higher-order
+functions — dot products run inside whole-stage codegen, no Python per row.
+
+Scale path: brute-force top-k is a broadcast of the (small) query set
+against the (huge) corpus — the corpus is never shuffled; each task scores
+its scan split and a TakeOrderedAndProject per query key keeps memory flat.
+The ANN variant buckets by random-hyperplane signs (sign-LSH ≈ cosine), so
+candidate scoring touches only matching buckets; recall is tuned by the
+number of hyperplanes and probe multiplicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Dot product of two array<numeric> columns, computed in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: F.Column) -> F.Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_expr(a, b) / denom)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_digits: int = 4) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries`` is broadcast (query sets are small by construction); rank
+    orders by the ROUNDED similarity with id tiebreak so results are
+    deterministic and engine-portable (float noise below round_digits can't
+    flip the selection).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "cosine", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG → uniform in
+    [-1, 1]); no numpy dependency so signatures are reproducible anywhere."""
+    planes, x = [], seed
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+            row.append((x / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def signlsh_bucket_expr(vec_col: F.Column, dim: int, n_planes: int = 12,
+                        seed: int = 42) -> F.Column:
+    """Sign-LSH bucket id: bit b = sign(v · plane_b). Vectors with small
+    angle collide with high probability (cosine LSH)."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        d = dot_expr(vec_col, F.array(*[F.lit(p) for p in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 10, round_digits: int = 4) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's sign-LSH
+    bucket. At 100 TB the bucket column is a parquet partition/cluster key,
+    so a query probes ~1/2^n_planes of the corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("bucket", signlsh_bucket_expr(F.col("_cv"), dim, n_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("bucket", signlsh_bucket_expr(F.col("_qv"), dim, n_planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "cosine", "rnk")
+    )
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95, dim: int = 64,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = 8, round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked then exactly
+    verified — the embedding-space analogue of MinHash dedup."""
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
+          .withColumn("bucket", signlsh_bucket_expr(F.col("_v"), dim, n_planes))
+    a = v.select("bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select("bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), round_digits))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+All pure JVM-side expressions (no Python in the hot path): tokenization,
+language-ID heuristic, quality scoring, document fingerprinting. Each helper
+returns a Column so callers compose them into declarative plans; the paired
+DuckDB oracle SQL strings live in ``plans/llm_pipeline.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).alias("token_count")
+
+
+def normalized_text(col: str | Column) -> Column:
+    """Canonical form: lowercase, strip non-alphanumerics, collapse spaces."""
+    t = F.lower(_c(col))
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, r" +", " ")
+    return F.trim(t)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted unique
+    token bag of the normalized text. Collapses permutation/duplication
+    near-dups — the classic shuffle-resistant key for exact-ish dedup."""
+    toks = F.split(normalized_text(col), " ")
+    bag = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return F.md5(bag)
+
+
+def char_ratio(col: str | Column, pattern: str) -> Column:
+    """Fraction of characters matching a regex character class."""
+    t = _c(col)
+    n = F.length(t)
+    matched = n - F.length(F.regexp_replace(t, pattern, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(matched / n)
+
+
+#: Tiny per-language stopword markers for the heuristic language ID.
+_LANG_MARKERS = (
+    ("de", r"(?i)\b(der|die|und|das|nicht|ein|ist)\b"),
+    ("es", r"(?i)\b(el|la|los|las|que|una|es)\b"),
+    ("fr", r"(?i)\b(le|les|des|une|est|avec|pour)\b"),
+)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Heuristic language ID: CJK char ratio → zh; else the language whose
+    stopword markers appear most (>=2 hits); default en. Deterministic and
+    SQL-expressible — an n-gram model would slot in behind the same column
+    contract."""
+    t = _c(col)
+    cjk = char_ratio(t, r"[\x{4e00}-\x{9fff}]")
+    counts = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in _LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    expr = F.when(cjk > 0.3, F.lit("zh"))
+    for lang, _ in _LANG_MARKERS:
+        expr = expr.when((best >= 2) & (counts[lang] == best), F.lit(lang))
+    return expr.otherwise(F.lit("en"))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality score from cheap surface statistics:
+    length band, alphabetic ratio, punctuation ratio, mean word length.
+    The standard pre-filter shape for web-scale corpus cleaning."""
+    t = _c(col)
+    n = F.length(t)
+    alpha_ratio = char_ratio(t, r"[A-Za-z]")
+    punct_ratio = char_ratio(t, r"[^\w\s]")
+    toks = token_count(t)
+    mean_word = F.when(toks == 0, F.lit(0.0)).otherwise(n / toks)
+    length_band = (
+        F.when(n < 20, F.lit(0.0))
+        .when(n < 100, F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    word_band = F.when((mean_word >= 3) & (mean_word <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (0.3 * length_band + 0.3 * alpha_ratio +
+             0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0))) + 0.2 * word_band)
+    return F.round(score, 4)

@@ -1,0 +1,285 @@
+"""LLM training-data pipeline queries: dedup, similarity, text analysis,
+multimodal — the north-star extension surface (SURVEY.md §2.11 last row).
+
+Oracle notes: DuckDB regexp_replace needs the 'g' flag to match Spark's
+replace-all semantics; both engines' regexps here stick to RE2∩Java
+syntax. Float outputs are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+from windowsession_using_kafka_flink_docker_spark.operators import multimodal as M
+from windowsession_using_kafka_flink_docker_spark.operators import similarity as S
+from windowsession_using_kafka_flink_docker_spark.operators import text_analysis as T
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import register
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+# DuckDB expression fragments mirroring operators/text_analysis.py.
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+_TOKC_SQL = ("CASE WHEN trim(text) = '' THEN 0 "
+             "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+""",
+    description="Exact dedup: md5-digest groupBy, min-id canonical "
+                "representative; digest (not payload) is the shuffle key",
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split({_NORM_SQL}, ' '))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM fp GROUP BY fingerprint
+""",
+    description="Fingerprint dedup: md5 over the sorted unique token bag — "
+                "collapses permutation near-dups (rolling-hash document "
+                "fingerprinting family)",
+    tags=("llm", "dedup", "text"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+@register(
+    "minhash_lsh_neardups",
+    oracle=None,  # LSH candidate recall is probabilistic-by-design → rows-only
+    description="MinHash(64)+LSH(16 bands) near-dup pairs over word "
+                "3-shingles, exact-Jaccard verified at >= 0.5",
+    bench=True,
+    tags=("llm", "dedup", "minhash"),
+)
+def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_neardups",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, GREATEST(len(toks) - 2, 1) + 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+           )
+         ) AS sh
+  FROM (SELECT doc_id, string_split(""" + _NORM_SQL + """, ' ') AS toks FROM documents)
+),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (SELECT doc_id, len(sh) AS n FROM docs)
+SELECT id_a, id_b,
+       ROUND(n_shared / (na.n + nb.n - n_shared), 4) AS jaccard
+FROM pairs
+JOIN sized na ON na.doc_id = id_a
+JOIN sized nb ON nb.doc_id = id_b
+WHERE ROUND(n_shared / (na.n + nb.n - n_shared), 4) >= 0.5
+""",
+    description="Exact word-3-gram Jaccard near-dup pairs via inverted-"
+                "index blocking (set-similarity join); oracle-checked",
+    tags=("llm", "dedup", "ngram"),
+)
+def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_neardups",
+    oracle=None,  # bit-level signature portable in principle, but DuckDB
+                  # lacks xxhash64 — rows-only
+    description="SimHash-64 near-dup pairs, 16-bit chunk blocking, "
+                "Hamming <= 3",
+    tags=("llm", "dedup", "simhash"),
+)
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id) AS rnk
+  FROM scored
+)
+SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= 10
+""",
+    description="Brute-force cosine top-10 for 10 query vectors: broadcast "
+                "queries, score corpus scan-side, per-query TakeOrdered — "
+                "corpus never shuffles",
+    bench=True,
+    tags=("llm", "similarity"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=None,  # approximate by design → rows-only
+    description="Sign-LSH bucketed ANN top-k (random-hyperplane cosine "
+                "LSH); bucket id doubles as partition/cluster key at scale",
+    tags=("llm", "similarity", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_cosine_topk(emb, emb.where(F.col("vec_id") < 10), dim=64, k=10)
+
+
+@register(
+    "embedding_neardups",
+    oracle=None,  # LSH blocking recall is probabilistic → rows-only
+    description="Embedding-cosine near-duplicate pairs (LSH-blocked, "
+                "exact-verified at cosine >= 0.95)",
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "token_stats_by_lang",
+    oracle=f"""
+SELECT lang,
+       SUM({_TOKC_SQL}) AS total_tokens,
+       ROUND(AVG({_TOKC_SQL}), 2) AS avg_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+    description="Token counting (whitespace tokenizer) aggregated per "
+                "language label",
+    tags=("llm", "text"),
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 2).alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "lang_id_distribution",
+    oracle=r"""
+WITH feats AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 1.0 / length(text)
+         END AS cjk_ratio,
+         len(regexp_extract_all(text, '(?i)\b(der|die|und|das|nicht|ein|ist)\b')) AS c_de,
+         len(regexp_extract_all(text, '(?i)\b(el|la|los|las|que|una|es)\b')) AS c_es,
+         len(regexp_extract_all(text, '(?i)\b(le|les|des|une|est|avec|pour)\b')) AS c_fr
+  FROM documents
+),
+pred AS (
+  SELECT CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+              WHEN GREATEST(c_de, c_es, c_fr) >= 2 AND c_de = GREATEST(c_de, c_es, c_fr) THEN 'de'
+              WHEN GREATEST(c_de, c_es, c_fr) >= 2 AND c_es = GREATEST(c_de, c_es, c_fr) THEN 'es'
+              WHEN GREATEST(c_de, c_es, c_fr) >= 2 AND c_fr = GREATEST(c_de, c_es, c_fr) THEN 'fr'
+              ELSE 'en' END AS predicted_lang
+  FROM feats
+)
+SELECT predicted_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY predicted_lang
+""",
+    description="Heuristic language ID (CJK charset ratio + stopword "
+                "markers) — distribution of predictions",
+    tags=("llm", "text"),
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "quality_scores",
+    oracle=r"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text) END AS alpha_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text) END AS punct_ratio,
+         """ + _TOKC_SQL + r""" AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         ROUND(
+           0.3 * (CASE WHEN n < 20 THEN 0.0 WHEN n < 100 THEN 0.5 ELSE 1.0 END)
+         + 0.3 * alpha_ratio
+         + 0.2 * (1 - LEAST(punct_ratio * 5, 1.0))
+         + 0.2 * (CASE WHEN toks > 0 AND (n * 1.0 / toks) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 4) AS quality
+  FROM feats
+)
+SELECT doc_id, quality FROM scored WHERE quality >= 0.5
+""",
+    description="Surface-statistics quality scoring (length band, alpha "
+                "ratio, punctuation ratio, mean word length); filter >= 0.5",
+    tags=("llm", "text"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.quality_score("text").alias("quality"))
+        .where(F.col("quality") >= 0.5)
+    )
+
+
+@register(
+    "media_features",
+    oracle=None,  # mapInPandas decode stub — rows-only check
+    description="Multimodal plumbing: binary payload column → Arrow-batched "
+                "mapInPandas decode/feature stub → typed metadata struct",
+    tags=("llm", "multimodal"),
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_fake_media(docs)
+    return M.extract_media_features(media)

@@ -1,0 +1,138 @@
+"""Parity queries — the reference's three jobs, batch-rendered on `events`.
+
+Column mapping (FIXTURES.md §1): the driver's ``events`` table plays the
+reference's Kafka stream; ``ts``/``user_id``/``value`` stand in for the CSV
+``timestamp``/``userID``/``payload`` fields (generator1.py:21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.alerts import big_customer_alerts
+from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+    gap_seconds_sql,
+    sessionize,
+    sessionize_dynamic,
+    sessionize_oracle_sql,
+)
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import _events, register
+
+# At the test data's value scale (≤ ~500/event) the reference's 1 000 000
+# threshold (flink_stream_task2.py:82) matches nothing; same operator, a
+# threshold that exercises real rows at sf 0.01.
+ALERT_THRESHOLD = 100.0
+
+
+@register(
+    "session_fixed_gap",
+    oracle=sessionize_oracle_sql(30),
+    description="Per-user 30s-gap sessionization, sum/count/avg "
+                "(flink_stream_task1.py:48-75 parity)",
+    bench=True,
+    tags=("parity", "session_window"),
+)
+def session_fixed_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_events(spark, sf_dir))
+
+
+@register(
+    "session_dynamic_gap",
+    oracle=sessionize_oracle_sql(gap_seconds_sql()),
+    description="Per-user-tier dynamic gap sessionization "
+                "(flink_stream_task3.py:54-62,106-111 intended semantics)",
+    bench=True,
+    tags=("parity", "session_window"),
+)
+def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_dynamic(_events(spark, sf_dir))
+
+
+@register(
+    "big_customer_alert",
+    oracle=f"""
+WITH sessions AS ({sessionize_oracle_sql(30, having=f"ROUND(SUM(_v), 2) >= {ALERT_THRESHOLD}")}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY session_start, session_end) AS _rn
+  FROM sessions
+)
+SELECT user_id, session_start, session_end, session_sum, event_count, session_avg
+FROM ranked WHERE _rn = 1
+""",
+    description="Sessionize → HAVING sum>=threshold → first-per-user alert "
+                "(flink_stream_task2.py:81-90 parity; declarative dedup "
+                "replaces the process-global printed_users set)",
+    bench=True,
+    tags=("parity", "session_window", "dedup"),
+)
+def big_customer_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = sessionize(_events(spark, sf_dir))
+    return big_customer_alerts(sessions, threshold=ALERT_THRESHOLD)
+
+
+@register(
+    "session_report",
+    oracle=f"""
+SELECT user_id, session_sum, session_avg
+FROM ({sessionize_oracle_sql(30)})
+""",
+    description="task1's printed report projection: user, sum, avg "
+                "(flink_stream_task1.py:64-75)",
+    tags=("parity",),
+)
+def session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_events(spark, sf_dir)).select(
+        "user_id", "session_sum", "session_avg"
+    )
+
+
+@register(
+    "csv_parse_roundtrip",
+    oracle="""
+WITH lines AS (
+  SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') || ',' || user_id || ',' ||
+         event_id || ',' || ROUND(value, 2) AS line
+  FROM events
+),
+parsed AS (
+  SELECT CAST(split_part(line, ',', 1) AS TIMESTAMP) AS ts,
+         CAST(split_part(line, ',', 2) AS BIGINT) AS user_id,
+         CAST(split_part(line, ',', 3) AS BIGINT) AS transaction_id,
+         CAST(split_part(line, ',', 4) AS DOUBLE) AS payload_value
+  FROM lines
+)
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(payload_value), 2) AS total
+FROM parsed
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY user_id
+""",
+    description="CSV wire-format parse with typed casts + malformed drop "
+                "(parse_csv_event, flink_stream_task1.py:21-36,45-46) — "
+                "serialized from events then parsed back, no Python UDF",
+    tags=("parity", "csv"),
+)
+def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.col("user_id"),
+            F.col("event_id"),
+            F.round("value", 2),
+        ).alias("line")
+    )
+    parsed = lines.select(
+        F.from_csv(
+            F.col("line"),
+            "ts TIMESTAMP, user_id BIGINT, transaction_id BIGINT, payload_value DOUBLE",
+        ).alias("r")
+    ).select("r.*")
+    return (
+        parsed.where("ts IS NOT NULL AND user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("payload_value"), 2).alias("total"))
+    )

@@ -1,0 +1,357 @@
+"""Relational extension queries (SURVEY.md §2.11 checklist).
+
+The reference has no joins, sorts, set ops, ranking windows, or grouping
+sets; these make the engine a complete analytics surface on the star
+schema. Every query is a declarative DataFrame plan — Catalyst handles
+pushdown/pruning; dimension joins broadcast (region/nation/customer are
+tiny relative to fact tables at any SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import register
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1-style pricing summary: scan→filter→agg with "
+                "pushdown; map-side partial aggregation",
+    bench=True,
+    tags=("relational", "aggregate"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT n_name, r_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+    description="3-way dimension join (orders⋈customer⋈nation⋈region) with "
+                "broadcast of every dim side; no fact-side shuffle before agg",
+    bench=True,
+    tags=("relational", "join"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+""",
+    description="Window top-k: top 3 orders per customer (ranking window "
+                "function; deterministic via orderkey tiebreak)",
+    tags=("relational", "window_function", "topk"),
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    )
+
+
+@register(
+    "order_priority_rollup",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    description="ROLLUP grouping sets over priority×status",
+    tags=("relational", "grouping_sets"),
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "event_type_cube",
+    oracle="""
+SELECT event_type, strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, month)
+""",
+    description="CUBE over event_type × month with date_trunc bucketing",
+    tags=("relational", "grouping_sets", "datetime"),
+)
+def event_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("month", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM"))
+        .cube("event_type", "month")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "distinct_users_by_type",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    description="Exact distinct aggregation (count distinct users per type)",
+    tags=("relational", "aggregate", "distinct"),
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch values are engine-specific; rows-only check
+    description="approx_count_distinct (HLL) — the scale path for distinct "
+                "counting; sketch mergeable across partitions",
+    tags=("relational", "aggregate", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@register(
+    "percentile_values",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 2) AS p50,
+       ROUND(quantile_cont(value, 0.9), 2) AS p90,
+       ROUND(quantile_cont(value, 0.99), 2) AS p99
+FROM events
+GROUP BY event_type
+""",
+    description="Exact continuous percentiles per group (percentile / "
+                "quantile_cont parity)",
+    tags=("relational", "aggregate", "percentile"),
+)
+def percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 2).alias("p50"),
+        F.round(F.percentile("value", 0.9), 2).alias("p90"),
+        F.round(F.percentile("value", 0.99), 2).alias("p99"),
+    )
+
+
+@register(
+    "purchasers_minus_errorers",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    description="Set operation: EXCEPT (users who purchased but never errored)",
+    tags=("relational", "setop"),
+)
+def purchasers_minus_errorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.where("event_type = 'purchase'").select("user_id")
+    errorers = ev.where("event_type = 'error'").select("user_id")
+    return purchasers.subtract(errorers)
+
+
+@register(
+    "engaged_users_intersect",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+    description="Set operation: INTERSECT (users with both purchase and view)",
+    tags=("relational", "setop"),
+)
+def engaged_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where("event_type = 'purchase'").select("user_id")
+    b = ev.where("event_type = 'view'").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "top100_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    description="Global sort + limit (TakeOrderedAndProject — no full sort "
+                "materialization at scale)",
+    tags=("relational", "sort", "limit"),
+)
+def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(100)
+    )
+
+
+@register(
+    "customer_order_analytics",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS order_rank,
+       ROUND(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    description="Analytic window functions: rank, lag delta, running sum "
+                "per customer ordered by order date",
+    tags=("relational", "window_function"),
+)
+def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("order_rank"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle=r"""
+SELECT user_id,
+       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_value,
+       event_type
+FROM events
+WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+""",
+    description="Scalar JSON/string functions: extract numeric field from "
+                "the props JSON column (SURVEY.md §2.11 scalar-funcs row)",
+    tags=("relational", "scalar", "json"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return (
+        ev.where(k != "")
+        .select("user_id", k.cast("bigint").alias("k_value"), "event_type")
+    )
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+WITH tiers AS (
+  SELECT user_id,
+         CASE WHEN user_id = 9999 THEN 'vip'
+              WHEN user_id BETWEEN 2 AND 9 THEN 'tier_a'
+              WHEN user_id BETWEEN 100 AND 200 THEN 'tier_b'
+              ELSE 'default' END AS tier
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT tier, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events JOIN tiers USING (user_id)
+GROUP BY tier
+""",
+    description="Stream-static enrichment join: the task3 user-tier table "
+                "(flink_stream_task3.py:54-62) as a broadcast dimension",
+    tags=("relational", "join", "parity"),
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("user_id") == 9999, "vip")
+        .when(F.col("user_id").between(2, 9), "tier_a")
+        .when(F.col("user_id").between(100, 200), "tier_b")
+        .otherwise("default")
+    )
+    tiers = F.broadcast(ev.select("user_id").distinct().withColumn("tier", tier))
+    return (
+        ev.join(tiers, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
