@@ -10,6 +10,7 @@ import os
 from datetime import datetime
 
 import duckdb
+import numpy as np
 
 from windowsession_using_kafka_flink_docker_spark.sources.batch import TABLES
 
@@ -26,11 +27,21 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon(v):
     if v is None:
         return None
+    if isinstance(v, np.generic):  # np.int64 does not subclass int
+        v = v.item()
+    # Type-strict on numerics: the driver's value hash distinguishes
+    # int64 3549 from float64 3549.0 (e.g. DuckDB HUGEINT sums arriving as
+    # float), but Python's == does not — tag the type so we catch what the
+    # driver would.
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float:nan",)
         # collapse -0.0 / 0.0 and fp noise below the round() the queries apply
-        return round(v, 9) + 0.0
+        return ("float", round(v, 9) + 0.0)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     return v

@@ -1,0 +1,194 @@
+"""Stream-vs-batch consistency tests (SURVEY.md §5.2).
+
+Structured Streaming's unified model promises a streaming query's append-
+mode output equals the batch result of the same plan on the same (bounded)
+data — the SIGMOD'18 prefix-consistency property. These tests run the
+streaming sessionization/alert pipelines over a file source and assert
+exactly that against the already-oracle-checked batch operators.
+
+Mechanics: append mode only emits a session once the watermark passes its
+end, so a bounded stream would hold back the final sessions forever. Each
+test therefore appends a far-future *sentinel* event in a second file
+(maxFilesPerTrigger=1 ⇒ the sentinel lands in a later micro-batch), which
+advances the watermark past every real session; the sentinel's own session
+is filtered out of the comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.alerts import big_customer_alerts
+from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+    sessionize,
+    sessionize_dynamic,
+)
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+from windowsession_using_kafka_flink_docker_spark.streaming import (
+    file_events_source,
+    format_grid,
+    format_report_rows,
+    memory_sink,
+    parse_csv_events,
+    rate_events_source,
+    streaming_alerts,
+    streaming_sessionize,
+    streaming_sessionize_dynamic,
+)
+
+SENTINEL_USER = -1
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """events(ts, user_id, value) written as file-1 = real rows,
+    file-2 = one far-future sentinel row."""
+    base = str(tmp_path_factory.mktemp("stream_events"))
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    ev.coalesce(1).write.parquet(os.path.join(base, "data"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(max_ts, SENTINEL_USER, 0.0)], "ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    ).select(
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"), "user_id", "value"
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(base, "sentinel"))
+    # One flat dir: move part files together so maxFilesPerTrigger separates
+    # them into distinct micro-batches (data first, sentinel second by name).
+    import glob
+    import shutil
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    for i, src_dir in enumerate(("data", "sentinel")):
+        for j, f in enumerate(sorted(glob.glob(os.path.join(base, src_dir, "*.parquet")))):
+            shutil.copy(f, os.path.join(flat, f"{i:02d}_{j:02d}.parquet"))
+    return flat
+
+
+def _rows(df, exclude_sentinel: bool = True):
+    if exclude_sentinel and "user_id" in df.columns:
+        df = df.where(F.col("user_id") != SENTINEL_USER)
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(str(v) for v in r) for r in df.select(*cols).collect()]
+    )
+
+
+def _run_stream(spark, df, name: str, tmp_path) -> None:
+    q = memory_sink(df, name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _events_stream(spark, stream_dir):
+    return file_events_source(
+        spark, stream_dir, schema="ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+        max_files_per_trigger=1,
+    )
+
+
+class TestStreamBatchConsistency:
+    def test_fixed_gap_stream_equals_batch(self, spark, sf_dir, stream_dir, tmp_path):
+        stream = streaming_sessionize(_events_stream(spark, stream_dir))
+        assert stream.isStreaming
+        _run_stream(spark, stream, "stream_fixed", tmp_path)
+        got = _rows(spark.table("stream_fixed"))
+        want = _rows(sessionize(load_table(spark, sf_dir, "events")))
+        assert len(got) == len(want) and got == want
+
+    def test_dynamic_gap_stream_equals_batch(self, spark, sf_dir, stream_dir, tmp_path):
+        stream = streaming_sessionize_dynamic(_events_stream(spark, stream_dir))
+        _run_stream(spark, stream, "stream_dyn", tmp_path)
+        got = _rows(spark.table("stream_dyn"))
+        want = _rows(sessionize_dynamic(load_table(spark, sf_dir, "events")))
+        assert len(got) == len(want) and got == want
+
+    def test_alerts_stream_matches_batch_users(self, spark, sf_dir, stream_dir, tmp_path):
+        """Alert parity: same alerted-user set, at most one alert per user,
+        and every alert is a genuine qualifying session. (Which qualifying
+        session fires the alert is arrival-order-dependent in the reference
+        too — the per-user identity is the invariant.)"""
+        threshold = 100.0
+        stream = streaming_alerts(
+            _events_stream(spark, stream_dir), threshold=threshold
+        )
+        _run_stream(spark, stream, "stream_alerts", tmp_path)
+        got = spark.table("stream_alerts").where(F.col("user_id") != SENTINEL_USER)
+
+        sessions = sessionize(load_table(spark, sf_dir, "events"))
+        batch_alerts = big_customer_alerts(sessions, threshold=threshold)
+
+        got_users = sorted(r.user_id for r in got.select("user_id").collect())
+        want_users = sorted(r.user_id for r in batch_alerts.select("user_id").collect())
+        assert got_users == want_users  # also implies at-most-once per user
+
+        qualified = _rows(sessions.where(F.col("session_sum") >= threshold))
+        for row in _rows(got):
+            assert row in qualified
+
+    def test_alerts_dedup_within_watermark(self, spark, stream_dir, tmp_path):
+        """Bounded-state variant: dropDuplicatesWithinWatermark still emits
+        at most one alert per user on this horizon (all data within 1 day)."""
+        stream = streaming_alerts(
+            _events_stream(spark, stream_dir), threshold=100.0,
+            dedup_within="1 day",
+        )
+        _run_stream(spark, stream, "stream_alerts_wm", tmp_path)
+        got = spark.table("stream_alerts_wm").where(F.col("user_id") != SENTINEL_USER)
+        per_user = got.groupBy("user_id").count().where(F.col("count") > 1).collect()
+        assert per_user == []
+        assert got.count() > 0
+
+
+class TestStreamingSources:
+    def test_rate_source_shape(self, spark):
+        df = rate_events_source(spark, rows_per_second=5)
+        assert df.isStreaming
+        assert set(df.columns) == {"ts", "user_id", "transaction_id", "payload_value"}
+
+    def test_parse_csv_events_drops_malformed(self, spark):
+        raw = spark.createDataFrame(
+            [("2024-08-26 08:00:00,4,123,40",),
+             ("garbage",),
+             ("2024-08-26 08:00:01,not_an_int,5,50",),
+             ("2024-08-26 08:00:02,5,77,50.5",)],
+            "value STRING",
+        )
+        out = parse_csv_events(raw).collect()
+        assert [(r.user_id, r.transaction_id, r.payload_value) for r in out] == [
+            (4, 123, 40.0), (5, 77, 50.5)
+        ]
+
+    def test_kafka_source_plan(self, spark):
+        """Kafka connector jar isn't shipped in this container; assert the
+        plan either constructs (connector present) or fails with the
+        missing-data-source error — not with a bug in our wiring."""
+        from windowsession_using_kafka_flink_docker_spark.streaming import kafka_raw_source
+        try:
+            df = kafka_raw_source(spark, "localhost:9092")
+        except Exception as e:  # noqa: BLE001
+            assert "kafka" in str(e).lower()
+        else:
+            assert set(df.columns) == {"value", "kafka_ts", "key"}
+
+
+class TestReportFormatting:
+    def test_session_report_layout(self):
+        rows = [{"user_id": 4, "session_sum": 40.0, "session_avg": 40.0}]
+        out = format_report_rows(rows)
+        lines = out.splitlines()
+        assert lines[0].startswith("user_id")
+        assert lines[1] == "=" * 40
+        assert lines[2].startswith("4")
+
+    def test_alert_grid_layout(self):
+        rows = [{"user_id": 9999, "session_sum": 1_000_000.0, "session_avg": 5.5}]
+        out = format_grid(rows, ("user_id", "session_sum", "session_avg"))
+        lines = out.splitlines()
+        assert lines[0].startswith("+") and lines[0].endswith("+")
+        assert "9999" in lines[3]

@@ -51,46 +51,100 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles_expr(text_col: str, k: int = 5) -> F.Column:
-    """Distinct character k-shingles of the normalized text, as an array
-    column — built with sequence/transform so it runs inside codegen."""
+def tokens_expr(text_col: str) -> F.Column:
+    """Whitespace tokens of the normalized text (array<string>).
+
+    ALWAYS materialize this as its own column before building shingles from
+    it: normalization is two regexp_replace passes over the whole document,
+    and the shingle builders reference the token array once per n-gram
+    position — inlined, the normalization would re-run per shingle (the
+    expression-blowup class of bug; higher-order lambdas sit outside
+    codegen's common-subexpression elimination)."""
     from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import normalized_text
-    norm = normalized_text(text_col)
+    return F.split(normalized_text(text_col), " ")
+
+
+def char_shingles_from_norm(norm: F.Column, k: int = 5) -> F.Column:
+    """Distinct character k-shingles from a *materialized* normalized-text
+    column."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
 
 
-def word_shingles_expr(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of the normalized text (array<string>).
+def shingles_expr(text_col: str, k: int = 5) -> F.Column:
+    """Distinct character k-shingles of the normalized text. Convenience
+    form for small inputs/tests — hot paths should stage
+    ``normalized_text`` as a column and call
+    :func:`char_shingles_from_norm` (see :func:`tokens_expr` note)."""
+    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import normalized_text
+    return char_shingles_from_norm(normalized_text(text_col), k)
+
+
+def word_shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles (array<string>) from a *materialized*
+    token-array column.
 
     Word shingles are the right unit for documents: character shingles of
     natural text collide on common substrings, which degenerates LSH
     buckets and inverted indexes at scale; word n-grams keep bucket sizes
     near-uniform.
     """
-    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import normalized_text
-    toks = F.split(normalized_text(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    # try_element_at (not element_at): documents shorter than n tokens index
+    # past the end, which raises under Spark 4 ANSI mode; try_element_at
+    # yields NULL and concat_ws skips it — the same semantics as the DuckDB
+    # oracle's out-of-bounds list index.
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
             ),
         )
     )
 
 
-def minhash_signature(shingles: F.Column, num_hashes: int = 64, seed: int = 42) -> F.Column:
-    """MinHash signature (array<bigint>) over a shingle array: base-hash each
-    shingle once with xxhash64, then n universal-hash permutations, min per
-    permutation."""
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+def word_shingles_expr(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles straight from text. Convenience form for small
+    inputs/tests — hot paths should materialize :func:`tokens_expr` as a
+    column first and call :func:`word_shingles_from_tokens` (see the
+    evaluation-cost note there)."""
+    return word_shingles_from_tokens(tokens_expr(text_col), n)
+
+
+def base_hashes_expr(shingles: F.Column) -> F.Column:
+    """xxhash64 of each shingle, folded into the Mersenne field
+    (array<bigint>). Materialize this as its own column *before* feeding it
+    to :func:`minhash_signature` — the signature references it ``num_hashes``
+    times, and an inlined expression would be re-evaluated per permutation
+    (higher-order lambdas sit outside whole-stage codegen's subexpression
+    elimination)."""
+    return F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+
+
+def minhash_signature(base: F.Column, num_hashes: int = 64, seed: int = 42) -> F.Column:
+    """MinHash signature (array<bigint>) over a *pre-hashed* shingle array
+    (see :func:`base_hashes_expr`): n universal-hash permutations
+    (a*h+b mod p), min per permutation."""
     sigs = [
         F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_P))
         for a, b in _perm_params(num_hashes, seed)
     ]
     return F.array(*sigs)
+
+
+def _staged_shingles(df: DataFrame, text_col: str, id_col: str, k: int,
+                     unit: str) -> DataFrame:
+    """(_id, _sh) with tokenization materialized in its own projection so
+    the two regexp_replace normalization passes run once per document, not
+    once per shingle (CollapseProject keeps a non-cheap alias that is
+    referenced more than once)."""
+    if unit == "word":
+        toks = df.select(F.col(id_col).alias("_id"), tokens_expr(text_col).alias("_t"))
+        return toks.select("_id", word_shingles_from_tokens(F.col("_t"), k).alias("_sh"))
+    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import normalized_text
+    norm = df.select(F.col(id_col).alias("_id"), normalized_text(text_col).alias("_n"))
+    return norm.select("_id", char_shingles_from_norm(F.col("_n"), k).alias("_sh"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -104,24 +158,37 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     (bands, rows-per-band) S-curve; verification makes precision exact.
     """
     rows = num_hashes // bands
-    sh = word_shingles_expr(text_col, k) if unit == "word" else shingles_expr(text_col, k)
-    docs = df.select(
-        F.col(id_col).alias("_id"),
-        sh.alias("_sh"),
+    # Repartition first: shingle/signature cost is per-document CPU, so
+    # parallelism must track cores, not input file count (a single parquet
+    # file would otherwise pin the whole compute to one task).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _staged_shingles(
+        df.repartition(n_part, F.col(id_col)), text_col, id_col, k, unit
     ).persist()  # signatures + verification both read this; compute shingles once
 
+    # Evaluation discipline (the difference between O(perms) and
+    # O(perms * bands) per row): `_base` and `_sig` are materialized as
+    # real columns in *separate* projections. CollapseProject leaves a
+    # non-cheap alias alone when it is referenced more than once, so the
+    # base hashes are computed once (not once per permutation) and the
+    # signature once (not once per band struct).
+    sig_df = (
+        docs.select("_id", base_hashes_expr(F.col("_sh")).alias("_base"))
+        .select("_id", minhash_signature(F.col("_base"), num_hashes).alias("_sig"))
+    )
+
     # Slim banding table: (id, band_id, band_hash) only — candidate
-    # generation never carries shingle arrays through the shuffle.
-    sig = minhash_signature(F.col("_sh"), num_hashes)
+    # generation never carries shingle or signature arrays through the
+    # shuffle.
     band_cols = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
-            F.xxhash64(F.slice(sig, b * rows + 1, rows).cast("string")).alias("band_hash"),
+            F.xxhash64(F.slice(F.col("_sig"), b * rows + 1, rows).cast("string")).alias("band_hash"),
         )
         for b in range(bands)
     ])
     banded = (
-        docs.select("_id", F.explode(band_cols).alias("bh"))
+        sig_df.select("_id", F.explode(band_cols).alias("bh"))
         .select("_id", "bh.band_id", "bh.band_hash")
         .persist()
     )
@@ -154,46 +221,85 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    return (
+    result = (
         verified.withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Materialize the (small) pair set so the heavyweight intermediates can
+    # be unpersisted now instead of leaking cached blocks across every
+    # subsequent query on this session.
+    result = result.persist()
+    result.count()
+    docs.unpersist()
+    banded.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, jaccard_threshold: float = 0.5,
                         unit: str = "word") -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, blocked on a shared-shingle
-    prefix to avoid the full cross join: a pair can only reach threshold t
-    if it shares at least one of the first few shingles under a canonical
-    ordering (prefix filtering, cf. set-similarity join literature).
+    """Exact n-gram Jaccard near-dup pairs via *prefix filtering* (the
+    standard set-similarity-join scheme): order each document's shingles by
+    ascending global document frequency and index only the first
+    ``|S| - ceil(t*|S|) + 1`` of them — any pair with Jaccard >= t must
+    share at least one prefix shingle under a common total order
+    (pigeonhole), so recall is exact while boilerplate shingles (high df)
+    are pushed out of the index.
 
-    With ``prefix_tokens`` sized from the threshold this is exact for
-    pairs at/above threshold; here we keep the blocking simple — any
-    shared shingle — which is a superset (always exact recall), pruned
-    cheaply by distinct shingle join + groupBy.
+    Scale: the inverted index holds only prefix entries, and those are the
+    *rarest* shingles of each document, so bucket sizes stay near-uniform —
+    no quadratic mega-bucket on a common 3-gram, unlike a naive
+    any-shared-shingle self-join. One extra groupBy(shingle) for the df
+    table is the price, exactly as in production ssjoin pipelines.
+    Verification computes exact Jaccard on the full shingle sets, so output
+    equals the all-pairs semantics (the oracle needn't model the blocking).
     """
-    sh = word_shingles_expr(text_col, k) if unit == "word" else shingles_expr(text_col, k)
-    docs = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
-    # Inverted index: (shingle, id); pairs sharing >= 1 shingle are candidates.
-    inv = docs.select("_id", F.explode("_sh").alias("s"))
-    pairs = (
-        inv.alias("a").join(inv.alias("b"), "s")
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = _staged_shingles(
+        df.repartition(n_part, F.col(id_col)), text_col, id_col, k, unit
+    ).persist()
+    sized = docs.select("_id", F.col("_sh").alias("_sh_full"), F.size("_sh").alias("_n"))
+    inv = docs.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
+
+    # Global document frequency per shingle; ascending df is the canonical
+    # order (rarest first), ties broken by the shingle string so the order
+    # is total and engine-independent.
+    freq = inv.groupBy("s").agg(F.count("*").alias("_df"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_id").orderBy("_df", "s")
+    prefix = (
+        inv.join(freq, "s")
+        .withColumn("_rn", F.row_number().over(w))
+        # prefix length L = |S| - ceil(t*|S|) + 1
+        .where(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(jaccard_threshold) * F.col("_n")) + 1)
+        .select("s", "_id")
+    )
+    cand = (
+        prefix.alias("a").join(prefix.alias("b"), "s")
         .where(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sized = docs.select(F.col("_id"), F.size("_sh").alias("n"))
-    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
-    return (
-        pairs.join(sized.select(F.col("_id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sized.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
+    verified = (
+        cand.join(sized.select(F.col("_id").alias("id_a"), F.col("_sh_full").alias("_sa"),
+                               F.col("_n").alias("na")), "id_a")
+        .join(sized.select(F.col("_id").alias("id_b"), F.col("_sh_full").alias("_sb"),
+                           F.col("_n").alias("nb")), "id_b")
+    )
+    result = (
+        verified.withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_inter") / (F.col("na") + F.col("nb") - F.col("_inter")), 4),
+        )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    result = result.persist()
+    result.count()
+    docs.unpersist()
+    return result
 
 
 def token_hashes_expr(text_col: str) -> F.Column:
@@ -227,12 +333,20 @@ def simhash_expr(hashes_col: F.Column, bits: int = 64) -> F.Column:
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3, max_bucket_size: int = 10_000) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     signature chunks (a pair within Hamming distance 3 of a 64-bit hash
-    must agree exactly on at least one of 4 chunks — pigeonhole)."""
+    must agree exactly on at least one of 4 chunks — pigeonhole).
+
+    ``max_bucket_size`` drops degenerate chunk buckets (e.g., the
+    all-zeros chunk that short/boilerplate docs converge to) before the
+    self-join — the same cap MinHash banding applies, so no single bucket
+    can go quadratic at 100 TB.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = (
-        df.select(F.col(id_col).alias("_id"), token_hashes_expr(text_col).alias("_h"))
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("_id"), token_hashes_expr(text_col).alias("_h"))
         .select("_id", simhash_expr(F.col("_h")).alias("_sig"))
     )
     chunks = F.array(*[
@@ -241,11 +355,21 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         for c in range(4)
     ])
     blocked = docs.select("_id", "_sig", F.explode(chunks).alias("c")).select(
-        "_id", "_sig", "c.chunk_id", "c.chunk")
-    a = blocked.select("chunk_id", "chunk", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
-    b = blocked.select("chunk_id", "chunk", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+        "_id", "_sig", "c.chunk_id", "c.chunk").persist()
+    big_buckets = (
+        blocked.groupBy("chunk_id", "chunk").count()
+        .where(F.col("count") > max_bucket_size)
+        .select("chunk_id", "chunk", F.lit(True).alias("_skip"))
+    )
+    pruned = (
+        blocked.join(F.broadcast(big_buckets), ["chunk_id", "chunk"], "left")
+        .where(F.col("_skip").isNull())
+        .drop("_skip")
+    )
+    a = pruned.select("chunk_id", "chunk", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = pruned.select("chunk_id", "chunk", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    result = (
         a.join(b, ["chunk_id", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -253,3 +377,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    result = result.persist()
+    result.count()
+    blocked.unpersist()
+    return result

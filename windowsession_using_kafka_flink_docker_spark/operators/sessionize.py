@@ -126,7 +126,7 @@ def sessionize_oracle_sql(gap_seconds: int | str = 30, key: str = "user_id",
 WITH flagged AS (
   SELECT {key}, {ts} AS _ts, {value} AS _v, {tiebreak} AS _tb,
          CASE WHEN lag({ts}) OVER w IS NULL THEN 1
-              WHEN epoch_ms({ts}) - epoch_ms(lag({ts}) OVER w) > 1000 * ({gap}) THEN 1
+              WHEN epoch_us({ts}) - epoch_us(lag({ts}) OVER w) > 1000000 * ({gap}) THEN 1
               ELSE 0 END AS _new_session
   FROM {table}
   WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})

@@ -179,7 +179,7 @@ def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_stats_by_lang",
     oracle=f"""
 SELECT lang,
-       SUM({_TOKC_SQL}) AS total_tokens,
+       CAST(SUM({_TOKC_SQL}) AS BIGINT) AS total_tokens,
        ROUND(AVG({_TOKC_SQL}), 2) AS avg_tokens,
        COUNT(*) AS n_docs
 FROM documents

@@ -63,7 +63,10 @@ FROM ranked WHERE _rn = 1
 """,
     description="Sessionize → HAVING sum>=threshold → first-per-user alert "
                 "(flink_stream_task2.py:81-90 parity; declarative dedup "
-                "replaces the process-global printed_users set)",
+                "replaces the process-global printed_users set). "
+                f"DEVIATION: threshold {ALERT_THRESHOLD} instead of the "
+                "reference's 1_000_000 so the query matches real rows at "
+                "test scale; the operator default preserves 1_000_000",
     bench=True,
     tags=("parity", "session_window", "dedup"),
 )

@@ -1,1 +1,53 @@
-"""Structured Streaming surface: sources, pipelines, sinks (M2)."""
+"""Structured Streaming plane — the reference's native execution mode
+(3 PyFlink streaming jobs) re-expressed as Spark streaming plans.
+
+Sources (S1/S2), watermarks (W3), streaming session windows (W1/W2),
+streaming dedup (D1), and sinks (O1/O2/O3) — see SURVEY.md §2 rows and the
+per-module docstrings for reference file:line parity cites.
+"""
+
+from windowsession_using_kafka_flink_docker_spark.streaming.pipeline import (
+    MONOTONOUS_DELAY,
+    streaming_alerts,
+    streaming_sessionize,
+    streaming_sessionize_dynamic,
+)
+from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
+    alert_grid_writer,
+    console_sink,
+    format_grid,
+    format_report_rows,
+    kafka_sink,
+    memory_sink,
+    parquet_sink,
+    session_report_writer,
+)
+from windowsession_using_kafka_flink_docker_spark.streaming.sources import (
+    EVENT_WIRE_SCHEMA,
+    file_events_source,
+    kafka_events_source,
+    kafka_raw_source,
+    parse_csv_events,
+    rate_events_source,
+)
+
+__all__ = [
+    "MONOTONOUS_DELAY",
+    "EVENT_WIRE_SCHEMA",
+    "streaming_alerts",
+    "streaming_sessionize",
+    "streaming_sessionize_dynamic",
+    "file_events_source",
+    "kafka_events_source",
+    "kafka_raw_source",
+    "parse_csv_events",
+    "rate_events_source",
+    "alert_grid_writer",
+    "console_sink",
+    "format_grid",
+    "format_report_rows",
+    "kafka_sink",
+    "memory_sink",
+    "parquet_sink",
+    "session_report_writer",
+]

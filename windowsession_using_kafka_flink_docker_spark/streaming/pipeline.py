@@ -1,0 +1,123 @@
+"""Streaming pipelines — the reference's three jobs as Structured Streaming
+plans (the engine's native rendering of flink_stream_task1/2/3).
+
+The batch and streaming planes share one sessionization definition
+(``operators.sessionize``): a streaming pipeline is the same
+``groupBy(key, session_window(ts, gap))`` plan with a watermark attached
+upstream, exactly the Structured Streaming unified-model contract
+(SIGMOD'18). Append mode emits each session once, after the watermark
+passes ``session_end`` — the same one-result-per-closed-session behavior as
+the reference's event-time trigger (flink_stream_task1.py:51).
+
+Watermark parity (flink_stream_task1.py:38-41): the reference declares
+``for_monotonous_timestamps`` (ordered input ⇒ zero lateness allowance) and
+documents ``forBoundedOutOfOrderness`` as the unordered alternative. Those
+map to ``withWatermark(ts, "0 seconds")`` and ``withWatermark(ts, "<delay>")``
+— ``watermark_delay`` selects between them.
+
+State at scale: session-window state is per-(key, open-session) and is
+evicted at watermark passage; the alert dedup uses
+``dropDuplicatesWithinWatermark`` so its state is bounded by the watermark
+horizon too (the reference's process-global ``printed_users`` set,
+flink_stream_task2.py:71-72, grows forever and is lost on restart — the
+declarative form is both bounded and checkpointed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.alerts import (
+    BIG_CUSTOMER_THRESHOLD,
+)
+from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+    DEFAULT_GAP,
+    dynamic_gap_expr,
+)
+
+#: Monotonous-timestamps parity: ordered input needs no lateness allowance.
+MONOTONOUS_DELAY = "0 seconds"
+
+
+def _project_sessions(agg: DataFrame, key: str) -> DataFrame:
+    """Shared post-aggregation projection (same shape as the batch
+    ``sessionize`` output): start/end, rounded sum, count, derived avg with
+    the reference's ``max(1, count)`` guard (flink_stream_task1.py:72)."""
+    return agg.select(
+        F.col(key),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        F.round("session_sum", 2).alias("session_sum"),
+        F.col("event_count"),
+        F.round(
+            F.col("session_sum") / F.greatest(F.col("event_count"), F.lit(1)), 2
+        ).alias("session_avg"),
+    )
+
+
+def _session_agg(events: DataFrame, gap, watermark_delay: str,
+                 key: str, ts: str, value: str) -> DataFrame:
+    """Watermark + session-window aggregate, window column retained (the
+    window carries the event-time marker chained stateful operators need)."""
+    return (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(key, F.session_window(ts, gap))
+        .agg(
+            F.sum(value).alias("session_sum"),
+            F.count("*").alias("event_count"),
+        )
+    )
+
+
+def streaming_sessionize(events: DataFrame, gap: str = DEFAULT_GAP,
+                         watermark_delay: str = MONOTONOUS_DELAY,
+                         key: str = "user_id", ts: str = "ts",
+                         value: str = "value") -> DataFrame:
+    """task1 streaming parity: per-key session windows with sum/count/avg.
+
+    Run with ``outputMode("append")`` — one row per closed session, emitted
+    when the watermark passes session end (the reference's per-closed-
+    session report, flink_stream_task1.py:84-85).
+    """
+    return _project_sessions(
+        _session_agg(events, gap, watermark_delay, key, ts, value), key
+    )
+
+
+def streaming_sessionize_dynamic(events: DataFrame,
+                                 watermark_delay: str = MONOTONOUS_DELAY,
+                                 key: str = "user_id", ts: str = "ts",
+                                 value: str = "value") -> DataFrame:
+    """task3 streaming parity: per-user-tier dynamic session gaps
+    (flink_stream_task3.py:54-62,106-111 intended semantics) — the gap is
+    a per-event expression, natively supported by ``session_window``."""
+    return _project_sessions(
+        _session_agg(events, dynamic_gap_expr(key), watermark_delay, key, ts, value),
+        key,
+    )
+
+
+def streaming_alerts(events: DataFrame,
+                     threshold: float = BIG_CUSTOMER_THRESHOLD,
+                     watermark_delay: str = MONOTONOUS_DELAY,
+                     dedup_within: str | None = None,
+                     key: str = "user_id", ts: str = "ts",
+                     value: str = "value") -> DataFrame:
+    """task2 streaming parity: sessionize → threshold filter → at-most-one
+    alert per user (flink_stream_task2.py:81-90).
+
+    The dedup is ``dropDuplicatesWithinWatermark`` when ``dedup_within`` is
+    set (bounded state — evicts a user's dedup entry once the watermark
+    moves ``dedup_within`` past it) or plain ``dropDuplicates`` otherwise
+    (exact at-most-once-per-user over the stream's lifetime, unbounded
+    state — the reference's actual semantics). Both are chained stateful
+    operators after the session aggregate, supported since Spark 3.5.
+    """
+    agg = _session_agg(events, DEFAULT_GAP, watermark_delay, key, ts, value)
+    qualified = agg.where(F.col("session_sum") >= threshold)
+    if dedup_within is not None:
+        deduped = qualified.dropDuplicatesWithinWatermark([key])
+    else:
+        deduped = qualified.dropDuplicates([key])
+    return _project_sessions(deduped, key)

@@ -1,0 +1,144 @@
+"""Streaming sinks — the reference's O1/O2/O3 output surface.
+
+- Console/report sink (flink_stream_task1.py:75-85): the reference prints a
+  fixed-width header once, then one padded row per closed session. Here the
+  formatting lives in ``foreachBatch`` (never inside expressions — the
+  reference prints from inside a map UDF, flink_stream_task2.py:98-100,
+  which is a side-effecting anti-pattern Spark's model simply removes).
+- Kafka sink (imported-but-never-wired in all three reference jobs,
+  flink_stream_task2.py:1,109): implemented for real — alerts serialize to
+  the same CSV wire format the source speaks, so the alerts topic is
+  round-trippable.
+- Memory sink: the test harness's window into append-mode output.
+- Parquet sink: durable output with checkpointing, the batch-plane handoff.
+
+Every writer takes ``checkpoint`` — exactly-once bookkeeping the reference
+never enables (no ``enable_checkpointing`` anywhere; SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+#: task1's report column widths (flink_stream_task1.py:75,77-81).
+REPORT_WIDTHS = (10, 15, 15)
+REPORT_COLUMNS = ("user_id", "session_sum", "session_avg")
+
+
+def format_report_rows(rows, widths=REPORT_WIDTHS, columns=REPORT_COLUMNS) -> str:
+    """Fixed-width session report block (task1's layout: header, ruler,
+    padded rows)."""
+    header = " ".join(f"{c:<{w}}" for c, w in zip(columns, widths))
+    ruler = "=" * sum(widths)
+    lines = [header, ruler]
+    for r in rows:
+        lines.append(" ".join(f"{str(r[c]):<{w}}" for c, w in zip(columns, widths)))
+    return "\n".join(lines)
+
+
+def format_grid(rows, columns) -> str:
+    """Minimal tabulate-style grid (task2's alert table,
+    flink_stream_task2.py:100) without the tabulate dependency."""
+    cells = [[str(r[c]) for c in columns] for r in rows]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+        for i, c in enumerate(columns)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    def fmt(vals):
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+    lines = [sep, fmt(list(columns)), sep]
+    for row in cells:
+        lines.append(fmt(row))
+    lines.append(sep)
+    return "\n".join(lines)
+
+
+def session_report_writer(df: DataFrame, header_once: bool = True):
+    """foreachBatch writer printing task1's session-expiry report
+    (flink_stream_task1.py:75-85). Returns the started query's builder
+    function for composition; call ``.start()`` on the result."""
+    state = {"printed_header": False}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(*REPORT_COLUMNS).collect()
+        if not rows:
+            return
+        if not state["printed_header"] or not header_once:
+            print("\n** Session Expiry Report ** (All UIDs Processed)")
+            state["printed_header"] = True
+        print(format_report_rows(rows))
+
+    return df.writeStream.foreachBatch(_write).outputMode("append")
+
+
+def alert_grid_writer(df: DataFrame):
+    """foreachBatch writer printing task2's big-customer grid per batch
+    (flink_stream_task2.py:98-100)."""
+    columns = ("user_id", "session_sum", "session_avg")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(*columns).collect()
+        if not rows:
+            return
+        print("\n** Big Customers Session Report ** (Sessions >= threshold)")
+        print(format_grid(rows, columns))
+
+    return df.writeStream.foreachBatch(_write).outputMode("append")
+
+
+def console_sink(df: DataFrame, output_mode: str = "append",
+                 truncate: bool = False) -> StreamingQuery:
+    """Plain console sink (O1)."""
+    return (
+        df.writeStream.format("console")
+        .option("truncate", str(truncate).lower())
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def memory_sink(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
+    """In-memory table sink — query results with
+    ``spark.table(name)``. Test/debug only (driver-resident)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,
+               checkpoint: str, key_col: str = "user_id",
+               output_mode: str = "append") -> StreamingQuery:
+    """Kafka sink (O3) — the alerts topic the reference imports but never
+    wires (flink_stream_task2.py:1,109). Serializes rows to the same CSV
+    wire format the source parses, key = user id (generator1.py:24)."""
+    cols = [c for c in df.columns]
+    wire = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("value"),
+    )
+    return (
+        wire.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def parquet_sink(df: DataFrame, path: str, checkpoint: str,
+                 output_mode: str = "append") -> StreamingQuery:
+    """Durable parquet sink with checkpointed exactly-once file commits."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )
