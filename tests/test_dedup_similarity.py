@@ -1,0 +1,87 @@
+"""Planted-duplicate tests: every near-dup operator must find a known
+near-duplicate (a vacuously-green 0-row result certifies nothing), and the
+text operators must survive degenerate documents (empty, sub-n-token,
+non-Latin) under Spark 4 ANSI mode."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+from windowsession_using_kafka_flink_docker_spark.operators import similarity as S
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    """64-d vectors: 0 and 1 unrelated; 100 = 0 scaled (cosine 1.0);
+    101 = 0 with small noise on one coordinate (cosine ~0.999)."""
+    base = [math.sin(i * 0.7) for i in range(64)]
+    other = [math.cos(i * 1.3 + 1) for i in range(64)]
+    scaled = [x * 2.0 for x in base]
+    noisy = list(base)
+    noisy[0] += 0.05
+    rows = [(0, base, 0), (1, other, 0), (100, scaled, 0), (101, noisy, 0)]
+    return spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+class TestEmbeddingNearDups:
+    def test_finds_planted_scaled_copy(self, spark, vec_df):
+        pairs = {(r.id_a, r.id_b): r.cosine
+                 for r in S.embedding_near_dups(vec_df).collect()}
+        assert (0, 100) in pairs and pairs[(0, 100)] >= 0.999
+
+    def test_finds_noisy_near_copy(self, spark, vec_df):
+        pairs = {(r.id_a, r.id_b) for r in S.embedding_near_dups(vec_df).collect()}
+        assert (0, 101) in pairs
+        assert (0, 1) not in pairs and (1, 100) not in pairs
+
+    def test_catalog_query_non_vacuous(self, spark, sf_dir):
+        """The registered query plants 5 scaled copies — it must return
+        exactly those 5 pairs at cosine 1.0 on the testdata."""
+        rows = CATALOG["embedding_neardups"].spark(spark, sf_dir).collect()
+        got = sorted((r.id_a, r.id_b) for r in rows)
+        assert got == [(i, i + 1_000_000) for i in range(5)]
+        assert all(r.cosine == 1.0 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),  # punct-only delta
+        (3, "completely different text about spark streaming and kafka topics"),
+        (4, ""),              # empty
+        (5, "one"),           # sub-n tokens
+        (6, "世界你好"),  # CJK-only: normalizes to empty
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+class TestTextNearDups:
+    def test_minhash_finds_planted_pair(self, spark, doc_df):
+        pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(doc_df).collect()}
+        assert (1, 2) in pairs           # normalization collapses punctuation
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_ngram_finds_planted_pair_and_handles_degenerates(self, spark, doc_df):
+        rows = D.ngram_jaccard_pairs(doc_df).collect()
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in rows}
+        assert pairs.get((1, 2)) == 1.0
+        assert (1, 3) not in pairs
+
+    def test_simhash_finds_planted_pair(self, spark, doc_df):
+        pairs = {(r.id_a, r.id_b) for r in D.simhash_near_dups(doc_df).collect()}
+        assert (1, 2) in pairs
+
+    def test_exact_dedup_groups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "diff")], "doc_id BIGINT, text STRING"
+        )
+        rows = {r.keep_id: r.n_dups for r in D.exact_dedup(df).collect()}
+        assert rows == {1: 2, 3: 1}

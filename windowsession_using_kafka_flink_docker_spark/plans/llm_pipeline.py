@@ -166,13 +166,44 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardups",
-    oracle=None,  # LSH blocking recall is probabilistic → rows-only
-    description="Embedding-cosine near-duplicate pairs (LSH-blocked, "
-                "exact-verified at cosine >= 0.95)",
+    oracle="""
+WITH planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         CAST(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS FLOAT[]) AS embedding,
+         label
+  FROM embeddings WHERE vec_id < 5
+),
+corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL SELECT * FROM planted
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+""",
+    description="Embedding-cosine near-duplicate pairs (sign-LSH-blocked, "
+                "exact-verified at cosine >= 0.95). The corpus is the "
+                "embeddings table plus 5 planted positive-scaled copies "
+                "(cosine exactly 1.0, sign pattern — and hence LSH bucket — "
+                "provably identical), so the check is non-vacuous: the "
+                "testdata's max organic pairwise cosine is ~0.51. With "
+                "threshold > that, LSH recall is exact and the brute-force "
+                "oracle hash-matches.",
     tags=("llm", "dedup", "similarity"),
 )
 def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    two = F.lit(2.0).cast("float")
+    planted = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * two).alias("embedding"),
+        "label",
+    )
+    return S.embedding_near_dups(emb.unionByName(planted))
 
 
 @register(

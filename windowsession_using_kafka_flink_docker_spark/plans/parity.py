@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from windowsession_using_kafka_flink_docker_spark.operators.alerts import big_customer_alerts
+from windowsession_using_kafka_flink_docker_spark.operators.alerts import (
+    BIG_CUSTOMER_THRESHOLD,
+    big_customer_alerts,
+)
 from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
     gap_seconds_sql,
     sessionize,
@@ -18,6 +21,10 @@ from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
     sessionize_oracle_sql,
 )
 from windowsession_using_kafka_flink_docker_spark.plans.catalog import _events, register
+from windowsession_using_kafka_flink_docker_spark.sources.generator import (
+    generated_events,
+    generated_events_sql,
+)
 
 # At the test data's value scale (≤ ~500/event) the reference's 1 000 000
 # threshold (flink_stream_task2.py:82) matches nothing; same operator, a
@@ -139,3 +146,48 @@ def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("payload_value"), 2).alias("total"))
     )
+
+
+@register(
+    "generated_sessionization",
+    oracle=f"""
+WITH events_gen AS ({generated_events_sql()}),
+sessions AS ({sessionize_oracle_sql(30, table="events_gen", tiebreak="transaction_id")})
+SELECT * FROM sessions
+""",
+    description="S2 generator parity: the reference's 4-phase synthetic "
+                "workload (generator1.py:35-51, incl. the phase-4 hot-user "
+                "skew) generated closed-form in Spark AND replayed as a "
+                "DuckDB CTE, then 30s-gap sessionized — generator and "
+                "sessionizer hash-checked together",
+    tags=("parity", "generator", "session_window", "skew"),
+)
+def generated_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = generated_events(spark).select("user_id", "ts", "value")
+    return sessionize(ev)
+
+
+@register(
+    "generated_big_customer_alert",
+    oracle=f"""
+WITH events_gen AS ({generated_events_sql()}),
+sessions AS ({sessionize_oracle_sql(30, table="events_gen", tiebreak="transaction_id",
+                                    having=f"ROUND(SUM(_v), 2) >= {BIG_CUSTOMER_THRESHOLD}")}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY session_start, session_end) AS _rn
+  FROM sessions
+)
+SELECT user_id, session_start, session_end, session_sum, event_count, session_avg
+FROM ranked WHERE _rn = 1
+""",
+    description="task2 at the reference's REAL 1,000,000 threshold "
+                "(flink_stream_task2.py:82): on the generator-parity "
+                "workload, payload = uid*10 makes hot users genuinely cross "
+                "1M, so the unmodified reference threshold produces alerts "
+                "(unlike the driver's events table, where it matches nothing)",
+    tags=("parity", "generator", "dedup"),
+)
+def generated_big_customer_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = generated_events(spark).select("user_id", "ts", "value")
+    return big_customer_alerts(sessionize(ev), threshold=BIG_CUSTOMER_THRESHOLD)
