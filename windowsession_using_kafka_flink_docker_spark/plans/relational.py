@@ -325,32 +325,34 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_enrichment",
     oracle="""
 WITH tiers AS (
-  SELECT user_id,
-         CASE WHEN user_id = 9999 THEN 'vip'
-              WHEN user_id BETWEEN 2 AND 9 THEN 'tier_a'
-              WHEN user_id BETWEEN 100 AND 200 THEN 'tier_b'
-              ELSE 'default' END AS tier
-  FROM (SELECT DISTINCT user_id FROM events)
+  SELECT 9999 AS user_id, 'vip' AS tier
+  UNION ALL SELECT i, 'tier_a' FROM range(2, 10) t(i)
+  UNION ALL SELECT i, 'tier_b' FROM range(100, 201) t(i)
 )
-SELECT tier, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
-FROM events JOIN tiers USING (user_id)
-GROUP BY tier
+SELECT COALESCE(tier, 'default') AS tier,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events LEFT JOIN tiers USING (user_id)
+GROUP BY 1
 """,
     description="Stream-static enrichment join: the task3 user-tier table "
-                "(flink_stream_task3.py:54-62) as a broadcast dimension",
+                "(flink_stream_task3.py:54-62) materialized as a genuinely "
+                "static 110-row dimension, broadcast left-join + coalesce "
+                "default — the fact side never shuffles for the join and "
+                "nothing unbounded reaches the driver",
     tags=("relational", "join", "parity"),
 )
 def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    tier = (
-        F.when(F.col("user_id") == 9999, "vip")
-        .when(F.col("user_id").between(2, 9), "tier_a")
-        .when(F.col("user_id").between(100, 200), "tier_b")
-        .otherwise("default")
-    )
-    tiers = F.broadcast(ev.select("user_id").distinct().withColumn("tier", tier))
+    # Static dimension straight from the reference's tier rules — bounded
+    # and known a priori (unlike a distinct() over the fact table, whose
+    # cardinality is unbounded at scale).
+    rows = ([(9999, "vip")]
+            + [(u, "tier_a") for u in range(2, 10)]
+            + [(u, "tier_b") for u in range(100, 201)])
+    tiers = spark.createDataFrame(rows, "user_id BIGINT, tier STRING")
     return (
-        ev.join(tiers, "user_id")
+        ev.join(F.broadcast(tiers), "user_id", "left")
+        .withColumn("tier", F.coalesce(F.col("tier"), F.lit("default")))
         .groupBy("tier")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
