@@ -1,0 +1,106 @@
+"""Physical-plan audits: the properties that decide whether a plan survives
+a 100 TB scale-up, asserted on `.explain` output so regressions are caught
+at test time, not in production.
+
+- dimension joins must broadcast (no shuffle of the fact side for the join)
+- scans must push filters and prune columns (ReadSchema is the contract)
+- no unconditioned cross joins anywhere in the catalog
+- the whole-stage-codegen hot path must not fall back to interpreted
+  row-at-a-time Python (no BatchEvalPython in any catalog plan)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+SF = None  # filled from fixture
+
+
+def _plan(spark, name, sf_dir, mode: str = "formatted") -> str:
+    df = CATALOG[name].spark(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+# Near-dup operators eagerly materialize + unpersist inside the builder, so
+# building their "plan" runs real jobs; exclude them from the cheap sweep
+# (their plan shape is asserted via their own operator tests).
+_EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups"}
+
+# media_features uses a sanctioned Arrow-batched mapInPandas (the one
+# allowed Python hot path: opaque binary decode).
+_PANDAS_OK = {"media_features"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in CATALOG if n not in _EAGER)
+)
+def test_no_cartesian_and_no_python_rows(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir, "extended")
+    assert "CartesianProduct" not in plan, f"{name} plans an unconditioned cross join"
+    if name not in _PANDAS_OK:
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-at-a-time Python"
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name} uses a Python stage where native expressions should suffice"
+        )
+
+
+def test_q1_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or \
+           "PushedFilters: [LessThanOrEqual(l_shipdate" in plan, plan
+    # Column pruning: the 16-column lineitem scan must read only the 7
+    # referenced columns — l_comment (the widest) must not be read.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_comment" not in read_schema[0]
+    assert "l_shipdate" in read_schema[0] and "l_quantity" in read_schema[0]
+
+
+def test_revenue_by_nation_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, "revenue_by_nation", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # The big fact table must not be sort-merge-joined (that would shuffle
+    # the full lineitem scan for the join).
+    assert "SortMergeJoin" not in plan
+
+
+def test_enrichment_broadcasts_static_dim(spark, sf_dir):
+    plan = _plan(spark, "stream_static_enrichment", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    """One hash exchange (on the group keys) is the whole shuffle budget of
+    sessionization — a second exchange would mean the plan re-partitions
+    needlessly at 100 TB. Also: a partial HashAggregate must sit *before*
+    the exchange (map-side combine is what absorbs the reference's phase-4
+    hot-user skew)."""
+    plan = _plan(spark, "session_fixed_gap", sf_dir, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    pre_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "HashAggregate" in pre_exchange, plan
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = _plan(spark, "cosine_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # 10-row query side broadcast
+    # corpus side must be a plain scan into the join, never exchanged first
+    before_join = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in before_join
+
+
+@pytest.mark.parametrize("name", ["session_fixed_gap", "q1_pricing_summary"])
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir, name):
+    """Codegen inspection must happen on the *executed* plan (with AQE the
+    pre-execution tree is an opaque AdaptiveSparkPlan and codegen explain
+    reports zero subtrees for every query); fused stages render as ``*(n)``
+    markers. The scan→filter→project→partial-agg hot path must be inside a
+    codegen stage."""
+    df = CATALOG[name].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "*(1)" in executed, executed

@@ -1,0 +1,138 @@
+"""Property-based tests (SURVEY.md §5.2): sessionization invariants and
+CSV parse round-trip on hypothesis-generated event sets.
+
+Spark sessions are expensive, so each property runs a modest number of
+examples with deadline disabled; the generators are biased toward gap
+boundaries (deltas straddling exactly 30 s) where the interesting
+semantics live.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.sessionize import sessionize
+
+BASE = datetime(2024, 8, 26, 8, 0, 0)
+
+# Inter-event deltas in milliseconds, biased around the 30 000 ms gap
+# boundary: equal-to-gap must merge, gap+1ms must split.
+_delta_ms = st.one_of(
+    st.integers(min_value=0, max_value=60_000),
+    st.sampled_from([29_999, 30_000, 30_001]),
+)
+
+_user_events = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),  # user_id
+              _delta_ms,
+              st.integers(min_value=-500, max_value=500)),  # value
+    min_size=1, max_size=40,
+)
+
+
+def _build_events(spark, raw):
+    rows, clocks = [], {}
+    for i, (uid, delta_ms, value) in enumerate(raw):
+        clocks[uid] = clocks.get(uid, BASE) + timedelta(milliseconds=delta_ms)
+        rows.append((i, clocks[uid], uid, float(value)))
+    return rows, spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    )
+
+
+@pytest.mark.usefixtures("spark")
+class TestSessionizationProperties:
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(raw=_user_events)
+    def test_events_partition_exactly_into_sessions(self, spark, raw):
+        """Every event lands in exactly one session: per-user event counts
+        and value totals are conserved, and sessions of one user never
+        overlap (next start > previous end is not required — end includes
+        the gap padding — but starts must be >= previous *last event*)."""
+        rows, ev = _build_events(spark, raw)
+        sessions = sessionize(ev).collect()
+
+        per_user_counts: dict[int, int] = {}
+        per_user_sums: dict[int, float] = {}
+        for _, ts, uid, value in rows:
+            per_user_counts[uid] = per_user_counts.get(uid, 0) + 1
+            per_user_sums[uid] = per_user_sums.get(uid, 0.0) + value
+
+        got_counts: dict[int, int] = {}
+        got_sums: dict[int, float] = {}
+        for s in sessions:
+            got_counts[s.user_id] = got_counts.get(s.user_id, 0) + s.event_count
+            got_sums[s.user_id] = got_sums.get(s.user_id, 0.0) + s.session_sum
+        assert got_counts == per_user_counts
+        for uid in per_user_sums:
+            assert abs(got_sums[uid] - per_user_sums[uid]) < 0.05
+
+        by_user: dict[int, list] = {}
+        for s in sessions:
+            by_user.setdefault(s.user_id, []).append(s)
+        for group in by_user.values():
+            group.sort(key=lambda s: s.session_start)
+            for a, b in zip(group, group[1:]):
+                # strictly more than the 30s gap between adjacent sessions
+                assert b.session_start >= a.session_end
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(raw=_user_events)
+    def test_gap_boundary_merge_semantics(self, spark, raw):
+        """A delta of exactly the gap merges; strictly greater splits —
+        verified against a direct per-user replay of the rule."""
+        rows, ev = _build_events(spark, raw)
+        sessions = sessionize(ev).collect()
+        # replay: count sessions per user with the strict > 30s break rule
+        per_user_ts: dict[int, list] = {}
+        for _, ts, uid, _v in rows:
+            per_user_ts.setdefault(uid, []).append(ts)
+        want_counts = {}
+        for uid, tss in per_user_ts.items():
+            tss.sort()
+            n = 1
+            for a, b in zip(tss, tss[1:]):
+                if (b - a) > timedelta(seconds=30):
+                    n += 1
+            want_counts[uid] = n
+        got = {}
+        for s in sessions:
+            got[s.user_id] = got.get(s.user_id, 0) + 1
+        assert got == want_counts
+
+
+@pytest.mark.usefixtures("spark")
+class TestParseRoundTripProperties:
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**6),      # seconds offset
+                st.integers(min_value=1, max_value=10**9),      # user
+                st.integers(min_value=1, max_value=10**6),      # tx
+                st.integers(min_value=-10**9, max_value=10**9), # payload int
+            ),
+            min_size=1, max_size=30,
+        ),
+        n_malformed=st.integers(min_value=0, max_value=5),
+    )
+    def test_wire_roundtrip_preserves_good_rows_drops_bad(self, spark, rows, n_malformed):
+        from windowsession_using_kafka_flink_docker_spark.streaming import parse_csv_events
+        good = [
+            f"{(BASE + timedelta(seconds=sec)).strftime('%Y-%m-%d %H:%M:%S')},{uid},{tx},{pay}"
+            for sec, uid, tx, pay in rows
+        ]
+        bad = ["not,enough", "a,b,c,d", "", "2024-13-45 99:99:99,1,1,1", "x,y,z,w,extra"][:n_malformed]
+        df = spark.createDataFrame([(line,) for line in good + bad], "value STRING")
+        out = parse_csv_events(df).collect()
+        assert len(out) == len(good)
+        assert sorted((r.user_id, r.transaction_id, r.payload_value) for r in out) == \
+               sorted((uid, tx, float(pay)) for _, uid, tx, pay in rows)

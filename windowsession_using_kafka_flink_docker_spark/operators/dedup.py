@@ -256,15 +256,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     equals the all-pairs semantics (the oracle needn't model the blocking).
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _staged_shingles(
-        df.repartition(n_part, F.col(id_col)), text_col, id_col, k, unit
-    ).persist()
+    # Shingles hashed to bigints once: every downstream compare (df counts,
+    # prefix index, verification intersect) runs on fixed-width ints, never
+    # re-touching document strings. xxhash64 collisions would perturb a
+    # Jaccard by ~2^-64 per shingle pair — far below the rounded output
+    # precision (and the oracle gate would catch any realized collision).
+    docs = (
+        _staged_shingles(df.repartition(n_part, F.col(id_col)), text_col, id_col, k, unit)
+        .select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
+        .persist()
+    )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"), F.size("_sh").alias("_n"))
     inv = docs.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
 
     # Global document frequency per shingle; ascending df is the canonical
-    # order (rarest first), ties broken by the shingle string so the order
-    # is total and engine-independent.
+    # order (rarest first), ties broken by the shingle hash so the order is
+    # total and engine-independent.
     freq = inv.groupBy("s").agg(F.count("*").alias("_df"))
     from pyspark.sql import Window
     w = Window.partitionBy("_id").orderBy("_df", "s")
@@ -273,11 +280,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .withColumn("_rn", F.row_number().over(w))
         # prefix length L = |S| - ceil(t*|S|) + 1
         .where(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(jaccard_threshold) * F.col("_n")) + 1)
-        .select("s", "_id")
+        .select("s", "_id", "_n")
     )
+    t = F.lit(jaccard_threshold)
     cand = (
         prefix.alias("a").join(prefix.alias("b"), "s")
-        .where(F.col("a._id") < F.col("b._id"))
+        .where(
+            (F.col("a._id") < F.col("b._id"))
+            # Length filter: Jaccard >= t forces t*|Sa| <= |Sb| <= |Sa|/t —
+            # prunes size-mismatched candidates before the verify join.
+            & (F.col("b._n") >= F.ceil(t * F.col("a._n")))
+            & (F.col("a._n") >= F.ceil(t * F.col("b._n")))
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -85,3 +85,76 @@ def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> D
                 yield _decode_batch(pdf)
 
     return media.mapInPandas(gen, schema=MEDIA_FEATURES_SCHEMA)
+
+#: Output schema of the resize step: same payload contract, new dims.
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+#: Output schema of frame sampling: one row per sampled frame (1→N).
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_index", IntegerType()),
+    StructField("frame", BinaryType()),
+    StructField("checksum", StringType()),
+])
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stub over the binary column (real impl: PIL thumbnail in
+    place of the deterministic byte-fold). Same mapInPandas contract as
+    decode — payload in, payload out, Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # STUB: "resize" = truncate/right-pad payload to width*height/64
+            # bytes, deterministic stand-in for a real resampler.
+            target = max(1, width * height // 64)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "payload": pdf["payload"].map(
+                    lambda b: bytes(b[:target]).ljust(target, b"\0")),
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+            })
+
+    return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stub: one input video row fans out to ``n_frames``
+    output rows (the 1→N batch shape a real av-decode would produce).
+    Frames are deterministic payload slices; a real decoder replaces the
+    slicing, the Spark-side contract is unchanged."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video/mp4"]
+            if not len(vids):
+                continue
+            out = {"doc_id": [], "frame_index": [], "frame": [], "checksum": []}
+            for _, row in vids.iterrows():
+                payload = bytes(row["payload"]) or b"\0"
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    frame = payload[i * step:(i + 1) * step] or b"\0"
+                    out["doc_id"].append(row["doc_id"])
+                    out["frame_index"].append(i)
+                    out["frame"].append(frame)
+                    out["checksum"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_index": pd.Series(out["frame_index"], dtype="int32"),
+                "frame": out["frame"],
+                "checksum": out["checksum"],
+            })
+
+    return media.mapInPandas(gen, schema=FRAMES_SCHEMA)

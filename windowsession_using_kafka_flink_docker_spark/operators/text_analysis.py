@@ -22,6 +22,15 @@ def token_count(col: str | Column) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).alias("token_count")
 
 
+def subword_token_count(col: str | Column) -> Column:
+    """BPE-ish token estimate: count maximal runs of letters, runs of
+    digits, and individual punctuation marks — the pre-tokenization split
+    every BPE/WordPiece pipeline applies before merges, so it upper-bounds
+    whitespace tokens and tracks real tokenizer counts far better on
+    punctuated/code-mixed text. Pure regexp_extract_all, no UDF."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+
+
 def normalized_text(col: str | Column) -> Column:
     """Canonical form: lowercase, strip non-alphanumerics, collapse spaces."""
     t = F.lower(_c(col))

@@ -59,4 +59,5 @@ from windowsession_using_kafka_flink_docker_spark.plans import (  # noqa: E402,F
     parity,
     relational,
     llm_pipeline,
+    time_windows,
 )

@@ -33,6 +33,7 @@ GROUP BY md5(text)
 """,
     description="Exact dedup: md5-digest groupBy, min-id canonical "
                 "representative; digest (not payload) is the shuffle key",
+    bench=True,
     tags=("llm", "dedup"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,6 +106,7 @@ WHERE ROUND(n_shared / (na.n + nb.n - n_shared), 4) >= 0.5
 """,
     description="Exact word-3-gram Jaccard near-dup pairs via inverted-"
                 "index blocking (set-similarity join); oracle-checked",
+    bench=True,
     tags=("llm", "dedup", "ngram"),
 )
 def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +119,7 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
                   # lacks xxhash64 — rows-only
     description="SimHash-64 near-dup pairs, 16-bit chunk blocking, "
                 "Hamming <= 3",
+    bench=True,
     tags=("llm", "dedup", "simhash"),
 )
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +196,7 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
                 "testdata's max organic pairwise cosine is ~0.51. With "
                 "threshold > that, LSH recall is exact and the brute-force "
                 "oracle hash-matches.",
+    bench=True,
     tags=("llm", "dedup", "similarity"),
 )
 def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,3 +318,44 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_fake_media(docs)
     return M.extract_media_features(media)
+
+
+@register(
+    "subword_token_stats",
+    oracle=r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+         AS total_subword_tokens,
+       ROUND(AVG(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))), 2)
+         AS avg_subword_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+    description="BPE-ish subword token counting (letter runs / digit runs "
+                "/ punctuation marks — the standard pre-tokenization split) "
+                "aggregated per language; complements the whitespace "
+                "counter in token_stats_by_lang",
+    tags=("llm", "text"),
+)
+def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.subword_token_count("text")
+    return docs.groupBy("lang").agg(
+        F.sum(tc).alias("total_subword_tokens"),
+        F.round(F.avg(tc), 2).alias("avg_subword_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "media_frame_sample",
+    oracle=None,  # mapInPandas 1→N decode stub — rows-only check
+    description="Multimodal frame sampling: video binary rows fan out to "
+                "4 frame rows each via Arrow-batched mapInPandas (the 1-to-N "
+                "decode shape); sampler is a documented deterministic stub",
+    tags=("llm", "multimodal"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_fake_media(docs))

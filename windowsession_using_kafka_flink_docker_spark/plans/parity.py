@@ -160,6 +160,7 @@ SELECT * FROM sessions
                 "skew) generated closed-form in Spark AND replayed as a "
                 "DuckDB CTE, then 30s-gap sessionized — generator and "
                 "sessionizer hash-checked together",
+    bench=True,
     tags=("parity", "generator", "session_window", "skew"),
 )
 def generated_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
