@@ -192,3 +192,19 @@ FROM ranked WHERE _rn = 1
 def generated_big_customer_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = generated_events(spark).select("user_id", "ts", "value")
     return big_customer_alerts(sessionize(ev), threshold=BIG_CUSTOMER_THRESHOLD)
+
+
+@register(
+    "session_fixed_gap_bucketed",
+    oracle=sessionize_oracle_sql(30),
+    description="Same sessionization semantics as session_fixed_gap, but "
+                "over a user_id-bucketed, (user_id, ts)-sorted layout of "
+                "events — the plan contains ZERO Exchange nodes (the scan's "
+                "bucketing satisfies the aggregation's distribution), which "
+                "is the ingest-once layout that removes the sessionization "
+                "shuffle at 100 TB",
+    tags=("parity", "session_window", "bucketing"),
+)
+def session_fixed_gap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.sources.bucketed import bucketed_events
+    return sessionize(bucketed_events(spark, sf_dir))

@@ -1,0 +1,52 @@
+"""Bucketed-table support — the co-location machinery that removes
+shuffles entirely at 100 TB.
+
+A table bucketed on a key reports ``HashPartitioning(key)`` from the scan,
+which satisfies the clustered distribution that keyed aggregations
+(including ``session_window`` grouping, which only requires clustering on
+the non-window keys) and joins demand — so sessionizing a user-bucketed
+events table, or joining two tables bucketed on the same key with equal
+bucket counts, plans **zero Exchange nodes**. At petabyte scale this is the
+difference between an ingest-once layout decision and re-shuffling the
+fact table on every query.
+
+The reference has no storage layer at all (Kafka in, stdout out), so this
+is extension surface (SURVEY.md §2.11) — but it is exactly how its
+sessionization workload would be laid out as a table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+
+def save_bucketed(df: DataFrame, table: str, buckets: int, key: str,
+                  sort_cols: tuple[str, ...] = (), path: str | None = None) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-ordered) external
+    parquet table. Sorting by (key, time) additionally lets sort-dependent
+    operators skip their local sort."""
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), "windowsession_buckets", table)
+    writer = df.write.mode("overwrite").option("path", path).bucketBy(buckets, key)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_events(spark: SparkSession, sf_dir: str, buckets: int = 8) -> DataFrame:
+    """The events table re-laid-out bucketed by ``user_id`` and sorted by
+    (user_id, ts) — the ingest-time layout under which sessionization needs
+    no shuffle. Idempotent per (sf_dir, buckets): rewrites on each call so
+    results always reflect the source."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    table = f"events_bucketed_{sf_tag}_{buckets}"
+    save_bucketed(
+        load_table(spark, sf_dir, "events"), table, buckets, "user_id",
+        sort_cols=("user_id", "ts"),
+    )
+    return spark.table(table)
