@@ -29,9 +29,9 @@ def _plan(spark, name, sf_dir, mode: str = "formatted") -> str:
 # (their plan shape is asserted via their own operator tests).
 _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups"}
 
-# media_features uses a sanctioned Arrow-batched mapInPandas (the one
-# allowed Python hot path: opaque binary decode).
-_PANDAS_OK = {"media_features"}
+# media_features / media_frame_sample use a sanctioned Arrow-batched
+# mapInPandas (the one allowed Python hot path: opaque binary decode).
+_PANDAS_OK = {"media_features", "media_frame_sample"}
 
 
 @pytest.mark.parametrize(
@@ -104,3 +104,28 @@ def test_whole_stage_codegen_covers_hot_path(spark, sf_dir, name):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in executed
     assert "*(1)" in executed, executed
+
+
+def test_salted_agg_two_stages_no_hot_reducer(spark, sf_dir):
+    """The salted plan must contain exactly two hash exchanges (one per
+    stage) and the stage-1 grouping must include the salt column."""
+    plan = _plan(spark, "salted_skew_aggregation", sf_dir, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "_salt" in plan
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from windowsession_using_kafka_flink_docker_spark.operators.skew import salted_agg
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+    ev = load_table(spark, sf_dir, "events")
+    got = sorted(
+        (r.user_id, round(r.s, 2), r.c) for r in
+        salted_agg(ev, ["user_id"], {"s": ("sum", "value"), "c": ("count", "value")})
+        .withColumnRenamed("s", "s").collect()
+    )
+    want = sorted(
+        (r.user_id, round(r.s, 2), r.c) for r in
+        ev.groupBy("user_id").agg(F.sum("value").alias("s"), F.count("value").alias("c")).collect()
+    )
+    assert got == want

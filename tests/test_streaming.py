@@ -321,3 +321,55 @@ class TestRocksDBStateStore:
         got = _rows(spark.table("stream_rocksdb"))
         want = _rows(sessionize(load_table(spark, sf_dir, "events")))
         assert got == want
+
+
+class TestStreamingTimeWindows:
+    def test_tumbling_stream_equals_batch(self, spark, sf_dir, stream_dir):
+        from windowsession_using_kafka_flink_docker_spark.streaming import streaming_windowed_counts
+        stream = streaming_windowed_counts(_events_stream(spark, stream_dir))
+        q = memory_sink(stream, "stream_tumbling")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(spark.table("stream_tumbling"))
+        ev = load_table(spark, sf_dir, "events")
+        want = _rows(
+            ev.groupBy(F.window("ts", "5 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "user_id", "n_events", "total_value")
+        )
+        assert got == want
+
+    def test_sliding_stream_equals_batch(self, spark, stream_dir):
+        """Global (unkeyed) sliding windows: stream output must equal the
+        batch windows over the same files restricted to windows the final
+        watermark closed (the sentinel's own unfinalized windows are the
+        only difference)."""
+        from windowsession_using_kafka_flink_docker_spark.streaming import streaming_windowed_counts
+        stream = streaming_windowed_counts(
+            _events_stream(spark, stream_dir), duration="10 minutes",
+            slide="5 minutes", key=None,
+        )
+        q = memory_sink(stream, "stream_sliding")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(spark.table("stream_sliding"), exclude_sentinel=False)
+        all_rows = spark.read.parquet(stream_dir)  # same data incl. sentinel
+        final_wm = all_rows.agg(F.max("ts")).collect()[0][0]
+        want = _rows(
+            all_rows.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "n_events", "total_value")
+            .where(F.col("window_end") <= F.lit(final_wm)),
+            exclude_sentinel=False,
+        )
+        assert got == want

@@ -357,3 +357,38 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "salted_skew_aggregation",
+    oracle="""
+SELECT user_id,
+       ROUND(SUM(value), 2) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+""",
+    description="Two-stage salted aggregation over a skewed key: identical "
+                "result to a plain groupBy (the salt is internal), but the "
+                "hot key's rows spread over n_salts reducers in stage 1 — "
+                "the classic mitigation when one key owns a large share of "
+                "the input (reference phase-4 funnels 100k events into one "
+                "user, generator1.py:51)",
+    tags=("relational", "aggregate", "skew"),
+)
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.skew import salted_agg
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["user_id"],
+        {"total_value": ("sum", "value"),
+         "n_events": ("count", "value"),
+         "max_value": ("max", "value")},
+    )
+    return out.select(
+        "user_id",
+        F.round("total_value", 2).alias("total_value"),
+        F.col("n_events"),
+        F.round("max_value", 2).alias("max_value"),
+    )

@@ -11,6 +11,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.pipeline import (
     streaming_alerts,
     streaming_sessionize,
     streaming_sessionize_dynamic,
+    streaming_windowed_counts,
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
     alert_grid_writer,
@@ -37,6 +38,7 @@ __all__ = [
     "streaming_alerts",
     "streaming_sessionize",
     "streaming_sessionize_dynamic",
+    "streaming_windowed_counts",
     "file_events_source",
     "kafka_events_source",
     "kafka_raw_source",

@@ -98,6 +98,30 @@ def streaming_sessionize_dynamic(events: DataFrame,
     )
 
 
+def streaming_windowed_counts(events: DataFrame, duration: str = "5 minutes",
+                              slide: str | None = None,
+                              watermark_delay: str = MONOTONOUS_DELAY,
+                              key: str | None = "user_id", ts: str = "ts",
+                              value: str = "value") -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding) event-time window counts —
+    the two Structured-Streaming window shapes the reference lacks,
+    streaming-side. Append mode; same plan as the batch
+    ``tumbling_window_traffic`` / ``sliding_window_traffic`` queries."""
+    win = F.window(ts, duration, slide) if slide else F.window(ts, duration)
+    group = [win] + ([key] if key else [])
+    agg = (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(*group)
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum(value), 2).alias("total_value"))
+    )
+    cols = [
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+    ] + ([F.col(key)] if key else []) + [F.col("n_events"), F.col("total_value")]
+    return agg.select(*cols)
+
+
 def streaming_alerts(events: DataFrame,
                      threshold: float = BIG_CUSTOMER_THRESHOLD,
                      watermark_delay: str = MONOTONOUS_DELAY,
