@@ -1,0 +1,103 @@
+"""As-of join: semantics vs a naive quadratic reference, tie handling,
+tolerance, and the plan property that makes it scale (one exchange, no
+conditional-join pair explosion)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.asof import asof_join
+
+
+def _t(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _t("2024-01-01 00:00:10"), 100.0),
+            (1, _t("2024-01-01 00:00:30"), 200.0),
+            (2, _t("2024-01-01 00:00:05"), 300.0),   # no prior right row -> dropped
+            (2, _t("2024-01-01 00:00:20"), 400.0),   # tie with right @20 -> matches
+            (3, _t("2024-01-01 00:00:50"), 500.0),   # key absent on right -> dropped
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t("2024-01-01 00:00:00"), 1.0),
+            (1, _t("2024-01-01 00:00:25"), 2.0),
+            (2, _t("2024-01-01 00:00:20"), 3.0),
+        ],
+        "user_id long, ts timestamp, mark double",
+    )
+    return left, right
+
+
+def test_backward_asof_with_ties_and_inner_semantics(spark):
+    left, right = _frames(spark)
+    got = sorted(
+        (r.user_id, r.ts, r.value, r.asof_ts, r.mark)
+        for r in asof_join(left, right, on=["user_id"],
+                           right_cols={"mark": "mark"}).collect()
+    )
+    assert got == [
+        (1, _t("2024-01-01 00:00:10"), 100.0, _t("2024-01-01 00:00:00"), 1.0),
+        (1, _t("2024-01-01 00:00:30"), 200.0, _t("2024-01-01 00:00:25"), 2.0),
+        (2, _t("2024-01-01 00:00:20"), 400.0, _t("2024-01-01 00:00:20"), 3.0),
+    ]
+
+
+def test_tolerance_rejects_stale_matches(spark):
+    left, right = _frames(spark)
+    got = sorted(
+        (r.user_id, r.ts)
+        for r in asof_join(left, right, on=["user_id"],
+                           right_cols={"mark": "mark"},
+                           tolerance_sec=5.0).collect()
+    )
+    # only matches within 5 s of the left row survive
+    assert got == [
+        (1, _t("2024-01-01 00:00:30")),  # 30-25 = 5 s
+        (2, _t("2024-01-01 00:00:20")),  # tie, 0 s
+    ]
+
+
+def test_matches_naive_quadratic_reference(spark, sf_dir):
+    """The union-merge result must equal the obvious-but-unscalable plan:
+    conditional join on ts>=rts then keep the latest right row per left."""
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    right = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("mark")))
+
+    fast = asof_join(left, right, on=["user_id"], right_cols={"mark": "mark"})
+
+    r = right.select(F.col("user_id").alias("r_uid"), F.col("ts").alias("r_ts"), "mark")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("r_ts"))
+    naive = (
+        left.join(r, (left.user_id == r.r_uid) & (left.ts >= r.r_ts))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "value", F.col("r_ts").alias("asof_ts"), "mark")
+    )
+    key = lambda rows: sorted((r.user_id, r.ts, r.value, r.asof_ts, r.mark) for r in rows)
+    assert key(fast.collect()) == key(naive.collect())
+
+
+def test_plan_single_exchange_no_join_explosion(spark):
+    left, right = _frames(spark)
+    plan = asof_join(
+        left, right, on=["user_id"], right_cols={"mark": "mark"}
+    )._jdf.queryExecution().executedPlan().toString()
+    # union-merge: exactly one hash exchange (for the window), and no join
+    # operator of any kind — the quadratic candidate-pair stage never exists
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan

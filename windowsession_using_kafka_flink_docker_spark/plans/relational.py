@@ -360,6 +360,52 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_attribution",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.ts AS purchase_ts,
+       ROUND(p.value, 2) AS purchase_value,
+       v.ts AS view_ts,
+       v.view_value
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    description="As-of (point-in-time) join: each purchase event picks the "
+                "user's most recent prior-or-simultaneous view event — "
+                "union-merge implementation (one shuffle + running "
+                "last-value window), not a quadratic range join; oracled "
+                "against DuckDB's native ASOF JOIN",
+    tags=("relational", "join", "asof"),
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, views, on=["user_id"], ts="ts",
+        right_cols={"view_value": "view_value"}, right_ts_name="view_ts",
+    )
+    return joined.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        "view_ts",
+        "view_value",
+    )
+
+
+@register(
     "salted_skew_aggregation",
     oracle="""
 SELECT user_id,
