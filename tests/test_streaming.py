@@ -373,3 +373,60 @@ class TestStreamingTimeWindows:
             exclude_sentinel=False,
         )
         assert got == want
+
+
+class TestStatefulCappedSessions:
+    """applyInPandasWithState capped sessionization must equal the batch
+    window-function definition (which is itself DuckDB-oracled) on the
+    same bounded data — the custom-stateful-operator version of the
+    prefix-consistency gate."""
+
+    def test_capped_stream_equals_batch(self, spark, sf_dir, stream_dir):
+        from windowsession_using_kafka_flink_docker_spark.operators.capped_sessionize import (
+            capped_sessionize,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            streaming_capped_sessionize,
+        )
+
+        stream = streaming_capped_sessionize(_events_stream(spark, stream_dir))
+        assert stream.isStreaming
+        q = memory_sink(stream, "stream_capped")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(spark.table("stream_capped"))
+        want = _rows(
+            capped_sessionize(
+                load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+            )
+        )
+        assert len(got) == len(want) and got == want
+
+    def test_cap_actually_splits_sessions(self, spark, sf_dir):
+        """With the cap off (huge), results equal plain gap sessions on the
+        real table; on a never-idle key (event every 10 s for 5 min) a 60 s
+        cap yields exactly ceil(300/60) = 5 segments where gap sessions
+        yield 1."""
+        from datetime import datetime, timedelta
+
+        from windowsession_using_kafka_flink_docker_spark.operators.capped_sessionize import (
+            capped_sessionize,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+            sessionize,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        assert capped_sessionize(ev, cap_sec=10**9).count() == sessionize(ev).count()
+
+        t0 = datetime(2024, 1, 1)
+        bot = spark.createDataFrame(
+            [(t0 + timedelta(seconds=10 * i), 7, 1.0) for i in range(30)],
+            "ts timestamp, user_id long, value double",
+        )
+        assert capped_sessionize(bot, cap_sec=10**9).count() == 1
+        segs = capped_sessionize(bot, cap_sec=60.0).orderBy("session_start").collect()
+        assert len(segs) == 5
+        assert all(s.event_count == 6 for s in segs)

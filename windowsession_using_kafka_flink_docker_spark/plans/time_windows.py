@@ -84,3 +84,31 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", "total_value",
         )
     )
+
+
+@register(
+    "capped_sessionization",
+    oracle=None,  # set below — built from the operator's oracle helper
+    description="Inactivity-gap sessions with a 120 s max-duration cap — "
+                "semantics session_window cannot express (a key emitting "
+                "forever would hold one session open forever); two window "
+                "passes sharing one hash partitioning; the streaming twin "
+                "is the applyInPandasWithState operator in "
+                "streaming/stateful.py",
+    tags=("extension", "session", "stateful"),
+)
+def capped_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.capped_sessionize import (
+        capped_sessionize,
+    )
+    return capped_sessionize(_events(spark, sf_dir))
+
+
+# The oracle SQL lives next to the operator so batch, streaming, and oracle
+# share one definition; inject it into the registered spec.
+from windowsession_using_kafka_flink_docker_spark.operators.capped_sessionize import (  # noqa: E402
+    capped_sessionize_oracle_sql,
+)
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG  # noqa: E402
+
+CATALOG["capped_sessionization"].oracle = capped_sessionize_oracle_sql()

@@ -13,6 +13,9 @@ from windowsession_using_kafka_flink_docker_spark.streaming.pipeline import (
     streaming_sessionize_dynamic,
     streaming_windowed_counts,
 )
+from windowsession_using_kafka_flink_docker_spark.streaming.stateful import (
+    streaming_capped_sessionize,
+)
 from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
     alert_grid_writer,
     console_sink,
@@ -39,6 +42,7 @@ __all__ = [
     "streaming_sessionize",
     "streaming_sessionize_dynamic",
     "streaming_windowed_counts",
+    "streaming_capped_sessionize",
     "file_events_source",
     "kafka_events_source",
     "kafka_raw_source",

@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator: capped sessionization via
+``applyInPandasWithState``.
+
+``session_window`` cannot cap a session's duration (a key emitting forever
+holds one session — and its state — open forever). This operator is the
+engine's ``KeyedProcessFunction`` analog: explicit per-key state, event-time
+timers, Arrow-batched Python. Semantics match
+``operators.capped_sessionize.capped_sessionize`` exactly (the batch
+definition is the oracle; the stream-equals-batch pytest is the gate).
+
+State per key: the one open segment ``(gap-session start, segment index,
+seg min/max ts, running sum/count)`` — O(1) per key, evicted by event-time
+timeout when the watermark passes ``segment end + gap`` (at which point any
+future event would start a new session anyway, so eviction is safe).
+
+In-order contract: like the reference's monotonous-watermark jobs, events
+per key are assumed non-decreasing in event time across micro-batches
+(within a batch they are sorted here). Out-of-order input within the
+watermark is handled by the declarative ``session_window`` pipelines;
+this operator trades that for semantics they cannot express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from windowsession_using_kafka_flink_docker_spark.operators.capped_sessionize import (
+    DEFAULT_CAP,
+)
+
+OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "session_sum double, event_count long, session_avg double"
+)
+#: (gap-session start µs, segment index, seg min µs, seg max µs, sum, count)
+STATE_SCHEMA = "gs0 long, seg long, s0 long, s1 long, ssum double, scnt long"
+
+_OUT_COLS = ("user_id", "session_start", "session_end", "session_sum",
+             "event_count", "session_avg")
+
+
+def _emit(closed: list[tuple[int, int, int, float, int]]) -> pd.DataFrame:
+    rows = {
+        "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
+        "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+        "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+        "session_sum": pd.Series([round(c[3], 2) for c in closed], dtype="float64"),
+        "event_count": pd.Series([c[4] for c in closed], dtype="int64"),
+        "session_avg": pd.Series([round(c[3] / max(1, c[4]), 2) for c in closed],
+                                 dtype="float64"),
+    }
+    return pd.DataFrame(rows, columns=list(_OUT_COLS))
+
+
+def make_capped_session_fn(gap_sec: float, cap_sec: float):
+    gap_us = int(gap_sec * 1_000_000)
+    cap_us = int(cap_sec * 1_000_000)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        closed: list[tuple[int, int, int, float, int]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                _gs0, _seg, s0, s1, ssum, scnt = state.get
+                closed.append((user_id, s0, s1, ssum, scnt))
+                state.remove()
+            yield _emit(closed)
+            return
+
+        batch = pd.concat(list(pdfs)).sort_values("ts")
+        cur: tuple[Any, ...] | None = state.get if state.exists else None
+        for ts, val in zip(batch["ts"], batch["value"]):
+            t = int(pd.Timestamp(ts).value // 1_000)  # ns -> µs
+            v = float(val)
+            if cur is None:
+                cur = (t, 0, t, t, v, 1)
+                continue
+            gs0, seg, s0, s1, ssum, scnt = cur
+            if t - s1 > gap_us:                      # inactivity gap: new gap session
+                closed.append((user_id, s0, s1, ssum, scnt))
+                cur = (t, 0, t, t, v, 1)
+            elif (t - gs0) // cap_us != seg:         # duration cap: new segment
+                closed.append((user_id, s0, s1, ssum, scnt))
+                cur = (gs0, (t - gs0) // cap_us, t, t, v, 1)
+            else:
+                cur = (gs0, seg, s0, max(s1, t), ssum + v, scnt + 1)
+        if cur is not None:
+            state.update(cur)
+            # evict once the watermark passes segment end + gap (ms API)
+            state.setTimeoutTimestamp(cur[3] // 1_000 + int(gap_us // 1_000) + 1)
+        yield _emit(closed)
+
+    return fn
+
+
+def streaming_capped_sessionize(events: DataFrame, gap_sec: float = 30.0,
+                                cap_sec: float = DEFAULT_CAP,
+                                watermark_delay: str = "0 seconds",
+                                key: str = "user_id",
+                                ts: str = "ts") -> DataFrame:
+    """Append-mode capped sessions: one row per closed segment, emitted on
+    close (cap/gap hit by a newer event) or watermark eviction."""
+    return (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            make_capped_session_fn(gap_sec, cap_sec),
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
