@@ -114,6 +114,91 @@ def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10
     )
 
 
+def _unit_expr(vec_col: F.Column) -> F.Column:
+    """Unit-normalized copy of an array<float> vector (double precision);
+    zero vectors pass through unchanged."""
+    n = norm_expr(vec_col)
+    return F.when(n == 0, vec_col.cast("array<double>")).otherwise(
+        F.transform(vec_col, lambda x: x.cast("double") / n)
+    )
+
+
+def ivf_assign(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
+               max_iter: int = 8, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[list[list[float]], DataFrame]:
+    """Train the IVF coarse quantizer and assign every corpus vector to its
+    cell.
+
+    KMeans (seeded, MLlib — JVM-side assignment, no Python per row) runs on
+    unit-normalized vectors so L2-nearest centroid == cosine-nearest. At
+    100 TB: train on a sample, then ``model.transform`` streams the corpus
+    once; the ``cell`` column becomes the parquet partition/cluster key so a
+    probe reads only its cells' files. Returns (centroids, corpus+cell).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn("_unit", array_to_vector(_unit_expr(F.col(vec_col))))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_unit",
+                   predictionCol="cell").fit(feat)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return centers, model.transform(feat).drop("_unit")
+
+
+def _probe_cells(queries: DataFrame, centers: list[list[float]], nprobe: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, cell) pairs for the ``nprobe`` cosine-nearest centroids of
+    each query — centroids are a literal array (they are tiny), so probing
+    is pure expressions over the broadcastable query set."""
+    cent = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(x) for x in c]).alias("cv"))
+        for i, c in enumerate(centers)
+    ])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_c", F.explode(cent))
+    d = dot_expr(_unit_expr(F.col("_qv")), F.col("_c.cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_d"), F.col("_c.cell"))
+    return (
+        q.withColumn("_d", d)
+        .withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") <= nprobe)
+        .select("query_id", F.col("_c.cell").alias("cell"), "_qv")
+    )
+
+
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_cells: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42, round_digits: int = 4) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors in the query's
+    ``nprobe`` nearest cells (the scale path next to sign-LSH ANN).
+
+    With ``nprobe == n_cells`` this degrades gracefully to the exact
+    result (every cell probed) — the recall pytest pins that identity.
+    Candidate scoring joins on the cell key; a corpus vector lives in
+    exactly one cell, so no candidate is scored twice.
+    """
+    centers, assigned = ivf_assign(corpus, n_cells, seed, id_col=id_col,
+                                   vec_col=vec_col)
+    c = assigned.select("cell", F.col(id_col).alias("match_id"),
+                        F.col(vec_col).alias("_cv"))
+    probes = _probe_cells(queries, centers, nprobe, id_col, vec_col)
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "cosine", "rnk")
+    )
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95, dim: int = 64,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_planes: int = 8, round_digits: int = 4) -> DataFrame:

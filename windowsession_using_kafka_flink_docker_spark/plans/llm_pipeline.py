@@ -359,3 +359,18 @@ def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_fake_media(docs))
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=None,  # approximate + iterative (KMeans) -> rows-only
+    description="IVF approximate nearest neighbors: seeded-KMeans coarse "
+                "quantizer over unit vectors, nprobe=4 of 16 cells probed "
+                "per query; cell id is the partition key at scale. "
+                "nprobe=n_cells provably equals the exact top-k (pinned by "
+                "pytest).",
+    tags=("llm", "similarity", "ann"),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
