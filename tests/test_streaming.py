@@ -430,3 +430,40 @@ class TestStatefulCappedSessions:
         segs = capped_sessionize(bot, cap_sec=60.0).orderBy("session_start").collect()
         assert len(segs) == 5
         assert all(s.event_count == 6 for s in segs)
+
+
+class TestStreamStreamIntervalJoin:
+    def test_interval_join_stream_equals_batch(self, spark, stream_dir):
+        """Two independent file streams over the same data, inner interval
+        join (same user, right event in the 60 min before the left) — the
+        append-mode output must equal the batch join of the same frames."""
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            streaming_interval_join,
+        )
+
+        joined = streaming_interval_join(
+            _events_stream(spark, stream_dir), _events_stream(spark, stream_dir)
+        )
+        assert joined.isStreaming
+        q = memory_sink(joined, "stream_ij")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(spark.table("stream_ij"))
+
+        ev = spark.read.parquet(stream_dir)  # same bounded data, sentinel incl.
+        l = ev.select(F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"),
+                      F.col("value").alias("l_value"))
+        r = ev.select(F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"),
+                      F.col("value").alias("r_value"))
+        want = _rows(
+            l.join(
+                r,
+                (F.col("l_key") == F.col("r_key"))
+                & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 60 MINUTES"))
+                & (F.col("r_ts") < F.col("l_ts")),
+            ).select(F.col("l_key").alias("user_id"), "l_ts", "l_value", "r_ts", "r_value")
+        )
+        assert len(got) > 0
+        assert got == want

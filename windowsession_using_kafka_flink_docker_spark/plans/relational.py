@@ -360,6 +360,53 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_attribution",
+    oracle="""
+SELECT p.user_id,
+       p.ts AS purchase_ts,
+       ROUND(p.value, 2) AS purchase_value,
+       v.ts AS view_ts,
+       ROUND(v.value, 2) AS view_value
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 60 MINUTE
+ AND v.ts < p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""",
+    description="Event-time interval join: each purchase matches the same "
+                "user's view events in the preceding 60 minutes (ALL of "
+                "them, unlike the as-of join's latest-only). Batch form of "
+                "streaming_interval_join, whose two-sided time bound keeps "
+                "stream-stream join state proportional to rate x lookback",
+    tags=("relational", "join", "interval"),
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"), F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_uid"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("view_ts") < F.col("purchase_ts")),
+        )
+        .select(
+            "user_id",
+            "purchase_ts",
+            F.round("purchase_value", 2).alias("purchase_value"),
+            "view_ts",
+            F.round("view_value", 2).alias("view_value"),
+        )
+    )
+
+
+@register(
     "asof_purchase_attribution",
     oracle="""
 WITH v AS (

@@ -11,6 +11,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.pipeline import (
     streaming_alerts,
     streaming_sessionize,
     streaming_sessionize_dynamic,
+    streaming_interval_join,
     streaming_windowed_counts,
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.stateful import (
@@ -41,6 +42,7 @@ __all__ = [
     "streaming_alerts",
     "streaming_sessionize",
     "streaming_sessionize_dynamic",
+    "streaming_interval_join",
     "streaming_windowed_counts",
     "streaming_capped_sessionize",
     "file_events_source",

@@ -145,3 +145,35 @@ def streaming_alerts(events: DataFrame,
     else:
         deduped = qualified.dropDuplicates([key])
     return _project_sessions(deduped, key)
+
+
+def streaming_interval_join(left: DataFrame, right: DataFrame,
+                            key: str = "user_id", ts: str = "ts",
+                            value: str = "value", lookback: str = "60 minutes",
+                            watermark_delay: str = MONOTONOUS_DELAY) -> DataFrame:
+    """Stream-stream event-time interval join: each left event matches right
+    events of the same key in the ``lookback`` window strictly before it.
+
+    Both sides carry a watermark and the join condition bounds the right
+    side's event time relative to the left in BOTH directions, so Spark can
+    evict join state once the watermark passes ``l_ts`` / ``l_ts -
+    lookback`` — state stays proportional to (rate x lookback), never the
+    whole stream. Inner join + append mode: matches emit as soon as both
+    rows have arrived (the batch equivalent over the same bounded data is
+    byte-identical, asserted in tests).
+    """
+    l = (left.select(F.col(key).alias("l_key"), F.col(ts).alias("l_ts"),
+                     F.col(value).alias("l_value"))
+         .withWatermark("l_ts", watermark_delay))
+    r = (right.select(F.col(key).alias("r_key"), F.col(ts).alias("r_ts"),
+                      F.col(value).alias("r_value"))
+         .withWatermark("r_ts", watermark_delay))
+    joined = l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") < F.col("l_ts")),
+    )
+    return joined.select(
+        F.col("l_key").alias(key), "l_ts", "l_value", "r_ts", "r_value"
+    )
