@@ -27,7 +27,8 @@ def _plan(spark, name, sf_dir, mode: str = "formatted") -> str:
 # Near-dup operators eagerly materialize + unpersist inside the builder, so
 # building their "plan" runs real jobs; exclude them from the cheap sweep
 # (their plan shape is asserted via their own operator tests).
-_EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups"}
+_EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
+          "winnow_neardup_pairs", "ivf_ann_topk"}
 
 # media_features / media_frame_sample use a sanctioned Arrow-batched
 # mapInPandas (the one allowed Python hot path: opaque binary decode).

@@ -374,3 +374,61 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+from windowsession_using_kafka_flink_docker_spark.operators.winnow import (  # noqa: E402
+    winnow_fingerprints,
+    winnow_oracle_sql,
+    winnow_pairs,
+)
+
+
+@register(
+    "winnow_fingerprint_stats",
+    oracle=winnow_oracle_sql() + """
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(f) AS BIGINT) AS n_fp,
+       list_aggregate(f, 'min') AS fp_min,
+       list_aggregate(f, 'max') AS fp_max
+FROM fp
+""",
+    description="Winnowing (MOSS, SIGMOD'03) rolling-hash fingerprints: "
+                "md5 k-gram hashes, per-window minima, ~2/(w+1) selection "
+                "density — per-doc stats, fully oracle-checked against the "
+                "same algorithm in DuckDB (md5 is engine-portable)",
+    tags=("llm", "fingerprint", "text"),
+)
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fp.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size("fp").cast("long").alias("n_fp"),
+        F.array_min("fp").alias("fp_min"),
+        F.array_max("fp").alias("fp_max"),
+    )
+
+
+@register(
+    "winnow_neardup_pairs",
+    oracle=winnow_oracle_sql() + """
+, inv AS (SELECT doc_id, unnest(f) AS w_fp FROM fp),
+rare AS (SELECT w_fp FROM inv GROUP BY w_fp HAVING COUNT(*) <= 50)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM (SELECT i.doc_id, i.w_fp FROM inv i JOIN rare USING (w_fp)) a
+JOIN (SELECT i.doc_id, i.w_fp FROM inv i JOIN rare USING (w_fp)) b
+  ON a.w_fp = b.w_fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+    description="Near-dup pairs sharing >= 2 winnowed fingerprints — the "
+                "inverted index holds only winnowed minima (a ~2/(w+1) "
+                "fraction of all grams, the scale win over the full n-gram "
+                "index) and fingerprints in > 50 docs are capped out before "
+                "the self-join",
+    tags=("llm", "dedup", "fingerprint"),
+)
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_pairs(load_table(spark, sf_dir, "documents"))
