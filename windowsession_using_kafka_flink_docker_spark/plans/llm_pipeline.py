@@ -369,6 +369,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "per query; cell id is the partition key at scale. "
                 "nprobe=n_cells provably equals the exact top-k (pinned by "
                 "pytest).",
+    bench=True,
     tags=("llm", "similarity", "ann"),
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +429,7 @@ HAVING COUNT(*) >= 2
                 "fraction of all grams, the scale win over the full n-gram "
                 "index) and fingerprints in > 50 docs are capped out before "
                 "the self-join",
+    bench=True,
     tags=("llm", "dedup", "fingerprint"),
 )
 def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

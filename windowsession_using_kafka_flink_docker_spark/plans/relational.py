@@ -378,6 +378,7 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
                 "them, unlike the as-of join's latest-only). Batch form of "
                 "streaming_interval_join, whose two-sided time bound keeps "
                 "stream-stream join state proportional to rate x lookback",
+    bench=True,
     tags=("relational", "join", "interval"),
 )
 def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +429,7 @@ FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
                 "union-merge implementation (one shuffle + running "
                 "last-value window), not a quadratic range join; oracled "
                 "against DuckDB's native ASOF JOIN",
+    bench=True,
     tags=("relational", "join", "asof"),
 )
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +470,7 @@ GROUP BY user_id
                 "the classic mitigation when one key owns a large share of "
                 "the input (reference phase-4 funnels 100k events into one "
                 "user, generator1.py:51)",
+    bench=True,
     tags=("relational", "aggregate", "skew"),
 )
 def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:

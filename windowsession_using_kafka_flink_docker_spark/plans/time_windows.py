@@ -95,6 +95,7 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "passes sharing one hash partitioning; the streaming twin "
                 "is the applyInPandasWithState operator in "
                 "streaming/stateful.py",
+    bench=True,
     tags=("extension", "session", "stateful"),
 )
 def capped_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
