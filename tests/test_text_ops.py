@@ -1,0 +1,47 @@
+"""Heavy hitters + PII redaction: semantics on constructed inputs (the
+oracle-parity sweep covers engine parity; these pin the behavior itself)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+    _PII_EMAIL,
+    _PII_IP,
+    _PII_PHONE,
+)
+
+
+def test_pii_patterns_redact_and_count(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or root@a.co, dial +44 (20) 7946-0958, "
+             "from 192.168.0.1 and 10.255.255.255"),
+         (2, "no pii here, just words and the number 42")],
+        "doc_id long, t string",
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+                         _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("e"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias("p"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0))).alias("i"),
+        red.alias("r"),
+    ).collect()}
+    assert (rows[1].e, rows[1].p, rows[1].i) == (2, 1, 2)
+    for tag in ("<EMAIL>", "<PHONE>", "<IP>"):
+        assert tag in rows[1].r
+    assert "@" not in rows[1].r and "192.168" not in rows[1].r
+    assert (rows[2].e, rows[2].p, rows[2].i) == (0, 0, 0)
+    assert rows[2].r == "no pii here, just words and the number 42"
+
+
+def test_heavy_hitters_order_and_cut(spark, sf_dir):
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+    rows = CATALOG["heavy_hitter_tokens"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50  # sf0.001's synthetic vocab is < 50 tokens
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.token for r in rows)

@@ -434,3 +434,94 @@ HAVING COUNT(*) >= 2
 )
 def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(""" + _NORM_SQL + """, ' ')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+    description="Corpus heavy hitters: top-50 tokens by occurrence — "
+                "explode -> map-side partial count -> one agg shuffle -> "
+                "TakeOrderedAndProject (the driver only ever sees 50 rows; "
+                "deterministic count-then-token ordering makes the cut "
+                "boundary stable)",
+    tags=("llm", "text", "topk"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+# PII patterns (RE2 ∩ Java regex — no lookaround/backrefs, identical
+# semantics in Spark and DuckDB).
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{5,}[0-9]"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# The synthetic corpus contains no organic PII, so the catalog query plants
+# one email/phone/IP per document (deterministic functions of doc_id in
+# BOTH engines) — the redaction check is non-vacuous by construction (the
+# embedding_neardups lesson).
+_PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "call +1 555-0199 host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.42 done'"
+)
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id, """ + _PII_PLANT_SQL + """ AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '""" + _PII_EMAIL + """')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '""" + _PII_PHONE + """')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '""" + _PII_IP + """')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+           '""" + _PII_IP + """', '<IP>', 'g'),
+           '""" + _PII_PHONE + """', '<PHONE>', 'g')) AS redacted_md5
+FROM planted
+""",
+    description="PII redaction scrub: count + replace emails, phone "
+                "numbers, and IPv4s with typed placeholders — pure "
+                "regexp expressions (scan-side, no shuffle, no Python); "
+                "PII is planted per doc_id so the check is non-vacuous; "
+                "redacted text verified by md5 against the oracle",
+    tags=("llm", "text", "privacy"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1 555-0199 host 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".42 done"),
+    )
+    planted = docs.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ips"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
