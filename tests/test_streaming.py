@@ -521,3 +521,35 @@ class TestCheckpointRecovery:
         want = _rows(sessionize(load_table(spark, sf_dir, "events")))
         assert 0 < phase1 < len(want)     # work genuinely spanned both runs
         assert got == want                # exactly-once: no loss, no dupes
+
+
+class TestStreamStaticJoin:
+    def test_stream_static_enrichment_equals_batch(self, spark, sf_dir, stream_dir):
+        """Stream-static broadcast join: the streaming plan joins each
+        micro-batch to a bounded static dimension (no state, no watermark
+        needed for the join itself); complete-mode aggregation over it must
+        equal the batch enrichment on the same data."""
+        rows = ([(9999, "vip")]
+                + [(u, "tier_a") for u in range(2, 10)]
+                + [(u, "tier_b") for u in range(100, 201)])
+        tiers = spark.createDataFrame(rows, "user_id BIGINT, tier STRING")
+
+        def enrich(df):
+            return (
+                df.join(F.broadcast(tiers), "user_id", "left")
+                .withColumn("tier", F.coalesce(F.col("tier"), F.lit("default")))
+                .groupBy("tier")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("total_value"))
+            )
+
+        stream = enrich(_events_stream(spark, stream_dir))
+        assert stream.isStreaming
+        q = memory_sink(stream, "stream_enrich", output_mode="complete")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(spark.table("stream_enrich"), exclude_sentinel=False)
+        want = _rows(enrich(spark.read.parquet(stream_dir)), exclude_sentinel=False)
+        assert got == want

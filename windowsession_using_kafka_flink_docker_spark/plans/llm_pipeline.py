@@ -525,3 +525,38 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ips"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+@register(
+    "hash_split_train_test",
+    oracle="""
+SELECT CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3') THEN 'eval'
+            ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY 1
+""",
+    description="Deterministic content-hash train/eval split (~25% eval): "
+                "the split is a pure function of the text's md5, so it is "
+                "reproducible across runs, engines, and cluster sizes — no "
+                "RNG, no seed coordination, and near-duplicate leakage "
+                "between splits is auditable. Scan-side expression, one "
+                "agg shuffle.",
+    tags=("llm", "sampling", "text"),
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 1).isin("0", "1", "2", "3"),
+        "eval",
+    ).otherwise("train")
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
