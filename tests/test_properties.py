@@ -136,3 +136,57 @@ class TestParseRoundTripProperties:
         assert len(out) == len(good)
         assert sorted((r.user_id, r.transaction_id, r.payload_value) for r in out) == \
                sorted((uid, tx, float(pay)) for _, uid, tx, pay in rows)
+
+
+# --- as-of join: union-merge equals the obvious quadratic definition ------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # key
+        st.integers(min_value=0, max_value=120),          # seconds offset
+        st.floats(min_value=0.0, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=_asof_events, right=_asof_events)
+def test_asof_join_matches_naive(spark, left, right):
+    """For arbitrary small event sets (including duplicate timestamps and
+    empty sides), the union-merge as-of join must equal the quadratic
+    reference: latest right row with r.ts <= l.ts per key. Right-side ties
+    are collapsed to max(value) first, mirroring the catalog query."""
+    from windowsession_using_kafka_flink_docker_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, t0 + timedelta(seconds=s), v) for k, s, v in left],
+        "user_id long, ts timestamp, value double",
+    )
+    rdf_raw = spark.createDataFrame(
+        [(k, t0 + timedelta(seconds=s), v) for k, s, v in right],
+        "user_id long, ts timestamp, mark double",
+    )
+    rdf = rdf_raw.groupBy("user_id", "ts").agg(F.max("mark").alias("mark"))
+
+    got = sorted(
+        (r.user_id, r.ts, r.value, r.asof_ts, r.mark)
+        for r in asof_join(ldf, rdf, on=["user_id"],
+                           right_cols={"mark": "mark"}).collect()
+    )
+
+    rights = {}
+    for k, s, v in right:
+        key = (k, s)
+        rights[key] = max(rights.get(key, v), v)
+    want = []
+    for k, s, v in left:
+        cands = [(rs, rv) for (rk, rs), rv in rights.items() if rk == k and rs <= s]
+        if cands:
+            rs, rv = max(cands)  # latest ts wins; unique per (key, ts)
+            want.append((k, t0 + timedelta(seconds=s), v,
+                         t0 + timedelta(seconds=rs), rv))
+    assert got == sorted(want)
