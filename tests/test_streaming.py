@@ -553,3 +553,31 @@ class TestStreamStaticJoin:
         got = _rows(spark.table("stream_enrich"), exclude_sentinel=False)
         want = _rows(enrich(spark.read.parquet(stream_dir)), exclude_sentinel=False)
         assert got == want
+
+
+class TestStreamingDedup:
+    def test_streaming_exact_dedup_equals_batch(self, spark, sf_dir, stream_dir):
+        """Streaming exact dedup: dropDuplicates on the content digest keeps
+        the first-seen row per digest; the surviving digest set must equal
+        the batch distinct set (the streaming half of dedup_exact)."""
+        digest = F.md5(F.concat_ws(",", F.col("user_id"), F.col("value")))
+        stream = (
+            _events_stream(spark, stream_dir)
+            .withColumn("digest", digest)
+            .dropDuplicates(["digest"])
+            .select("digest", "user_id")
+        )
+        assert stream.isStreaming
+        q = memory_sink(stream, "stream_dedup")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(r.digest for r in spark.table("stream_dedup")
+                     .where(F.col("user_id") != SENTINEL_USER).collect())
+        want = sorted(
+            r.digest for r in spark.read.parquet(stream_dir)
+            .where(F.col("user_id") != SENTINEL_USER)
+            .select(digest.alias("digest")).distinct().collect()
+        )
+        assert got == want

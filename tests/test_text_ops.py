@@ -45,3 +45,28 @@ def test_heavy_hitters_order_and_cut(spark, sf_dir):
     counts = [r.n for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(r.token for r in rows)
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """The sketch's contract is RANK accuracy, not value accuracy: each
+    approximate quantile must lie between the exact quantiles at q ± 2%
+    (tail values can differ a lot in value space on small groups even when
+    the rank is nearly exact)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    qs = [0.5, 0.9, 0.99]
+    approx = {r.event_type: r.approx_pcts
+              for r in CATALOG["approx_percentiles"].spark(spark, sf_dir).collect()}
+    lo_hi = {
+        r.event_type: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type")
+        .agg(F.expr(f"percentile(value, array({','.join(str(max(q - 0.02, 0)) for q in qs)}))").alias("lo"),
+             F.expr(f"percentile(value, array({','.join(str(min(q + 0.02, 1)) for q in qs)}))").alias("hi"))
+        .collect()
+    }
+    assert set(approx) == set(lo_hi)
+    for et, pcts in approx.items():
+        lo, hi = lo_hi[et]
+        for a, l, h in zip(pcts, lo, hi):
+            assert l <= a <= h, (et, a, l, h)

@@ -488,3 +488,20 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events"),
         F.round("max_value", 2).alias("max_value"),
     )
+
+
+@register(
+    "approx_percentiles",
+    oracle=None,  # sketch results are engine-specific; accuracy is pinned
+                  # by tests/test_text_ops.py::test_approx_percentiles_close_to_exact
+    description="percentile_approx sketch (mergeable across partitions) — "
+                "the scale path for quantiles next to the exact "
+                "percentile_values query: one pass, fixed-size state per "
+                "group, no full sort",
+    tags=("relational", "aggregate", "approx"),
+)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+    )
