@@ -101,3 +101,23 @@ def test_plan_single_exchange_no_join_explosion(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_null_payload_right_row_is_matched_as_is(spark):
+    """A matched right row whose payload is NULL must yield a NULL payload
+    (same-row semantics, like DuckDB ASOF JOIN) — not an older row's
+    payload stitched onto the newer row's timestamp."""
+    left = spark.createDataFrame(
+        [(1, _t("2024-01-01 00:00:12"), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, _t("2024-01-01 00:00:05"), 7.0),
+         (1, _t("2024-01-01 00:00:10"), None)],
+        "user_id long, ts timestamp, mark double",
+    )
+    rows = asof_join(left, right, on=["user_id"],
+                     right_cols={"mark": "mark"}).collect()
+    assert len(rows) == 1
+    assert rows[0].asof_ts == _t("2024-01-01 00:00:10")
+    assert rows[0].mark is None

@@ -57,36 +57,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     if clash:
         raise ValueError(f"right output columns collide with left columns: {clash}")
 
+    # The matched right row travels as ONE struct so the carried payload and
+    # timestamp always come from the SAME row — carrying each payload column
+    # through its own last(ignorenulls) would stitch an older row's non-null
+    # payload onto a newer matched row whose payload is NULL (diverging from
+    # DuckDB ASOF JOIN / pandas merge_asof on nullable right columns).
+    rrow = F.struct(
+        F.col(right_ts).alias(right_ts_name),
+        *[F.col(rc).alias(out) for out, rc in right_cols.items()],
+    )
     lside = left.select(
         *on,
         F.col(ts).alias(_ORD),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[rc].dataType).alias(out)
-          for out, rc in right_cols.items()],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts_name),
+        F.lit(None).cast(
+            right.select(rrow.alias("_r")).schema["_r"].dataType
+        ).alias("_asof_r"),
     )
     rside = right.select(
         *on,
         F.col(right_ts).alias(_ORD),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(rc).alias(out) for out, rc in right_cols.items()],
-        F.col(right_ts).alias(right_ts_name),
+        rrow.alias("_asof_r"),
     )
 
     w = (Window.partitionBy(*on).orderBy(_ORD, _SIDE)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = lside.unionByName(rside).select(
         *on, _ORD, _SIDE, *left_payload,
-        *[F.last(out, ignorenulls=True).over(w).alias(out) for out in right_cols],
-        F.last(right_ts_name, ignorenulls=True).over(w).alias(right_ts_name),
+        F.last("_asof_r", ignorenulls=True).over(w).alias("_asof_r"),
     )
     out = (
         carried.where(F.col(_SIDE) == 1)
-        .where(F.col(right_ts_name).isNotNull())
+        .where(F.col("_asof_r").isNotNull())
         .drop(_SIDE)
         .withColumnRenamed(_ORD, ts)
+        .select(
+            "*",
+            *[F.col(f"_asof_r.{out_name}").alias(out_name)
+              for out_name in (right_ts_name, *right_cols)],
+        )
+        .drop("_asof_r")
     )
     if tolerance_sec is not None:
         out = out.where(

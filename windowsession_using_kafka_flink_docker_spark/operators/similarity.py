@@ -155,10 +155,19 @@ def _probe_cells(queries: DataFrame, centers: list[list[float]], nprobe: int,
                  id_col: str, vec_col: str) -> DataFrame:
     """(query_id, cell) pairs for the ``nprobe`` cosine-nearest centroids of
     each query — centroids are a literal array (they are tiny), so probing
-    is pure expressions over the broadcastable query set."""
+    is pure expressions over the broadcastable query set.
+
+    Centroids are unit-normalized HERE (in Python, they are plain lists):
+    KMeans means of unit vectors have norms that shrink with cluster
+    spread, so ranking by the raw dot product would bias probes toward
+    tight clusters and skip diffuse cells containing true neighbors."""
+    def _unit(c: list[float]) -> list[float]:
+        n = sum(x * x for x in c) ** 0.5
+        return c if n == 0 else [x / n for x in c]
+
     cent = F.array(*[
         F.struct(F.lit(i).alias("cell"),
-                 F.array(*[F.lit(x) for x in c]).alias("cv"))
+                 F.array(*[F.lit(x) for x in _unit(c)]).alias("cv"))
         for i, c in enumerate(centers)
     ])
     q = queries.select(

@@ -459,7 +459,7 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        ROUND(SUM(value), 2) AS total_value,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(value) AS BIGINT) AS n_events,
        ROUND(MAX(value), 2) AS max_value
 FROM events
 GROUP BY user_id

@@ -37,6 +37,12 @@ from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
 )
 
 #: Monotonous-timestamps parity: ordered input needs no lateness allowance.
+#: Caveat vs Flink: Spark's watermark is the global max(event time) seen
+#: across ALL source partitions minus the delay, while Flink's monotonous
+#: strategy tracks per-partition watermarks and takes their min — on a
+#: multi-partition Kafka topic where partitions drift, a 0-second delay can
+#: drop in-order-per-partition rows as late. Use a nonzero delay sized to
+#: the expected inter-partition skew for multi-partition topics.
 MONOTONOUS_DELAY = "0 seconds"
 
 
@@ -139,7 +145,10 @@ def streaming_alerts(events: DataFrame,
     operators after the session aggregate, supported since Spark 3.5.
     """
     agg = _session_agg(events, DEFAULT_GAP, watermark_delay, key, ts, value)
-    qualified = agg.where(F.col("session_sum") >= threshold)
+    # Round before comparing: the batch path filters the ROUNDED session_sum
+    # (sessionize projects round(sum, 2)), so a raw-sum comparison here
+    # would disagree with batch for sums in [threshold - 0.005, threshold).
+    qualified = agg.where(F.round(F.col("session_sum"), 2) >= threshold)
     if dedup_within is not None:
         deduped = qualified.dropDuplicatesWithinWatermark([key])
     else:

@@ -115,8 +115,11 @@ def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,
                checkpoint: str, key_col: str = "user_id",
                output_mode: str = "append") -> StreamingQuery:
     """Kafka sink (O3) — the alerts topic the reference imports but never
-    wires (flink_stream_task2.py:1,109). Serializes rows to the same CSV
-    wire format the source parses, key = user id (generator1.py:24)."""
+    wires (flink_stream_task2.py:1,109). Serializes each row as a
+    comma-joined string of its columns in frame order (an ALERT record
+    schema, not the 4-field event wire format ``parse_csv_events`` reads —
+    alert consumers parse against the alert frame's own schema), key =
+    user id (generator1.py:24)."""
     cols = [c for c in df.columns]
     wire = df.select(
         F.col(key_col).cast("string").alias("key"),

@@ -57,7 +57,8 @@ def _emit(closed: list[tuple[int, int, int, float, int]]) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=list(_OUT_COLS))
 
 
-def make_capped_session_fn(gap_sec: float, cap_sec: float):
+def make_capped_session_fn(gap_sec: float, cap_sec: float,
+                           ts: str = "ts", value: str = "value"):
     gap_us = int(gap_sec * 1_000_000)
     cap_us = int(cap_sec * 1_000_000)
 
@@ -74,10 +75,10 @@ def make_capped_session_fn(gap_sec: float, cap_sec: float):
             yield _emit(closed)
             return
 
-        batch = pd.concat(list(pdfs)).sort_values("ts")
+        batch = pd.concat(list(pdfs)).sort_values(ts)
         cur: tuple[Any, ...] | None = state.get if state.exists else None
-        for ts, val in zip(batch["ts"], batch["value"]):
-            t = int(pd.Timestamp(ts).value // 1_000)  # ns -> µs
+        for ts_v, val in zip(batch[ts], batch[value]):
+            t = int(pd.Timestamp(ts_v).value // 1_000)  # ns -> µs
             v = float(val)
             if cur is None:
                 cur = (t, 0, t, t, v, 1)
@@ -104,14 +105,15 @@ def streaming_capped_sessionize(events: DataFrame, gap_sec: float = 30.0,
                                 cap_sec: float = DEFAULT_CAP,
                                 watermark_delay: str = "0 seconds",
                                 key: str = "user_id",
-                                ts: str = "ts") -> DataFrame:
+                                ts: str = "ts",
+                                value: str = "value") -> DataFrame:
     """Append-mode capped sessions: one row per closed segment, emitted on
     close (cap/gap hit by a newer event) or watermark eviction."""
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(key)
         .applyInPandasWithState(
-            make_capped_session_fn(gap_sec, cap_sec),
+            make_capped_session_fn(gap_sec, cap_sec, ts, value),
             OUT_SCHEMA,
             STATE_SCHEMA,
             "append",
