@@ -121,3 +121,76 @@ def test_null_payload_right_row_is_matched_as_is(spark):
     assert len(rows) == 1
     assert rows[0].asof_ts == _t("2024-01-01 00:00:10")
     assert rows[0].mark is None
+
+
+class TestBucketedAsof:
+    def test_equals_flat_asof_on_events(self, spark, sf_dir):
+        """Bucketed (hot-key-parallel) as-of must equal the flat union-merge
+        exactly on real data, across bucket sizes that split matches and
+        carries differently."""
+        from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+            asof_join_bucketed,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        left = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        right = (ev.where(F.col("event_type") == "view")
+                 .groupBy("user_id", "ts").agg(F.max("value").alias("mark")))
+
+        key = lambda rows: sorted(
+            (r.user_id, r.ts, r.value, r.asof_ts, r.mark) for r in rows
+        )
+        want = key(asof_join(left, right, on=["user_id"],
+                             right_cols={"mark": "mark"}).collect())
+        for bucket_sec in (600.0, 7 * 24 * 3600.0):
+            got = key(asof_join_bucketed(left, right, on=["user_id"],
+                                         right_cols={"mark": "mark"},
+                                         bucket_sec=bucket_sec).collect())
+            assert got == want, f"bucket_sec={bucket_sec}"
+
+    def test_carry_across_empty_buckets(self, spark):
+        """A match that skips several empty buckets must resolve through the
+        forward-filled grid; a left row before any right row must drop."""
+        from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+            asof_join_bucketed,
+        )
+
+        left = spark.createDataFrame(
+            [(1, _t("2024-01-01 00:00:05"), 0.0),    # before any right -> drop
+             (1, _t("2024-01-01 05:30:00"), 1.0),    # 5 empty hours after right
+             (1, _t("2024-01-01 00:10:30"), 2.0)],   # same-bucket match
+            "user_id long, ts timestamp, value double",
+        )
+        right = spark.createDataFrame(
+            [(1, _t("2024-01-01 00:10:00"), 7.0)],
+            "user_id long, ts timestamp, mark double",
+        )
+        got = sorted(
+            (r.value, r.asof_ts, r.mark)
+            for r in asof_join_bucketed(left, right, on=["user_id"],
+                                        right_cols={"mark": "mark"},
+                                        bucket_sec=600.0).collect()
+        )
+        assert got == [
+            (1.0, _t("2024-01-01 00:10:00"), 7.0),
+            (2.0, _t("2024-01-01 00:10:00"), 7.0),
+        ]
+
+    def test_heavy_work_partitions_on_key_and_bucket(self, spark, sf_dir):
+        """The within-bucket window must partition on (key, bucket) — that
+        is the skew claim — visible as hashpartitioning(..., _bkt...)."""
+        from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+            asof_join_bucketed,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        left = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+        right = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("mark"))
+        plan = asof_join_bucketed(
+            left, right, on=["user_id"], right_cols={"mark": "mark"}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "_bkt" in plan
+        assert "hashpartitioning(user_id" in plan

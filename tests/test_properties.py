@@ -172,11 +172,22 @@ def test_asof_join_matches_naive(spark, left, right):
     )
     rdf = rdf_raw.groupBy("user_id", "ts").agg(F.max("mark").alias("mark"))
 
+    from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
     got = sorted(
         (r.user_id, r.ts, r.value, r.asof_ts, r.mark)
         for r in asof_join(ldf, rdf, on=["user_id"],
                            right_cols={"mark": "mark"}).collect()
     )
+    got_bucketed = sorted(
+        (r.user_id, r.ts, r.value, r.asof_ts, r.mark)
+        for r in asof_join_bucketed(ldf, rdf, on=["user_id"],
+                                    right_cols={"mark": "mark"},
+                                    bucket_sec=30.0).collect()
+    )
+    assert got_bucketed == got
 
     rights = {}
     for k, s, v in right:

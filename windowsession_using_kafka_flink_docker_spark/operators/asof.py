@@ -24,9 +24,10 @@ naive alternative — a conditional join on ``l.ts >= r.ts`` then a
 ``row_number`` to keep the latest — materializes O(|L|·|R|) candidate pairs
 per key before discarding all but one, which is quadratic on any active
 key. A pathologically hot key serializes into one task here (window
-functions cannot be AQE-split); the mitigation at that extreme is
-time-bucket salting with boundary handoff of the last right row per bucket,
-which composes from this same primitive applied per bucket.
+functions cannot be AQE-split); ``asof_join_bucketed`` is the escape hatch
+at that extreme — it partitions the heavy work on (key, time_bucket) and
+hands each bucket's last right row forward, leaving only a
+per-bucket-cardinality scan serial.
 """
 
 from __future__ import annotations
@@ -107,3 +108,100 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
             <= F.lit(float(tolerance_sec))
         )
     return out
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
+                       ts: str = "ts", right_ts: str | None = None,
+                       right_cols: dict[str, str] | None = None,
+                       right_ts_name: str = "asof_ts",
+                       bucket_sec: float = 3600.0) -> DataFrame:
+    """As-of join parallelized across time buckets — the hot-key escape
+    hatch promised by ``asof_join``'s docstring.
+
+    ``asof_join`` serializes each key into one task (window functions can't
+    be split); a key carrying a large share of the input becomes a
+    straggler. Here the heavy work partitions on ``(key, time_bucket)``:
+
+    1. within each bucket, run the plain union-merge as-of join with the
+       bucket added to the partition key — matches whose right row falls in
+       the left row's own bucket resolve here, fully parallel;
+    2. reduce each ``(key, bucket)`` to its LAST right row (one row per
+       key-bucket — tiny), prefix-scan those per key (the only serial step,
+       with per-bucket not per-event cardinality) to get each bucket's
+       carry-in: the latest right row from any earlier bucket;
+    3. left rows unmatched within their bucket take the carry-in via a
+       plain equi-join on ``(key, bucket)``.
+
+    Exactly equal to ``asof_join`` output (asserted in tests); inner
+    semantics. Choose ``bucket_sec`` so a hot key's per-bucket row count
+    fits a task — the serial scan grows only with time span / bucket_sec.
+    """
+    right_ts = right_ts or ts
+    right_cols = dict(right_cols or {})
+    bucket_us = int(bucket_sec * 1_000_000)
+
+    def bkt(c: str) -> F.Column:
+        # floor (not cast-truncate): pre-epoch timestamps are negative
+        return F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_us)).cast("long")
+
+    lb = left.withColumn("_bkt", bkt(ts))
+    rb = right.withColumn("_bkt", bkt(right_ts))
+    keys = [*on, "_bkt"]
+
+    # 1. within-bucket as-of: the plain union-merge with the bucket added to
+    # the partition key — a hot key's events split across its buckets.
+    within = asof_join(lb, rb, keys, ts, right_ts, right_cols, right_ts_name)
+    within_out = within.select(*left.columns, right_ts_name, *right_cols)
+
+    left_cols = list(lb.columns)
+    unmatched = lb.join(
+        within.select(*left_cols).dropDuplicates(left_cols), left_cols, "left_anti"
+    )
+
+    # 2. reduce each (key, bucket) of the right side to its last row (one
+    # row per key-bucket), then forward-fill over a DENSE per-key bucket
+    # grid. The grid serializes per key, but at per-BUCKET cardinality
+    # (time span / bucket_sec rows), not per-event — that is the entire
+    # skew win. `_carry` at bucket b = latest right row of any bucket < b.
+    rrow = F.struct(
+        F.col(right_ts).alias(right_ts_name),
+        *[F.col(rc).alias(out) for out, rc in right_cols.items()],
+    )
+    last_per_bucket = (
+        rb.withColumn("_r", rrow)
+        .groupBy(*keys)
+        .agg(F.max_by("_r", F.col(right_ts)).alias("_r"))
+    )
+    span = (
+        lb.groupBy(*on).agg(F.min("_bkt").alias("lo"), F.max("_bkt").alias("hi"))
+        .unionByName(
+            rb.groupBy(*on).agg(F.min("_bkt").alias("lo"), F.max("_bkt").alias("hi"))
+        )
+        .groupBy(*on).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+    )
+    grid = span.select(*on, F.explode(F.sequence("lo", "hi")).alias("_bkt"))
+    worder = Window.partitionBy(*on).orderBy("_bkt")
+    filled = (
+        grid.join(last_per_bucket, keys, "left")
+        .withColumn(
+            "_filled",
+            F.last("_r", ignorenulls=True).over(
+                worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_carry", F.lag("_filled").over(worder))
+        .select(*on, "_bkt", "_carry")
+    )
+
+    # 3. misses take their bucket's carry-in via a plain equi-join on
+    # (key, bucket) — fully parallel, no per-key window over events.
+    miss_out = (
+        unmatched.join(filled, keys, "left")
+        .where(F.col("_carry").isNotNull())
+        .select(
+            *left.columns,
+            *[F.col(f"_carry.{name}").alias(name)
+              for name in (right_ts_name, *right_cols)],
+        )
+    )
+    return within_out.unionByName(miss_out)

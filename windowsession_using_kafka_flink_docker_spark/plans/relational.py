@@ -455,6 +455,54 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_attribution_bucketed",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, ROUND(MAX(value), 2) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.ts AS purchase_ts,
+       ROUND(p.value, 2) AS purchase_value,
+       v.ts AS view_ts,
+       v.view_value
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    description="Hot-key-parallel as-of join (same semantics and oracle as "
+                "asof_purchase_attribution): heavy work partitions on "
+                "(key, 1h time bucket) with per-bucket last-row handoff, so "
+                "a key owning most of the input no longer serializes into "
+                "one window task",
+    tags=("relational", "join", "asof", "skew"),
+)
+def asof_purchase_attribution_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join_bucketed(
+        purchases, views, on=["user_id"], ts="ts",
+        right_cols={"view_value": "view_value"}, right_ts_name="view_ts",
+    )
+    return joined.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        "view_ts",
+        "view_value",
+    )
+
+
+@register(
     "salted_skew_aggregation",
     oracle="""
 SELECT user_id,
