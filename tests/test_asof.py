@@ -189,8 +189,75 @@ class TestBucketedAsof:
         left = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
         right = ev.where(F.col("event_type") == "view").select(
             "user_id", "ts", F.col("value").alias("mark"))
+        import re
+
         plan = asof_join_bucketed(
             left, right, on=["user_id"], right_cols={"mark": "mark"}
         )._jdf.queryExecution().executedPlan().toString()
-        assert "_bkt" in plan
-        assert "hashpartitioning(user_id" in plan
+        # the skew claim: some partitioning clause must carry BOTH the key
+        # and the bucket (matching user_id alone would also match the grid
+        # aggregations and prove nothing)
+        assert re.search(r"hashpartitioning\(user_id#\d+L?, _bkt#\d+L?", plan), plan
+
+
+class TestAsofNulls:
+    """NULL keys and NULL left payloads — the cases where window
+    partitioning (groups NULLs) and equi-joins (never match NULL) diverge;
+    the bucketed variant must stay exactly equal to the flat one."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, _t("2024-01-01 10:00:05"), None),        # NULL payload
+             (None, _t("2024-01-01 10:00:05"), 1.0),      # NULL key
+             (2, _t("2024-01-01 10:00:05"), 2.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        right = spark.createDataFrame(
+            [(1, _t("2024-01-01 10:00:01"), 7.0),
+             (1, _t("2024-01-01 09:00:00"), 3.0),         # earlier bucket
+             (None, _t("2024-01-01 09:00:00"), 5.0),      # NULL key, carry
+             (2, _t("2024-01-01 08:00:00"), 9.0)],
+            "user_id long, ts timestamp, mark double",
+        )
+        return left, right
+
+    def test_bucketed_equals_flat_with_nulls(self, spark):
+        from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+            asof_join_bucketed,
+        )
+
+        left, right = self._frames(spark)
+        key = lambda rows: sorted(
+            ((r.user_id, r.ts, r.value, r.asof_ts, r.mark) for r in rows), key=str
+        )
+        want = key(asof_join(left, right, on=["user_id"],
+                             right_cols={"mark": "mark"}).collect())
+        got = key(asof_join_bucketed(left, right, on=["user_id"],
+                                     right_cols={"mark": "mark"},
+                                     bucket_sec=3600.0).collect())
+        assert got == want
+        # and the semantics themselves: 3 lefts, all matched exactly once
+        assert len(want) == 3
+        by_user = {u: (a, m) for u, _, _, a, m in want}
+        assert by_user[1] == (_t("2024-01-01 10:00:01"), 7.0)   # same bucket
+        assert by_user[None] == (_t("2024-01-01 09:00:00"), 5.0)  # NULL-key carry
+        assert by_user[2] == (_t("2024-01-01 08:00:00"), 9.0)   # carry
+
+    def test_bucketed_tolerance_matches_flat(self, spark):
+        from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+            asof_join_bucketed,
+        )
+
+        left, right = self._frames(spark)
+        key = lambda rows: sorted(
+            ((r.user_id, r.ts, r.asof_ts) for r in rows), key=str
+        )
+        want = key(asof_join(left, right, on=["user_id"],
+                             right_cols={"mark": "mark"},
+                             tolerance_sec=300.0).collect())
+        got = key(asof_join_bucketed(left, right, on=["user_id"],
+                                     right_cols={"mark": "mark"},
+                                     bucket_sec=3600.0,
+                                     tolerance_sec=300.0).collect())
+        assert got == want
+        assert len(want) == 1  # only user 1's 4-second-old view survives

@@ -42,16 +42,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               ts: str = "ts", right_ts: str | None = None,
               right_cols: dict[str, str] | None = None,
               right_ts_name: str = "asof_ts",
-              tolerance_sec: float | None = None) -> DataFrame:
+              tolerance_sec: float | None = None,
+              how: str = "inner") -> DataFrame:
     """Backward as-of join of ``left`` to ``right`` on key columns ``on``.
 
     ``right_cols`` maps output column name -> right column name (the
     payload carried from the matched right row); the matched right row's
     timestamp is emitted as ``right_ts_name``. ``tolerance_sec`` optionally
     rejects matches further than that many seconds in the past (pandas
-    ``merge_asof(tolerance=...)``).
+    ``merge_asof(tolerance=...)``); inner-only. ``how='left'`` keeps
+    unmatched left rows with NULL right columns (matched-ness is
+    ``right_ts_name IS NOT NULL`` — right rows with a NULL event time are
+    dropped up front, so the marker is unambiguous). NULL key values join
+    to each other, like window partitioning and unlike an equi-join.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if tolerance_sec is not None and how != "inner":
+        raise ValueError("tolerance_sec is only supported with how='inner'")
     right_ts = right_ts or ts
+    right = right.where(F.col(right_ts).isNotNull())
     right_cols = dict(right_cols or {})
     left_payload = [c for c in left.columns if c not in on and c != ts]
     clash = (set(right_cols) | {right_ts_name}) & (set(left_payload) | {ts, *on})
@@ -90,10 +100,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         *on, _ORD, _SIDE, *left_payload,
         F.last("_asof_r", ignorenulls=True).over(w).alias("_asof_r"),
     )
+    out = carried.where(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.where(F.col("_asof_r").isNotNull())
     out = (
-        carried.where(F.col(_SIDE) == 1)
-        .where(F.col("_asof_r").isNotNull())
-        .drop(_SIDE)
+        out.drop(_SIDE)
         .withColumnRenamed(_ORD, ts)
         .select(
             "*",
@@ -114,7 +125,8 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
                        ts: str = "ts", right_ts: str | None = None,
                        right_cols: dict[str, str] | None = None,
                        right_ts_name: str = "asof_ts",
-                       bucket_sec: float = 3600.0) -> DataFrame:
+                       bucket_sec: float = 3600.0,
+                       tolerance_sec: float | None = None) -> DataFrame:
     """As-of join parallelized across time buckets — the hot-key escape
     hatch promised by ``asof_join``'s docstring.
 
@@ -122,19 +134,26 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
     be split); a key carrying a large share of the input becomes a
     straggler. Here the heavy work partitions on ``(key, time_bucket)``:
 
-    1. within each bucket, run the plain union-merge as-of join with the
-       bucket added to the partition key — matches whose right row falls in
-       the left row's own bucket resolve here, fully parallel;
-    2. reduce each ``(key, bucket)`` to its LAST right row (one row per
-       key-bucket — tiny), prefix-scan those per key (the only serial step,
-       with per-bucket not per-event cardinality) to get each bucket's
-       carry-in: the latest right row from any earlier bucket;
-    3. left rows unmatched within their bucket take the carry-in via a
-       plain equi-join on ``(key, bucket)``.
+    1. within each bucket, run the union-merge as-of with the bucket added
+       to the partition key and ``how='left'`` — matches whose right row
+       falls in the left row's own bucket resolve here, fully parallel, and
+       misses fall out of the SAME computed frame (no recompute, no
+       anti-join);
+    2. reduce each ``(key, bucket)`` of the right side to its LAST row (one
+       row per key-bucket — tiny), forward-fill over a dense per-key bucket
+       grid (the only serial step, at per-BUCKET not per-event
+       cardinality) so ``_carry`` at bucket b = latest right row of any
+       bucket < b;
+    3. misses take their bucket's carry-in via a null-safe equi-join on
+       ``(key, bucket)`` — null-safe because NULL keys as-of-join to each
+       other (window partitioning groups them), so the stitch joins must
+       too.
 
-    Exactly equal to ``asof_join`` output (asserted in tests); inner
-    semantics. Choose ``bucket_sec`` so a hot key's per-bucket row count
-    fits a task — the serial scan grows only with time span / bucket_sec.
+    Exactly equal to ``asof_join`` output (asserted in tests, including
+    NULL keys/payloads and under hypothesis); inner semantics. Choose
+    ``bucket_sec`` so a hot key's per-bucket row count fits a task; note
+    the grid is ``(max left/right bucket - min right bucket)`` entries per
+    key, so don't pair a tiny ``bucket_sec`` with a multi-year key span.
     """
     right_ts = right_ts or ts
     right_cols = dict(right_cols or {})
@@ -145,24 +164,20 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
         return F.floor(F.unix_micros(F.col(c)) / F.lit(bucket_us)).cast("long")
 
     lb = left.withColumn("_bkt", bkt(ts))
-    rb = right.withColumn("_bkt", bkt(right_ts))
+    rb = right.where(F.col(right_ts).isNotNull()).withColumn("_bkt", bkt(right_ts))
     keys = [*on, "_bkt"]
 
-    # 1. within-bucket as-of: the plain union-merge with the bucket added to
-    # the partition key — a hot key's events split across its buckets.
-    within = asof_join(lb, rb, keys, ts, right_ts, right_cols, right_ts_name)
-    within_out = within.select(*left.columns, right_ts_name, *right_cols)
+    # 1. within-bucket as-of, left semantics: one frame carries both the
+    # matched rows and the misses.
+    within = asof_join(lb, rb, keys, ts, right_ts, right_cols, right_ts_name,
+                       how="left")
+    matched = F.col(right_ts_name).isNotNull()
+    within_out = within.where(matched).select(*left.columns, right_ts_name, *right_cols)
+    misses = within.where(~matched).select(*left.columns, "_bkt")
 
-    left_cols = list(lb.columns)
-    unmatched = lb.join(
-        within.select(*left_cols).dropDuplicates(left_cols), left_cols, "left_anti"
-    )
-
-    # 2. reduce each (key, bucket) of the right side to its last row (one
-    # row per key-bucket), then forward-fill over a DENSE per-key bucket
-    # grid. The grid serializes per key, but at per-BUCKET cardinality
-    # (time span / bucket_sec rows), not per-event — that is the entire
-    # skew win. `_carry` at bucket b = latest right row of any bucket < b.
+    # 2. per-(key, bucket) last right row, forward-filled over the dense
+    # grid. Grid lower bound comes from the RIGHT side only — buckets
+    # before the first right row can never produce a carry.
     rrow = F.struct(
         F.col(right_ts).alias(right_ts_name),
         *[F.col(rc).alias(out) for out, rc in right_cols.items()],
@@ -172,17 +187,29 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
         .groupBy(*keys)
         .agg(F.max_by("_r", F.col(right_ts)).alias("_r"))
     )
+    rspan = rb.groupBy(*on).agg(F.min("_bkt").alias("lo"), F.max("_bkt").alias("hi"))
+    lspan = lb.groupBy(*on).agg(F.max("_bkt").alias("lhi")).select(
+        *[F.col(k).alias(f"_l_{k}") for k in on], "lhi"
+    )
+    span_cond = None
+    for k in on:
+        c = F.col(k).eqNullSafe(F.col(f"_l_{k}"))
+        span_cond = c if span_cond is None else (span_cond & c)
     span = (
-        lb.groupBy(*on).agg(F.min("_bkt").alias("lo"), F.max("_bkt").alias("hi"))
-        .unionByName(
-            rb.groupBy(*on).agg(F.min("_bkt").alias("lo"), F.max("_bkt").alias("hi"))
-        )
-        .groupBy(*on).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+        rspan.join(lspan, span_cond, "left")  # null-safe: NULL keys carry too
+        .select(*on, "lo", F.greatest("hi", F.coalesce("lhi", "hi")).alias("hi"))
     )
     grid = span.select(*on, F.explode(F.sequence("lo", "hi")).alias("_bkt"))
     worder = Window.partitionBy(*on).orderBy("_bkt")
+    lpb = last_per_bucket.select(
+        *[F.col(k).alias(f"_p_{k}") for k in keys], "_r"
+    )
+    grid_cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_p_{k}"))
+        grid_cond = c if grid_cond is None else (grid_cond & c)
     filled = (
-        grid.join(last_per_bucket, keys, "left")
+        grid.join(lpb, grid_cond, "left")  # null-safe: NULL keys carry too
         .withColumn(
             "_filled",
             F.last("_r", ignorenulls=True).over(
@@ -193,10 +220,17 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
         .select(*on, "_bkt", "_carry")
     )
 
-    # 3. misses take their bucket's carry-in via a plain equi-join on
-    # (key, bucket) — fully parallel, no per-key window over events.
+    # 3. null-safe join: NULL keys matched each other in the window-based
+    # step, so they must here too (a plain equi-join would drop them).
+    fa = filled.select(
+        *[F.col(k).alias(f"_f_{k}") for k in keys], "_carry"
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_f_{k}"))
+        cond = c if cond is None else (cond & c)
     miss_out = (
-        unmatched.join(filled, keys, "left")
+        misses.join(fa, cond, "left")
         .where(F.col("_carry").isNotNull())
         .select(
             *left.columns,
@@ -204,4 +238,10 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
               for name in (right_ts_name, *right_cols)],
         )
     )
-    return within_out.unionByName(miss_out)
+    out = within_out.unionByName(miss_out)
+    if tolerance_sec is not None:
+        out = out.where(
+            F.col(ts).cast("double") - F.col(right_ts_name).cast("double")
+            <= F.lit(float(tolerance_sec))
+        )
+    return out

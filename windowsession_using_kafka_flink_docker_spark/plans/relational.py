@@ -407,6 +407,29 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_attribution(spark: SparkSession, sf_dir: str, join_fn) -> DataFrame:
+    """Shared purchase->latest-prior-view plan for the flat and bucketed
+    as-of variants (one definition, one oracle, provably in sync)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = join_fn(
+        purchases, views, on=["user_id"], ts="ts",
+        right_cols={"view_value": "view_value"}, right_ts_name="view_ts",
+    )
+    return joined.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        "view_ts",
+        "view_value",
+    )
+
+
 @register(
     "asof_purchase_attribution",
     oracle="""
@@ -434,24 +457,7 @@ FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 )
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from windowsession_using_kafka_flink_docker_spark.operators.asof import asof_join
-    ev = load_table(spark, sf_dir, "events")
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.round(F.max("value"), 2).alias("view_value"))
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    joined = asof_join(
-        purchases, views, on=["user_id"], ts="ts",
-        right_cols={"view_value": "view_value"}, right_ts_name="view_ts",
-    )
-    return joined.select(
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.round("value", 2).alias("purchase_value"),
-        "view_ts",
-        "view_value",
-    )
+    return _asof_attribution(spark, sf_dir, asof_join)
 
 
 @register(
@@ -482,24 +488,7 @@ def asof_purchase_attribution_bucketed(spark: SparkSession, sf_dir: str) -> Data
     from windowsession_using_kafka_flink_docker_spark.operators.asof import (
         asof_join_bucketed,
     )
-    ev = load_table(spark, sf_dir, "events")
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.round(F.max("value"), 2).alias("view_value"))
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    joined = asof_join_bucketed(
-        purchases, views, on=["user_id"], ts="ts",
-        right_cols={"view_value": "view_value"}, right_ts_name="view_ts",
-    )
-    return joined.select(
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.round("value", 2).alias("purchase_value"),
-        "view_ts",
-        "view_value",
-    )
+    return _asof_attribution(spark, sf_dir, asof_join_bucketed)
 
 
 @register(
