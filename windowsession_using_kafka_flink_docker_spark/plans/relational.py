@@ -542,3 +542,47 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
     )
+
+
+@register(
+    "scd2_loyalty_tiers",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       CASE WHEN n >= 5 THEN 'gold' WHEN n >= 3 THEN 'silver'
+            ELSE 'bronze' END AS tier,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, n) AS valid_to,
+       CAST(n AS BIGINT) AS n_purchases
+FROM p
+""",
+    description="SCD2 (slowly-changing-dimension type 2) builder: each "
+                "purchase advances the user's loyalty tier; validity "
+                "intervals come from lead() over the change events "
+                "(valid_to NULL = current row). Consumed point-in-time via "
+                "the as-of join. One window shuffle on the key.",
+    tags=("relational", "window_function", "scd2"),
+)
+def scd2_loyalty_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .withColumn("n", F.row_number().over(w))
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts", "n")
+    return p.select(
+        "user_id",
+        F.when(F.col("n") >= 5, "gold")
+        .when(F.col("n") >= 3, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wn).alias("valid_to"),
+        F.col("n").cast("long").alias("n_purchases"),
+    )
