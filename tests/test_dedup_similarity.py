@@ -87,6 +87,78 @@ class TestTextNearDups:
         assert rows == {1: 2, 3: 1}
 
 
+class TestDegenerateBuckets:
+    """max_bucket_size must drop degenerate LSH buckets instead of letting
+    the bucket self-join/probe go quadratic (the 100 TB failure mode: real
+    encoder outputs cluster directionally into a few sign patterns)."""
+
+    def _identical_corpus(self, spark, n=50):
+        v = [math.sin(i * 0.7) for i in range(64)]
+        return spark.createDataFrame(
+            [(i, v, 0) for i in range(n)],
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+        )
+
+    def test_near_dups_drops_degenerate_bucket(self, spark):
+        df = self._identical_corpus(spark)
+        out = S.embedding_near_dups(df, max_bucket_size=10)
+        assert out.count() == 0  # bucket dropped wholesale, no n^2 join
+
+    def test_near_dups_keeps_small_buckets(self, spark, vec_df):
+        pairs = {(r.id_a, r.id_b)
+                 for r in S.embedding_near_dups(vec_df, max_bucket_size=10).collect()}
+        assert (0, 100) in pairs and (0, 101) in pairs
+
+    def test_ann_topk_drops_degenerate_bucket(self, spark):
+        df = self._identical_corpus(spark)
+        q = df.where(F.col("vec_id") < 2)
+        out = S.ann_cosine_topk(df, q, dim=64, k=5, max_bucket_size=10)
+        assert out.count() == 0
+
+    def test_ann_topk_uncapped_still_scores(self, spark):
+        df = self._identical_corpus(spark, n=20)
+        q = df.where(F.col("vec_id") < 2)
+        out = S.ann_cosine_topk(df, q, dim=64, k=5, max_bucket_size=None)
+        assert out.count() == 10  # 2 queries x top-5
+
+
+class TestCatalogNearDupRecall:
+    """Planted-pair recall on the REAL documents table (the
+    embedding_neardups lesson: a rows-only output certifies nothing unless
+    a known pair is proven present). Plants are near-copies of the first 3
+    documents; the operators must surface every planted pair."""
+
+    N_PLANT = 3
+
+    def _with_plants(self, spark, sf_dir, mutate):
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        planted = docs.where(F.col("doc_id") < self.N_PLANT).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), mutate(F.col("text")).alias("text")
+        )
+        return docs.unionByName(planted)
+
+    def test_minhash_catalog_recall(self, spark, sf_dir):
+        # one-token edit: docs are >= 10 tokens, so word-3-shingle Jaccard
+        # stays well above the 0.5 threshold and banding recall is ~1
+        df = self._with_plants(
+            spark, sf_dir,
+            lambda t: F.regexp_replace(t, r"^\S+", "planted"),
+        )
+        pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(df).collect()}
+        for i in range(self.N_PLANT):
+            assert (i, i + 1_000_000) in pairs, f"planted pair {i} missed"
+
+    def test_simhash_catalog_recall(self, spark, sf_dir):
+        # punctuation-only delta: normalization collapses it, so the
+        # signatures agree exactly — blocking and the Hamming join must
+        # still surface the pair
+        df = self._with_plants(spark, sf_dir, lambda t: F.concat(t, F.lit("!!!")))
+        pairs = {(r.id_a, r.id_b) for r in D.simhash_near_dups(df).collect()}
+        for i in range(self.N_PLANT):
+            assert (i, i + 1_000_000) in pairs, f"planted pair {i} missed"
+
+
 class TestMultimodalPlumbing:
     def test_resize_contract(self, spark):
         from windowsession_using_kafka_flink_docker_spark.operators import multimodal as M

@@ -56,7 +56,7 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
 
     qs = [0.5, 0.9, 0.99]
-    approx = {r.event_type: r.approx_pcts
+    approx = {r.event_type: [r.p50, r.p90, r.p99]
               for r in CATALOG["approx_percentiles"].spark(spark, sf_dir).collect()}
     lo_hi = {
         r.event_type: (r.lo, r.hi)

@@ -63,6 +63,27 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def _drop_big_buckets(df: DataFrame, bucket_cols: list[str],
+                      max_bucket_size: int) -> DataFrame:
+    """Remove rows whose bucket holds more than ``max_bucket_size`` members
+    — the broadcast skip-list cap every LSH blocker in ``dedup.py`` applies.
+    Real encoder outputs cluster directionally, so a handful of sign-LSH
+    buckets can swallow a large corpus share; without the cap the
+    bucket self-join/probe goes quadratic on exactly those buckets at
+    scale. The skip-list is tiny (one row per *oversized* bucket), so it
+    always broadcasts."""
+    big = (
+        df.groupBy(*bucket_cols).count()
+        .where(F.col("count") > max_bucket_size)
+        .select(*bucket_cols, F.lit(True).alias("_skip"))
+    )
+    return (
+        df.join(F.broadcast(big), bucket_cols, "left")
+        .where(F.col("_skip").isNull())
+        .drop("_skip")
+    )
+
+
 def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded LCG → uniform in
     [-1, 1]); no numpy dependency so signatures are reproducible anywhere."""
@@ -91,13 +112,23 @@ def signlsh_bucket_expr(vec_col: F.Column, dim: int, n_planes: int = 12,
 
 def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 10, round_digits: int = 4) -> DataFrame:
+                    n_planes: int = 10, round_digits: int = 4,
+                    max_bucket_size: int | None = 100_000) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's sign-LSH
     bucket. At 100 TB the bucket column is a parquet partition/cluster key,
-    so a query probes ~1/2^n_planes of the corpus."""
+    so a query probes ~1/2^n_planes of the corpus.
+
+    ``max_bucket_size`` drops degenerate corpus buckets (directionally
+    clustered encoder outputs funnel into few sign patterns) before the
+    probe join, bounding per-query candidate work; a query whose bucket was
+    dropped returns no matches rather than scanning a corpus-sized bucket —
+    the standard LSH trade (raise ``n_planes`` to split hot buckets instead
+    of raising the cap). ``None`` disables the cap."""
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
     ).withColumn("bucket", signlsh_bucket_expr(F.col("_cv"), dim, n_planes))
+    if max_bucket_size is not None:
+        c = _drop_big_buckets(c, ["bucket"], max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("bucket", signlsh_bucket_expr(F.col("_qv"), dim, n_planes))
@@ -123,32 +154,72 @@ def _unit_expr(vec_col: F.Column) -> F.Column:
     )
 
 
+class IvfIndex:
+    """A trained IVF index: coarse-quantizer centroids plus the corpus with
+    its cell assignments (persisted). Build ONCE per corpus with
+    :func:`ivf_build`, probe many times with :func:`ivf_cosine_topk` — at
+    100 TB the assignments are written out partitioned/clustered by
+    ``cell`` at ingest and the quantizer is a few KB of centroids, so a
+    probe never re-touches the training path."""
+
+    def __init__(self, centers: list[list[float]], assigned: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        self.centers = centers
+        self.assigned = assigned
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
 def ivf_assign(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
                max_iter: int = 6, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> tuple[list[list[float]], DataFrame]:
-    """Train the IVF coarse quantizer and assign every corpus vector to its
-    cell.
+               vec_col: str = "embedding",
+               max_train_rows: int = 4096) -> tuple[list[list[float]], DataFrame]:
+    """Train the IVF coarse quantizer on a bounded sample and assign every
+    corpus vector to its cell.
 
     KMeans (seeded, MLlib — JVM-side assignment, no Python per row) runs on
-    unit-normalized vectors so L2-nearest centroid == cosine-nearest. At
-    100 TB: train on a sample, then ``model.transform`` streams the corpus
-    once; the ``cell`` column becomes the parquet partition/cluster key so a
-    probe reads only its cells' files. Returns (centroids, corpus+cell).
+    unit-normalized vectors so L2-nearest centroid == cosine-nearest. The
+    fit sees at most ``max_train_rows`` vectors (a coarse quantizer with
+    16-ish cells gains nothing from more), then ``model.transform`` streams
+    the full corpus exactly once; the ``cell`` column becomes the parquet
+    partition/cluster key so a probe reads only its cells' files. Probe
+    exactness never depends on training quality: ``nprobe == n_cells``
+    equals the exact scan for ANY centroids (pinned by pytest).
+    Returns (centroids, corpus+cell).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # Parallelism tracks cores (single-file corpora otherwise train on one
+    # Parallelism tracks cores (single-file corpora otherwise assign on one
     # task); random init: k-means|| spends 2 extra full passes picking seeds
     # (measured 2.7x slower fit) for no bucketing-quality gain here.
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     feat = corpus.repartition(n_part, F.col(id_col)).withColumn(
         "_unit", array_to_vector(_unit_expr(F.col(vec_col)))
     )
+    train = feat.select("_unit").limit(max_train_rows)
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, initMode="random",
-                   featuresCol="_unit", predictionCol="cell").fit(feat)
+                   featuresCol="_unit", predictionCol="cell").fit(train)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     return centers, model.transform(feat).drop("_unit")
+
+
+def ivf_build(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
+              max_iter: int = 6, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              max_train_rows: int = 4096) -> IvfIndex:
+    """Build a reusable IVF index: train the quantizer once (on a sample),
+    assign the corpus once, persist the assignments so every subsequent
+    probe starts from the materialized (cell, id, vector) layout instead of
+    re-running KMeans — the train/probe split a serving path requires."""
+    centers, assigned = ivf_assign(corpus, n_cells, seed, max_iter,
+                                   id_col, vec_col, max_train_rows)
+    assigned = assigned.persist()
+    assigned.count()  # materialize now: probes must not re-trigger the fit
+    return IvfIndex(centers, assigned, id_col, vec_col)
 
 
 def _probe_cells(queries: DataFrame, centers: list[list[float]], nprobe: int,
@@ -183,20 +254,29 @@ def _probe_cells(queries: DataFrame, centers: list[list[float]], nprobe: int,
     )
 
 
-def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+def ivf_cosine_topk(corpus: DataFrame | None, queries: DataFrame, k: int = 10,
                     n_cells: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42, round_digits: int = 4) -> DataFrame:
+                    seed: int = 42, round_digits: int = 4,
+                    index: IvfIndex | None = None) -> DataFrame:
     """IVF approximate top-k: score only corpus vectors in the query's
     ``nprobe`` nearest cells (the scale path next to sign-LSH ANN).
+
+    Pass a prebuilt ``index`` (:func:`ivf_build`) to probe without
+    retraining — the serving path; without one, a throwaway index is
+    trained from ``corpus`` for this call (exploratory path).
 
     With ``nprobe == n_cells`` this degrades gracefully to the exact
     result (every cell probed) — the recall pytest pins that identity.
     Candidate scoring joins on the cell key; a corpus vector lives in
     exactly one cell, so no candidate is scored twice.
     """
-    centers, assigned = ivf_assign(corpus, n_cells, seed, id_col=id_col,
-                                   vec_col=vec_col)
+    if index is None:
+        centers, assigned = ivf_assign(corpus, n_cells, seed, id_col=id_col,
+                                       vec_col=vec_col)
+    else:
+        centers, assigned = index.centers, index.assigned
+        id_col, vec_col = index.id_col, index.vec_col
     c = assigned.select("cell", F.col(id_col).alias("match_id"),
                         F.col(vec_col).alias("_cv"))
     probes = _probe_cells(queries, centers, nprobe, id_col, vec_col)
@@ -216,11 +296,19 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95, dim: int = 64,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_planes: int = 8, round_digits: int = 4) -> DataFrame:
+                        n_planes: int = 8, round_digits: int = 4,
+                        max_bucket_size: int = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked then exactly
-    verified — the embedding-space analogue of MinHash dedup."""
+    verified — the embedding-space analogue of MinHash dedup.
+
+    ``max_bucket_size`` drops degenerate buckets before the self-join (the
+    same cap every ``dedup.py`` blocker applies): with ``n_planes=8`` there
+    are only 256 buckets, and real encoder outputs cluster directionally
+    into a few of them — an uncapped bucket self-join would go quadratic on
+    exactly those buckets at 100 TB."""
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
           .withColumn("bucket", signlsh_bucket_expr(F.col("_v"), dim, n_planes))
+    v = _drop_big_buckets(v, ["bucket"], max_bucket_size)
     a = v.select("bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     b = v.select("bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (

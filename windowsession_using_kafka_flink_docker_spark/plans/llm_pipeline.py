@@ -365,8 +365,9 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_ann_topk",
     oracle=None,  # approximate + iterative (KMeans) -> rows-only
     description="IVF approximate nearest neighbors: seeded-KMeans coarse "
-                "quantizer over unit vectors, nprobe=4 of 16 cells probed "
-                "per query; cell id is the partition key at scale. "
+                "quantizer (trained ONCE on a bounded sample, cached per "
+                "session+corpus) over unit vectors, nprobe=4 of 16 cells "
+                "probed per query; cell id is the partition key at scale. "
                 "nprobe=n_cells provably equals the exact top-k (pinned by "
                 "pytest).",
     bench=True,
@@ -374,7 +375,21 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+    index = _ivf_index_for(spark, sf_dir, emb)
+    return S.ivf_cosine_topk(None, emb.where(F.col("vec_id") < 10), k=10,
+                             index=index)
+
+
+#: one trained IVF index per (Spark app, corpus dir) — probing must never
+#: retrain the quantizer (the serving-path contract; VERDICT r2 item 4).
+_IVF_INDEXES: dict[tuple[str, str], "S.IvfIndex"] = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame) -> "S.IvfIndex":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEXES:
+        _IVF_INDEXES[key] = S.ivf_build(emb, n_cells=16, seed=42)
+    return _IVF_INDEXES[key]
 
 
 from windowsession_using_kafka_flink_docker_spark.operators.winnow import (  # noqa: E402

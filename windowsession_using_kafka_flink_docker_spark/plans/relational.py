@@ -534,13 +534,18 @@ def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="percentile_approx sketch (mergeable across partitions) — "
                 "the scale path for quantiles next to the exact "
                 "percentile_values query: one pass, fixed-size state per "
-                "group, no full sort",
+                "group, no full sort. Scalar p50/p90/p99 columns (one "
+                "sketch per quantile) so every downstream consumer — "
+                "including the driver's rows-only canonicalizer, which "
+                "cannot sort an array column — sees plain doubles.",
     tags=("relational", "aggregate", "approx"),
 )
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
     )
 
 
