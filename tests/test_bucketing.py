@@ -30,6 +30,27 @@ def test_bucketed_equals_unbucketed(spark, sf_dir):
     assert got == want
 
 
+def test_bucketed_table_written_once_per_fingerprint(spark, sf_dir):
+    """Bucketing is an ingest-time layout: the second call for the same
+    (sf_dir, buckets) must reuse the table, not rewrite it (no jobs before
+    the query itself). Witness: the table's data files are untouched."""
+    import glob
+    import os
+
+    df1 = bucketed_events(spark, sf_dir)
+    tbl = [t.name for t in spark.catalog.listTables()
+           if t.name.startswith("events_bucketed_")][0]
+    path = (spark.sql(f"DESCRIBE FORMATTED {tbl}")
+            .where("col_name = 'Location'")
+            .collect()[0].data_type.replace("file:", ""))
+    before = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*"))}
+    assert before, path
+    df2 = bucketed_events(spark, sf_dir)
+    after = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*"))}
+    assert after == before, "second call rewrote the bucketed table"
+    assert sorted(map(str, df2.collect())) == sorted(map(str, df1.collect()))
+
+
 def test_colocated_join_zero_shuffle(spark, sf_dir):
     """Two tables bucketed on the join key with equal bucket counts
     sort-merge-join without any exchange — the co-located layout for

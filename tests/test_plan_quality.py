@@ -32,9 +32,14 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           # rewrites the bucketed table at plan-construction time
           "session_fixed_gap_bucketed"}
 
-# media_features / media_frame_sample use a sanctioned Arrow-batched
-# mapInPandas (the one allowed Python hot path: opaque binary decode).
-_PANDAS_OK = {"media_features", "media_frame_sample"}
+# Sanctioned Arrow-batched Python stages — and ONLY these:
+# - media decode (opaque binary payloads, no JVM expression can decode);
+# - similarity scoring (dense linear algebra: one numpy/BLAS gemm per
+#   Arrow batch; the interpreted per-element HOF lambdas are 100-1000x
+#   slower — see operators/similarity.py module docstring).
+# Everything else in the catalog must stay native-expression.
+_PANDAS_OK = {"media_features", "media_frame_sample",
+              "cosine_topk", "ann_cosine_topk", "embedding_neardups"}
 
 
 @pytest.mark.parametrize(

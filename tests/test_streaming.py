@@ -92,6 +92,31 @@ def _events_stream(spark, stream_dir):
     )
 
 
+def _serialize_chunks(spark, base, chunks):
+    """Write each chunk as one parquet file in a flat dir with strictly
+    increasing mtimes, so maxFilesPerTrigger=1 replays them as separate
+    micro-batches in chunk order (FileStreamSource batches by mtime)."""
+    import glob
+    import shutil
+    import time
+
+    flat = os.path.join(base, "serialized")
+    os.makedirs(flat)
+    now = time.time()
+    n = 0
+    for i, chunk in enumerate(chunks):
+        d = os.path.join(base, f"c{i}")
+        spark.createDataFrame(chunk, "ts STRING, user_id BIGINT, value DOUBLE") \
+            .select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "value") \
+            .coalesce(1).write.parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            dst = os.path.join(flat, f"{n:02d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (now + i * 60, now + i * 60))
+            n += 1
+    return flat
+
+
 class TestStreamBatchConsistency:
     def test_fixed_gap_stream_equals_batch(self, spark, sf_dir, stream_dir, tmp_path):
         stream = streaming_sessionize(_events_stream(spark, stream_dir))
@@ -192,6 +217,51 @@ class TestReportFormatting:
         lines = out.splitlines()
         assert lines[0].startswith("+") and lines[0].endswith("+")
         assert "9999" in lines[3]
+
+    def test_report_writer_caps_driver_rows(self, spark, capsys):
+        """A watermark jump can close millions of sessions in one batch;
+        the foreachBatch report writer must materialize at most max_rows
+        on the driver and announce the truncation."""
+        from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
+            make_session_report_batch_fn,
+        )
+        big = spark.range(100).selectExpr(
+            "id AS user_id", "CAST(id AS DOUBLE) AS session_sum",
+            "CAST(id AS DOUBLE) AS session_avg")
+        fn = make_session_report_batch_fn(max_rows=10)
+        fn(big, 0)
+        out = capsys.readouterr().out
+        body = [l for l in out.splitlines() if l and l[0].isdigit()]
+        assert len(body) == 10
+        assert "truncated at 10 rows" in out
+
+    def test_report_writer_small_batch_unchanged(self, spark, capsys):
+        from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
+            make_session_report_batch_fn,
+        )
+        small = spark.range(3).selectExpr(
+            "id AS user_id", "CAST(id AS DOUBLE) AS session_sum",
+            "CAST(id AS DOUBLE) AS session_avg")
+        fn = make_session_report_batch_fn(max_rows=10)
+        fn(small, 0)
+        out = capsys.readouterr().out
+        assert "truncated" not in out
+        assert len([l for l in out.splitlines() if l and l[0].isdigit()]) == 3
+
+    def test_alert_grid_caps_driver_rows(self, spark, capsys):
+        from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
+            make_alert_grid_batch_fn,
+        )
+        big = spark.range(50).selectExpr(
+            "id AS user_id", "CAST(id AS DOUBLE) AS session_sum",
+            "CAST(id AS DOUBLE) AS session_avg")
+        fn = make_alert_grid_batch_fn(max_rows=5)
+        fn(big, 0)
+        out = capsys.readouterr().out
+        assert "truncated at 5 rows" in out
+        # 5 data rows inside the grid: | uid | ... rows between the rulers
+        data_rows = [l for l in out.splitlines() if l.startswith("| ") and "user_id" not in l]
+        assert len(data_rows) == 5
 
 
 class TestWatermarkSemantics:
@@ -294,6 +364,61 @@ class TestWatermarkSemantics:
         assert dropped == 1
         assert len(got) == 1
         assert got[0].event_count == 2 and got[0].session_sum == 20.0
+
+    #: two source "partitions" with skewed event-time progress: partition A
+    #: is 5+ minutes ahead of partition B; each is in-order internally. A's
+    #: rows span two micro-batches because the watermark computed from a
+    #: batch only takes effect (filters input) from the NEXT batch on —
+    #: the same end-of-batch semantics test_late_event documents.
+    _DRIFT_CHUNKS = (
+        [("2024-08-26 08:00:00", 1, 10.0), ("2024-08-26 08:00:10", 1, 10.0)],  # A, fast
+        [("2024-08-26 08:00:20", 1, 10.0)],                 # A continues; wm now in effect
+        [("2024-08-26 07:55:00", 2, 5.0), ("2024-08-26 07:55:05", 2, 5.0)],    # B, 5 min behind
+        [("2024-08-26 12:00:00", SENTINEL_USER, 0.0)],     # advances watermark
+        [("2024-08-26 12:30:00", SENTINEL_USER - 1, 0.0)],  # eviction batch
+    )
+
+    def _run_drift(self, spark, tmp_path_factory, delay: str, name: str):
+        base = str(tmp_path_factory.mktemp(f"drift_{name}"))
+        flat = _serialize_chunks(spark, base, self._DRIFT_CHUNKS)
+        stream = file_events_source(
+            spark, flat, schema="ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+            max_files_per_trigger=1,
+        )
+        q = memory_sink(streaming_sessionize(stream, watermark_delay=delay), name)
+        try:
+            q.processAllAvailable()
+            dropped = sum(
+                so.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+            )
+        finally:
+            q.stop()
+        return spark.table(name), dropped
+
+    def test_partition_drift_monotonous_drops_in_order_rows(self, spark, tmp_path_factory):
+        """The documented Flink-vs-Spark watermark caveat
+        (streaming/pipeline.py MONOTONOUS_DELAY): Flink's monotonous
+        strategy is per-partition (min across partitions), Spark's
+        watermark is the GLOBAL max event time minus delay. With two
+        partitions drifting 5 minutes apart, delay=0 drops partition B's
+        rows even though B is perfectly in-order internally."""
+        out, dropped = self._run_drift(spark, tmp_path_factory, "0 seconds", "drift0")
+        assert dropped == 2  # both of partition B's rows
+        assert out.where(F.col("user_id") == 2).count() == 0
+        a = out.where(F.col("user_id") == 1).collect()
+        assert len(a) == 1 and a[0].event_count == 3
+
+    def test_partition_drift_bounded_delay_keeps_rows(self, spark, tmp_path_factory):
+        """The documented mitigation: a delay sized to the inter-partition
+        skew (here >= 5 minutes) keeps the slow partition's rows."""
+        out, dropped = self._run_drift(spark, tmp_path_factory, "10 minutes", "drift10")
+        assert dropped == 0
+        b = out.where(F.col("user_id") == 2).collect()
+        assert len(b) == 1 and b[0].event_count == 2 and b[0].session_sum == 10.0
+        a = out.where(F.col("user_id") == 1).collect()
+        assert len(a) == 1 and a[0].event_count == 3
 
 
 class TestRocksDBStateStore:
@@ -637,3 +762,137 @@ class TestTransformWithState:
             )
         )
         assert len(got) == len(want) and got == want
+
+
+def _kafka_ready(spark) -> tuple[bool, str]:
+    """(available, info): True only when BOTH the spark-sql-kafka connector
+    jar is on the classpath AND a broker answers at $KAFKA_BOOTSTRAP_SERVERS
+    (default localhost:9092 — the docker/docker-compose.yml topology)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        return False, "spark-sql-kafka connector jar not on the classpath"
+    import socket
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092")
+    host, _, port = bootstrap.rpartition(":")
+    try:
+        with socket.create_connection((host or "localhost", int(port)), timeout=2):
+            return True, bootstrap
+    except OSError:
+        return False, f"no Kafka broker reachable at {bootstrap}"
+
+
+class TestKafkaEndToEnd:
+    """Runtime Kafka round-trip — the reference's actual front door
+    (flink_stream_task1.py:13-19). Runs only when the connector jar AND a
+    broker are present (docker/README.md runbook starts both); skips
+    otherwise, mirroring the transformWithState protobuf-skip pattern.
+    Wire format and pipeline are exactly the production path:
+    CSV-serialized events -> kafka topic -> kafka_events_source ->
+    streaming sessionization == batch sessionize of the same rows.
+    """
+
+    _EVENTS = [
+        # (ts, user_id, transaction_id, payload) — two users, two sessions
+        # for user 1 (gap > 30 s between 08:00:10 and 08:05:00)
+        ("2024-08-26 08:00:00", 1, 11, 10.0),
+        ("2024-08-26 08:00:10", 1, 11, 10.0),
+        ("2024-08-26 08:05:00", 1, 12, 10.0),
+        ("2024-08-26 08:00:05", 2, 21, 20.0),
+    ]
+    _SENTINEL = ("2024-08-26 12:00:00", SENTINEL_USER, 0, 0.0)
+
+    @staticmethod
+    def _wire_df(spark, rows):
+        return spark.createDataFrame(
+            [(str(u), f"{ts},{u},{tx},{p}") for ts, u, tx, p in rows],
+            "key STRING, value STRING",
+        ).coalesce(1)
+
+    def test_kafka_roundtrip_sessionize(self, spark, tmp_path):
+        ok, info = _kafka_ready(spark)
+        if not ok:
+            pytest.skip(
+                f"Kafka e2e unavailable: {info}. Run `docker compose up` in "
+                "docker/ and add org.apache.spark:spark-sql-kafka-0-10 via "
+                "spark.jars.packages (see docker/README.md)."
+            )
+        import uuid
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            kafka_events_source,
+        )
+
+        bootstrap = info
+        topic = f"events_e2e_{uuid.uuid4().hex[:8]}"
+        kafka_opts = {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+
+        # data first; the sentinel goes in AFTER the stream has consumed the
+        # data batch, so it lands in a later micro-batch and advances the
+        # watermark past the real sessions (append-mode flush).
+        self._wire_df(spark, self._EVENTS).write.format("kafka") \
+            .options(**kafka_opts).save()
+
+        stream = kafka_events_source(spark, bootstrap, topic)
+        ev = stream.select(
+            "ts", "user_id", F.col("payload_value").alias("value"))
+        q = memory_sink(streaming_sessionize(ev), "kafka_e2e")
+        try:
+            q.processAllAvailable()
+            self._wire_df(spark, [self._SENTINEL]).write.format("kafka") \
+                .options(**kafka_opts).save()
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = _rows(spark.table("kafka_e2e"))
+        batch = spark.createDataFrame(
+            [(ts, u, p) for ts, u, _tx, p in self._EVENTS],
+            "ts STRING, user_id BIGINT, value DOUBLE",
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+        want = _rows(sessionize(batch))
+        assert len(want) == 3  # 2 sessions for user 1, 1 for user 2
+        assert got == want
+
+    def test_kafka_sink_roundtrips_alert_frame(self, spark, tmp_path):
+        """Alerts written by kafka_sink must read back with the same frame
+        (the alerts topic the reference imports but never wires)."""
+        ok, info = _kafka_ready(spark)
+        if not ok:
+            pytest.skip(f"Kafka e2e unavailable: {info} (see docker/README.md)")
+        import uuid
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import kafka_sink
+
+        bootstrap = info
+        topic = f"alerts_e2e_{uuid.uuid4().hex[:8]}"
+        alerts = spark.createDataFrame(
+            [(9999, 1_000_000.0, 5.5)],
+            "user_id BIGINT, session_sum DOUBLE, session_avg DOUBLE",
+        )
+        # batch-side write through the same wire serialization
+        src = str(tmp_path / "alert_src")
+        alerts.write.parquet(src)
+        stream = file_events_source(
+            spark, src,
+            schema="user_id BIGINT, session_sum DOUBLE, session_avg DOUBLE")
+        q = kafka_sink(stream, bootstrap, topic,
+                       checkpoint=str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .load()
+            .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+            .collect()
+        )
+        assert len(back) == 1
+        assert back[0].key == "9999"
+        assert back[0].value == "9999,1000000.0,5.5"

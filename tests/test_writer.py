@@ -45,3 +45,42 @@ def test_oversized_partition_value_splits(spark, sf_dir, tmp_path):
     n_types = ev.select("event_type").distinct().count()
     assert len(_parquet_files(out)) > n_types
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_hot_value_writes_in_parallel(spark, tmp_path):
+    """A value 10x the per-file target must fan out over multiple WRITER
+    TASKS (salted repartition), not write its files serially through one
+    task — the part-file task index in the filename is the witness. Small
+    values must still converge to exactly one file."""
+    rows = [("hot", i, float(i)) for i in range(1000)] + \
+           [("cold", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_type STRING, k LONG, v DOUBLE") \
+              .repartition(32)  # worst-case input layout
+    out = str(tmp_path / "salted")
+    write_partitioned(df, out, ["event_type"], rows_per_file=100)
+
+    hot_files = _parquet_files(os.path.join(out, "event_type=hot"))
+    cold_files = _parquet_files(os.path.join(out, "event_type=cold"))
+    assert len(cold_files) == 1
+    assert len(hot_files) >= 5  # ~1000/100 target-sized files
+    # distinct part-XXXXX task indices == files written by distinct tasks
+    task_ids = {os.path.basename(f).split("-")[1] for f in hot_files}
+    assert len(task_ids) >= 2, f"hot value wrote serially: {sorted(task_ids)}"
+
+    got = spark.read.parquet(out)
+    assert got.count() == 1010
+    assert got.groupBy().sum("v").collect()[0][0] == sum(float(i) for i in range(1000)) + sum(float(i) for i in range(10))
+
+
+def test_writer_stats_fallback():
+    """The Catalyst-stats probe is a private API (absent under Spark
+    Connect, mobile across versions); a frame without it must fall back to
+    the conservative bytes/row default, not crash."""
+    import windowsession_using_kafka_flink_docker_spark.sources.writer as W
+
+    class Broken:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no private API here")
+
+    assert W._bytes_per_row(Broken(), 100) == W.FALLBACK_BYTES_PER_ROW

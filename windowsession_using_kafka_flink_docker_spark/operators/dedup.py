@@ -227,10 +227,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select("id_a", "id_b", "jaccard")
     )
     # Materialize the (small) pair set so the heavyweight intermediates can
-    # be unpersisted now instead of leaking cached blocks across every
-    # subsequent query on this session.
-    result = result.persist()
-    result.count()
+    # be unpersisted now. localCheckpoint (not persist): its blocks are
+    # released by the ContextCleaner when the frame is garbage-collected,
+    # so repeated builder calls in a long-lived session don't accumulate
+    # cached blocks the caller never knew it had to unpersist.
+    result = result.localCheckpoint(eager=True)
     docs.unpersist()
     banded.unpersist()
     return result
@@ -310,8 +311,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    result = result.persist()
-    result.count()
+    result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
     docs.unpersist()
     return result
 
@@ -391,7 +391,6 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    result = result.persist()
-    result.count()
+    result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
     blocked.unpersist()
     return result

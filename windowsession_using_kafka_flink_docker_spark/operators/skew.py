@@ -37,9 +37,19 @@ def salted_agg(df: DataFrame, keys: list[str],
     {sum, count, min, max}. Produces exactly the same result as
     ``df.groupBy(keys).agg(...)`` — the salt is internal — but no reducer
     ever owns more than ~1/n_salts of a hot key's rows.
+
+    The salt is a DETERMINISTIC function of the full row content, never
+    ``monotonically_increasing_id()``/``rand()``: a non-deterministic salt
+    used as a shuffle grouping key reassigns rows on stage retry after a
+    fetch failure, duplicating or dropping them against outputs already
+    consumed by reducers (the SPARK-23207 correctness class) — exactly the
+    large-cluster scenario this operator exists for. Identical rows share a
+    salt, which only matters if a hot key's rows are also near-identical;
+    aggregation stays exact either way.
     """
-    salt = (F.abs(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()))
-            % n_salts).alias("_salt")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).alias("_salt")
     stage1_exprs = []
     for out, (fn, col) in aggs.items():
         if fn not in _MERGES:

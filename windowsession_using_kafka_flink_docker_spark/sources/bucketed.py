@@ -29,24 +29,41 @@ def save_bucketed(df: DataFrame, table: str, buckets: int, key: str,
                   sort_cols: tuple[str, ...] = (), path: str | None = None) -> None:
     """Persist ``df`` as a bucketed (and optionally sort-ordered) external
     parquet table. Sorting by (key, time) additionally lets sort-dependent
-    operators skip their local sort."""
+    operators skip their local sort.
+
+    The default path is scoped to this Spark application (app id in the
+    path): a world-shared tempdir location would let concurrent sessions
+    on one host clobber each other's table data mid-query."""
     if path is None:
-        path = os.path.join(tempfile.gettempdir(), "windowsession_buckets", table)
+        app = df.sparkSession.sparkContext.applicationId
+        path = os.path.join(tempfile.gettempdir(), "windowsession_buckets", app, table)
     writer = df.write.mode("overwrite").option("path", path).bucketBy(buckets, key)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
 
 
+#: (app_id, sf_tag, buckets) fingerprints already written this session —
+#: bucketing is an INGEST-time layout decision; rewriting the table on
+#: every query would charge the one-off ingest cost per query.
+_WRITTEN: set[tuple[str, str, int]] = set()
+
+
 def bucketed_events(spark: SparkSession, sf_dir: str, buckets: int = 8) -> DataFrame:
     """The events table re-laid-out bucketed by ``user_id`` and sorted by
     (user_id, ts) — the ingest-time layout under which sessionization needs
-    no shuffle. Idempotent per (sf_dir, buckets): rewrites on each call so
-    results always reflect the source."""
+    no shuffle. Written ONCE per (app, sf_dir, buckets) fingerprint and
+    reused thereafter — the second call plans zero jobs before the query
+    itself. The table name carries the app id so concurrent sessions
+    sharing a metastore never overwrite each other."""
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    table = f"events_bucketed_{sf_tag}_{buckets}"
-    save_bucketed(
-        load_table(spark, sf_dir, "events"), table, buckets, "user_id",
-        sort_cols=("user_id", "ts"),
-    )
+    app = spark.sparkContext.applicationId
+    table = f"events_bucketed_{sf_tag}_{buckets}_{app.replace('-', '_')}"
+    key = (app, sf_tag, buckets)
+    if key not in _WRITTEN or not spark.catalog.tableExists(table):
+        save_bucketed(
+            load_table(spark, sf_dir, "events"), table, buckets, "user_id",
+            sort_cols=("user_id", "ts"),
+        )
+        _WRITTEN.add(key)
     return spark.table(table)

@@ -26,6 +26,14 @@ from pyspark.sql.streaming import StreamingQuery
 REPORT_WIDTHS = (10, 15, 15)
 REPORT_COLUMNS = ("user_id", "session_sum", "session_avg")
 
+#: Cap on rows a report writer materializes on the driver per batch. A
+#: watermark jump can close millions of sessions in ONE micro-batch; an
+#: uncapped collect() would OOM the driver (the repo-wide "nothing
+#: unbounded reaches the driver" discipline). Human-readable reports past
+#: this size are unreadable anyway — durable output belongs in the
+#: parquet/kafka sinks.
+MAX_REPORT_ROWS = 10_000
+
 
 def format_report_rows(rows, widths=REPORT_WIDTHS, columns=REPORT_COLUMNS) -> str:
     """Fixed-width session report block (task1's layout: header, ruler,
@@ -56,37 +64,71 @@ def format_grid(rows, columns) -> str:
     return "\n".join(lines)
 
 
-def session_report_writer(df: DataFrame, header_once: bool = True):
-    """foreachBatch writer printing task1's session-expiry report
-    (flink_stream_task1.py:75-85). Returns the started query's builder
-    function for composition; call ``.start()`` on the result."""
+def _capped_rows(batch_df: DataFrame, columns, max_rows: int):
+    """Driver-side materialization bounded at ``max_rows``: fetch one extra
+    row to detect overflow, never the whole batch."""
+    rows = batch_df.select(*columns).limit(max_rows + 1).collect()
+    truncated = len(rows) > max_rows
+    return rows[:max_rows], truncated
+
+
+def make_session_report_batch_fn(header_once: bool = True,
+                                 max_rows: int = MAX_REPORT_ROWS):
+    """Per-batch function behind :func:`session_report_writer` (factored
+    out so tests can drive it with a plain batch DataFrame)."""
     state = {"printed_header": False}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(*REPORT_COLUMNS).collect()
+        rows, truncated = _capped_rows(batch_df, REPORT_COLUMNS, max_rows)
         if not rows:
             return
         if not state["printed_header"] or not header_once:
             print("\n** Session Expiry Report ** (All UIDs Processed)")
             state["printed_header"] = True
         print(format_report_rows(rows))
+        if truncated:
+            print(f"... report truncated at {max_rows} rows this batch ...")
 
-    return df.writeStream.foreachBatch(_write).outputMode("append")
+    return _write
 
 
-def alert_grid_writer(df: DataFrame):
-    """foreachBatch writer printing task2's big-customer grid per batch
-    (flink_stream_task2.py:98-100)."""
+def session_report_writer(df: DataFrame, header_once: bool = True,
+                          max_rows: int = MAX_REPORT_ROWS):
+    """foreachBatch writer printing task1's session-expiry report
+    (flink_stream_task1.py:75-85), capped at ``max_rows`` rows per batch
+    (truncation is announced). Returns the started query's builder
+    function for composition; call ``.start()`` on the result."""
+    return (
+        df.writeStream
+        .foreachBatch(make_session_report_batch_fn(header_once, max_rows))
+        .outputMode("append")
+    )
+
+
+def make_alert_grid_batch_fn(max_rows: int = MAX_REPORT_ROWS):
+    """Per-batch function behind :func:`alert_grid_writer`."""
     columns = ("user_id", "session_sum", "session_avg")
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(*columns).collect()
+        rows, truncated = _capped_rows(batch_df, columns, max_rows)
         if not rows:
             return
         print("\n** Big Customers Session Report ** (Sessions >= threshold)")
         print(format_grid(rows, columns))
+        if truncated:
+            print(f"... grid truncated at {max_rows} rows this batch ...")
 
-    return df.writeStream.foreachBatch(_write).outputMode("append")
+    return _write
+
+
+def alert_grid_writer(df: DataFrame, max_rows: int = MAX_REPORT_ROWS):
+    """foreachBatch writer printing task2's big-customer grid per batch
+    (flink_stream_task2.py:98-100), capped at ``max_rows`` rows per batch."""
+    return (
+        df.writeStream
+        .foreachBatch(make_alert_grid_batch_fn(max_rows))
+        .outputMode("append")
+    )
 
 
 def console_sink(df: DataFrame, output_mode: str = "append",

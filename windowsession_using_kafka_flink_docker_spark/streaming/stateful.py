@@ -94,8 +94,13 @@ def make_capped_session_fn(gap_sec: float, cap_sec: float,
                 cur = (gs0, seg, s0, max(s1, t), ssum + v, scnt + 1)
         if cur is not None:
             state.update(cur)
-            # evict once the watermark passes segment end + gap (ms API)
-            state.setTimeoutTimestamp(cur[3] // 1_000 + int(gap_us // 1_000) + 1)
+            # evict once the watermark passes segment end + gap (ms API);
+            # clamp to watermark+1 — a micro-batch can deliver a key's
+            # events older than watermark - gap (nonzero watermark_delay,
+            # multi-partition skew), and a timeout <= the current watermark
+            # makes applyInPandasWithState fail the query
+            timeout_ms = cur[3] // 1_000 + int(gap_us // 1_000) + 1
+            state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         yield _emit(closed)
 
     return fn
@@ -172,7 +177,11 @@ class CappedSessionProcessor:
             # one live timer per key: replace, don't accumulate
             for expiry in list(self._handle.listTimers()):
                 self._handle.deleteTimer(expiry)
-            self._handle.registerTimer(cur[3] // 1_000 + self._gap_us // 1_000 + 1)
+            # same watermark clamp as the applyInPandasWithState path
+            timeout_ms = cur[3] // 1_000 + self._gap_us // 1_000 + 1
+            self._handle.registerTimer(
+                max(timeout_ms, timerValues.getCurrentWatermarkInMs() + 1)
+            )
         yield _emit(closed)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
