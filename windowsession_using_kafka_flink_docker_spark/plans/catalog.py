@@ -60,4 +60,5 @@ from windowsession_using_kafka_flink_docker_spark.plans import (  # noqa: E402,F
     relational,
     llm_pipeline,
     time_windows,
+    curation,
 )
