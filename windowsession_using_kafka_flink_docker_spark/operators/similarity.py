@@ -196,13 +196,14 @@ def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10
     )
 
 
-def _unit_expr(vec_col: F.Column) -> F.Column:
-    """Unit-normalized copy of an array<float> vector (double precision);
-    zero vectors pass through unchanged."""
-    n = norm_expr(vec_col)
-    return F.when(n == 0, vec_col.cast("array<double>")).otherwise(
-        F.transform(vec_col, lambda x: x.cast("double") / n)
-    )
+def _unit_rows(vectors) -> "list[list[float]]":
+    """Driver-side unit normalization of a small sample (numpy); zero
+    vectors pass through unchanged."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return (x / np.where(n == 0, 1.0, n)).tolist()
 
 
 class IvfIndex:
@@ -255,31 +256,29 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
     """Train the IVF coarse quantizer on a bounded sample and assign every
     corpus vector to its cell.
 
-    Training collects at most ``max_train_rows`` unit-normalized vectors to
-    the driver and runs seeded spherical k-means there (a coarse quantizer
-    with 16-ish cells gains nothing from more data — the FAISS-style
-    sample-train); assignment is a scan-side argmax-of-dot expression over
-    the (tiny, literal) centroid array, streaming the corpus exactly once
-    with no ML-library job storm. The ``cell`` column becomes the parquet
+    Training collects at most ``max_train_rows`` vectors straight off the
+    scan — no repartition (at 100 TB that would full-shuffle the corpus to
+    harvest 4 KB of sample) — normalizes them in numpy on the driver, and
+    runs seeded spherical k-means there (a coarse quantizer with 16-ish
+    cells gains nothing from more data — the FAISS-style sample-train).
+    Assignment is map-only over the scan: one argmax-of-gemm per Arrow
+    batch, and the corpus is NOT normalized first — ``argmax_c (x·c)`` is
+    invariant to scaling x by 1/|x|, so only the centroids must be unit
+    (which the k-means guarantees). The ``cell`` column becomes the parquet
     partition/cluster key so a probe reads only its cells' files. Probe
     exactness never depends on training quality: ``nprobe == n_cells``
     equals the exact scan for ANY centroids (pinned by pytest).
     Returns (centroids, corpus+cell).
     """
-    # Parallelism tracks cores (single-file corpora otherwise assign on one
-    # task).
-    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    feat = corpus.repartition(n_part, F.col(id_col)).withColumn(
-        "_unit", _unit_expr(F.col(vec_col))
-    )
-    sample = [r[0] for r in feat.select("_unit").limit(max_train_rows).collect()]
+    sample = [r[0] for r in corpus.select(vec_col).limit(max_train_rows).collect()]
     if not sample:
-        return [], feat.withColumn("cell", F.lit(0)).drop("_unit")
-    centers = _spherical_kmeans(sample, n_cells, seed, max_iter)
+        return [], corpus.withColumn("cell", F.lit(0))
+    centers = _spherical_kmeans(_unit_rows(sample), n_cells, seed, max_iter)
 
     # Assignment = argmax of (batch x centers^T): one gemm per Arrow batch
     # (the vectorized-kernel rule, module docstring); ties resolve to the
-    # lowest cell id (np.argmax first-occurrence).
+    # lowest cell id (np.argmax first-occurrence). Zero vectors dot 0
+    # against every center and land in cell 0.
     def _make_assign(cs):
         @pandas_udf(IntegerType())
         def _assign(v: pd.Series) -> pd.Series:
@@ -289,10 +288,7 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
             return pd.Series(np.argmax(X @ C, axis=1).astype("int32"))
         return _assign
 
-    assigned = (
-        feat.withColumn("cell", _make_assign(centers)(F.col("_unit")))
-        .drop("_unit")
-    )
+    assigned = corpus.withColumn("cell", _make_assign(centers)(F.col(vec_col)))
     return centers, assigned
 
 
@@ -323,24 +319,23 @@ def _probe_cells(queries: DataFrame, centers: list[list[float]], nprobe: int,
     Centroids are unit-normalized HERE (in Python, they are plain lists):
     cluster means of unit vectors have norms that shrink with cluster
     spread, so ranking by the raw dot product would bias probes toward
-    tight clusters and skip diffuse cells containing true neighbors."""
+    tight clusters and skip diffuse cells containing true neighbors. The
+    QUERY vector is deliberately NOT normalized: its norm scales every
+    cell's dot equally, so the per-row ranking is unchanged."""
     def _unit(c: list[float]) -> list[float]:
         n = sum(x * x for x in c) ** 0.5
         return c if n == 0 else [x / n for x in c]
 
     # struct(-d, cell): lexicographic sort ascending == dot descending with
     # lowest-cell tiebreak (the same total order the window rank used).
-    # One F.expr string; the query vector is unit-normalized ONCE into its
-    # own column, not inside each of the n_cells dot products.
     unit_centers = _sql_mat([_unit(c) for c in centers])
     scored = F.expr(
         f"zip_with({unit_centers}, sequence(0, {len(centers) - 1}), "
-        f"(c, i) -> named_struct('negd', -{_sql_dot('_qu', 'c')}, "
+        f"(c, i) -> named_struct('negd', -{_sql_dot('_qv', 'c')}, "
         "'cell', CAST(i AS INT)))"
     )
     return (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .withColumn("_qu", _unit_expr(F.col("_qv")))
         .withColumn("_top", F.slice(F.array_sort(scored), 1, nprobe))
         .select("query_id", "_qv", F.explode("_top").alias("_c"))
         .select("query_id", F.col("_c.cell").alias("cell"), "_qv")
