@@ -142,3 +142,156 @@ class TestEmbeddingQuantization:
         assert z.qv == [0, 0, 0, 0] and z.scale == 0.0
         nz = [r for r in q if r.vec_id == 2][0]
         assert max(abs(v) for v in nz.qv) == 127
+
+
+class TestDecontamination:
+    def test_planted_leaks_flagged(self, spark, sf_dir):
+        """Every train doc carrying a planted leak passage must be flagged;
+        eval docs must be absent from the output; coverage is all train
+        docs."""
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            _EVAL_MOD, _LEAK1_MOD, _LEAK2_MOD,
+        )
+        out = {r.doc_id: r for r in
+               CATALOG["decontaminate_train_set"].spark(spark, sf_dir).collect()}
+        all_ids = [r.doc_id for r in
+                   load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+        train = {i for i in all_ids if i % _EVAL_MOD != 0}
+        assert set(out) == train
+        planted = {i for i in train
+                   if i % _LEAK1_MOD == 0 or i % _LEAK2_MOD == 0}
+        assert planted, "fixture too small to plant leakage"
+        for i in planted:
+            assert out[i].contaminated and out[i].n_gram_hits >= 1, out[i]
+        # flags and counts agree everywhere
+        for r in out.values():
+            assert r.contaminated == (r.n_gram_hits > 0), r
+
+    def test_clean_corpus_all_negative(self, spark):
+        """Disjoint-vocabulary train and eval sets share no n-grams."""
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            decontaminate,
+        )
+        train = spark.createDataFrame(
+            [(i, " ".join(f"tr{i}w{j}" for j in range(12))) for i in range(5)],
+            "doc_id BIGINT, text STRING",
+        )
+        ev = spark.createDataFrame(
+            [(100, " ".join(f"evw{j}" for j in range(12)))],
+            "doc_id BIGINT, text STRING",
+        )
+        rows = decontaminate(train, ev).collect()
+        assert len(rows) == 5
+        assert all(not r.contaminated and r.n_gram_hits == 0 for r in rows)
+
+    def test_exact_copy_hit_count(self, spark):
+        """A train doc that IS an eval doc verbatim hits every one of its
+        n-grams: 12 words -> 5 distinct 8-grams; short docs (<8 words)
+        produce no grams and never match."""
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            decontaminate,
+        )
+        words = " ".join(f"w{j}" for j in range(12))
+        train = spark.createDataFrame(
+            [(1, words), (2, "too short doc")],
+            "doc_id BIGINT, text STRING",
+        )
+        ev = spark.createDataFrame([(9, words)], "doc_id BIGINT, text STRING")
+        out = {r.doc_id: r for r in decontaminate(train, ev).collect()}
+        assert out[1].n_gram_hits == 5 and out[1].contaminated
+        assert out[2].n_gram_hits == 0 and not out[2].contaminated
+
+
+class TestSequencePacking:
+    def test_partition_of_corpus_and_budget_respected(self, spark, sf_dir):
+        """Packing is a partition of the corpus: doc counts and token
+        totals across sequences equal the corpus totals, and every
+        sequence except possibly the last of its shard STARTS within
+        budget (concat-and-chop: a sequence's first token offset is
+        seq_id * budget)."""
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            PACK_SHARDS, SEQ_BUDGET,
+        )
+        rows = CATALOG["sequence_packing"].spark(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        n_tokens = docs.select(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+        ).collect()[0].t
+        assert sum(r.n_docs for r in rows) == n_docs
+        assert sum(r.seq_tokens for r in rows) == n_tokens
+        # multiple sequences per shard at this budget (non-vacuous)
+        assert len(rows) > 5 * PACK_SHARDS
+        for r in rows:
+            assert 0 <= r.shard < PACK_SHARDS
+            assert r.seq_id >= 0
+            assert r.first_doc <= r.last_doc
+            # a doc can straddle the boundary, but a sequence holding more
+            # than one doc can't START more than one doc past its budget:
+            # all but the largest doc fit inside budget + max_doc_tokens
+            assert r.seq_tokens < SEQ_BUDGET + 200, r  # max doc ~100 tokens
+
+    def test_deterministic_and_contiguous(self, spark):
+        """Same input -> same packing; within a shard, sequences cover
+        contiguous id ranges in order."""
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            pack_sequences,
+        )
+        docs = spark.createDataFrame(
+            [(i, "en", " ".join(f"w{j}" for j in range(30))) for i in range(40)],
+            "doc_id BIGINT, lang STRING, text STRING",
+        )
+        a = sorted(map(tuple, pack_sequences(docs, budget=100, n_shards=2).collect()))
+        b = sorted(map(tuple, pack_sequences(docs, budget=100, n_shards=2).collect()))
+        assert a == b
+        # 30 tokens/doc, budget 100: sequences start at offsets 0,100,...
+        # -> docs per sequence alternate 4,3,3,... per shard; check totals
+        per_shard: dict[int, list] = {}
+        for (lang, shard, seq_id, n_docs, seq_tokens, first, last) in a:
+            per_shard.setdefault(shard, []).append((seq_id, first, last))
+        for shard, seqs in per_shard.items():
+            seqs.sort()
+            for (s1, f1, l1), (s2, f2, l2) in zip(seqs, seqs[1:]):
+                assert s2 == s1 + 1 and f2 > l1  # ordered, non-overlapping
+
+
+class TestRepetitionSignals:
+    def test_known_repetition_fractions(self, spark):
+        """Hand-computable fixtures: a fully repeated doc, a repeat-free
+        doc, and a doc below the gram width."""
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            repetition_signals,
+        )
+        docs = spark.createDataFrame(
+            [(1, "ab ab ab ab"),       # 2-gram "ab ab" x3, 3-gram x2
+             (2, "aa bb cc dd"),       # no repeats
+             (3, "xy zz")],            # no 3-grams possible
+            "doc_id BIGINT, text STRING",
+        )
+        out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+        # doc 1: chars=8; top 2-gram mass = 3 occurrences * 4 chars = 12
+        assert out[1].top2_char_frac == round(12 / 8, 4)
+        # duplicated 3-gram "ab ab ab": 2 * 6 = 12 chars
+        assert out[1].dup3_char_frac == round(12 / 8, 4)
+        assert out[2].top2_char_frac == round(4 / 8, 4)  # every 2-gram once
+        assert out[2].dup3_char_frac == 0.0
+        assert out[3].dup3_char_frac == 0.0
+        assert out[3].n_words == 2
+
+    def test_corpus_coverage_and_bounds(self, spark, sf_dir):
+        rows = CATALOG["repetition_signals"].spark(spark, sf_dir).collect()
+        n = load_table(spark, sf_dir, "documents").count()
+        assert len(rows) == n
+        for r in rows:
+            assert r.top2_char_frac >= 0 and r.dup3_char_frac >= 0
+
+
+class TestSourceMixReport:
+    def test_shares_partition_unity(self, spark, sf_dir):
+        rows = CATALOG["source_mix_report"].spark(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        assert len(rows) == docs.select("source").distinct().count()
+        assert sum(r.n_docs for r in rows) == docs.count()
+        assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+        for r in rows:
+            assert 1 <= r.n_langs <= 5

@@ -17,7 +17,7 @@ data-dependent small set (the boilerplate list) is broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from windowsession_using_kafka_flink_docker_spark.plans.catalog import register
@@ -361,4 +361,420 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale_r"),
         F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_checksum"),
         F.round(err, 4).alias("max_abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination (n-gram overlap removal)
+# --------------------------------------------------------------------------
+
+#: Shingle width for contamination checks (GPT-3's appendix-C method uses
+#: 13-gram matches against eval sets; 8 keeps the synthetic word-soup corpus
+#: non-degenerate while exercising the identical plan shape).
+DECON_NGRAM = 8
+
+#: The held-out "benchmark" split: every 37th document plays the eval set.
+_EVAL_MOD = 37
+
+#: Planted leakage (the non-vacuity discipline used across this module):
+#: every eval doc carries both passages; every 41st / 53rd TRAIN doc carries
+#: one of them, so a known subset of train docs provably shares an 8-gram
+#: with the eval set in BOTH engines.
+_LEAK1_MOD, _LEAK2_MOD = 41, 53
+_LEAK_P1 = "the quick brown fox jumps over lazy dogs"
+_LEAK_P2 = "pack my box with five dozen liquor jugs"
+
+
+def _decon_text() -> F.Column:
+    return F.when(
+        F.col("doc_id") % _EVAL_MOD == 0,
+        F.concat(F.col("text"), F.lit(f" {_LEAK_P1} {_LEAK_P2}")),
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % _LEAK1_MOD == 0, F.lit(f" {_LEAK_P1}")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % _LEAK2_MOD == 0, F.lit(f" {_LEAK_P2}")).otherwise(F.lit("")),
+        )
+    )
+
+
+def _gram_rows(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _h) rows: md5 of every word n-gram of every document.
+
+    The position sequence explodes FIRST and the gram materializes per row
+    (slice + concat + md5) — never explode over a higher-order-function
+    array (the winnowing lesson: Generate re-evaluates the un-materialized
+    HOF tree per output row)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        )
+        .where(F.size("_w") >= n)
+        .select(
+            "_id",
+            F.explode(F.sequence(F.lit(0), F.size("_w") - F.lit(n))).alias("_i"),
+            "_w",
+        )
+        .select(
+            "_id",
+            F.md5(F.concat_ws(" ", F.slice("_w", F.col("_i") + 1, n))).alias("_h"),
+        )
+    )
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = DECON_NGRAM,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a held-out
+    eval set (test-set leakage removal, the GPT-3 appendix-C pass).
+
+    Returns one row per train doc: (doc_id, n_gram_hits, contaminated),
+    where n_gram_hits counts DISTINCT eval n-grams present in the doc.
+
+    Scale design: the eval set is small by definition (benchmarks are
+    thousands of docs, not billions), so its distinct gram hashes broadcast
+    and the train side never shuffles for the probe — grams stream off the
+    scan through a broadcast-hash semi-join; only matching (doc_id, hash)
+    pairs reach the count-distinct shuffle. Shuffles carry 32-hex hashes,
+    never text.
+    """
+    eval_grams = _gram_rows(eval_docs, n, text_col, id_col).select("_h").distinct()
+    hits = (
+        _gram_rows(train, n, text_col, id_col)
+        .join(F.broadcast(eval_grams), "_h")
+        .groupBy("_id")
+        .agg(F.count_distinct("_h").alias("n_gram_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("_id"))
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_gram_hits", F.lit(0)).cast("long").alias("n_gram_hits"),
+            (F.coalesce("n_gram_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "decontaminate_train_set",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_EVAL_MOD} = 0
+              THEN text || ' {_LEAK_P1} {_LEAK_P2}'
+              ELSE text
+                || CASE WHEN doc_id % {_LEAK1_MOD} = 0 THEN ' {_LEAK_P1}' ELSE '' END
+                || CASE WHEN doc_id % {_LEAK2_MOD} = 0 THEN ' {_LEAK_P2}' ELSE '' END
+         END AS text,
+         doc_id % {_EVAL_MOD} = 0 AS is_eval
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, is_eval, string_split_regex(trim(text), '\\s+') AS w FROM base
+),
+grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(len(w) - {DECON_NGRAM - 1}),
+                               i -> md5(array_to_string(w[i+1:i+{DECON_NGRAM}], ' ')))) AS h
+  FROM toks
+),
+ev AS (SELECT DISTINCT h FROM grams WHERE is_eval),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.h) AS n_gram_hits
+  FROM grams g JOIN ev USING (h)
+  WHERE NOT g.is_eval
+  GROUP BY g.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(h.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+       COALESCE(h.n_gram_hits, 0) > 0 AS contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+WHERE NOT b.is_eval
+""",
+    description="Test-set decontamination: train docs sharing any word "
+                f"{DECON_NGRAM}-gram with the held-out eval split (every "
+                f"{_EVAL_MOD}th doc) are flagged; leakage is planted on "
+                f"every {_LEAK1_MOD}th/{_LEAK2_MOD}th train doc so hits "
+                "are non-vacuous by construction. Eval gram hashes "
+                "broadcast; the probe is a scan-side broadcast semi-join",
+    bench=True,
+    tags=("llm", "curation", "decontamination"),
+)
+def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _decon_text().alias("text")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    return decontaminate(docs.where(~is_eval), docs.where(is_eval))
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (token-budget training shards)
+# --------------------------------------------------------------------------
+
+#: Tokens per packed training sequence (catalog uses a small budget so the
+#: sf0.01 corpus yields multiple sequences per shard; production would be
+#: 2k-8k).
+SEQ_BUDGET = 512
+
+#: Packing shards per language. Packing needs a total order, which is a
+#: single reducer per stratum — sharding by a deterministic function of the
+#: id bounds each sort to corpus_size / (langs * shards) and parallelizes
+#: packing n_shards-wide within every language.
+PACK_SHARDS = 4
+
+
+def pack_sequences(docs: DataFrame, budget: int = SEQ_BUDGET,
+                   n_shards: int = PACK_SHARDS, text_col: str = "text",
+                   id_col: str = "doc_id", strat_col: str = "lang") -> DataFrame:
+    """Assign documents to fixed token-budget training sequences by
+    deterministic concat-and-chop packing: within each (stratum, shard),
+    docs concatenate in id order and a new sequence starts every ``budget``
+    tokens; a doc belongs to the sequence its first token lands in (the
+    chop itself happens at shard materialization).
+
+    Returns (lang, shard, seq_id, n_docs, seq_tokens, first_doc, last_doc).
+
+    Scale design: the only shuffle is the window partition on
+    (stratum, shard) — n_langs * n_shards independent sorts, each bounded,
+    instead of one global order-by. Token counts are scan-side expressions;
+    no payload moves, only (id, n_tokens).
+    """
+    toks = docs.select(
+        F.col(strat_col).alias("lang"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang", "shard").orderBy("_id")
+    packed = toks.withColumn("_cum", F.sum("n_tokens").over(w)).withColumn(
+        "seq_id", F.floor((F.col("_cum") - F.col("n_tokens")) / budget)
+    )
+    return packed.groupBy("lang", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("_id").alias("first_doc"),
+        F.max("_id").alias("last_doc"),
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, doc_id % {PACK_SHARDS} AS shard, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+  FROM toks
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR((cum - n_tokens) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, shard, seq_id
+""",
+    description=f"Token-budget sequence packing ({SEQ_BUDGET} tokens): "
+                "deterministic concat-and-chop assignment of docs to "
+                f"training sequences, sharded {PACK_SHARDS}-wide per "
+                "language so no global sort exists — each (lang, shard) "
+                "packs independently in one bounded window sort",
+    tags=("llm", "curation", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher quality rules, part 2)
+# --------------------------------------------------------------------------
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition metrics from Gopher's filter set: the
+    character mass of the heaviest repeated word 2-gram and of all
+    duplicated 3-grams, as fractions of the document's word characters.
+
+    Returns (doc_id, n_words, top2_char_frac, dup3_char_frac).
+
+    top2_char_frac = max over 2-grams of (count * gram_chars) / word_chars
+    — the "max character mass" form rather than "chars of the single most
+    frequent gram", which is tie-ambiguous across engines.
+    dup3_char_frac = sum over 3-grams with count >= 2 of the same mass.
+
+    Scale design: grams explode once per width with md5 + char length; the
+    two aggregations shuffle (doc_id, hash, len) — never text. Both
+    metrics per doc are one groupBy(doc) away; no self-joins.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    base = toks.select(
+        "_id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.aggregate("_w", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .alias("_chars"),
+        "_w",
+    )
+
+    def gram_mass(n: int, agg_dup_only: bool) -> DataFrame:
+        grams = (
+            base.where(F.size("_w") >= n)
+            .select(
+                "_id", "_chars",
+                F.explode(F.sequence(F.lit(0), F.size("_w") - F.lit(n))).alias("_i"),
+                "_w",
+            )
+            .select(
+                "_id", "_chars",
+                F.md5(F.concat_ws(" ", F.slice("_w", F.col("_i") + 1, n))).alias("_h"),
+                F.aggregate(
+                    F.slice("_w", F.col("_i") + 1, n),
+                    F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                ).alias("_glen"),
+            )
+        )
+        counted = grams.groupBy("_id", "_chars", "_h", "_glen").agg(
+            F.count("*").alias("_c")
+        )
+        mass = F.col("_c") * F.col("_glen")
+        if agg_dup_only:
+            out = counted.where(F.col("_c") >= 2).groupBy("_id").agg(
+                (F.sum(mass) / F.first("_chars")).alias("_frac")
+            )
+        else:
+            out = counted.groupBy("_id").agg(
+                (F.max(mass) / F.first("_chars")).alias("_frac")
+            )
+        return out
+
+    top2 = gram_mass(2, agg_dup_only=False).withColumnRenamed("_frac", "_t2")
+    dup3 = gram_mass(3, agg_dup_only=True).withColumnRenamed("_frac", "_d3")
+    return (
+        base.select("_id", "n_words")
+        .join(top2, "_id", "left")
+        .join(dup3, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            F.round(F.coalesce("_t2", F.lit(0.0)), 4).alias("top2_char_frac"),
+            F.round(F.coalesce("_d3", F.lit(0.0)), 4).alias("dup3_char_frac"),
+        )
+    )
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_words,
+         list_sum(list_transform(w, x -> length(x))) AS chars, w
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, chars,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> {'h': md5(array_to_string(w[i+1:i+2], ' ')),
+                                     'glen': length(w[i+1]) + length(w[i+2])})) AS g
+  FROM base WHERE len(w) >= 2
+),
+c2 AS (
+  SELECT doc_id, chars, g['h'] AS h, g['glen'] AS glen, COUNT(*) AS c
+  FROM g2 GROUP BY doc_id, chars, g['h'], g['glen']
+),
+t2 AS (
+  SELECT doc_id, MAX(c * glen) * 1.0 / ANY_VALUE(chars) AS t2frac
+  FROM c2 GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, chars,
+         unnest(list_transform(range(len(w) - 2),
+                               i -> {'h': md5(array_to_string(w[i+1:i+3], ' ')),
+                                     'glen': length(w[i+1]) + length(w[i+2]) + length(w[i+3])})) AS g
+  FROM base WHERE len(w) >= 3
+),
+c3 AS (
+  SELECT doc_id, chars, g['h'] AS h, g['glen'] AS glen, COUNT(*) AS c
+  FROM g3 GROUP BY doc_id, chars, g['h'], g['glen']
+),
+d3 AS (
+  SELECT doc_id, SUM(c * glen) * 1.0 / ANY_VALUE(chars) AS d3frac
+  FROM c3 WHERE c >= 2 GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       ROUND(COALESCE(t2.t2frac, 0), 4) AS top2_char_frac,
+       ROUND(COALESCE(d3.d3frac, 0), 4) AS dup3_char_frac
+FROM base b
+LEFT JOIN t2 ON b.doc_id = t2.doc_id
+LEFT JOIN d3 ON b.doc_id = d3.doc_id
+""",
+    description="Gopher repetition filters: max character mass of any "
+                "repeated word 2-gram and total mass of duplicated "
+                "3-grams, as fractions of word characters. Grams shuffle "
+                "as (doc_id, md5, len) only; no self-joins",
+    tags=("llm", "curation", "quality"),
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Source-mix report (RefinedWeb-style domain accounting)
+# --------------------------------------------------------------------------
+
+@register(
+    "source_mix_report",
+    oracle="""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT SUM(n_tokens) AS corpus_tokens FROM per_doc),
+per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_tokens, CAST(n_langs AS BIGINT) AS n_langs,
+       ROUND(total_tokens * 1.0 / (SELECT corpus_tokens FROM tot), 6) AS token_share
+FROM per_source
+""",
+    description="Per-source corpus accounting (the RefinedWeb-style "
+                "domain mix report): doc count, token count, language "
+                "spread, and token share of the corpus. One partial-agg "
+                "shuffle on source; the corpus total broadcasts back as "
+                "a scalar subquery",
+    tags=("llm", "curation", "provenance"),
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = load_table(spark, sf_dir, "documents").select(
+        "source", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    corpus_tokens = per_doc.agg(F.sum("n_tokens").alias("_ct"))
+    return (
+        per_source.crossJoin(F.broadcast(corpus_tokens))
+        .select(
+            "source", "n_docs", "total_tokens", "n_langs",
+            F.round(F.col("total_tokens") / F.col("_ct"), 6).alias("token_share"),
+        )
     )
