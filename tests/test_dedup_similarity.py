@@ -177,3 +177,37 @@ class TestMultimodalPlumbing:
         assert frames.count() == n_videos * 4
         per_doc = frames.groupBy("doc_id").count().collect()
         assert all(r["count"] == 4 for r in per_doc)
+
+
+class TestConnectedComponents:
+    def test_chain_transitivity_and_singletons(self, spark):
+        """A-B and B-C (no A-C edge) must land in one cluster; isolated
+        node stays a singleton; canonical = min id of the component."""
+        from windowsession_using_kafka_flink_docker_spark.operators.cluster import (
+            connected_components, neardup_clusters)
+        nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9, 10)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (9, 10)], "id_a long, id_b long")
+        comp = {r.id: r.comp for r in
+                connected_components(nodes, pairs, id_col="doc_id",
+                                     src="id_a", dst="id_b").collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9, 10: 9}
+
+        out = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+               for r in neardup_clusters(nodes, pairs).collect()}
+        assert out[1] == (1, 3, True)
+        assert out[3] == (1, 3, False)
+        assert out[7] == (7, 1, True)
+        assert out[10] == (9, 2, False)
+
+    def test_long_path_converges(self, spark):
+        """A 12-node path graph needs multiple propagation rounds; the
+        fixpoint loop must converge, not stop after one round."""
+        from windowsession_using_kafka_flink_docker_spark.operators.cluster import (
+            connected_components)
+        n = 12
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                      "src long, dst long")
+        comp = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
+        assert comp == {i: 0 for i in range(n)}

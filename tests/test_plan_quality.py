@@ -28,7 +28,7 @@ def _plan(spark, name, sf_dir, mode: str = "formatted") -> str:
 # building their "plan" runs real jobs; exclude them from the cheap sweep
 # (their plan shape is asserted via their own operator tests).
 _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
-          "winnow_neardup_pairs", "ivf_ann_topk",
+          "winnow_neardup_pairs", "ivf_ann_topk", "neardup_clusters",
           # rewrites the bucketed table at plan-construction time
           "session_fixed_gap_bucketed"}
 

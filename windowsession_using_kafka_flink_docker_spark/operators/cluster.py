@@ -1,0 +1,108 @@
+"""Connected components over a near-duplicate pair graph.
+
+Pair generation (minhash_lsh_pairs / ngram_jaccard_pairs / simhash_near_dups,
+operators/dedup.py) emits edges; an actual dedup pipeline must then group
+transitively-connected documents into clusters and keep one canonical doc
+per cluster — A~B and B~C dedup to one survivor even when A~C was never
+emitted. The reference has no graph surface at all (SURVEY.md §2.11); this
+is part of the LLM-data-pipeline extension mandate.
+
+Spark-first design: alternating min-label propagation expressed as joins —
+each round every node adopts the smallest component label among itself and
+its neighbors. Convergence takes O(graph diameter) rounds, and near-dup
+graphs are unions of small dense clusters (LSH emits most intra-cluster
+edges), so 2-4 rounds is typical; `max_iter` bounds the pathological chain
+case. Each round is one shuffle of the (persisted, edge-count-sized) label
+frame — no collect, no driver-side graph. At petabyte scale the same loop
+holds: the label frame carries (id, comp) longs only, edges are hash-
+partitioned once and reused every round, and localCheckpoint truncates the
+growing lineage so round N doesn't replan rounds 1..N-1. The classic
+refinement for whale-components (large-star/small-star, Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) can replace the
+neighbor-min step without changing this interface, but near-dup components
+are bounded by LSH bucket caps upstream, so the simple propagation is the
+right default here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str = "id", src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Label each node with the minimum node id of its connected component.
+
+    ``nodes``: one row per vertex (isolated vertices become singleton
+    components). ``edges``: undirected pairs, one row per edge (either
+    orientation). Returns ``(id, comp)`` with ``comp`` = min id reachable.
+
+    Eager: runs one Spark job per propagation round plus a convergence
+    probe; callers treat it like the other eager graph/dedup builders
+    (`_EAGER` in tests/test_plan_quality.py).
+    """
+    spark = nodes.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Symmetrize once; partition by the gather side so every round's
+    # edge-label join reuses this layout instead of reshuffling the edges.
+    und = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .union(edges.select(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .repartition(n_part, "v")
+        .localCheckpoint(eager=True)
+    )
+
+    lbl = (nodes.select(F.col(id_col).cast("long").alias("id"))
+           .dropDuplicates(["id"])
+           .withColumn("comp", F.col("id"))
+           .localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        # min label among each node's neighbors (gather over v -> u)
+        neigh = (
+            und.join(lbl.select(F.col("id").alias("v"), F.col("comp").alias("_nc")), "v")
+            .groupBy("u").agg(F.min("_nc").alias("_nc"))
+            .select(F.col("u").alias("id"), "_nc")
+        )
+        new_lbl = (
+            lbl.join(neigh, "id", "left")
+            .select("id", F.least("comp", F.coalesce("_nc", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_lbl.alias("n").join(lbl.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        lbl = new_lbl
+        if converged:
+            break
+    return lbl
+
+
+def neardup_clusters(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Cluster assignment for every document given near-dup pairs.
+
+    Output: ``(doc_id, cluster_id, cluster_size, is_canonical)`` — one row
+    per input document; ``cluster_id`` is the min doc_id in the component;
+    the canonical (kept) doc is the one equal to its cluster_id. Filtering
+    to ``is_canonical`` is exactly the "keep one per near-dup cluster"
+    dedup step.
+    """
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, src="id_a", dst="id_b")
+    size = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(size, "comp")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("comp")).alias("is_canonical"),
+        )
+    )

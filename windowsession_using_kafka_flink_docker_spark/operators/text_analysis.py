@@ -98,3 +98,48 @@ def quality_score(col: str | Column) -> Column:
     score = (0.3 * length_band + 0.3 * alpha_ratio +
              0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0))) + 0.2 * word_band)
     return F.round(score, 4)
+
+
+def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 full-text retrieval: top-k documents for a bag of query terms
+    (Robertson/Sparck Jones probabilistic idf variant: ln(1 + (N-df+.5)/(df+.5))).
+
+    Scale shape: the explode is filtered to the query terms *before* any
+    shuffle, so the per-term tf aggregation carries only matching (doc,
+    term) rows — query-term selectivity, not corpus size, drives the
+    shuffle. Corpus stats (N, avgdl) and per-term document frequencies are
+    single-row / |query|-row frames that broadcast; the final top-k is
+    orderBy+limit, which Spark executes as TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows, no global sort).
+    """
+    from pyspark.sql import functions as F
+
+    base = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    ).select(id_col, F.size("_toks").alias("_dl"), "_toks")
+    stats = base.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    tf = (
+        base.select(id_col, "_dl", F.explode("_toks").alias("_tok"))
+        .where(F.col("_tok").isin(*query_terms))
+        .groupBy(id_col, "_dl", "_tok")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dft = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    tf_part = (F.col("_tf") * (k1 + 1.0)) / (
+        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "_tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(idf * tf_part).alias("_s"))
+    )
+    return (
+        scored.orderBy(F.desc("_s"), id_col)
+        .limit(k)
+        .select(id_col, F.round("_s", 4).alias("bm25"))
+    )

@@ -575,3 +575,99 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, GREATEST(len(toks) - 2, 1) + 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+           )
+         ) AS sh
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (SELECT doc_id, len(sh) AS n FROM docs),
+nd AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sized na ON na.doc_id = id_a
+  JOIN sized nb ON nb.doc_id = id_b
+  WHERE ROUND(n_shared / (na.n + nb.n - n_shared), 4) >= 0.5
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM nd
+          UNION ALL
+          SELECT id_b, id_a FROM nd),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.doc_id, comp.cluster_id, csize.cluster_size,
+       comp.doc_id = comp.cluster_id AS is_canonical
+FROM comp JOIN csize USING (cluster_id)
+""",
+    description="Near-dup clustering: exact ngram-Jaccard pairs -> "
+                "connected components (min-label propagation, "
+                "O(diameter) join rounds) -> cluster id/size + canonical "
+                "survivor per cluster. The transitive step real dedup "
+                "needs beyond pairwise output; oracle is a recursive-CTE "
+                "transitive closure over the same pair graph.",
+    bench=True,
+    tags=("llm", "dedup", "graph"),
+)
+def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.cluster import neardup_clusters
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs)
+    return neardup_clusters(docs, pairs)
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl, t
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents)
+),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, s AS tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS s FROM base)
+  WHERE s IN ('spark', 'stream', 'join')
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         SUM( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, ROUND(s, 4) AS bm25
+FROM scored
+ORDER BY s DESC, doc_id
+LIMIT 10
+""",
+    description="BM25 top-10 retrieval for query {spark, stream, join}: "
+                "explode filtered to query terms pre-shuffle, broadcast "
+                "corpus stats + per-term df, TakeOrderedAndProject top-k "
+                "(no global sort).",
+    bench=True,
+    tags=("llm", "text", "retrieval"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bm25_topk(load_table(spark, sf_dir, "documents"),
+                       ("spark", "stream", "join"))

@@ -591,3 +591,108 @@ def scd2_loyalty_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(wn).alias("valid_to"),
         F.col("n").cast("long").alias("n_purchases"),
     )
+
+
+@register(
+    "semi_join_late_orders",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    description="EXISTS / left-semi join (TPC-H Q4 shape): orders with at "
+                "least one lineitem shipped after the order date, counted "
+                "by priority. Semi join keeps one probe per order — no "
+                "row multiplication, no distinct needed.",
+    tags=("relational", "join", "semi"),
+)
+def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "anti_join_idle_customers",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+    description="NOT EXISTS / left-anti join: customers who never placed "
+                "an order, aggregated by market segment.",
+    tags=("relational", "join", "anti"),
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    idle = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@register(
+    "pivot_order_status",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+""",
+    description="Pivot (long -> wide): order counts per priority with one "
+                "column per status. Explicit pivot values keep the plan a "
+                "single pass (no distinct-values pre-query).",
+    tags=("relational", "pivot"),
+)
+def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    zero = F.lit(0).cast("long")
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), zero).alias("n_open"),
+        F.coalesce(F.col("F"), zero).alias("n_filled"),
+        F.coalesce(F.col("P"), zero).alias("n_pending"),
+    )
+
+
+_BRAND_PREMIUM_SQL = """
+SELECT p_brand, COUNT(*) AS n_premium,
+       ROUND(MAX(p_retailprice), 2) AS max_price
+FROM {part} p
+WHERE p_retailprice > (SELECT ROUND(1.2 * AVG(p2.p_retailprice), 2)
+                       FROM {part} p2 WHERE p2.p_brand = p.p_brand)
+GROUP BY p_brand
+"""
+
+
+@register(
+    "brand_premium_parts",
+    oracle=_BRAND_PREMIUM_SQL.format(part="part"),
+    description="Correlated scalar subquery through the SQL front door: "
+                "parts priced >20% above their brand's average. Catalyst "
+                "de-correlates to an aggregate + join; threshold rounded "
+                "to cents on both sides so engine summation order cannot "
+                "flip a boundary row.",
+    tags=("relational", "subquery", "sql"),
+)
+def brand_premium_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_part_v")
+    return spark.sql(_BRAND_PREMIUM_SQL.format(part="_part_v"))

@@ -22,10 +22,10 @@ TABLES = (
 )
 
 
-#: Timestamp columns per table — needed because the harness's parquet is
-#: written with TIMESTAMP(NANOS), which Spark only reads via the
-#: nanosAsLong escape hatch (as raw int64). We truncate ns → µs exactly the
-#: way DuckDB's reader does, so both engines see identical values.
+#: Timestamp columns per table — the harness's parquet writer has varied
+#: across rounds (TIMESTAMP(NANOS) in early rounds, naive timestamp[us]
+#: later), so normalize every variant to plain TimestampType carrying the
+#: file's wall-clock as a UTC instant — exactly what DuckDB's reader sees.
 _TS_COLS = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
@@ -36,10 +36,14 @@ _TS_COLS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table from a scale-factor directory.
 
-    Handles nano-precision timestamp columns: reads them as int64
-    (spark.sql.legacy.parquet.nanosAsLong) and rebuilds TimestampType at
-    microsecond precision with exact integer arithmetic (`div 1000` —
-    floor == truncate for the positive epochs here).
+    Normalizes timestamp columns to TimestampType (UTC instant):
+    - TIMESTAMP(NANOS) files read as int64 (spark.sql.legacy.parquet.
+      nanosAsLong) are truncated ns → µs with exact integer arithmetic
+      (`div 1000` — floor == truncate for the positive epochs here);
+    - timestamp-without-timezone files (TIMESTAMP_NTZ) are pinned to UTC
+      via to_utc_timestamp, independent of the session timezone, so
+      downstream epoch math (unix_micros etc.) and oracle comparisons see
+      identical values in any session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -47,6 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[col]
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
 
 
