@@ -29,6 +29,8 @@ def _plan(spark, name, sf_dir, mode: str = "formatted") -> str:
 # (their plan shape is asserted via their own operator tests).
 _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           "winnow_neardup_pairs", "ivf_ann_topk", "neardup_clusters",
+          # one-scan doc-stats materialization (see bm25_topk docstring)
+          "bm25_search",
           # rewrites the bucketed table at plan-construction time
           "session_fixed_gap_bucketed"}
 

@@ -68,17 +68,29 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .groupBy("u").agg(F.min("_nc").alias("_nc"))
             .select(F.col("u").alias("id"), "_nc")
         )
+        # Pointer jumping: also adopt comp(comp(id)) — label chains halve
+        # every round, so a diameter-d path converges in O(log d) rounds
+        # instead of d (the hash-to-min trick). Both side frames carry
+        # (long, long) rows only.
+        hop = lbl.select(F.col("id").alias("comp"), F.col("comp").alias("_hc"))
         new_lbl = (
             lbl.join(neigh, "id", "left")
-            .select("id", F.least("comp", F.coalesce("_nc", "comp")).alias("comp"))
+            .join(hop, "comp", "left")
+            .select(
+                "id",
+                F.col("comp").alias("_old"),
+                F.least(
+                    "comp",
+                    F.coalesce("_nc", "comp"),
+                    F.coalesce("_hc", "comp"),
+                ).alias("comp"),
+            )
+            .withColumn("_changed", F.col("comp") != F.col("_old"))
+            .drop("_old")
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new_lbl.alias("n").join(lbl.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
-        lbl = new_lbl
+        converged = new_lbl.where("_changed").isEmpty()  # reads the checkpoint, no recompute
+        lbl = new_lbl.drop("_changed")
         if converged:
             break
     return lbl

