@@ -686,3 +686,78 @@ LIMIT 10
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_topk(load_table(spark, sf_dir, "documents"),
                        ("spark", "stream", "join"))
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKC_SQL} AS tok
+  FROM documents
+),
+spec AS (
+  SELECT doc_id, tok,
+         CASE WHEN tok <= 512 THEN 1
+              ELSE CAST(CEIL((tok - 512) / 448.0) AS BIGINT) + 1 END AS n_chunks
+  FROM toks
+),
+exploded AS (
+  SELECT doc_id, tok, unnest(range(0, n_chunks)) AS chunk_id FROM spec
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 448 AS chunk_start,
+       LEAST(512, tok - chunk_id * 448) AS chunk_len
+FROM exploded
+""",
+    description="Context-window chunking: split each document into "
+                "512-token chunks with 64-token overlap (stride 448) — "
+                "the doc->training-sample explode of an LLM pipeline. "
+                "sequence()+explode scales as a generator (no shuffle); "
+                "chunk geometry is integer arithmetic, engine-exact.",
+    tags=("llm", "chunking"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.token_count("text")
+    n_chunks = F.when(tok <= 512, F.lit(1).cast("long")).otherwise(
+        F.ceil((tok - 512) / 448.0).cast("long") + 1
+    )
+    return (
+        docs.select("doc_id", tok.alias("_tok"), n_chunks.alias("_n"))
+        .select("doc_id", "_tok",
+                F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * 448).alias("chunk_start"),
+            F.least(F.lit(512).cast("long"),
+                    F.col("_tok") - F.col("chunk_id") * 448).alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+SELECT label, i - 1 AS dim,
+       ROUND(AVG(embedding[i]), 4) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY 1, 2
+""",
+    description="Per-label centroid of the 64-d embeddings in long form "
+                "(label, dim, value) — posexplode + one partial-agg "
+                "shuffle keyed by (label, dim); long output avoids array "
+                "columns the result canonicalizer cannot sort.",
+    tags=("llm", "embedding", "agg"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "_v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("_v"), 4).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

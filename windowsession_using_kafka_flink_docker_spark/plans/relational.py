@@ -696,3 +696,62 @@ GROUP BY p_brand
 def brand_premium_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("_part_v")
     return spark.sql(_BRAND_PREMIUM_SQL.format(part="_part_v"))
+
+
+@register(
+    "rolling_purchase_features",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER w3, 4) AS avg_last3,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    description="Per-user time-series features with explicit ROWS frames: "
+                "3-event moving average, running total, sequence number. "
+                "(ts, event_id) ordering makes the frame total -> "
+                "deterministic across engines.",
+    tags=("relational", "window", "frame"),
+)
+def rolling_purchase_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w3), 4).alias("avg_last3"),
+        F.round(F.sum("value").over(wcum), 2).alias("cum_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle="""
+SELECT event_type,
+       LEAST(GREATEST(CAST(FLOOR(value / 25) AS BIGINT), 0), 15) AS bucket,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS bucket_sum
+FROM events
+GROUP BY 1, 2
+""",
+    description="Equi-width histogram (16 x 25-unit buckets, clamped) of "
+                "event values per type — closed-form bucket expression, "
+                "single agg shuffle, no per-bucket subqueries.",
+    tags=("relational", "histogram"),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 25).cast("long"), F.lit(0).cast("long")),
+        F.lit(15).cast("long"),
+    )
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("bucket_sum"),
+    )
