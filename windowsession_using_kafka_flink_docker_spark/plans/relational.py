@@ -755,3 +755,71 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("bucket_sum"),
     )
+
+
+@register(
+    "conversion_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
+""",
+    description="Strict sequential conversion funnel view -> click -> "
+                "purchase: each step is a per-user MIN over events after "
+                "the previous step's timestamp (agg + broadcast-sized "
+                "step-table joins; event scan filtered per step).",
+    tags=("relational", "funnel", "analytics"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(v, "user_id").where(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id").where(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    def _n(df, label):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users")
+    return _n(v, "1_view").unionAll(_n(c, "2_click_after_view")).unionAll(
+        _n(p, "3_purchase_after_click"))
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+             FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort_day, d) AS day_offset,
+       COUNT(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+""",
+    description="Daily cohort retention matrix: cohort = first active "
+                "day per user; one distinct + two agg shuffles, output "
+                "long (cohort, offset, users) — the classic retention "
+                "triangle.",
+    tags=("relational", "cohort", "analytics"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("_cd"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("_cd", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "_cd").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
