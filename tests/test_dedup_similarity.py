@@ -211,3 +211,47 @@ class TestConnectedComponents:
                                       "src long, dst long")
         comp = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
         assert comp == {i: 0 for i in range(n)}
+
+
+class TestConnectedComponentsProperty:
+    def test_random_graphs_match_union_find(self, spark):
+        """Propagation fixpoint == classic union-find on random graphs
+        (deterministic seeds; covers forests, cliques, and disconnected
+        mixes beyond the hand-built cases)."""
+        import random
+
+        from windowsession_using_kafka_flink_docker_spark.operators.cluster import (
+            connected_components)
+
+        def union_find(n_nodes, edge_list):
+            parent = list(range(n_nodes))
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+            for a, b in edge_list:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            # min-label canonicalization to match the operator's contract
+            comp = {}
+            for v in range(n_nodes):
+                r = find(v)
+                comp.setdefault(r, []).append(v)
+            return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+        for seed in (0, 1, 2):
+            rng = random.Random(seed)
+            n = rng.randint(5, 24)
+            m = rng.randint(0, n * 2)
+            edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+            edge_list = [(a, b) for a, b in edge_list if a != b]
+            nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+            if edge_list:
+                edges = spark.createDataFrame(edge_list, "src long, dst long")
+            else:
+                edges = spark.createDataFrame([], "src long, dst long")
+            got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
+            want = union_find(n, edge_list)
+            assert got == want, f"seed={seed}: {got} != {want}"
