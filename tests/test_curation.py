@@ -295,3 +295,23 @@ class TestSourceMixReport:
         assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
         for r in rows:
             assert 1 <= r.n_langs <= 5
+
+
+class TestCurateCorpusJob:
+    def test_end_to_end_chain(self, spark, sf_dir, tmp_path):
+        """The composed curation job must shrink monotonically through the
+        dedup/decontamination stages, keep only canonical docs, and write a
+        readable partitioned corpus."""
+        from windowsession_using_kafka_flink_docker_spark.jobs.curate_corpus_job import curate
+
+        stats = curate(spark, sf_dir, str(tmp_path / "corpus"))
+        assert stats["input_docs"] >= stats["after_exact_dedup"]
+        assert stats["after_exact_dedup"] >= stats["after_neardup_clusters"]
+        # train is a subset of post-cluster docs minus eval minus contaminated
+        assert stats["after_neardup_clusters"] >= (
+            stats["train_after_decontamination"] + stats["eval_docs"])
+        assert stats["train_after_decontamination"] > 0
+        assert stats["packed_sequences"] > 0
+        out = spark.read.parquet(stats["out_dir"])
+        assert out.count() == stats["train_after_decontamination"]
+        assert "lang=" in str((tmp_path / "corpus").iterdir().__next__())

@@ -606,6 +606,7 @@ GROUP BY o_orderpriority
                 "least one lineitem shipped after the order date, counted "
                 "by priority. Semi join keeps one probe per order — no "
                 "row multiplication, no distinct needed.",
+    bench=True,
     tags=("relational", "join", "semi"),
 )
 def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,6 +775,7 @@ UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
                 "purchase: each step is a per-user MIN over events after "
                 "the previous step's timestamp (agg + broadcast-sized "
                 "step-table joins; event scan filtered per step).",
+    bench=True,
     tags=("relational", "funnel", "analytics"),
 )
 def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,6 +811,7 @@ GROUP BY 1, 2
                 "day per user; one distinct + two agg shuffles, output "
                 "long (cohort, offset, users) — the classic retention "
                 "triangle.",
+    bench=True,
     tags=("relational", "cohort", "analytics"),
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,3 +826,35 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "user_spend_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, ROUND(SUM(value), 2) AS total_spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT NTILE(10) OVER (ORDER BY total_spend, user_id) AS decile,
+       user_id, total_spend
+FROM spend
+""",
+    description="NTILE(10) spend deciles over per-user purchase totals; "
+                "(total_spend, user_id) ordering keeps tile assignment "
+                "engine-deterministic. NTILE is rank-based, so a global "
+                "window (one exchange) is inherent — applied only to the "
+                "pre-aggregated per-user frame (cardinality << events); "
+                "for billion-key frames use approx-quantile bucket "
+                "boundaries instead (value-based, fully parallel).",
+    tags=("relational", "window_function", "ntile"),
+)
+def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_spend"))
+    )
+    w = Window.orderBy("total_spend", "user_id")
+    return spend.select(
+        F.ntile(10).over(w).alias("decile"), "user_id", "total_spend")
