@@ -159,7 +159,8 @@ def streaming_alerts(events: DataFrame,
 def streaming_interval_join(left: DataFrame, right: DataFrame,
                             key: str = "user_id", ts: str = "ts",
                             value: str = "value", lookback: str = "60 minutes",
-                            watermark_delay: str = MONOTONOUS_DELAY) -> DataFrame:
+                            watermark_delay: str = MONOTONOUS_DELAY,
+                            how: str = "inner") -> DataFrame:
     """Stream-stream event-time interval join: each left event matches right
     events of the same key in the ``lookback`` window strictly before it.
 
@@ -169,7 +170,10 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
     lookback`` — state stays proportional to (rate x lookback), never the
     whole stream. Inner join + append mode: matches emit as soon as both
     rows have arrived (the batch equivalent over the same bounded data is
-    byte-identical, asserted in tests).
+    byte-identical, asserted in tests). ``how="leftOuter"`` additionally
+    emits null-padded left rows once the watermark proves no match can
+    still arrive — exactly the batch left join on bounded sentinel-closed
+    data (also gated in tests).
     """
     l = (left.select(F.col(key).alias("l_key"), F.col(ts).alias("l_ts"),
                      F.col(value).alias("l_value"))
@@ -182,6 +186,7 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_ts") < F.col("l_ts")),
+        how,
     )
     return joined.select(
         F.col("l_key").alias(key), "l_ts", "l_value", "r_ts", "r_value"
