@@ -147,10 +147,28 @@ def _staged_shingles(df: DataFrame, text_col: str, id_col: str, k: int,
     return norm.select("_id", char_shingles_from_norm(F.col("_n"), k).alias("_sh"))
 
 
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3, unit: str = "word") -> DataFrame:
+    """PERSISTED (_id, _sh) shingle frame — the shared tokenize+shingle
+    stage of a dedup pipeline. MinHash-LSH and the exact ngram-Jaccard
+    ssjoin consume the *same* word-3-shingle table; in production this is
+    materialized once per corpus and reused across every near-dup pass, so
+    builders accept it pre-built (see the ``shingles=`` parameter). Caller
+    owns the persist (unpersist when done — the plans layer memoizes one
+    per (app, sf))."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Repartition first: shingle cost is per-document CPU, so parallelism
+    # must track cores, not input file count.
+    return _staged_shingles(
+        df.repartition(n_part, F.col(id_col)), text_col, id_col, k, unit
+    ).persist()
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, num_hashes: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.5, unit: str = "word",
-                      max_bucket_size: int = 1000) -> DataFrame:
+                      max_bucket_size: int = 1000,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and
@@ -158,13 +176,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     (bands, rows-per-band) S-curve; verification makes precision exact.
     """
     rows = num_hashes // bands
-    # Repartition first: shingle/signature cost is per-document CPU, so
-    # parallelism must track cores, not input file count (a single parquet
-    # file would otherwise pin the whole compute to one task).
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = _staged_shingles(
-        df.repartition(n_part, F.col(id_col)), text_col, id_col, k, unit
-    ).persist()  # signatures + verification both read this; compute shingles once
+    owns_shingles = shingles is None
+    # signatures + verification both read the shingle frame; compute once
+    docs = shingle_table(df, text_col, id_col, k, unit) if owns_shingles else shingles
 
     # Evaluation discipline (the difference between O(perms) and
     # O(perms * bands) per row): `_base` and `_sig` are materialized as
@@ -232,14 +246,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # so repeated builder calls in a long-lived session don't accumulate
     # cached blocks the caller never knew it had to unpersist.
     result = result.localCheckpoint(eager=True)
-    docs.unpersist()
+    if owns_shingles:
+        docs.unpersist()
     banded.unpersist()
     return result
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, jaccard_threshold: float = 0.5,
-                        unit: str = "word") -> DataFrame:
+                        unit: str = "word",
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via *prefix filtering* (the
     standard set-similarity-join scheme): order each document's shingles by
     ascending global document frequency and index only the first
@@ -256,15 +272,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     Verification computes exact Jaccard on the full shingle sets, so output
     equals the all-pairs semantics (the oracle needn't model the blocking).
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    owns_shingles = shingles is None
+    base = shingle_table(df, text_col, id_col, k, unit) if owns_shingles else shingles
     # Shingles hashed to bigints once: every downstream compare (df counts,
     # prefix index, verification intersect) runs on fixed-width ints, never
     # re-touching document strings. xxhash64 collisions would perturb a
     # Jaccard by ~2^-64 per shingle pair — far below the rounded output
     # precision (and the oracle gate would catch any realized collision).
     docs = (
-        _staged_shingles(df.repartition(n_part, F.col(id_col)), text_col, id_col, k, unit)
-        .select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
+        base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
         .persist()
     )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"), F.size("_sh").alias("_n"))
@@ -313,6 +329,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
     docs.unpersist()
+    if owns_shingles:
+        base.unpersist()
     return result
 
 

@@ -74,7 +74,8 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "minhash"),
 )
 def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
+                               shingles=_shingle_stage(spark, sf_dir))
 
 
 @register(
@@ -113,19 +114,32 @@ def ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs(spark, sf_dir)
 
 
-#: The exact-Jaccard pair join is a pipeline STAGE whose output feeds both
-#: the pair query and the clustering query; its result is a deterministic,
-#: localCheckpointed frame, so recomputing it per catalog entry would just
-#: re-run the same join. Memoized per (Spark app, sf_dir, params) — dies
-#: with the session, never crosses data or parameterizations.
+#: Pipeline-stage memos, keyed per (Spark app, sf_dir) — they die with the
+#: session and never cross data or parameterizations:
+#: - the word-3-shingle table feeds BOTH MinHash-LSH and the exact
+#:   ngram-Jaccard ssjoin (tokenize+shingle once per corpus, exactly as a
+#:   production dedup run materializes it);
+#: - the exact-Jaccard pair join feeds both the pair query and the
+#:   clustering query; its localCheckpointed result is deterministic, so
+#:   recomputing it per catalog entry would just re-run the same join.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = D.shingle_table(
+            load_table(spark, sf_dir, "documents"))
+    return _SHINGLE_CACHE[key]
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NGRAM_PAIRS_CACHE:
         _NGRAM_PAIRS_CACHE[key] = D.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"))
+            load_table(spark, sf_dir, "documents"),
+            shingles=_shingle_stage(spark, sf_dir))
     return _NGRAM_PAIRS_CACHE[key]
 
 
