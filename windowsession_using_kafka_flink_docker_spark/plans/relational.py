@@ -858,3 +858,30 @@ def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("total_spend", "user_id")
     return spend.select(
         F.ntile(10).over(w).alias("decile"), "user_id", "total_spend")
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id,
+       arg_max(event_type, ts) AS last_type,
+       MAX(ts) AS last_ts,
+       arg_max(value, ts) AS last_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    description="Argmax aggregation (max_by / arg_max): each user's most "
+                "recent event type and value in ONE aggregation pass — no "
+                "self-join, no window sort; ts is unique per user in this "
+                "data so the argmax is deterministic.",
+    tags=("relational", "aggregate", "argmax"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.count("*").alias("n_events"),
+    )
