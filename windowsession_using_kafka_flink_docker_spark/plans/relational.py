@@ -885,3 +885,54 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("last_value"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "json_parse_roundtrip",
+    oracle="""
+WITH j AS (
+  SELECT to_json(struct_pack(user_id := user_id,
+                             event_type := event_type,
+                             value := ROUND(value, 2))) AS js
+  FROM events
+),
+p AS (
+  SELECT CAST(js->>'$.user_id' AS BIGINT) AS user_id,
+         js->>'$.event_type' AS event_type,
+         CAST(js->>'$.value' AS DOUBLE) AS value
+  FROM j
+)
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM p
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
+    description="Schema'd JSON wire-format roundtrip (to_json -> from_json "
+                "-> aggregate), the JSON sibling of csv_parse_roundtrip: "
+                "typed extraction with casts, no Python UDF; value rounded "
+                "before serialization so both engines parse identical "
+                "decimal literals.",
+    tags=("relational", "json", "format"),
+)
+def json_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id"),
+                F.col("event_type"),
+                F.round("value", 2).alias("value"),
+            )
+        ).alias("js")
+    )
+    parsed = j.select(
+        F.from_json("js", "user_id BIGINT, event_type STRING, value DOUBLE").alias("r")
+    ).select("r.*")
+    return (
+        parsed.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
