@@ -255,3 +255,18 @@ class TestConnectedComponentsProperty:
             got = {r.id: r.comp for r in connected_components(nodes, edges).collect()}
             want = union_find(n, edge_list)
             assert got == want, f"seed={seed}: {got} != {want}"
+
+
+def test_stage_caches_clear(spark, sf_dir):
+    """clear_stage_caches unpersists the memoized shingle stage and empties
+    both memos; the next call rebuilds from scratch."""
+    from windowsession_using_kafka_flink_docker_spark.plans import llm_pipeline as L
+
+    sh = L._shingle_stage(spark, sf_dir)
+    assert sh.storageLevel.useMemory or sh.storageLevel.useDisk
+    L._ngram_pairs(spark, sf_dir)
+    assert L._SHINGLE_CACHE and L._NGRAM_PAIRS_CACHE
+    L.clear_stage_caches()
+    assert not L._SHINGLE_CACHE and not L._NGRAM_PAIRS_CACHE
+    assert not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
+    assert L._shingle_stage(spark, sf_dir).count() > 0

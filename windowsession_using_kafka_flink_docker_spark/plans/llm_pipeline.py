@@ -143,6 +143,21 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _NGRAM_PAIRS_CACHE[key]
 
 
+def clear_stage_caches() -> None:
+    """Release the memoized pipeline stages. The shingle tables hold
+    persisted blocks, so a long-lived session that has processed many
+    (app, sf) corpora should call this between corpora; the pair frames
+    are localCheckpoints, whose blocks the ContextCleaner releases once
+    the entries are dropped and garbage-collected."""
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _SHINGLE_CACHE.clear()
+    _NGRAM_PAIRS_CACHE.clear()
+
+
 @register(
     "simhash_neardups",
     oracle=None,  # bit-level signature portable in principle, but DuckDB
