@@ -165,8 +165,13 @@ def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
         .groupBy(id_col)
         .agg(F.sum(idf * tf_part).alias("_s"))
     )
+    # Rank by the ROUNDED score: avgdl is a float mean whose summation
+    # order differs between engines, so two docs near-tied at the rank-k
+    # boundary could be ordered differently by the raw last-ulp score.
+    # Rounding first (then id as tiebreak) makes the top-k deterministic
+    # across Spark and the DuckDB oracle.
     return (
-        scored.orderBy(F.desc("_s"), id_col)
+        scored.select(id_col, F.round("_s", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
         .limit(k)
-        .select(id_col, F.round("_s", 4).alias("bm25"))
     )

@@ -702,7 +702,7 @@ scored AS (
 )
 SELECT doc_id, ROUND(s, 4) AS bm25
 FROM scored
-ORDER BY s DESC, doc_id
+ORDER BY ROUND(s, 4) DESC, doc_id
 LIMIT 10
 """,
     description="BM25 top-10 retrieval for query {spark, stream, join}: "

@@ -621,22 +621,33 @@ def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "anti_join_idle_customers",
+    "anti_join_no_urgent_customers",
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_customers,
        ROUND(SUM(c_acctbal), 2) AS total_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """,
     description="NOT EXISTS / left-anti join: customers who never placed "
-                "an order, aggregated by market segment.",
+                "a 1-URGENT order, aggregated by market segment. The "
+                "anti-join side is pre-filtered to the URGENT slice so the "
+                "result is non-vacuous on the test data (203 customers at "
+                "sf0.01, 1986 at sf0.1) — every-customer-has-orders made "
+                "the previous no-orders predicate return 0 rows and hence "
+                "verify nothing.",
     tags=("relational", "join", "anti"),
 )
-def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def anti_join_no_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    idle = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    idle = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
@@ -678,7 +689,7 @@ _BRAND_PREMIUM_SQL = """
 SELECT p_brand, COUNT(*) AS n_premium,
        ROUND(MAX(p_retailprice), 2) AS max_price
 FROM {part} p
-WHERE p_retailprice > (SELECT ROUND(1.2 * AVG(p2.p_retailprice), 2)
+WHERE p_retailprice > (SELECT ROUND(1.01 * AVG(p2.p_retailprice), 2)
                        FROM {part} p2 WHERE p2.p_brand = p.p_brand)
 GROUP BY p_brand
 """
@@ -688,10 +699,13 @@ GROUP BY p_brand
     "brand_premium_parts",
     oracle=_BRAND_PREMIUM_SQL.format(part="part"),
     description="Correlated scalar subquery through the SQL front door: "
-                "parts priced >20% above their brand's average. Catalyst "
+                "parts priced >1% above their brand's average. Catalyst "
                 "de-correlates to an aggregate + join; threshold rounded "
                 "to cents on both sides so engine summation order cannot "
-                "flip a boundary row.",
+                "flip a boundary row. 1.01x (not 1.2x) because the test "
+                "data's per-brand price spread is narrow — 1.2x returned "
+                "0 rows at every SF and verified nothing; 1.01x yields "
+                "7/25/25 brands at sf0.001/0.01/0.1.",
     tags=("relational", "subquery", "sql"),
 )
 def brand_premium_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

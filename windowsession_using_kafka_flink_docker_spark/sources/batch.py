@@ -40,10 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP(NANOS) files read as int64 (spark.sql.legacy.parquet.
       nanosAsLong) are truncated ns → µs with exact integer arithmetic
       (`div 1000` — floor == truncate for the positive epochs here);
-    - timestamp-without-timezone files (TIMESTAMP_NTZ) are pinned to UTC
-      via to_utc_timestamp, independent of the session timezone, so
-      downstream epoch math (unix_micros etc.) and oracle comparisons see
-      identical values in any session.
+    - timestamp-without-timezone files (TIMESTAMP_NTZ) are pinned so the
+      file's wall-clock IS the UTC wall-clock of the resulting instant,
+      independent of spark.sql.session.timeZone. The NTZ->Timestamp cast
+      alone interprets the wall-clock in the SESSION zone (a New York
+      session would shift 12:00 -> 17:00Z), so we first convert_timezone
+      the NTZ value from UTC into the session zone and let the cast undo
+      that shift — net effect: instant == NTZ-as-UTC in any session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -52,7 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
         elif isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+            df = df.withColumn(
+                col,
+                F.to_timestamp(
+                    F.convert_timezone(F.lit("UTC"), F.current_timezone(), F.col(col))
+                ),
+            )
     return df
 
 
