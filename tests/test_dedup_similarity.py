@@ -159,26 +159,6 @@ class TestCatalogNearDupRecall:
             assert (i, i + 1_000_000) in pairs, f"planted pair {i} missed"
 
 
-class TestMultimodalPlumbing:
-    def test_resize_contract(self, spark):
-        from windowsession_using_kafka_flink_docker_spark.operators import multimodal as M
-        docs = spark.createDataFrame([(1, "abc"), (2, "x" * 5000)], "doc_id BIGINT, text STRING")
-        out = M.resize_images(M.attach_fake_media(docs), width=16, height=16).collect()
-        assert {len(r.payload) for r in out} == {4}  # 16*16//64
-        assert all(r.width == 16 and r.height == 16 for r in out)
-
-    def test_frame_sample_fans_out(self, spark):
-        from windowsession_using_kafka_flink_docker_spark.operators import multimodal as M
-        docs = spark.createDataFrame(
-            [(i, f"doc {i} " * 20) for i in range(9)], "doc_id BIGINT, text STRING")
-        media = M.attach_fake_media(docs)
-        n_videos = media.where("media_type = 'video/mp4'").count()
-        frames = M.sample_frames(media)
-        assert frames.count() == n_videos * 4
-        per_doc = frames.groupBy("doc_id").count().collect()
-        assert all(r["count"] == 4 for r in per_doc)
-
-
 class TestConnectedComponents:
     def test_chain_transitivity_and_singletons(self, spark):
         """A-B and B-C (no A-C edge) must land in one cluster; isolated

@@ -1,0 +1,130 @@
+"""Real-media multimodal path: stdlib-built PNG/WAV/MP4 payloads must
+round-trip through the Arrow-batched decode/resize/demux operators with
+byte-exact, header-derived results (no closed-form shortcuts on the Spark
+side — the decode parses actual file structure)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from windowsession_using_kafka_flink_docker_spark.operators import media_codec as C
+from windowsession_using_kafka_flink_docker_spark.operators import multimodal as M
+
+
+class TestCodecUnits:
+    """Spark-free codec invariants (fast)."""
+
+    def test_png_roundtrip_and_crc(self):
+        png = C.build_png(33, 21, seed=42)
+        assert C.parse_png_header(png) == (33, 21)
+        w, h, px = C.decode_png_pixels(png)
+        assert (w, h, px.shape) == (33, 21, (21, 33, 3))
+        # pixel content is exactly the deterministic generator output
+        assert px.reshape(-1).tobytes() == C._mix_bytes(33 * 21 * 3, 42).tobytes()
+        # corrupt one IHDR byte -> CRC check must fire
+        broken = bytearray(png)
+        broken[18] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC|IHDR"):
+            C.parse_png_header(bytes(broken))
+
+    def test_png_resize_is_nearest_neighbor(self):
+        png = C.build_png(40, 24, seed=3)
+        _, _, px = C.decode_png_pixels(png)
+        out = C.resize_png(png, 16, 16)
+        w, h, rpx = C.decode_png_pixels(out)
+        assert (w, h) == (16, 16)
+        ys = np.arange(16) * 24 // 16
+        xs = np.arange(16) * 40 // 16
+        assert (rpx == px[ys][:, xs]).all()
+
+    def test_wav_chunk_walk(self):
+        wav = C.build_wav(12000, 12000 // 100 * 4, seed=9)
+        info = C.parse_wav(wav)
+        assert info == {"sample_rate": 12000, "channels": 1, "bits": 16,
+                        "n_samples": 480, "duration_ms": 40}
+
+    def test_mp4_box_walk_and_demux(self):
+        sizes = [50, 57, 64]
+        mp4 = C.build_mp4(128, 96, sizes, duration_ms=120, seed=5)
+        info = C.parse_mp4(mp4)
+        assert (info["width"], info["height"], info["duration_ms"]) == (128, 96, 120)
+        assert info["sample_sizes"] == sizes
+        frames = C.demux_mp4_samples(mp4)
+        assert [len(f) for f in frames] == sizes
+        assert frames[2] == C._mix_bytes(64, 5 * 31 + 2).tobytes()
+
+    def test_not_a_png(self):
+        with pytest.raises(ValueError):
+            C.parse_png_header(b"JFIF not a png at all........")
+
+
+class TestMediaFeatures:
+    def test_decode_matches_planted_headers(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id BIGINT")
+        rows = {r.doc_id: r for r in
+                M.extract_media_features(M.attach_media(docs)).collect()}
+        assert len(rows) == 12
+        for i in range(12):
+            r = rows[i]
+            payload, mtype = M.build_payload(i)
+            assert r.media_type == mtype
+            assert r.byte_size == len(payload)
+            assert r.checksum == hashlib.md5(payload).hexdigest()
+            if mtype == "image/png":
+                assert (r.width, r.height) == (i % 48 + 16, i % 32 + 16)
+                assert r.sample_rate is None and r.duration_ms is None
+            elif mtype == "audio/wav":
+                assert r.width is None and r.height is None
+                assert r.sample_rate == 8000 + (i % 4) * 4000
+                assert r.duration_ms == 10 * (i % 5 + 1)
+            else:
+                assert (r.width, r.height) == (i % 128 + 64, i % 96 + 48)
+                assert r.duration_ms == 40 * (i % 5 + 2)
+
+    def test_unknown_media_type_raises(self, spark):
+        from pyspark.errors.exceptions.captured import PythonException
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"%PDF-1.4 ..."), "application/pdf")],
+            "doc_id BIGINT, payload BINARY, media_type STRING")
+        with pytest.raises(PythonException, match="NotImplementedError"):
+            M.extract_media_features(media).collect()
+
+
+class TestResizeAndFrames:
+    def test_resize_real_pixels(self, spark):
+        docs = spark.createDataFrame([(0,), (3,), (6,)], "doc_id BIGINT")
+        out = {r.doc_id: r for r in
+               M.resize_images(M.attach_media(docs), width=16, height=16).collect()}
+        assert set(out) == {0, 3, 6}  # only the image/png rows
+        for i, r in out.items():
+            assert (r.width, r.height) == (16, 16)
+            # output payload is a real PNG whose pixels are the
+            # nearest-neighbor map of the original's decoded pixels
+            src, _ = M.build_payload(i)
+            w, h, px = C.decode_png_pixels(src)
+            rw, rh, rpx = C.decode_png_pixels(bytes(r.payload))
+            assert (rw, rh) == (16, 16)
+            ys = np.arange(16) * h // 16
+            xs = np.arange(16) * w // 16
+            assert (rpx == px[ys][:, xs]).all()
+
+    def test_frame_sample_demuxes_planted_sizes(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id BIGINT")
+        frames = M.sample_frames(M.attach_media(docs)).collect()
+        vids = [i for i in range(12) if i % 3 == 2]
+        assert {r.doc_id for r in frames} == set(vids)
+        for r in frames:
+            want_len = r.doc_id % 100 + 32 + 7 * r.frame_index
+            assert r.frame_bytes == want_len
+            assert len(r.frame) == want_len
+            assert r.checksum == hashlib.md5(bytes(r.frame)).hexdigest()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r.frame_index)
+        for i in vids:
+            n = i % 5 + 2
+            assert sorted(by_doc[i]) == list(range(min(n, 4)))

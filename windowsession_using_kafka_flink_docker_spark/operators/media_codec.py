@@ -1,0 +1,294 @@
+"""Real, stdlib-only media codecs for the multimodal column path.
+
+No PIL / libav / soundfile in this container — but the container *formats*
+(PNG, RIFF/WAVE, ISO-BMFF MP4) are simple enough to build and parse with
+``struct`` + ``zlib``, which is exactly what this module does:
+
+- PNG: real RGB8 files (signature, IHDR, zlib IDAT, CRC-checked), plus a
+  pixel-level decode (unfilter) / re-encode path that powers a genuine
+  nearest-neighbor resize.
+- WAV: real PCM16 RIFF files; the parser walks chunks like any reader and
+  recovers sample rate / sample count / duration.
+- MP4: a minimal but real ISO-BMFF box tree (ftyp, moov/mvhd, trak/tkhd,
+  stbl/stsz/stsc/stco, mdat); the parser is a recursive box walker and the
+  demuxer slices mdat by the stsz sample table at the stco offset — the
+  same mechanism a real demuxer uses.
+
+Everything is deterministic given (doc_id-ish) integer seeds so Spark-side
+outputs are oracle-able: the *headers* carry closed-form metadata, and the
+decode step must round-trip real bytes to reproduce it.
+
+These are plain-Python helpers, deliberately Spark-free: they run inside
+Arrow-batched ``mapInPandas`` workers (see ``multimodal.py``) and in fast
+unit tests without a session.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# deterministic content (LCG-style byte mixers — no RNG state, no platform
+# dependence, closed-form per index)
+# --------------------------------------------------------------------------
+
+
+def _mix_bytes(n: int, seed: int) -> np.ndarray:
+    """n deterministic uint8 values from an integer seed."""
+    idx = np.arange(n, dtype=np.uint64)
+    return ((idx * np.uint64(2654435761) + np.uint64(seed) * np.uint64(97) + np.uint64(13))
+            % np.uint64(256)).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode raw RGB8 pixels (len == w*h*3) as a real PNG (filter 0 rows)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return (PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def build_png(width: int, height: int, seed: int) -> bytes:
+    """A real PNG with deterministic pixel content."""
+    return encode_png(width, height, _mix_bytes(width * height * 3, seed).tobytes())
+
+
+def parse_png_header(data: bytes) -> tuple[int, int]:
+    """Signature + CRC-verified IHDR read. Returns (width, height)."""
+    b = bytes(data)
+    if b[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    (length,) = struct.unpack(">I", b[8:12])
+    ctype = b[12:16]
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    body = b[16:16 + 13]
+    (crc,) = struct.unpack(">I", b[29:33])
+    if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height = struct.unpack(">II", body[:8])
+    return width, height
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Full decode: inflate IDAT, undo per-row filters (types 0/1/2 — all
+    this codebase emits is 0, Sub/Up kept for robustness). Returns
+    (width, height, uint8 array shaped (h, w, 3))."""
+    b = bytes(data)
+    width, height = parse_png_header(b)
+    idat = bytearray()
+    off = 8
+    while off < len(b):
+        (length,) = struct.unpack(">I", b[off:off + 4])
+        ctype = b[off + 4:off + 8]
+        if ctype == b"IDAT":
+            idat += b[off + 8:off + 8 + length]
+        off += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    out = np.empty((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        if ftype == 1:  # Sub
+            for x in range(3, stride):
+                row[x] = (int(row[x]) + int(row[x - 3])) & 0xFF
+        elif ftype == 2:  # Up
+            if y > 0:
+                row = (row.astype(np.int16) + out[y - 1].astype(np.int16)).astype(np.uint8)
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG filter type {ftype}")
+        out[y] = row
+        pos += 1 + stride
+    return width, height, out.reshape(height, width, 3)
+
+
+def resize_png(data: bytes, new_width: int, new_height: int) -> bytes:
+    """Genuine nearest-neighbor resample: decode pixels, index-map, re-encode."""
+    w, h, px = decode_png_pixels(data)
+    ys = (np.arange(new_height) * h // new_height).clip(0, h - 1)
+    xs = (np.arange(new_width) * w // new_width).clip(0, w - 1)
+    resized = px[ys][:, xs]
+    return encode_png(new_width, new_height, resized.tobytes())
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM16 mono)
+# --------------------------------------------------------------------------
+
+
+def build_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    samples = ((_mix_bytes(n_samples * 2, seed)
+                .view(np.uint16).astype(np.int32) - 32768)
+               .astype("<i2")).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_wav(data: bytes) -> dict:
+    """Chunk-walking RIFF parser. Returns sample_rate / channels / bits /
+    n_samples / duration_ms (exact integer ms — callers pick sample counts
+    divisible by rate/1000 multiples)."""
+    b = bytes(data)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    off, rate, channels, bits, data_len = 12, None, None, None, None
+    while off + 8 <= len(b):
+        ctype = b[off:off + 4]
+        (length,) = struct.unpack("<I", b[off + 4:off + 8])
+        if ctype == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", b[off + 8:off + 24])
+        elif ctype == b"data":
+            data_len = length
+        off += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    n_samples = data_len // (channels * bits // 8)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+    }
+
+
+# --------------------------------------------------------------------------
+# MP4 (minimal real ISO-BMFF)
+# --------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+_UNITY_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def build_mp4(width: int, height: int, frame_sizes: list[int],
+              duration_ms: int, seed: int, timescale: int = 1000) -> bytes:
+    """A real (minimal) MP4: ftyp + moov(mvhd, trak(tkhd, mdia/minf/stbl(
+    stsz per-sample table, stsc, stco))) + mdat holding the frames. The
+    stco chunk offset is the absolute file offset of the first sample, as
+    the spec requires — parsers that ignore our closed forms and walk the
+    boxes recover exactly the planted frames."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"iso2")
+    duration = duration_ms * timescale // 1000
+    mvhd = _full_box(b"mvhd", 0, 0, struct.pack(
+        ">IIIIIHH", 0, 0, timescale, duration, 0x00010000, 0x0100, 0)
+        + b"\x00" * 8 + _UNITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full_box(b"tkhd", 0, 7, struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(
+        ">II", 0, len(frame_sizes)) + b"".join(struct.pack(">I", s) for s in frame_sizes))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, len(frame_sizes), 1))
+
+    def _moov(stco_offset: int) -> bytes:
+        stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, stco_offset))
+        stbl = _box(b"stbl", stsz + stsc + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    moov_len = len(_moov(0))  # stco is fixed-width: length is offset-independent
+    first_sample = len(ftyp) + moov_len + 8
+    frames = b"".join(
+        _mix_bytes(s, seed * 31 + i).tobytes() for i, s in enumerate(frame_sizes)
+    )
+    return ftyp + _moov(first_sample) + _box(b"mdat", frames)
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        (length,) = struct.unpack(">I", b[off:off + 4])
+        if length < 8 or off + length > end:
+            raise ValueError("corrupt MP4 box length")
+        yield b[off + 4:off + 8], off + 8, off + length
+        off += length
+
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Recursive box walk. Returns duration_ms / width / height /
+    sample_sizes / chunk_offset."""
+    b = bytes(data)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+    info: dict = {}
+
+    def walk(start: int, end: int) -> None:
+        for btype, body_start, body_end in _walk_boxes(b, start, end):
+            if btype in _CONTAINERS:
+                walk(body_start, body_end)
+            elif btype == b"mvhd":
+                timescale, duration = struct.unpack(
+                    ">II", b[body_start + 12:body_start + 20])
+                info["duration_ms"] = duration * 1000 // timescale
+            elif btype == b"tkhd":
+                w169, h169 = struct.unpack(">II", b[body_end - 8:body_end])
+                info["width"], info["height"] = w169 >> 16, h169 >> 16
+            elif btype == b"stsz":
+                uniform, count = struct.unpack(
+                    ">II", b[body_start + 4:body_start + 12])
+                if uniform:
+                    info["sample_sizes"] = [uniform] * count
+                else:
+                    info["sample_sizes"] = list(struct.unpack(
+                        f">{count}I", b[body_start + 12:body_start + 12 + 4 * count]))
+            elif btype == b"stco":
+                (n,) = struct.unpack(">I", b[body_start + 4:body_start + 8])
+                info["chunk_offset"] = struct.unpack(
+                    ">I", b[body_start + 8:body_start + 12])[0] if n else None
+
+    walk(0, len(b))
+    if "sample_sizes" not in info or "duration_ms" not in info:
+        raise ValueError("MP4 missing mvhd/stsz")
+    return info
+
+
+def demux_mp4_samples(data: bytes) -> list[bytes]:
+    """Slice mdat into samples via the stsz table at the stco offset —
+    real demuxing, no closed-form shortcuts."""
+    b = bytes(data)
+    info = parse_mp4(b)
+    off = info["chunk_offset"]
+    out = []
+    for size in info["sample_sizes"]:
+        out.append(b[off:off + size])
+        off += size
+    return out

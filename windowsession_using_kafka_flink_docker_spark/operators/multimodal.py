@@ -1,83 +1,143 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, for real.
 
-Images/audio/video ride through the engine as ``binary`` columns with a
-typed metadata struct alongside. Decode / feature-extraction runs as
-Arrow-batched ``mapInPandas`` (the only sanctioned Python hot path —
-vectorized, ~batch-at-a-time). The actual codec step is STUBBED
-deterministically because media libraries aren't in this container; the
-Spark-side contract — schema, batch iteration, partitioning — is real and
-tested, and a real decoder drops into ``_decode_batch`` unchanged.
+Images / audio / video ride through the engine as ``binary`` columns with a
+media-type tag; decode, feature extraction, resize and frame sampling run as
+Arrow-batched ``mapInPandas`` (the sanctioned vectorized Python path — whole
+batches stay in Arrow memory, payload bytes are never row-pickled).
+
+Unlike rounds 1-3 this is NOT a stub: payloads are real PNG / WAV / MP4
+files built with stdlib ``struct``+``zlib`` (``media_codec.py``), and the
+decode step parses actual headers — CRC-checked PNG IHDR, RIFF chunk walk,
+recursive ISO-BMFF box walk + stsz/stco demux. The planted media parameters
+are closed-form functions of ``doc_id`` (table below), so the DuckDB oracle
+can verify the decoded metadata end-to-end: Spark must build real bytes and
+parse them back correctly for the hash gate to pass.
+
+Closed forms (keep in sync with the oracle SQL in plans/llm_pipeline.py):
+
+  media_type  doc_id % 3          -> 0 png | 1 wav | 2 mp4
+  png         width  = doc_id % 48 + 16,  height = doc_id % 32 + 16
+  wav         sample_rate = 8000 + (doc_id % 4) * 4000
+              duration_ms = 10 * (doc_id % 5 + 1)
+  mp4         width  = doc_id % 128 + 64, height = doc_id % 96 + 48
+              n_frames = doc_id % 5 + 2
+              frame_bytes(i) = doc_id % 100 + 32 + 7*i
+              duration_ms = 40 * n_frames
+
+At 100 TB the same plumbing holds: payloads are opaque bytes in parquet,
+decode is an embarrassingly parallel mapInPandas over them, and upstream
+repartitioning by payload size balances the (heavily size-skewed) decode
+tasks. Swapping the stdlib codecs for PIL/libav changes one import, not the
+plan shape.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
-#: Output schema of the decode/feature step.
+from windowsession_using_kafka_flink_docker_spark.operators import media_codec as C
+
+#: Output schema of the decode/feature step. width/height are null for
+#: audio; sample_rate null for images/video; duration_ms null for images.
 MEDIA_FEATURES_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("media_type", StringType()),
     StructField("byte_size", IntegerType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", LongType()),
     StructField("checksum", StringType()),
 ])
 
+MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("media_type", StringType()),
+])
 
-def attach_fake_media(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Synthesize an opaque binary payload column (deterministic: the UTF-8
-    bytes of the text) plus a media_type tag — stands in for real image
-    bytes so the binary-column path is exercised end-to-end."""
-    mt = F.element_at(
-        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
-        (F.col(id_col) % 3 + 1).cast("int"),
+
+def build_payload(doc_id: int) -> tuple[bytes, str]:
+    """The deterministic fixture encoder: doc_id -> (real media bytes, type)."""
+    m = doc_id % 3
+    if m == 0:
+        return C.build_png(doc_id % 48 + 16, doc_id % 32 + 16, seed=doc_id), "image/png"
+    if m == 1:
+        rate = 8000 + (doc_id % 4) * 4000
+        k = doc_id % 5 + 1
+        return C.build_wav(rate, rate // 100 * k, seed=doc_id), "audio/wav"
+    n_frames = doc_id % 5 + 2
+    sizes = [doc_id % 100 + 32 + 7 * i for i in range(n_frames)]
+    return (
+        C.build_mp4(doc_id % 128 + 64, doc_id % 96 + 48, sizes,
+                    duration_ms=40 * n_frames, seed=doc_id),
+        "video/mp4",
     )
-    return df.select(
-        F.col(id_col),
-        F.encode(F.col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
-        mt.alias("media_type"),
-    )
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the opaque binary payload column: REAL, deterministic
+    PNG/WAV/MP4 bytes keyed by doc_id (stands in for reading a media lake;
+    in production this column comes straight off parquet)."""
+    ids = df.select(id_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            built = [build_payload(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "payload": [b for b, _ in built],
+                "media_type": [t for _, t in built],
+            })
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _decode_one(media_type: str, payload: bytes) -> dict:
+    """Parse real headers; raise NotImplementedError for unknown types the
+    way a real decoder signals an unsupported codec."""
+    if media_type == "image/png":
+        w, h = C.parse_png_header(payload)
+        return {"width": w, "height": h, "sample_rate": None, "duration_ms": None}
+    if media_type == "audio/wav":
+        info = C.parse_wav(payload)
+        return {"width": None, "height": None,
+                "sample_rate": info["sample_rate"],
+                "duration_ms": info["duration_ms"]}
+    if media_type == "video/mp4":
+        info = C.parse_mp4(payload)
+        return {"width": info["width"], "height": info["height"],
+                "sample_rate": None, "duration_ms": info["duration_ms"]}
+    raise NotImplementedError(f"no decoder for media type: {media_type}")
 
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """STUB decoder: real implementation would call PIL/av/soundfile here.
-
-    Produces deterministic fake dimensions from the payload length so
-    results are testable. Raises NotImplementedError only for media types
-    the stub doesn't model — mirroring how a real decoder signals
-    unsupported codecs.
-    """
-    import hashlib
-
-    known = {"image/png", "audio/wav", "video/mp4"}
-    bad = set(pdf["media_type"]) - known
-    if bad:
-        raise NotImplementedError(f"no decoder for media types: {sorted(bad)}")
-    sizes = pdf["payload"].map(len)
+    decoded = [
+        _decode_one(t, bytes(p)) for t, p in zip(pdf["media_type"], pdf["payload"])
+    ]
     return pd.DataFrame({
-        "doc_id": pdf["doc_id"],
+        "doc_id": pdf["doc_id"].astype("int64"),
         "media_type": pdf["media_type"],
-        "byte_size": sizes.astype("int32"),
-        "width": (sizes % 640 + 1).astype("int32"),
-        "height": (sizes % 480 + 1).astype("int32"),
-        "checksum": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+        "byte_size": pdf["payload"].map(len).astype("int32"),
+        "width": pd.array([d["width"] for d in decoded], dtype="Int32"),
+        "height": pd.array([d["height"] for d in decoded], dtype="Int32"),
+        "sample_rate": pd.array([d["sample_rate"] for d in decoded], dtype="Int32"),
+        "duration_ms": pd.array([d["duration_ms"] for d in decoded], dtype="Int64"),
+        "checksum": [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]],
     })
 
 
-def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
-    """Arrow-batched decode/feature extraction over the binary column.
-
-    ``mapInPandas`` keeps whole batches in Arrow memory — payload bytes are
-    never row-pickled. At scale, repartition upstream by size so decode
-    tasks are balanced (media payloads are heavily skewed)."""
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature extraction over the binary column."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,6 +145,7 @@ def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> D
                 yield _decode_batch(pdf)
 
     return media.mapInPandas(gen, schema=MEDIA_FEATURES_SCHEMA)
+
 
 #: Output schema of the resize step: same payload contract, new dims.
 RESIZED_SCHEMA = StructType([
@@ -95,66 +156,68 @@ RESIZED_SCHEMA = StructType([
     StructField("height", IntegerType()),
 ])
 
-#: Output schema of frame sampling: one row per sampled frame (1→N).
+#: Output schema of frame sampling: one row per demuxed sample (1→N).
 FRAMES_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("frame_index", IntegerType()),
+    StructField("frame_bytes", IntegerType()),
     StructField("frame", BinaryType()),
     StructField("checksum", StringType()),
 ])
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize stub over the binary column (real impl: PIL thumbnail in
-    place of the deterministic byte-fold). Same mapInPandas contract as
-    decode — payload in, payload out, Arrow-batched."""
+    """Real nearest-neighbor image resize: decode PNG pixels (inflate +
+    unfilter), index-map to the target grid, re-encode. Non-image rows are
+    filtered out Spark-side so the predicate reaches the scan."""
+    imgs = media.where(media["media_type"] == "image/png")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            # STUB: "resize" = truncate/right-pad payload to width*height/64
-            # bytes, deterministic stand-in for a real resampler.
-            target = max(1, width * height // 64)
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
+                "doc_id": pdf["doc_id"].astype("int64"),
                 "media_type": pdf["media_type"],
-                "payload": pdf["payload"].map(
-                    lambda b: bytes(b[:target]).ljust(target, b"\0")),
+                "payload": [
+                    C.resize_png(bytes(p), width, height) for p in pdf["payload"]
+                ],
                 "width": pd.Series([width] * len(pdf), dtype="int32"),
                 "height": pd.Series([height] * len(pdf), dtype="int32"),
             })
 
-    return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
+    return imgs.mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame-sampling stub: one input video row fans out to ``n_frames``
-    output rows (the 1→N batch shape a real av-decode would produce).
-    Frames are deterministic payload slices; a real decoder replaces the
-    slicing, the Spark-side contract is unchanged."""
-    import hashlib
+    """Real MP4 frame sampling: demux mdat via the stsz/stco tables, then
+    keep up to ``n_frames`` evenly spaced samples (first-sample-aligned) —
+    one input video row fans out to N frame rows."""
+    vids = media.where(media["media_type"] == "video/mp4")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vids = pdf[pdf["media_type"] == "video/mp4"]
-            if not len(vids):
+            if not len(pdf):
                 continue
-            out = {"doc_id": [], "frame_index": [], "frame": [], "checksum": []}
-            for _, row in vids.iterrows():
-                payload = bytes(row["payload"]) or b"\0"
-                step = max(1, len(payload) // n_frames)
-                for i in range(n_frames):
-                    frame = payload[i * step:(i + 1) * step] or b"\0"
-                    out["doc_id"].append(row["doc_id"])
+            out = {"doc_id": [], "frame_index": [], "frame_bytes": [],
+                   "frame": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = C.demux_mp4_samples(bytes(payload))
+                total = len(samples)
+                step = max(1, total // n_frames)
+                picked = list(range(0, total, step))[:n_frames]
+                for rank, i in enumerate(picked):
+                    out["doc_id"].append(int(doc_id))
                     out["frame_index"].append(i)
-                    out["frame"].append(frame)
-                    out["checksum"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_bytes"].append(len(samples[i]))
+                    out["frame"].append(samples[i])
+                    out["checksum"].append(hashlib.md5(samples[i]).hexdigest())
             yield pd.DataFrame({
                 "doc_id": pd.Series(out["doc_id"], dtype="int64"),
                 "frame_index": pd.Series(out["frame_index"], dtype="int32"),
+                "frame_bytes": pd.Series(out["frame_bytes"], dtype="int32"),
                 "frame": out["frame"],
                 "checksum": out["checksum"],
             })
 
-    return media.mapInPandas(gen, schema=FRAMES_SCHEMA)
+    return vids.mapInPandas(gen, schema=FRAMES_SCHEMA)

@@ -161,6 +161,27 @@ def signlsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 12,
     )
 
 
+def duckdb_signlsh_bucket_sql(vec_expr: str, dim: int, n_planes: int = 10,
+                              seed: int = 42) -> str:
+    """DuckDB replica of :func:`signlsh_bucket_expr` for oracle SQL — same
+    seeded hyperplanes, same left-to-right double accumulation (SQL ``+``
+    is left-associative in both engines, and every multiplicand is CAST to
+    DOUBLE, so the IEEE op sequence is bit-identical), same ``>= 0`` sign
+    rule. Float constants go through CAST('repr' AS DOUBLE): repr is the
+    shortest round-trip form, so the parsed double is exactly the plane
+    coefficient Spark embeds (a bare decimal literal would parse as
+    DECIMAL in DuckDB and poison the arithmetic)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    cases = []
+    for b, plane in enumerate(planes):
+        dot = " + ".join(
+            f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * CAST('{p!r}' AS DOUBLE)"
+            for i, p in enumerate(plane)
+        )
+        cases.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + "\n + ".join(cases) + ")"
+
+
 def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_planes: int = 10, round_digits: int = 4,

@@ -354,15 +354,39 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_features",
-    oracle=None,  # mapInPandas decode stub — rows-only check
-    description="Multimodal plumbing: binary payload column → Arrow-batched "
-                "mapInPandas decode/feature stub → typed metadata struct",
+    # The payloads are REAL PNG/WAV/MP4 bytes whose header parameters are
+    # closed-form in doc_id (operators/multimodal.py table), so the oracle
+    # recomputes the expected metadata directly while Spark must encode
+    # real files and parse real headers (CRC-checked IHDR, RIFF walk,
+    # ISO-BMFF box walk) to match the hash.
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS media_type,
+       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 48 + 16
+                            WHEN 2 THEN doc_id % 128 + 64 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 16
+                            WHEN 2 THEN doc_id % 96 + 48 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 1
+                 THEN 8000 + (doc_id % 4) * 4000 END AS INTEGER) AS sample_rate,
+       CAST(CASE doc_id % 3 WHEN 1 THEN 10 * (doc_id % 5 + 1)
+                            WHEN 2 THEN 40 * (doc_id % 5 + 2) END AS BIGINT)
+         AS duration_ms
+FROM documents
+""",
+    description="Multimodal decode, for real: binary payload column (real "
+                "stdlib-built PNG/WAV/MP4 files) → Arrow-batched mapInPandas "
+                "header parse (CRC-checked PNG IHDR, RIFF chunk walk, "
+                "ISO-BMFF box walk) → typed metadata; oracle recomputes the "
+                "planted closed-form parameters from doc_id",
     tags=("llm", "multimodal"),
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    media = M.attach_fake_media(docs)
-    return M.extract_media_features(media)
+    media = M.attach_media(docs)
+    return M.extract_media_features(media).select(
+        "doc_id", "media_type", "width", "height", "sample_rate", "duration_ms")
 
 
 @register(
@@ -395,15 +419,25 @@ def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_sample",
-    oracle=None,  # mapInPandas 1→N decode stub — rows-only check
-    description="Multimodal frame sampling: video binary rows fan out to "
-                "4 frame rows each via Arrow-batched mapInPandas (the 1-to-N "
-                "decode shape); sampler is a documented deterministic stub",
+    # Spark demuxes the real MP4 (stsz sample table at the stco offset)
+    # and keeps the first min(n_samples, 4) samples; the oracle recomputes
+    # the planted per-sample sizes from doc_id.
+    oracle="""
+SELECT doc_id,
+       CAST(u AS INTEGER) AS frame_index,
+       CAST(doc_id % 100 + 32 + 7 * u AS INTEGER) AS frame_bytes
+FROM (SELECT doc_id, unnest(range(least(doc_id % 5 + 2, 4))) AS u
+      FROM documents WHERE doc_id % 3 = 2)
+""",
+    description="Multimodal frame sampling, for real: video rows fan out "
+                "1-to-N via Arrow-batched mapInPandas running an actual "
+                "ISO-BMFF demux (stsz/stco) over real MP4 payloads",
     tags=("llm", "multimodal"),
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return M.sample_frames(M.attach_fake_media(docs))
+    return M.sample_frames(M.attach_media(docs)).select(
+        "doc_id", "frame_index", "frame_bytes")
 
 
 @register(
@@ -435,6 +469,126 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame) -> "S.IvfIn
     if key not in _IVF_INDEXES:
         _IVF_INDEXES[key] = S.ivf_build(emb, n_cells=16, seed=42)
     return _IVF_INDEXES[key]
+
+
+# Sign-LSH recall vs the exact scan, as ONE scalar row the driver can hash:
+# the oracle replicates the ENTIRE approximate pipeline in DuckDB — the
+# seeded hyperplane buckets bit-for-bit (duckdb_signlsh_bucket_sql), the
+# bucket-size cap, the bucket-probe join, per-query top-10 — plus the exact
+# top-10, and measures the overlap. This converts the rows-only
+# ann_cosine_topk entry into hard-signal coverage: a wrong bucket bit, a
+# mis-capped bucket, or a broken probe join all move recall.
+_ANN_RECALL_SQL = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+capped AS (
+  SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS _bsz
+                 FROM corpus)
+  WHERE _bsz <= 100000
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM corpus WHERE vec_id < 10),
+ann AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.vec_id AS match_id,
+           ROUND(list_cosine_similarity(c.v, q.qv), 4) AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(list_cosine_similarity(c.v, q.qv), 4) DESC,
+                                       c.vec_id) AS rnk
+    FROM capped c JOIN q USING (bucket)
+    WHERE c.vec_id <> q.query_id)
+  WHERE rnk <= 10
+),
+exact AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.vec_id AS match_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv), 4) DESC,
+                                       c.vec_id) AS rnk
+    FROM embeddings c, q
+    WHERE c.vec_id <> q.query_id)
+  WHERE rnk <= 10
+)
+SELECT CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+       CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS ann_hits,
+       ROUND(AVG(CASE WHEN a.match_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS recall_at_10
+FROM exact e LEFT JOIN ann a USING (query_id, match_id)
+"""
+
+
+@register(
+    "ann_recall_vs_exact",
+    oracle=_ANN_RECALL_SQL.format(
+        bucket=S.duckdb_signlsh_bucket_sql("embedding", dim=64, n_planes=10)),
+    description="recall@10 of sign-LSH ANN against the exact cosine scan, "
+                "as one scalar row; the oracle re-runs the whole LSH "
+                "pipeline in DuckDB (bit-identical seeded buckets, bucket "
+                "cap, probe join, top-10) so the measured recall is "
+                "hash-checked, not asserted",
+    tags=("llm", "similarity", "ann", "quality"),
+)
+def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=10).select("query_id", "match_id")
+    ann = (
+        S.ann_cosine_topk(emb, q, dim=64, k=10)
+        .select("query_id", "match_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return exact.join(ann, ["query_id", "match_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("ann_hits"),
+        F.round(F.avg(F.coalesce(F.col("_hit"), F.lit(0)).cast("double")), 4)
+         .alias("recall_at_10"),
+    )
+
+
+@register(
+    "ivf_recall_vs_exact",
+    # With nprobe == n_cells every cell is probed, so the IVF pipeline
+    # (sample-train quantizer, cell assignment, probe join, ranking) must
+    # reproduce the exact scan IDENTICALLY — both sides run the same
+    # rounded-cosine ranking, so the identity is exact, not approximate.
+    # The oracle pins that invariant: 10 queries x 10 hits, recall 1.0.
+    # (The kmeans trainer itself is iterative and not SQL-expressible;
+    # this identity is what makes the IVF path driver-checkable at all.)
+    oracle="""
+SELECT CAST(10 AS BIGINT) AS n_queries,
+       CAST(100 AS BIGINT) AS exact_pairs,
+       CAST(100 AS BIGINT) AS ivf_hits,
+       CAST(1.0 AS DOUBLE) AS recall_all_cells
+""",
+    description="IVF ANN probed with nprobe == n_cells must equal the "
+                "exact cosine scan (every cell probed, same ranking) — the "
+                "end-to-end identity that validates train/assign/probe "
+                "without an SQL-expressible kmeans; emitted as one scalar "
+                "row the driver hash-checks against the pinned invariant",
+    tags=("llm", "similarity", "ann", "quality"),
+)
+def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=10).select("query_id", "match_id")
+    index = _ivf_index_for(spark, sf_dir, emb)
+    ivf = (
+        S.ivf_cosine_topk(None, q, k=10, nprobe=16, index=index)
+        .select("query_id", "match_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return exact.join(ivf, ["query_id", "match_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("ivf_hits"),
+        F.round(F.avg(F.coalesce(F.col("_hit"), F.lit(0)).cast("double")), 4)
+         .alias("recall_all_cells"),
+    )
 
 
 from windowsession_using_kafka_flink_docker_spark.operators.winnow import (  # noqa: E402
