@@ -50,6 +50,33 @@ class TestEmbeddingNearDups:
         assert all(r.cosine == 1.0 for r in rows)
 
 
+class TestMultitableLsh:
+    def test_planted_copy_always_collides(self, spark, vec_df):
+        """A positively-scaled copy has the identical sign pattern, hence
+        identical buckets in EVERY table — multiprobe must rank it #1."""
+        out = S.multitable_signlsh_topk(
+            vec_df, vec_df.where("vec_id = 0"), dim=64, k=3)
+        rows = {r.rnk: (r.match_id, r.cosine) for r in out.collect()}
+        assert rows[1][0] == 100 and rows[1][1] == 1.0
+
+    def test_amplification_beats_single_table(self, spark, sf_dir):
+        """On the unclustered test corpus, 8x5-bit OR-amplification must
+        recover strictly more exact-top-10 pairs than one 10-bit table
+        (measured: ~0.47 vs ~0.01 recall@10)."""
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 10)
+        exact = {(r.query_id, r.match_id)
+                 for r in S.cosine_topk(emb, q, k=10).collect()}
+        single = {(r.query_id, r.match_id)
+                  for r in S.ann_cosine_topk(emb, q, dim=64, k=10).collect()}
+        multi = {(r.query_id, r.match_id)
+                 for r in S.multitable_signlsh_topk(emb, q, dim=64, k=10).collect()}
+        assert len(multi & exact) > len(single & exact)
+        assert len(multi & exact) >= 0.25 * len(exact)
+
+
 @pytest.fixture(scope="module")
 def doc_df(spark):
     rows = [

@@ -217,6 +217,69 @@ def ann_cosine_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10
     )
 
 
+def multitable_signlsh_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+                            k: int = 10, n_tables: int = 8, n_planes: int = 5,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            seed: int = 42, round_digits: int = 4,
+                            max_bucket_size: int | None = 100_000) -> DataFrame:
+    """Multi-table sign-LSH top-k — OR-amplification over ``n_tables``
+    independent ``n_planes``-bit tables (Indyk/Motwani): a candidate
+    collides if it shares a bucket in ANY table, so candidate recall rises
+    from p^b (one table) to 1-(1-p^b)^L. On corpora without cluster
+    structure (near-orthogonal random embeddings — this testdata, and the
+    known worst case for ANN) single-table recall@10 is ~0; L=8 x 5 bits
+    reaches ~0.5 while scanning ~25% of the corpus.
+
+    Scale shape: ONE signature of ``n_tables*n_planes`` sign bits per
+    vector (one pass over the embedding), sliced into per-table buckets by
+    bit arithmetic; the explode replicates only the slim (id, table,
+    bucket) index rows, never the vectors. Candidate pairs are
+    ``distinct``-ed BEFORE scoring so each pair is scored once, then match
+    vectors join back by id and query vectors broadcast. Per-(table,
+    bucket) size caps bound the worst-case probe exactly as in
+    :func:`ann_cosine_topk`."""
+    total = n_tables * n_planes
+    mask = (1 << n_planes) - 1
+    tables = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t")
+    bucket = F.expr(f"shiftright(_sig, CAST(t * {n_planes} AS INT)) & {mask}")
+
+    c_vec = corpus.select(F.col(id_col).alias("match_id"),
+                          F.col(vec_col).alias("_cv"))
+    c_idx = (
+        c_vec.withColumn("_sig", signlsh_bucket_expr("_cv", dim, total, seed))
+        .select("match_id", "_sig", tables)
+        .withColumn("bucket", bucket)
+        .select("match_id", "t", "bucket")
+    )
+    if max_bucket_size is not None:
+        c_idx = _drop_big_buckets(c_idx, ["t", "bucket"], max_bucket_size)
+    q_vec = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv"))
+    q_idx = (
+        q_vec.withColumn("_sig", signlsh_bucket_expr("_qv", dim, total, seed))
+        .select("query_id", "_sig", tables)
+        .withColumn("bucket", bucket)
+        .select("query_id", "t", "bucket")
+    )
+    cand = (
+        c_idx.join(F.broadcast(q_idx), ["t", "bucket"])
+        .where(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c_vec, "match_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn("cosine", F.round(_cosine_batch("_qv", "_cv"), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "cosine", "rnk")
+    )
+
+
 def _unit_rows(vectors) -> "list[list[float]]":
     """Driver-side unit normalization of a small sample (numpy); zero
     vectors pass through unchanged."""

@@ -51,6 +51,8 @@ def register(name: str, oracle: str | None, description: str = "",
 DRIVER_PRIORITY: tuple[str, ...] = (
     # round-4 additions (hard-signal converts + real multimodal)
     "ann_recall_vs_exact",
+    "ann_multiprobe_topk",
+    "ann_multiprobe_recall_vs_exact",
     "ivf_recall_vs_exact",
     "media_features",
     "media_frame_sample",

@@ -550,6 +550,137 @@ def ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared DuckDB skeleton for the multi-table (OR-amplified) LSH pipeline:
+# one 40-bit signature (bit-identical to Spark's, see
+# duckdb_signlsh_bucket_sql), sliced into 8 x 5-bit tables by the same bit
+# arithmetic, per-(table,bucket) cap, distinct candidates, score-once.
+_MULTIPROBE_CTES = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {sig} AS sig
+        FROM embeddings),
+cidx AS (SELECT vec_id, t, (sig >> CAST(t * 5 AS INTEGER)) & 31 AS bucket
+         FROM (SELECT vec_id, sig, unnest(range(8)) AS t FROM sig)),
+capped AS (SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY t, bucket) AS _bsz
+                          FROM cidx)
+           WHERE _bsz <= 100000),
+qidx AS (SELECT vec_id AS query_id, t, bucket FROM cidx WHERE vec_id < 10),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id AS match_id
+         FROM capped c JOIN qidx q USING (t, bucket)
+         WHERE c.vec_id <> q.query_id),
+ann AS (
+  SELECT query_id, match_id, cosine, rnk FROM (
+    SELECT cand.query_id, cand.match_id,
+           ROUND(list_cosine_similarity(cv.v, qv.v), 4) AS cosine,
+           row_number() OVER (PARTITION BY cand.query_id
+                              ORDER BY ROUND(list_cosine_similarity(cv.v, qv.v), 4) DESC,
+                                       cand.match_id) AS rnk
+    FROM cand JOIN sig cv ON cv.vec_id = cand.match_id
+              JOIN sig qv ON qv.vec_id = cand.query_id)
+  WHERE rnk <= 10
+)
+"""
+
+
+@register(
+    "ann_multiprobe_topk",
+    oracle=_MULTIPROBE_CTES.format(
+        sig=S.duckdb_signlsh_bucket_sql("embedding", dim=64, n_planes=40)) + """
+SELECT query_id, match_id, cosine, rnk FROM ann
+""",
+    description="Multi-table sign-LSH ANN top-10 (OR-amplification, 8 "
+                "tables x 5 bits sliced from ONE 40-bit signature): the "
+                "practical scale path when single-table recall collapses "
+                "on unclustered corpora; fully oracle-checked — DuckDB "
+                "replays the bit-identical signature, table slicing, "
+                "bucket cap, distinct-candidates and score-once stages",
+    tags=("llm", "similarity", "ann"),
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.multitable_signlsh_topk(emb, emb.where(F.col("vec_id") < 10),
+                                     dim=64, k=10)
+
+
+@register(
+    "ann_multiprobe_recall_vs_exact",
+    oracle=_MULTIPROBE_CTES.format(
+        sig=S.duckdb_signlsh_bucket_sql("embedding", dim=64, n_planes=40)) + """
+, exact AS (
+  SELECT query_id, match_id FROM (
+    SELECT q.query_id, c.vec_id AS match_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(list_cosine_similarity(c.v, q.v), 4) DESC,
+                                       c.vec_id) AS rnk
+    FROM base c, (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 10) q
+    WHERE c.vec_id <> q.query_id)
+  WHERE rnk <= 10
+)
+SELECT CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+       CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS ann_hits,
+       ROUND(AVG(CASE WHEN a.match_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS recall_at_10,
+       ROUND((SELECT COUNT(*) FROM cand)
+             / (10.0 * ((SELECT COUNT(*) FROM base) - 1)), 4) AS scan_frac
+FROM exact e LEFT JOIN ann a USING (query_id, match_id)
+""",
+    description="recall@10 and scanned-fraction of the multi-table LSH "
+                "ANN vs the exact scan, as one scalar row the driver "
+                "hashes — the measured amplification story (single-table "
+                "~0.0 recall -> ~0.5 at ~25% scan on this worst-case "
+                "unclustered corpus), verified end-to-end in DuckDB",
+    tags=("llm", "similarity", "ann", "quality"),
+)
+def ann_multiprobe_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=10).select("query_id", "match_id")
+    ann = (
+        S.multitable_signlsh_topk(emb, q, dim=64, k=10)
+        .select("query_id", "match_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    # candidate volume (for the scanned-fraction metric): re-derive the
+    # distinct candidate set the operator scored
+    total, mask = 40, 31
+    tables = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("t")
+    bucket = F.expr("shiftright(_sig, CAST(t * 5 AS INT)) & 31")
+    c_idx = S._drop_big_buckets(
+        emb.select(F.col("vec_id").alias("match_id"),
+                   S.signlsh_bucket_expr("embedding", 64, total).alias("_sig"))
+        .select("match_id", "_sig", tables).withColumn("bucket", bucket)
+        .drop("_sig"),
+        ["t", "bucket"], 100_000,
+    )
+    q_idx = (
+        q.select(F.col("vec_id").alias("query_id"),
+                 S.signlsh_bucket_expr("embedding", 64, total).alias("_sig"))
+        .select("query_id", "_sig", tables).withColumn("bucket", bucket)
+    )
+    n_cand = (
+        c_idx.join(F.broadcast(q_idx), ["t", "bucket"])
+        .where(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id").distinct()
+        .agg(F.count(F.lit(1)).alias("_n_cand"))
+    )
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("_n_corpus"))
+    hits = exact.join(ann, ["query_id", "match_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("ann_hits"),
+        F.round(F.avg(F.coalesce(F.col("_hit"), F.lit(0)).cast("double")), 4)
+         .alias("recall_at_10"),
+    )
+    return (
+        hits.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_corpus))
+        .withColumn("scan_frac",
+                    F.round(F.col("_n_cand")
+                            / (F.lit(10.0) * (F.col("_n_corpus") - 1)), 4))
+        .select("n_queries", "exact_pairs", "ann_hits", "recall_at_10", "scan_frac")
+    )
+
+
 @register(
     "ivf_recall_vs_exact",
     # With nprobe == n_cells every cell is probed, so the IVF pipeline
