@@ -16,6 +16,7 @@ is filtered out of the comparison.
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pytest
@@ -187,6 +188,49 @@ class TestStreamingSources:
         out = parse_csv_events(raw).collect()
         assert [(r.user_id, r.transaction_id, r.payload_value) for r in out] == [
             (4, 123, 40.0), (5, 77, 50.5)
+        ]
+
+    def test_arrival_time_mode_windows_on_kafka_clock(self, spark):
+        """SURVEY §1.4's load-bearing subtlety: the reference windows on
+        the Kafka record timestamp, not the embedded event time. Feed rows
+        whose embedded clock jumps 5 minutes between events while arrival
+        is 1 s dense: event-time mode must split every 30 s gap (4
+        sessions), arrival-time mode must fuse everything into ONE
+        session on the kafka clock — and the session bounds must come
+        from kafka_ts, not ts."""
+        from windowsession_using_kafka_flink_docker_spark.operators.sessionize import sessionize
+
+        rows = [
+            (f"2024-08-26 08:{5 * i:02d}:00,7,{i},10.0",
+             datetime.datetime(2024, 8, 26, 9, 0, i))
+            for i in range(4)
+        ]
+        raw = spark.createDataFrame(rows, "value STRING, kafka_ts TIMESTAMP")
+
+        event_time = parse_csv_events(raw, use_kafka_time=False)
+        arrival_time = parse_csv_events(raw, use_kafka_time=True)
+
+        ev_sessions = sessionize(event_time, value="payload_value").collect()
+        ar_sessions = sessionize(arrival_time, value="payload_value").collect()
+        assert len(ev_sessions) == 4      # embedded clock: every event alone
+        assert len(ar_sessions) == 1      # arrival clock: one dense session
+        [s] = ar_sessions
+        assert s.event_count == 4 and s.session_sum == 40.0
+        # bounds derive from the kafka clock (09:00), not the embedded 08:xx
+        assert s.session_start == datetime.datetime(2024, 8, 26, 9, 0, 0)
+
+    def test_arrival_time_mode_still_drops_malformed(self, spark):
+        """In arrival-time mode ts is substituted BEFORE the null filter,
+        so a garbage record with a perfectly good kafka timestamp must
+        still be dropped on its null payload fields."""
+        raw = spark.createDataFrame(
+            [("garbage", datetime.datetime(2024, 8, 26, 9, 0, 0)),
+             ("2024-08-26 08:00:00,4,123,40", datetime.datetime(2024, 8, 26, 9, 0, 1))],
+            "value STRING, kafka_ts TIMESTAMP",
+        )
+        out = parse_csv_events(raw, use_kafka_time=True).collect()
+        assert [(r.user_id, r.ts) for r in out] == [
+            (4, datetime.datetime(2024, 8, 26, 9, 0, 1))
         ]
 
     def test_kafka_source_plan(self, spark):
