@@ -255,6 +255,15 @@ class TestReportFormatting:
         assert lines[1] == "=" * 40
         assert lines[2].startswith("4")
 
+    def test_session_report_task1_int_truncation(self):
+        """task1 prints int(sum)/int(avg) (flink_stream_task1.py:71-72) —
+        the truncate_ints option reproduces that exact rendering."""
+        rows = [{"user_id": 4, "session_sum": 40.75, "session_avg": 13.58}]
+        out = format_report_rows(
+            rows, truncate_ints=("session_sum", "session_avg"))
+        cells = out.splitlines()[2].split()
+        assert cells == ["4", "40", "13"]
+
     def test_alert_grid_layout(self):
         rows = [{"user_id": 9999, "session_sum": 1_000_000.0, "session_avg": 5.5}]
         out = format_grid(rows, ("user_id", "session_sum", "session_avg"))

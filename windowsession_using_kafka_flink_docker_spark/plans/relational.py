@@ -787,8 +787,12 @@ UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
 """,
     description="Strict sequential conversion funnel view -> click -> "
                 "purchase: each step is a per-user MIN over events after "
-                "the previous step's timestamp (agg + broadcast-sized "
-                "step-table joins; event scan filtered per step).",
+                "the previous step's timestamp. The step frames have "
+                "user-level cardinality, so they are NOT force-broadcast: "
+                "the per-step joins shuffle on user_id (correct at 100x "
+                "users) and AQE downgrades to broadcast at runtime when a "
+                "step frame is small enough; the event scan is filtered "
+                "per step.",
     bench=True,
     tags=("relational", "funnel", "analytics"),
 )

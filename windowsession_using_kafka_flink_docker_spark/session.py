@@ -27,6 +27,10 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pin the Arrow transfer batch size: the default (10k) lets pandas-UDF
+    # stage timing drift with partition-size jitter — fixed batches keep
+    # the vectorized kernels' per-batch work (and bench numbers) stable.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.shuffle.spill.compress": "true",

@@ -35,14 +35,27 @@ REPORT_COLUMNS = ("user_id", "session_sum", "session_avg")
 MAX_REPORT_ROWS = 10_000
 
 
-def format_report_rows(rows, widths=REPORT_WIDTHS, columns=REPORT_COLUMNS) -> str:
+def format_report_rows(rows, widths=REPORT_WIDTHS, columns=REPORT_COLUMNS,
+                       truncate_ints: tuple[str, ...] = ()) -> str:
     """Fixed-width session report block (task1's layout: header, ruler,
-    padded rows)."""
+    padded rows).
+
+    ``truncate_ints`` names columns rendered as ``int(value)`` — task1
+    truncates sum/avg to whole numbers in its report
+    (flink_stream_task1.py:71-72) where task2/3 keep decimals; pass
+    ``("session_sum", "session_avg")`` for pedantic task1 parity. The
+    default keeps the 2-decimal rendering used across the repo's report
+    path (operators/sessionize.py rounds, it doesn't truncate).
+    """
     header = " ".join(f"{c:<{w}}" for c, w in zip(columns, widths))
     ruler = "=" * sum(widths)
     lines = [header, ruler]
+
+    def cell(r, c):
+        return str(int(r[c])) if c in truncate_ints else str(r[c])
+
     for r in rows:
-        lines.append(" ".join(f"{str(r[c]):<{w}}" for c, w in zip(columns, widths)))
+        lines.append(" ".join(f"{cell(r, c):<{w}}" for c, w in zip(columns, widths)))
     return "\n".join(lines)
 
 
