@@ -954,3 +954,83 @@ def json_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "unpivot_order_counts",
+    # Metamorphic inverse of pivot_order_status: Spark runs a real
+    # wide->long unpivot over the pivoted frame; the oracle never pivots —
+    # it cross-joins priorities x measure names and picks the count, so a
+    # broken unpivot (dropped zeros, swapped measures) cannot hash-match.
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+  FROM orders GROUP BY o_orderpriority
+),
+m AS (SELECT UNNEST(['n_open', 'n_filled', 'n_pending']) AS status_col)
+SELECT o_orderpriority, status_col,
+       CASE status_col WHEN 'n_open' THEN n_open
+                       WHEN 'n_filled' THEN n_filled
+                       ELSE n_pending END AS n_orders
+FROM c, m
+""",
+    description="UNPIVOT (wide -> long): melts the pivoted per-status "
+                "count columns back to (priority, status, count) rows "
+                "with Spark's native unpivot/melt — zeros survive the "
+                "roundtrip; generator-side row explosion, no shuffle "
+                "beyond the pivot's own aggregation.",
+    tags=("relational", "unpivot"),
+)
+def unpivot_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_order_status(spark, sf_dir)
+    return wide.unpivot(
+        "o_orderpriority",
+        ["n_open", "n_filled", "n_pending"],
+        "status_col",
+        "n_orders",
+    )
+
+
+@register(
+    "orc_roundtrip_revenue",
+    # Format-independence metamorphic check: Spark writes a lineitem
+    # projection to ORC and aggregates the read-back; the oracle computes
+    # the same aggregate straight off the parquet, so any ORC
+    # serialization drift (type mangling, row loss) breaks the hash.
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    description="ORC sink + source roundtrip (native Spark ORC, "
+                "zlib-compressed): write a pruned lineitem projection, "
+                "read it back, aggregate — the columnar-format sibling of "
+                "csv/json_parse_roundtrip; oracle aggregates the original "
+                "parquet so the two storage paths must agree bit-for-bit.",
+    tags=("relational", "format", "orc"),
+)
+def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"orc_rt_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
