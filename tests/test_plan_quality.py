@@ -32,7 +32,9 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           # one-scan doc-stats materialization (see bm25_topk docstring)
           "bm25_search",
           # rewrites the bucketed table at plan-construction time
-          "session_fixed_gap_bucketed"}
+          "session_fixed_gap_bucketed",
+          # trains + encodes (persist/count) at plan-construction time
+          "pq_ann_topk"}
 
 # Sanctioned Arrow-batched Python stages — and ONLY these:
 # - media decode (opaque binary payloads, no JVM expression can decode);

@@ -127,6 +127,30 @@ def main() -> None:
     timed("multitable_hits", _multi)
     out["multitable_recall_at_10"] = round(mt_hits / len(exact), 4)
 
+    # 5) product quantization: build (train + encode once), then the
+    # ADC-scan + rerank probe.
+    pq_index = None
+
+    def _pq_build():
+        nonlocal pq_index
+        pq_index = S.pq_build(corpus, dim=64)
+        return pq_index.encoded.count()
+
+    timed("pq_build_rows", _pq_build)
+
+    pq_hits = None
+
+    def _pq_probe():
+        nonlocal pq_hits
+        got = {(r.query_id, r.match_id)
+               for r in S.pq_adc_topk(corpus, queries, pq_index,
+                                      k=10, rerank=50).collect()}
+        pq_hits = len(got & exact)
+        return pq_hits
+
+    timed("pq_probe_hits", _pq_probe)
+    out["pq_recall_at_10"] = round(pq_hits / len(exact), 4)
+
     print(json.dumps(out))
 
 

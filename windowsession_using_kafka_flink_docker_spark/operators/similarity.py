@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 # DataType instances (not DDL strings): string return types are parsed via
 # the active SparkContext, which would make module import require a session
-from pyspark.sql.types import DoubleType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 
 @pandas_udf(DoubleType())
@@ -489,4 +489,167 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95, dim: int = 64,
         .withColumn("cosine", F.round(_cosine_batch("_va", "_vb"), round_digits))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+class PqIndex:
+    """A trained product-quantization index: per-subspace codebooks plus
+    the corpus encoded as one small code per subspace (persisted). With
+    ``n_subspaces=8`` over 64-d floats a vector compresses 256 bytes →
+    8 bytes (32x): at 100 TB this is the difference between an ANN scan
+    that streams 3 TB of codes and one that streams the raw corpus — the
+    FAISS IVF-PQ memory/recall trade, built from the same sample-train +
+    map-only-encode shape as :class:`IvfIndex`."""
+
+    def __init__(self, codebooks: list[list[list[float]]], encoded: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        self.codebooks = codebooks  # [n_subspaces][n_centroids][sub_dim]
+        self.encoded = encoded      # (id, codes array<int>) — persisted
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def unpersist(self) -> None:
+        self.encoded.unpersist()
+
+
+def _pq_train(vectors, n_subspaces: int, n_centroids: int, seed: int,
+              max_iter: int = 8) -> list[list[list[float]]]:
+    """Driver-side per-subspace Lloyd's k-means (euclidean) over a bounded
+    unit-normalized sample — deterministic (seeded init, fixed iterations).
+    Codebooks are tiny (n_subspaces * n_centroids * sub_dim floats)."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    sub = np.array_split(x, n_subspaces, axis=1)
+    books = []
+    for s, xs in enumerate(sub):
+        rng = np.random.default_rng(seed + s)
+        k = min(n_centroids, len(xs))
+        centers = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            d = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in centers])
+    return books
+
+
+def pq_build(corpus: DataFrame, dim: int, n_subspaces: int = 8,
+             n_centroids: int = 16, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_train_rows: int = 4096) -> PqIndex:
+    """Train PQ codebooks on a bounded sample and encode the corpus.
+
+    Training mirrors :func:`ivf_assign`: a bounded ``limit().collect()``
+    straight off the scan (never a corpus shuffle), unit-normalize in
+    numpy, per-subspace k-means on the driver. Encoding is map-only: one
+    (batch x centroids) distance gemm per subspace per Arrow batch.
+    Corpus vectors ARE normalized before encoding (unlike IVF cell
+    assignment, PQ approximates the vector itself, so the stored code must
+    quantize the direction the cosine cares about)."""
+    sample = [r[0] for r in corpus.select(vec_col).limit(max_train_rows).collect()]
+    if not sample:
+        raise ValueError("pq_build: empty corpus")
+    books = _pq_train(_unit_rows(sample), n_subspaces, n_centroids, seed)
+
+    def _make_encode(bs):
+        @pandas_udf(ArrayType(IntegerType()))
+        def _encode(v: pd.Series) -> pd.Series:
+            import numpy as np
+            X = np.stack(v.values).astype(np.float64, copy=False)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            X = X / np.where(n == 0, 1.0, n)
+            subs = np.array_split(X, len(bs), axis=1)
+            codes = []
+            for xs, book in zip(subs, bs):
+                C = np.asarray(book, dtype=np.float64)
+                # ||x-c||^2 = |x|^2 - 2 x·c + |c|^2; |x|^2 is rank-constant
+                d = -2.0 * (xs @ C.T) + (C * C).sum(axis=1)[None, :]
+                codes.append(np.argmin(d, axis=1).astype("int32"))
+            return pd.Series(list(np.stack(codes, axis=1)))
+        return _encode
+
+    encoded = corpus.select(
+        F.col(id_col), _make_encode(books)(F.col(vec_col)).alias("codes")
+    ).persist()
+    encoded.count()  # materialize: probes must not re-trigger the fit
+    return PqIndex(books, encoded, id_col, vec_col)
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, index: PqIndex,
+                k: int = 10, rerank: int = 50,
+                round_digits: int = 4) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC) and
+    exact re-ranking.
+
+    Per query the codebooks collapse to a lookup table LUT[s][c] =
+    q_s · centroid[s][c] (n_subspaces x n_centroids dots, microseconds);
+    the corpus scan then scores each stored code as sum_s LUT[s][code_s] —
+    it never touches raw vectors, which is the entire point: at 100 TB the
+    ADC pass streams the 32x-compressed codes. The approximate top
+    ``rerank`` candidates per query then join back to real vectors for an
+    exact cosine re-rank of the final ``k`` (the standard two-stage
+    IVF-PQ serving shape; rerank bounds the raw-vector reads per query).
+    """
+    import numpy as np
+
+    qrows = queries.select(index.id_col, index.vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qvecs = _unit_rows([r[1] for r in qrows])
+    luts = {}
+    for qid, qv in zip(qids, qvecs):
+        qsubs = np.array_split(np.asarray(qv, dtype=np.float64), len(index.codebooks))
+        luts[qid] = np.stack([
+            np.asarray(book, dtype=np.float64) @ qs
+            for book, qs in zip(index.codebooks, qsubs)
+        ])  # n_subspaces x n_centroids
+
+    def _make_score(lut_map):
+        @pandas_udf(DoubleType())
+        def _score(codes: pd.Series, qid: pd.Series) -> pd.Series:
+            import numpy as np
+            C = np.stack(codes.values)              # rows x n_subspaces
+            out = np.empty(len(C), dtype=np.float64)
+            rows = np.arange(C.shape[1])
+            for q in np.unique(qid.values):
+                lut = lut_map[int(q)]
+                m = (qid.values == q)
+                out[m] = lut[rows, C[m]].sum(axis=1)
+            return pd.Series(out)
+        return _score
+
+    qframe = queries.select(F.col(index.id_col).alias("query_id"))
+    adc = (
+        index.encoded.crossJoin(F.broadcast(qframe))
+        .where(F.col(index.id_col) != F.col("query_id"))
+        .withColumn("_adc", _make_score(luts)(F.col("codes"), F.col("query_id")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_adc").desc(),
+                                               F.col(index.id_col))
+    shortlist = (
+        adc.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", F.col(index.id_col).alias("match_id"))
+    )
+    # Exact re-rank: only the shortlist joins back to raw vectors (shuffle
+    # on match_id over rerank*|queries| rows, never the corpus); query
+    # vectors broadcast.
+    c_vec = corpus.select(F.col(index.id_col).alias("match_id"),
+                          F.col(index.vec_col).alias("_cv"))
+    q_vec = queries.select(F.col(index.id_col).alias("query_id"),
+                           F.col(index.vec_col).alias("_qv"))
+    scored = (
+        shortlist.join(c_vec, "match_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn("cosine", F.round(_cosine_batch("_qv", "_cv"), round_digits))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "match_id", "cosine", "rnk")
     )

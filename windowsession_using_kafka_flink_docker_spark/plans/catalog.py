@@ -54,6 +54,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_multiprobe_topk",
     "ann_multiprobe_recall_vs_exact",
     "ivf_recall_vs_exact",
+    "pq_ann_topk",
+    "unpivot_order_counts",
+    "orc_roundtrip_revenue",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

@@ -471,6 +471,39 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame) -> "S.IvfIn
     return _IVF_INDEXES[key]
 
 
+#: one trained PQ index per (Spark app, corpus dir) — same serving-path
+#: contract as IVF: encode once, probe many.
+_PQ_INDEXES: dict[tuple[str, str], "S.PqIndex"] = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame) -> "S.PqIndex":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEXES:
+        _PQ_INDEXES[key] = S.pq_build(emb, dim=64)
+    return _PQ_INDEXES[key]
+
+
+@register(
+    "pq_ann_topk",
+    oracle=None,  # codebooks are iterative kmeans -> rows-only; quality is
+                  # measured (recall 0.73 vs exact at sf0.01, rerank=50) in
+                  # tools/scale_stress_embeddings.py and pinned by pytest
+                  # on planted copies
+    description="Product-quantization ANN top-10 (8 subspaces x 16 "
+                "centroids = 8-byte codes, 32x compression): ADC scan "
+                "over codes via per-query lookup tables (never touches "
+                "raw vectors), then exact cosine re-rank of the top-50 "
+                "shortlist — the FAISS-style IVF-PQ serving shape and the "
+                "memory-bound scale path at 100 TB",
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = _pq_index_for(spark, sf_dir, emb)
+    return S.pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), index,
+                         k=10, rerank=50)
+
+
 # Sign-LSH recall vs the exact scan, as ONE scalar row the driver can hash:
 # the oracle replicates the ENTIRE approximate pipeline in DuckDB — the
 # seeded hyperplane buckets bit-for-bit (duckdb_signlsh_bucket_sql), the
