@@ -55,8 +55,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_multiprobe_recall_vs_exact",
     "ivf_recall_vs_exact",
     "pq_ann_topk",
+    "pq_rerank_all_vs_exact",
     "unpivot_order_counts",
     "orc_roundtrip_revenue",
+    "fuzzy_prefix_pairs",
+    "grouping_sets_revenue",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

@@ -380,6 +380,7 @@ FROM documents
                 "header parse (CRC-checked PNG IHDR, RIFF chunk walk, "
                 "ISO-BMFF box walk) → typed metadata; oracle recomputes the "
                 "planted closed-form parameters from doc_id",
+    bench=True,
     tags=("llm", "multimodal"),
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +485,46 @@ def _pq_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame) -> "S.PqInde
 
 
 @register(
+    "pq_rerank_all_vs_exact",
+    # With rerank >= corpus size the ADC shortlist admits every candidate
+    # and the exact-cosine re-rank must reproduce the exact scan
+    # IDENTICALLY — the end-to-end identity that pins the PQ machinery's
+    # rerank/join/ranking stages (codebook fidelity itself is pinned by
+    # pytest on planted copies and measured in SCALING.md: 0.91@20k,
+    # rerank-50 0.73 organic).
+    oracle="""
+SELECT CAST(10 AS BIGINT) AS n_queries,
+       CAST(100 AS BIGINT) AS exact_pairs,
+       CAST(100 AS BIGINT) AS pq_hits,
+       CAST(1.0 AS DOUBLE) AS recall_rerank_all
+""",
+    description="PQ ADC probe with rerank >= corpus must equal the exact "
+                "cosine scan (every candidate re-ranked exactly) — the "
+                "driver-checkable identity for the PQ serving path, "
+                "emitted as one scalar row against the pinned invariant",
+    tags=("llm", "similarity", "ann", "pq", "quality"),
+)
+def pq_rerank_all_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=10).select("query_id", "match_id")
+    index = _pq_index_for(spark, sf_dir, emb)
+    n = emb.count()
+    pq = (
+        S.pq_adc_topk(emb, q, index, k=10, rerank=n)
+        .select("query_id", "match_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return exact.join(pq, ["query_id", "match_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("pq_hits"),
+        F.round(F.avg(F.coalesce(F.col("_hit"), F.lit(0)).cast("double")), 4)
+         .alias("recall_rerank_all"),
+    )
+
+
+@register(
     "pq_ann_topk",
     oracle=None,  # codebooks are iterative kmeans -> rows-only; quality is
                   # measured (recall 0.73 vs exact at sf0.01, rerank=50) in
@@ -495,6 +536,7 @@ def _pq_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame) -> "S.PqInde
                 "raw vectors), then exact cosine re-rank of the top-50 "
                 "shortlist — the FAISS-style IVF-PQ serving shape and the "
                 "memory-bound scale path at 100 TB",
+    bench=True,
     tags=("llm", "similarity", "ann", "pq"),
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +668,7 @@ SELECT query_id, match_id, cosine, rnk FROM ann
                 "on unclustered corpora; fully oracle-checked — DuckDB "
                 "replays the bit-identical signature, table slicing, "
                 "bucket cap, distinct-candidates and score-once stages",
+    bench=True,
     tags=("llm", "similarity", "ann"),
 )
 def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1034,3 +1034,78 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("total_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "fuzzy_prefix_pairs",
+    # Edit-distance is exactly defined, so both engines must agree on the
+    # integer distance — full hash parity on a *fuzzy* operator.
+    oracle="""
+WITH d AS (SELECT doc_id, lang, substr(text, 1, 40) AS p,
+                  len(substr(text, 1, 40)) AS pl
+           FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.pl - b.pl) <= 8
+WHERE levenshtein(a.p, b.p) <= 8
+""",
+    description="Edit-distance fuzzy duplicate pairs (levenshtein <= 8 on "
+                "the 40-char prefix): the character-level member of the "
+                "dedup family. Blocked by lang and pre-filtered by the "
+                "length-difference lower bound (|len_a - len_b| <= "
+                "threshold, a provable levenshtein bound) so the "
+                "quadratic distance only runs inside bands — at corpus "
+                "scale the band predicate prunes before the O(n*m) "
+                "distance, and lang is the join/partition key.",
+    tags=("relational", "fuzzy", "dedup"),
+)
+def fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("p"))
+        .withColumn("pl", F.length("p"))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.pl") - F.col("b.pl")) <= 8),
+        )
+        .where(F.levenshtein(F.col("a.p"), F.col("b.p")) <= 8)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("edit_dist"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM {orders}
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle=_GROUPING_SETS_SQL.format(orders="orders"),
+    description="Explicit GROUPING SETS — the irregular grouping shape "
+                "rollup/cube can't express ((priority), (status), ()): "
+                "one pass, three aggregation granularities, COALESCE "
+                "labels (both grouping columns are non-null in the data "
+                "so 'ALL' is unambiguous). Spark expands to a single "
+                "Expand + hash aggregate — no per-set re-scan.",
+    tags=("relational", "grouping_sets", "sql"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs_v")
+    return spark.sql(_GROUPING_SETS_SQL.format(orders="_orders_gs_v"))
