@@ -34,7 +34,9 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           # rewrites the bucketed table at plan-construction time
           "session_fixed_gap_bucketed",
           # trains + encodes (persist/count) at plan-construction time
-          "pq_ann_topk", "pq_rerank_all_vs_exact"}
+          "pq_ann_topk", "pq_rerank_all_vs_exact",
+          # iterative: runs one job per iteration at plan-construction time
+          "pagerank_similarity_graph"}
 
 # Sanctioned Arrow-batched Python stages — and ONLY these:
 # - media decode (opaque binary payloads, no JVM expression can decode);

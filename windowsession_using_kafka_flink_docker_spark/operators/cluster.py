@@ -118,3 +118,92 @@ def neardup_clusters(docs: DataFrame, pairs: DataFrame,
             (F.col("id") == F.col("comp")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(edges: DataFrame, n_nodes_df: DataFrame, damping: float = 0.85,
+             iterations: int = 10, src: str = "src", dst: str = "dst",
+             checkpoint_every: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the iterative-
+    algorithm shape next to connected_components.
+
+    ``rank_i = (1-d)/N + d * sum_{j->i} rank_j / outdeg_j``, run exactly
+    ``iterations`` times from the uniform start (1/N). Dangling mass is NOT
+    redistributed (nodes with outdeg 0 simply leak their damped mass), so
+    the recurrence is a pure join+aggregate both engines can replay
+    bit-for-bit — the catalog instantiation uses a k-NN graph where every
+    node has outdegree k, so nothing dangles anyway.
+
+    Scale shape: the per-iteration work is one join of the (id, rank)
+    frame against the edge list (pre-aggregated to per-src outdegree once)
+    and one groupBy(dst) sum — two shuffles over slim long/double frames,
+    never the payloads; ``localCheckpoint`` every few rounds truncates the
+    lineage so iteration N doesn't replan 1..N-1 (the same discipline as
+    the component loop above). Nodes never referenced as a dst fall back
+    to the teleport term via the outer join with the node frame.
+
+    ``n_nodes_df``: one-column frame of ALL node ids (ranks must include
+    in-degree-0 nodes). Returns (id, rank) un-rounded; callers round.
+    """
+    nodes = n_nodes_df.toDF("id")
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    ed = (
+        edges.join(out_deg, src)
+        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "_deg")
+        .repartition(F.col("_dst"))
+        .persist()
+    )
+    ed.count()
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contrib = (
+            ed.join(ranks, ed._src == ranks.id)
+            .select("_dst", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib._dst, "left")
+            .select(
+                "id",
+                (F.lit(teleport)
+                 + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(edges_cte: str, nodes_cte: str, damping: float = 0.85,
+                        iterations: int = 10) -> str:
+    """DuckDB replica of :func:`pagerank` as ``iterations`` chained CTEs —
+    the same join+aggregate recurrence unrolled, so the oracle replays the
+    exact float arithmetic (teleport + d * sum of rank/deg contributions).
+
+    ``edges_cte``/``nodes_cte`` are CTE *names* already defined by the
+    caller with columns (src, dst) / (id).
+    """
+    n_expr = f"(SELECT COUNT(*) FROM {nodes_cte})"
+    parts = [
+        f"deg AS (SELECT src, COUNT(*) AS deg FROM {edges_cte} GROUP BY src)",
+        f"r0 AS (SELECT id, 1.0 / {n_expr} AS rank FROM {nodes_cte})",
+    ]
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(f"""{cur} AS (
+  SELECT n.id,
+         (1.0 - {damping}) / {n_expr}
+         + {damping} * COALESCE(c.contrib, 0.0) AS rank
+  FROM {nodes_cte} n LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.rank / deg.deg) AS contrib
+    FROM {edges_cte} e
+    JOIN deg ON deg.src = e.src
+    JOIN {prev} p ON p.id = e.src
+    GROUP BY e.dst
+  ) c ON c.id = n.id
+)""")
+    return ",\n".join(parts) + f",\nfinal_rank AS (SELECT * FROM r{iterations})"

@@ -60,6 +60,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orc_roundtrip_revenue",
     "fuzzy_prefix_pairs",
     "grouping_sets_revenue",
+    "pagerank_similarity_graph",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

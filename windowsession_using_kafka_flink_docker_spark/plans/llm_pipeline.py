@@ -1151,3 +1151,50 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+from windowsession_using_kafka_flink_docker_spark.operators.cluster import (  # noqa: E402
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+
+@register(
+    "pagerank_similarity_graph",
+    # The oracle replays BOTH stages: the k-NN edge derivation (top-3
+    # rounded-cosine neighbors per vector, same ranking/tiebreak as the
+    # hash-green cosine_topk) and the 10 unrolled PageRank iterations as
+    # chained CTEs — identical join+aggregate float recurrence, so the
+    # final ranks hash-match at 6 decimals.
+    oracle="""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(b.v, a.v), 4) DESC,
+                                       b.vec_id) AS rnk
+    FROM base a JOIN base b ON a.vec_id <> b.vec_id)
+  WHERE rnk <= 3
+),
+nodes AS (SELECT vec_id AS id FROM base),
+""" + pagerank_oracle_sql("knn", "nodes") + """
+SELECT id AS vec_id, ROUND(rank, 6) AS rank FROM final_rank
+""",
+    description="PageRank (d=0.85, 10 fixed iterations) over the directed "
+                "3-NN cosine similarity graph of the embeddings table — "
+                "the iterative-algorithm discipline next to connected "
+                "components: per-iteration cost is two slim shuffles "
+                "(rank join + dst-sum), lineage truncated by "
+                "localCheckpoint every 3 rounds; every node has outdegree "
+                "3 so no dangling mass. Oracle unrolls the identical "
+                "recurrence as chained DuckDB CTEs (edges included).",
+    tags=("llm", "graph", "iterative"),
+)
+def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.cosine_topk(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("match_id").alias("dst"))
+    ranks = pagerank(knn, emb.select("vec_id"))
+    return ranks.select(F.col("id").alias("vec_id"),
+                        F.round("rank", 6).alias("rank"))
