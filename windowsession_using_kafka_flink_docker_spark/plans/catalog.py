@@ -61,6 +61,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_prefix_pairs",
     "grouping_sets_revenue",
     "pagerank_similarity_graph",
+    "scd2_customer_upsert",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

@@ -1109,3 +1109,80 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs_v")
     return spark.sql(_GROUPING_SETS_SQL.format(orders="_orders_gs_v"))
+
+
+@register(
+    "scd2_customer_upsert",
+    # The change batch is derived deterministically from the data itself:
+    # real updates (acctbal+100 for custkey%10=3), a no-op full-feed
+    # resend slice (custkey%10=7, identical values — MUST be dropped by
+    # the checksum compare), and brand-new keys (custkey%50=0 shifted by
+    # 1M). The oracle replays the same three-leg merge in SQL.
+    oracle="""
+WITH base AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal,
+                     c_mktsegment, TIMESTAMP '2020-01-01' AS valid_from
+              FROM customer),
+chg AS (
+  SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey, ROUND(c_acctbal, 2), c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 7
+  UNION ALL
+  SELECT c_custkey + 1000000, ROUND(c_acctbal, 2), c_mktsegment
+  FROM customer WHERE c_custkey % 50 = 0
+),
+eff AS (SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+        FROM base s JOIN chg c USING (c_custkey)
+        WHERE s.c_acctbal IS DISTINCT FROM c.c_acctbal
+           OR s.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
+newk AS (SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment FROM chg c
+         WHERE NOT EXISTS (SELECT 1 FROM base s
+                           WHERE s.c_custkey = c.c_custkey))
+SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment, s.valid_from,
+       TIMESTAMP '2024-06-01' AS valid_to, FALSE AS is_current
+FROM base s JOIN eff e USING (c_custkey)
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP), TRUE
+FROM (SELECT * FROM eff UNION ALL SELECT * FROM newk)
+UNION ALL
+SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment, s.valid_from,
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM base s WHERE NOT EXISTS (SELECT 1 FROM eff e
+                              WHERE e.c_custkey = s.c_custkey)
+""",
+    description="SCD type-2 dimension upsert (the lakehouse MERGE "
+                "pattern, format-free): one change batch versioned into "
+                "the customer dimension — updated keys expire with "
+                "valid_to, effective changes and new keys open as "
+                "current, no-op resends are dropped by the null-safe "
+                "checksum compare. Three key-shuffle join legs (inner/"
+                "anti), no window, no driver state.",
+    tags=("relational", "scd2", "merge"),
+)
+def scd2_customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    snapshot = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+    )
+    rounded = cust.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+    changes = (
+        rounded.where(F.col("c_custkey") % 10 == 3)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .unionByName(rounded.where(F.col("c_custkey") % 10 == 7))
+        .unionByName(
+            rounded.where(F.col("c_custkey") % 50 == 0)
+            .withColumn("c_custkey", F.col("c_custkey") + 1_000_000))
+    )
+    return scd2_apply(
+        snapshot, changes, key="c_custkey",
+        batch_ts=F.lit("2024-06-01").cast("timestamp"),
+        attr_cols=("c_acctbal", "c_mktsegment"),
+    )
