@@ -84,3 +84,24 @@ def test_writer_stats_fallback():
             raise RuntimeError("no private API here")
 
     assert W._bytes_per_row(Broken(), 100) == W.FALLBACK_BYTES_PER_ROW
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """The point of a partitioned layout at 100 TB: a filter on the
+    partition column must prune at the SCAN (PartitionFilters), reading
+    one directory instead of the table. Regression-locks the layout the
+    writer produces against Spark's pruning machinery."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "pruned")
+    write_partitioned(ev, out, ["event_type"], target_file_mb=128)
+    back = spark.read.parquet(out)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = (back.where(F.col("event_type") == "purchase")
+            ._jdf.queryExecution().explainString(jmode))
+    pruned = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pruned and "event_type" in pruned[0], plan
+    # and the pruned scan must read only the purchase directory's rows
+    n_purchase = ev.where("event_type = 'purchase'").count()
+    assert back.where("event_type = 'purchase'").count() == n_purchase
