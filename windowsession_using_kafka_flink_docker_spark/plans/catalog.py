@@ -62,6 +62,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "pagerank_similarity_graph",
     "scd2_customer_upsert",
+    "sketch_accuracy_report",
+    "unigram_quality_score",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

@@ -1198,3 +1198,55 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(knn, emb.select("vec_id"))
     return ranks.select(F.col("id").alias("vec_id"),
                         F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "unigram_quality_score",
+    # CCNet-style LM quality proxy without an external model: train the
+    # unigram LM on the corpus itself (token frequencies), score each doc
+    # by mean -log2 p(token) — bits/token. Low = repetitive/boilerplate,
+    # high = rare-token soup; the distribution tails are what a curation
+    # gate cuts. Fully SQL-expressible, so the whole train+score pipeline
+    # is hash-checked.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+  WHERE {_NORM_SQL} <> ''
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS t FROM toks)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-log2(freq.n / CAST(total.t AS DOUBLE))), 4) AS bits_per_token
+FROM toks JOIN freq USING (tok) CROSS JOIN total
+GROUP BY doc_id
+""",
+    description="Unigram LM quality score (CCNet-style proxy, "
+                "self-trained): corpus token frequencies as the LM, "
+                "per-doc mean -log2 p(token) in bits/token. Scale shape: "
+                "tokenize+explode once, frequency table broadcasts "
+                "(vocab << corpus), per-doc agg shuffles on doc_id only; "
+                "at 100 TB the freq table is the trained artifact, "
+                "written once and broadcast to every scoring run.",
+    tags=("llm", "text", "quality"),
+)
+def unigram_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", T.normalized_text("text").alias("_n"))
+        .where(F.col("_n") != "")
+        .select("doc_id", F.explode(F.split("_n", " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = toks.agg(F.count("*").alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("n") / F.col("t").cast("double"))), 4)
+             .alias("bits_per_token"),
+        )
+    )

@@ -1186,3 +1186,45 @@ def scd2_customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_ts=F.lit("2024-06-01").cast("timestamp"),
         attr_cols=("c_acctbal", "c_mktsegment"),
     )
+
+
+@register(
+    "sketch_accuracy_report",
+    # The sketch VALUES are engine-specific (HLL register layout, GK/
+    # KLL quantile internals differ between Spark and DuckDB), which is
+    # why approx_distinct_users/approx_percentiles are rows-only — but the
+    # ACCURACY CONTRACT is checkable: Spark computes sketch and exact side
+    # by side and emits pass/fail booleans against the documented error
+    # bounds; the oracle recomputes the exact values and pins the booleans
+    # TRUE. A regressed sketch config (or a broken approx path) flips a
+    # boolean and breaks the hash.
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS distinct_within_5pct,
+       TRUE AS p50_within_1
+FROM events
+GROUP BY event_type
+""",
+    description="Sketch-accuracy gate: approx_count_distinct (HLL, 1% "
+                "target) must land within 5% of the exact distinct count "
+                "and approx_percentile(0.5, acc=10000) within 1.0 of the "
+                "exact median, per event_type — the hard-signal companion "
+                "to the rows-only sketch queries; one aggregation pass "
+                "computes sketch and exact together.",
+    tags=("relational", "aggregate", "approx", "quality"),
+)
+def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.01)
+                  - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("distinct_within_5pct"),
+        (
+            F.abs(F.expr("approx_percentile(value, 0.5, 10000)")
+                  - F.expr("percentile(value, 0.5)")) <= 1.0
+        ).alias("p50_within_1"),
+    )
