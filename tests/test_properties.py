@@ -201,3 +201,96 @@ def test_asof_join_matches_naive(spark, left, right):
             want.append((k, t0 + timedelta(seconds=s), v,
                          t0 + timedelta(seconds=rs), rv))
     assert got == sorted(want)
+
+
+# --- SCD2 upsert invariants -------------------------------------------------
+
+_scd_snapshot = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=20),      # key
+              st.integers(min_value=0, max_value=5)),       # attr bucket
+    min_size=1, max_size=15, unique_by=lambda t: t[0],
+)
+_scd_changes = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=30),       # key (some new)
+              st.integers(min_value=0, max_value=5)),
+    min_size=0, max_size=15, unique_by=lambda t: t[0],
+)
+
+
+class TestScd2Properties:
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(snap=_scd_snapshot, chg=_scd_changes)
+    def test_version_invariants(self, spark, snap, chg):
+        """For ANY snapshot/changes pair: every key has exactly one
+        current row; expired rows exist iff the key was effectively
+        changed; total rows = |snapshot| + |new keys| + |effective
+        updates|."""
+        from windowsession_using_kafka_flink_docker_spark.operators.scd import scd2_apply
+
+        t0 = datetime(2020, 1, 1)
+        snapshot = spark.createDataFrame(
+            [(k, float(a), t0) for k, a in snap],
+            "k BIGINT, bal DOUBLE, valid_from TIMESTAMP")
+        changes = spark.createDataFrame(
+            [(k, float(a)) for k, a in chg] or [(None, None)],
+            "k BIGINT, bal DOUBLE").where(F.col("k").isNotNull())
+        out = scd2_apply(snapshot, changes, key="k",
+                         batch_ts=F.lit("2024-06-01").cast("timestamp"),
+                         attr_cols=("bal",)).collect()
+
+        snap_d = dict(snap)
+        chg_d = dict(chg)
+        effective = {k for k, a in chg_d.items()
+                     if k in snap_d and snap_d[k] != a}
+        new_keys = {k for k in chg_d if k not in snap_d}
+        all_keys = set(snap_d) | new_keys
+
+        current = [r for r in out if r.is_current]
+        expired = [r for r in out if not r.is_current]
+        assert {r.k for r in current} == all_keys
+        assert len(current) == len(all_keys)  # exactly one current per key
+        assert {r.k for r in expired} == effective
+        assert len(out) == len(snap_d) + len(new_keys) + len(effective)
+        for r in current:
+            want = chg_d[r.k] if (r.k in effective or r.k in new_keys) else snap_d[r.k]
+            assert r.bal == float(want)
+            assert r.valid_to is None
+        for r in expired:
+            assert r.bal == float(snap_d[r.k])
+            assert r.valid_to is not None
+
+
+# --- PageRank invariants ----------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=8),
+              st.integers(min_value=1, max_value=8)),
+    min_size=0, max_size=20, unique=True,
+).map(lambda es: [(s, d) for s, d in es if s != d])
+
+
+class TestPagerankProperties:
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(edges=_edges)
+    def test_mass_bounds(self, spark, edges):
+        """For ANY digraph on 8 nodes: every rank >= teleport mass, total
+        mass <= 1 (dangling leaks, never gains), and == 1 when no node
+        dangles."""
+        from windowsession_using_kafka_flink_docker_spark.operators.cluster import pagerank
+
+        nodes = list(range(1, 9))
+        nodes_df = spark.createDataFrame([(v,) for v in nodes], "id BIGINT")
+        edges_df = spark.createDataFrame(
+            edges or [(None, None)], "src BIGINT, dst BIGINT"
+        ).where(F.col("src").isNotNull())
+        ranks = {r.id: r.rank for r in pagerank(edges_df, nodes_df).collect()}
+        assert set(ranks) == set(nodes)
+        teleport = 0.15 / len(nodes)
+        assert all(r >= teleport - 1e-12 for r in ranks.values())
+        total = sum(ranks.values())
+        assert total <= 1.0 + 1e-9
+        srcs = {s for s, _ in edges}
+        if srcs == set(nodes):  # no dangling nodes -> mass conserved
+            assert abs(total - 1.0) < 1e-9
