@@ -30,7 +30,7 @@ def _plan(spark, name, sf_dir, mode: str = "formatted") -> str:
 _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           "winnow_neardup_pairs", "ivf_ann_topk", "neardup_clusters",
           # one-scan doc-stats materialization (see bm25_topk docstring)
-          "bm25_search",
+          "bm25_search", "tfidf_search",
           # rewrites the bucketed table at plan-construction time
           "session_fixed_gap_bucketed",
           # trains + encodes (persist/count) at plan-construction time

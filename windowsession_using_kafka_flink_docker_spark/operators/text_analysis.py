@@ -175,3 +175,55 @@ def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+def tfidf_topk(docs, query_terms: tuple[str, ...], k: int = 10,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Classic TF-IDF retrieval: top-k documents scoring
+    ``sum_t tf(t,d) * ln(N/df(t))`` for a bag of query terms — the
+    pre-BM25 baseline next to :func:`bm25_topk`, same scale shape (one
+    localCheckpointed per-doc stats pass, broadcast df frame,
+    TakeOrderedAndProject top-k; see bm25_topk's docstring for why).
+    Rank by the ROUNDED score then id so near-ties at the k boundary
+    resolve identically in both engines."""
+    from pyspark.sql import functions as F
+
+    toks_df = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    )
+
+    def _tf(term: str):
+        return F.size("_toks") - F.size(F.array_remove("_toks", term))
+
+    perdoc = toks_df.select(
+        id_col,
+        *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(query_terms)],
+    ).localCheckpoint(eager=True)
+    n_docs = perdoc.agg(F.count("*").alias("_n"))
+    tf = (
+        perdoc.select(
+            id_col,
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("_tok"),
+                             F.col(f"_tf_{i}").alias("_tf"))
+                    for i, t in enumerate(query_terms)
+                ])
+            ).alias("_e"),
+        )
+        .select(id_col, F.col("_e._tok").alias("_tok"), F.col("_e._tf").alias("_tf"))
+        .where(F.col("_tf") > 0)
+    )
+    dft = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dft), "_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_tf") * F.log(F.col("_n") / F.col("_df"))).alias("_s"))
+    )
+    return (
+        scored.select(id_col, F.round("_s", 4).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), id_col)
+        .limit(k)
+    )

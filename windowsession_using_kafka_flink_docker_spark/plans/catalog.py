@@ -64,6 +64,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_customer_upsert",
     "sketch_accuracy_report",
     "unigram_quality_score",
+    "tfidf_search",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

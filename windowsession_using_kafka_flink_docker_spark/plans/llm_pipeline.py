@@ -1250,3 +1250,39 @@ def unigram_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("bits_per_token"),
         )
     )
+
+
+@register(
+    "tfidf_search",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, s AS tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS s FROM base)
+  WHERE s IN ('spark', 'stream', 'join')
+  GROUP BY 1, 2
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM base),
+scored AS (
+  SELECT doc_id, SUM(tf.tf * ln(n.n / CAST(dft.df AS DOUBLE))) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN n
+  GROUP BY doc_id
+)
+SELECT doc_id, ROUND(s, 4) AS tfidf
+FROM scored
+ORDER BY ROUND(s, 4) DESC, doc_id
+LIMIT 10
+""",
+    description="Classic TF-IDF top-10 retrieval for query {spark, "
+                "stream, join} — the pre-BM25 baseline sharing bm25's "
+                "scale shape: one-scan per-doc term frequencies, "
+                "broadcast df frame, TakeOrderedAndProject top-k ranked "
+                "by rounded score.",
+    tags=("llm", "text", "retrieval"),
+)
+def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_topk(load_table(spark, sf_dir, "documents"),
+                        ("spark", "stream", "join"))
