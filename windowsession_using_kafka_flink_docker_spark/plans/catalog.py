@@ -65,6 +65,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sketch_accuracy_report",
     "unigram_quality_score",
     "tfidf_search",
+    "rolling_time_range_features",
+    "null_semantics_report",
+    "decimal_ledger_totals",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

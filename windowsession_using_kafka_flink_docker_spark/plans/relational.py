@@ -1228,3 +1228,109 @@ def sketch_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - F.expr("percentile(value, 0.5)")) <= 1.0
         ).alias("p50_within_1"),
     )
+
+
+_TIME_RANGE_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w1h, 2) AS sum_1h,
+       CAST(COUNT(*) OVER w1h AS BIGINT) AS n_1h
+FROM {events}
+WHERE event_type = 'purchase'
+WINDOW w1h AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "rolling_time_range_features",
+    oracle=_TIME_RANGE_SQL.format(events="events"),
+    description="Time-based window frame (RANGE BETWEEN INTERVAL 1 HOUR "
+                "PRECEDING): trailing-hour purchase sum/count per user — "
+                "the value-based frame ROWS frames can't express (rows "
+                "in the hour vary per event). One sort per user "
+                "partition, frame bounds advance by timestamp "
+                "arithmetic; the sibling of rolling_purchase_features.",
+    tags=("relational", "window", "frame", "time"),
+)
+def rolling_time_range_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_events_tr_v")
+    return spark.sql(_TIME_RANGE_SQL.format(events="_events_tr_v"))
+
+
+@register(
+    "null_semantics_report",
+    # Nulls derived deterministically (NULLIF under a value threshold) so
+    # the engines' null-handling contract is the thing under test:
+    # COUNT(*) vs COUNT(col), null-skipping SUM/AVG/MIN/MAX, and COALESCE
+    # fallbacks must all agree.
+    oracle="""
+WITH e AS (SELECT event_type, user_id,
+                  CASE WHEN value < 10 THEN NULL ELSE value END AS v
+           FROM events)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(v) AS n_nonnull,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       ROUND(SUM(v), 2) AS sum_v,
+       ROUND(AVG(v), 4) AS avg_v,
+       ROUND(MIN(v), 2) AS min_v,
+       ROUND(SUM(COALESCE(v, 0.0)), 2) AS sum_coalesced
+FROM e
+GROUP BY event_type
+""",
+    description="Null-semantics parity report: COUNT(*) vs COUNT(col), "
+                "null-skipping SUM/AVG/MIN and COALESCE fallback over a "
+                "deterministically NULLIF'd value column — locks the "
+                "aggregate null contract both engines must share.",
+    tags=("relational", "aggregate", "nulls"),
+)
+def null_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    e = ev.select("event_type", v.alias("v"))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long")
+         .alias("n_null"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+        F.round(F.min("v"), 2).alias("min_v"),
+        F.round(F.sum(F.coalesce(F.col("v"), F.lit(0.0))), 2)
+         .alias("sum_coalesced"),
+    )
+
+
+@register(
+    "decimal_ledger_totals",
+    # Money must not ride in doubles at 100 TB: DECIMAL(18,2) sums are
+    # EXACT and associativity-independent, so this is the one aggregate
+    # family where the hash gate needs no ROUND discipline at all.
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+         AS total_price,
+       ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE), 4)
+         AS avg_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    description="Exact decimal money aggregation: o_totalprice cast to "
+                "DECIMAL(18,2) before summing, so the totals are exact "
+                "integers-of-cents regardless of partitioning or "
+                "summation order — the ledger-grade aggregate path. Only "
+                "the OUTPUT edge casts to double (cent totals << 2^53, "
+                "the conversion is exact; the driver canonicalizer has no "
+                "Decimal lane), so unlike the float queries the interior "
+                "needs no ROUND discipline at all.",
+    tags=("relational", "aggregate", "decimal"),
+)
+def decimal_ledger_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(dec).cast("double").alias("total_price"),
+        F.round(F.avg(dec).cast("double"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
