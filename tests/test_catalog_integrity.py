@@ -49,8 +49,12 @@ def test_priority_covers_all_post_snapshot_entries():
     latest = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))[-1]
     with open(latest) as f:
         seen = set(json.load(f))
+    # Entries deliberately left outside the window (rationale at their
+    # catalog.py comment) — each yield keeps a core-parity row inside.
+    yielded = {"orc_roundtrip_revenue"}
     unseen = [n for n in CATALOG if n not in seen]
-    not_prioritized = [n for n in unseen if n not in DRIVER_PRIORITY]
+    not_prioritized = [n for n in unseen
+                       if n not in DRIVER_PRIORITY and n not in yielded]
     assert not not_prioritized, (
         f"never-driver-checked entries missing from DRIVER_PRIORITY: "
         f"{not_prioritized}")

@@ -57,7 +57,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pq_ann_topk",
     "pq_rerank_all_vs_exact",
     "unpivot_order_counts",
-    "orc_roundtrip_revenue",
+    # orc_roundtrip_revenue deliberately NOT prioritized: with a ~50-slot
+    # driver window, yielding its slot keeps the core
+    # session_fixed_gap_bucketed row (SURVEY §2.4 K1) inside the window;
+    # the ORC roundtrip stays under the local oracle gate.
     "fuzzy_prefix_pairs",
     "grouping_sets_revenue",
     "pagerank_similarity_graph",
