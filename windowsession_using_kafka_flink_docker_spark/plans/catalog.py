@@ -67,10 +67,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_customer_upsert",
     "sketch_accuracy_report",
     "unigram_quality_score",
-    "tfidf_search",
+    # tfidf_search deliberately NOT prioritized (same yield rationale as
+    # orc_roundtrip_revenue): bm25_search — its stronger sibling sharing
+    # the identical plan skeleton — takes the driver row; tfidf stays
+    # under the local oracle gate.
     "rolling_time_range_features",
     "null_semantics_report",
     "decimal_ledger_totals",
+    "incremental_rollup_merge",
     "media_features",
     "media_frame_sample",
     # never driver-checked (registered after the round-3 snapshot)

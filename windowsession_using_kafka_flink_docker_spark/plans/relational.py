@@ -1334,3 +1334,56 @@ def decimal_ledger_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(dec).cast("double"), 4).alias("avg_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    # The oracle computes the rollup directly over ALL events; Spark
+    # computes it INCREMENTALLY — a materialized partial-aggregate state
+    # (days < 2024-01-20) merged with a delta batch's partials — and must
+    # land on identical results. sum/count merge associatively; avg is
+    # derived after the merge (never averaged-of-averages).
+    oracle="""
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="Incremental aggregation maintenance: a materialized "
+                "per-(type, day) partial-aggregate state merged with a "
+                "new delta batch's partials — at 100 TB the rollup is "
+                "maintained from deltas, never recomputed from the full "
+                "fact table; the oracle computes the same rollup directly "
+                "over all events, so the merge-of-partials must be "
+                "exactly lossless.",
+    tags=("relational", "aggregate", "incremental"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+    cutoff = "2024-01-20"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_sum"),
+        )
+
+    state = partials(ev.where(F.col("day") < cutoff))   # the materialized MV
+    delta = partials(ev.where(F.col("day") >= cutoff))  # the arriving batch
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("_sum").alias("_sum"))
+    )
+    # No derived avg in the hashed output: 2-decimal-quantized values over
+    # per-day counts park sum/count EXACTLY on .5 rounding boundaries,
+    # where Spark (decimal-string HALF_UP) and DuckDB (binary-double
+    # round) legitimately disagree in the last digit. count+total fully
+    # witness the lossless merge; consumers derive avg downstream.
+    return merged.select(
+        "event_type", "day", "n_events",
+        F.round(F.col("_sum"), 2).alias("total_value"),
+    )
