@@ -1387,3 +1387,61 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "n_events",
         F.round(F.col("_sum"), 2).alias("total_value"),
     )
+
+
+from windowsession_using_kafka_flink_docker_spark.sources.zorder import (  # noqa: E402
+    duckdb_zvalue_sql,
+    zvalue_expr,
+)
+
+_ZORDER_SQL = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+           FROM events),
+b AS (SELECT MIN(user_id) AS alo, MAX(user_id) AS ahi,
+             MIN(epoch) AS blo, MAX(epoch) AS bhi FROM e),
+z AS (SELECT user_id, epoch, {zexpr} AS zv FROM e, b)
+SELECT zv >> 10 AS z_cell,
+       COUNT(*) AS n_events,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       MIN(epoch) AS min_epoch, MAX(epoch) AS max_epoch
+FROM z
+GROUP BY z_cell
+"""
+
+
+@register(
+    "zorder_cell_stats",
+    # The Morton interleave is exact BIGINT arithmetic, so DuckDB replays
+    # it bit-for-bit (duckdb_zvalue_sql generates the engine's shift
+    # syntax); the per-cell envelopes ARE the data-skipping story: every
+    # 1024-wide z-range maps to a tight rectangle in (user_id, time).
+    oracle=_ZORDER_SQL.format(zexpr=duckdb_zvalue_sql(
+        "user_id", "epoch", "b.alo", "b.ahi", "b.blo", "b.bhi", bits=8)),
+    description="Z-order locality audit: Morton-interleave (user_id, "
+                "event-time) into 16-bit codes (sources/zorder.py), group "
+                "by 64 z-cells, emit each cell's (user, time) bounding "
+                "rectangle — the per-cell envelopes that make row-group "
+                "pruning work on BOTH dimensions after write_zordered; "
+                "measured skip fractions (z-order 0.50/0.62 vs "
+                "single-sort 0.94/0.00 at sf0.1) in tests/test_zorder.py.",
+    tags=("relational", "layout", "zorder"),
+)
+def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_seconds("ts").alias("epoch"))
+    bounds = ev.agg(
+        F.min("user_id").alias("alo"), F.max("user_id").alias("ahi"),
+        F.min("epoch").alias("blo"), F.max("epoch").alias("bhi"))
+    z = zvalue_expr("user_id", "epoch", "alo", "ahi", "blo", "bhi", bits=8)
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("zv", z)
+        .select(F.expr("shiftright(zv, 10)").alias("z_cell"),
+                "user_id", "epoch")
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"), F.max("user_id").alias("max_user"),
+            F.min("epoch").alias("min_epoch"), F.max("epoch").alias("max_epoch"),
+        )
+    )
