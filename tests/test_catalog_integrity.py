@@ -51,7 +51,8 @@ def test_priority_covers_all_post_snapshot_entries():
         seen = set(json.load(f))
     # Entries deliberately left outside the window (rationale at their
     # catalog.py comment) — each yield keeps a core-parity row inside.
-    yielded = {"orc_roundtrip_revenue", "tfidf_search", "unpivot_order_counts"}
+    yielded = {"orc_roundtrip_revenue", "tfidf_search", "unpivot_order_counts",
+               "user_event_sequences"}
     unseen = [n for n in CATALOG if n not in seen]
     not_prioritized = [n for n in unseen
                        if n not in DRIVER_PRIORITY and n not in yielded]

@@ -1445,3 +1445,40 @@ def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("epoch").alias("min_epoch"), F.max("epoch").alias("max_epoch"),
         )
     )
+
+
+@register(
+    "user_event_sequences",
+    # Ordered collection: collect_list has NO deterministic order across
+    # partitions, so the sequence is built by sorting (ts, event_id,
+    # type) structs post-collect — the only safe way to materialize
+    # ordered sequences in a distributed agg. Emitted as a '->' joined
+    # STRING because the driver canonicalizer hashes scalars only.
+    oracle="""
+SELECT user_id,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    description="Per-user ordered behavior sequence (event-type path "
+                "joined with '->'): collect_list + struct-sort for a "
+                "deterministic order regardless of partitioning — the "
+                "sequence-mining input shape; scalar string output so "
+                "the hash gate covers the ordering too.",
+    tags=("relational", "aggregate", "sequence"),
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        "->",
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
