@@ -38,24 +38,73 @@ def test_every_entry_documented():
     assert not untagged
 
 
-def test_priority_covers_all_post_snapshot_entries():
-    """Every entry without a driver row in the LATEST correctness snapshot
-    must be in the priority front so the next snapshot sees it."""
+def _driver_history():
+    """(per-entry last-green-round, latest round number) across ALL
+    CORRECTNESS_r*.json snapshots — NOT just the latest one: the driver
+    window rotates, so 'absent from the latest snapshot' does not mean
+    'never checked' (that conflation was round 4's one red test)."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))[-1]
-    with open(latest) as f:
-        seen = set(json.load(f))
-    # Entries deliberately left outside the window (rationale at their
-    # catalog.py comment) — each yield keeps a core-parity row inside.
-    yielded = {"orc_roundtrip_revenue", "tfidf_search", "unpivot_order_counts",
-               "user_event_sequences"}
-    unseen = [n for n in CATALOG if n not in seen]
-    not_prioritized = [n for n in unseen
-                       if n not in DRIVER_PRIORITY and n not in yielded]
+    last_green: dict[str, int] = {}
+    latest_round = 0
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        latest_round = max(latest_round, rnd)
+        with open(path) as f:
+            snap = json.load(f)
+        for name, row in snap.items():
+            ok = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None)
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, latest_round
+
+
+def test_priority_covers_all_never_checked_entries():
+    """Every entry with no driver row in ANY correctness snapshot must be
+    in the priority front so the next snapshot sees it."""
+    last_green, _ = _driver_history()
+    not_prioritized = [n for n in CATALOG
+                       if n not in last_green and n not in DRIVER_PRIORITY]
     assert not not_prioritized, (
         f"never-driver-checked entries missing from DRIVER_PRIORITY: "
         f"{not_prioritized}")
+
+
+def test_window_re_certifies_stalest_entries():
+    """Rotation invariant: every catalog entry is either inside the
+    upcoming driver window (first DRIVER_WINDOW names of queries()) or was
+    driver-green within the last two snapshots. Keeps certifications fresh
+    against driver-side testdata drift without demanding an infinite
+    window."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        DRIVER_WINDOW,
+    )
+
+    last_green, latest_round = _driver_history()
+    window = set(list(queries())[:DRIVER_WINDOW])
+    stale = [n for n in CATALOG
+             if n not in window and last_green.get(n, 0) < latest_round - 1]
+    assert not stale, f"entries neither in-window nor recently green: {stale}"
+
+
+def test_core_parity_and_identity_pins_always_in_window():
+    """The 8 reference-parity rows and the 2 ANN exact-identity pins must
+    never rotate out (VERDICT r4 item 6)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        DRIVER_WINDOW,
+    )
+
+    window = set(list(queries())[:DRIVER_WINDOW])
+    pinned = {
+        "session_fixed_gap", "session_dynamic_gap",
+        "session_fixed_gap_bucketed", "session_report",
+        "big_customer_alert", "csv_parse_roundtrip",
+        "generated_sessionization", "generated_big_customer_alert",
+        "ivf_recall_vs_exact", "pq_rerank_all_vs_exact",
+    }
+    assert pinned <= window, f"pinned rows out of window: {pinned - window}"

@@ -48,3 +48,29 @@ def test_versions(spark):
     assert (ins.bal, ins.valid_from, ins.valid_to) == (900.0, T1, None)
     # row count: 3 current survivors + 1 insert + 1 expired
     assert len(rows) == 5
+
+
+def test_duplicate_keys_in_batch_keep_one_current_row(spark):
+    """A feed that re-sends a key within one batch must still leave exactly
+    one current row per key (the SCD2 invariant). With ``change_order``,
+    the highest-ordered row wins; without, the tie-break is deterministic
+    (max over the attribute tuple)."""
+    snapshot = spark.createDataFrame(
+        [(1, 100.0, "A", T0)],
+        "k BIGINT, bal DOUBLE, seg STRING, valid_from TIMESTAMP")
+    changes = spark.createDataFrame(
+        [(1, 150.0, "A", 10), (1, 175.0, "A", 20), (1, 125.0, "A", 15)],
+        "k BIGINT, bal DOUBLE, seg STRING, seq INT")
+    out = scd2_apply(snapshot, changes, key="k",
+                     batch_ts=F.lit("2024-06-01").cast("timestamp"),
+                     attr_cols=("bal", "seg"), change_order="seq").collect()
+    current = [r for r in out if r.is_current]
+    assert len(current) == 1 and current[0].bal == 175.0  # seq=20 wins
+    expired = [r for r in out if not r.is_current]
+    assert len(expired) == 1 and expired[0].bal == 100.0
+
+    # no order column: deterministic-but-arbitrary winner, invariant holds
+    out2 = scd2_apply(snapshot, changes.drop("seq"), key="k",
+                      batch_ts=F.lit("2024-06-01").cast("timestamp"),
+                      attr_cols=("bal", "seg")).collect()
+    assert sum(r.is_current for r in out2) == 1

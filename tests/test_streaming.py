@@ -996,3 +996,76 @@ class TestStreamStreamOuterIntervalJoin:
         n_unmatched = sum(1 for row in got if "None" in row)  # _rows stringifies
         assert n_unmatched > 0, "test vacuous: every left row matched"
         assert got == want
+
+
+class TestStreamingRollupMaintenance:
+    """foreachBatch MERGE of micro-batch partials into a versioned rollup
+    state (streaming/rollup.py) must land on the exact batch rollup —
+    the streaming twin of the driver-oracled incremental_rollup_merge."""
+
+    def _chunked_events(self, spark, sf_dir, tmp_path_factory, n_chunks=3):
+        import glob
+        import shutil
+
+        base = str(tmp_path_factory.mktemp("rollup_events"))
+        ev = (load_table(spark, sf_dir, "events")
+              .select("ts", "event_type", "value"))
+        # Slice by day so micro-batches look like real arriving deltas
+        # (several batches touch the same (type, day) keys at boundaries).
+        chunks = ev.withColumn(
+            "_c", F.pmod(F.dayofmonth("ts"), F.lit(n_chunks)))
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(n_chunks):
+            d = os.path.join(base, f"c{i}")
+            chunks.where(F.col("_c") == i).drop("_c") \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        return flat
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.operators.rollup import (
+            rollup_merge, rollup_partials, rollup_present, with_day,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalRollupMaintainer, streaming_rollup_maintenance,
+        )
+
+        flat = self._chunked_events(spark, sf_dir, tmp_path_factory)
+        state_dir = str(tmp_path_factory.mktemp("rollup_state"))
+        ckpt = str(tmp_path_factory.mktemp("rollup_ckpt"))
+        maint = IncrementalRollupMaintainer(spark, state_dir)
+        stream = (spark.readStream
+                  .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+                  .option("maxFilesPerTrigger", "1").parquet(flat))
+        q = streaming_rollup_maintenance(stream, maint, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # ≥2 versions ⇒ at least one real state+delta merge happened
+        assert len(maint._versions()) >= 2
+        got = _rows(maint.current(), exclude_sentinel=False)
+        ev = load_table(spark, sf_dir, "events")
+        want = _rows(rollup_present(rollup_partials(with_day(ev))),
+                     exclude_sentinel=False)
+        assert len(got) == len(want) and got == want
+
+    def test_batch_replay_is_idempotent(self, spark, sf_dir, tmp_path_factory):
+        """foreachBatch is at-least-once: re-delivering a batch must not
+        double-count (version v{id} is rebuilt from versions < id)."""
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalRollupMaintainer,
+        )
+
+        ev = (load_table(spark, sf_dir, "events")
+              .select("ts", "event_type", "value").limit(500))
+        state_dir = str(tmp_path_factory.mktemp("rollup_replay"))
+        maint = IncrementalRollupMaintainer(spark, state_dir)
+        maint.merge_batch(ev, 0)
+        maint.merge_batch(ev, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(ev, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once

@@ -146,6 +146,8 @@ def pagerank(edges: DataFrame, n_nodes_df: DataFrame, damping: float = 0.85,
     """
     nodes = n_nodes_df.toDF("id")
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty node frame")
     out_deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
     ed = (
         edges.join(out_deg, src)

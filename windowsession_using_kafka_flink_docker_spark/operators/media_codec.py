@@ -142,7 +142,7 @@ def resize_png(data: bytes, new_width: int, new_height: int) -> bytes:
 
 def build_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
     samples = ((_mix_bytes(n_samples * 2, seed)
-                .view(np.uint16).astype(np.int32) - 32768)
+                .view("<u2").astype(np.int32) - 32768)
                .astype("<i2")).tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt

@@ -19,14 +19,15 @@ path scans only current rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def scd2_apply(snapshot: DataFrame, changes: DataFrame, key: str,
                batch_ts: Column, attr_cols: tuple[str, ...],
                valid_from: str = "valid_from", valid_to: str = "valid_to",
-               is_current: str = "is_current") -> DataFrame:
+               is_current: str = "is_current",
+               change_order: str | None = None) -> DataFrame:
     """Apply one change batch to the CURRENT rows of an SCD2 dimension.
 
     ``snapshot``: the current rows — ``key``, ``attr_cols``, ``valid_from``
@@ -42,9 +43,21 @@ def scd2_apply(snapshot: DataFrame, changes: DataFrame, key: str,
     No-op changes (every attribute equal) are dropped, the standard SCD2
     checksum-compare: re-sending yesterday's full feed must not version
     the whole dimension.
+
+    A real feed can re-send a key within one batch; keeping both would
+    open two "current" rows and break the one-current-row-per-key
+    invariant, so the batch is deduped to ONE row per key first. Pass
+    ``change_order`` (a column in ``changes``, e.g. a CDC sequence
+    number) to keep the highest-ordered row; without it the tie-break is
+    deterministic-but-arbitrary (max over the attribute tuple), which is
+    only safe when intra-batch duplicates are exact resends.
     """
     snap = snapshot.select(key, *attr_cols, valid_from)
-    chg = changes.select(key, *attr_cols)
+    order_cols = ([F.col(change_order).desc()] if change_order
+                  else [F.col(c).desc_nulls_last() for c in attr_cols])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    chg = (changes.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1).select(key, *attr_cols))
 
     differs = F.lit(False)
     for c in attr_cols:

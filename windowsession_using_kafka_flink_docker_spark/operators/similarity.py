@@ -161,7 +161,7 @@ def signlsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 12,
     )
 
 
-def duckdb_signlsh_bucket_sql(vec_expr: str, dim: int, n_planes: int = 10,
+def duckdb_signlsh_bucket_sql(vec_expr: str, dim: int, n_planes: int,
                               seed: int = 42) -> str:
     """DuckDB replica of :func:`signlsh_bucket_expr` for oracle SQL — same
     seeded hyperplanes, same left-to-right double accumulation (SQL ``+``

@@ -41,68 +41,85 @@ def register(name: str, oracle: str | None, description: str = "",
     return deco
 
 
-#: Names surfaced FIRST to the driver. The per-round correctness snapshot
-#: covers a bounded window of queries() in iteration order (50 in round 3),
-#: so entries that have never had a driver row — everything added in rounds
-#: 3-4 after the round-3 snapshot — go to the front; long-green round-1/2
-#: entries can safely rotate out of the window (their green rows are on
-#: record in CORRECTNESS_r0{1,2,3}.json and all of them stay under the
-#: local tests/test_oracle_parity.py gate).
+#: Driver correctness-window size observed in CORRECTNESS_r0{2,3,4}.json.
+#: The per-round snapshot covers the first DRIVER_WINDOW names of
+#: ``queries()`` in iteration order.
+DRIVER_WINDOW = 50
+
+#: Names surfaced FIRST to the driver — the round-5 window, rebuilt per
+#: VERDICT r4 items 1/2/6. Rotation policy (enforced by
+#: tests/test_catalog_integrity.py): (a) entries never driver-checked in
+#: ANY CORRECTNESS_r*.json go first, (b) the 8 core reference-parity rows
+#: and the 2 ANN exact-identity pins stay inside EVERY window, (c) the
+#: remaining slots go to the entries whose last driver-green round is
+#: OLDEST, so no entry's certification ages past ~2 rounds (the testdata's
+#: timestamp types are known to drift between rounds — re-certification is
+#: not paranoia).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-4 additions (hard-signal converts + real multimodal)
-    "ann_recall_vs_exact",
-    "ann_multiprobe_topk",
-    "ann_multiprobe_recall_vs_exact",
+    # -- never driver-checked (yielded in r4; front-loaded now) ----------
+    "unpivot_order_counts",
+    "orc_roundtrip_revenue",
+    "user_event_sequences",
+    "tfidf_search",
+    # -- new in round 5 --------------------------------------------------
+    "copurchase_pairs",
+    # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
+    "session_fixed_gap",
+    "session_dynamic_gap",
+    "session_fixed_gap_bucketed",
+    "session_report",
+    "big_customer_alert",
+    "csv_parse_roundtrip",
+    "generated_sessionization",
+    "generated_big_customer_alert",
+    # -- ANN exact-identity pins for the two rows-only approximate paths -
     "ivf_recall_vs_exact",
-    "pq_ann_topk",
     "pq_rerank_all_vs_exact",
-    # unpivot_order_counts / orc_roundtrip_revenue / tfidf_search
-    # deliberately NOT prioritized: with a 50-slot driver window (sizes of
-    # CORRECTNESS_r02/r03), yielding these three mechanical-variant slots
-    # keeps every core parity row — including session_fixed_gap_bucketed
-    # (SURVEY §2.4 K1) — inside the window; all three stay under the local
-    # oracle gate (tests/test_oracle_parity.py).
-    "fuzzy_prefix_pairs",
-    "grouping_sets_revenue",
-    "pagerank_similarity_graph",
-    "scd2_customer_upsert",
-    "sketch_accuracy_report",
-    "unigram_quality_score",
-    # tfidf_search deliberately NOT prioritized (same yield rationale as
-    # orc_roundtrip_revenue): bm25_search — its stronger sibling sharing
-    # the identical plan skeleton — takes the driver row; tfidf stays
-    # under the local oracle gate.
-    "rolling_time_range_features",
-    "null_semantics_report",
-    "decimal_ledger_totals",
-    "incremental_rollup_merge",
-    "zorder_cell_stats",
-    "media_features",
-    "media_frame_sample",
-    # never driver-checked (registered after the round-3 snapshot)
-    "anti_join_no_urgent_customers",
-    "subword_token_stats",
-    "ivf_ann_topk",
-    "winnow_fingerprint_stats",
-    "winnow_neardup_pairs",
-    "heavy_hitter_tokens",
-    "pii_redaction",
-    "hash_split_train_test",
-    "neardup_clusters",
-    "bm25_search",
-    "chunk_documents",
-    "embedding_centroids",
-    "tumbling_window_traffic",
-    "sliding_window_traffic",
-    "capped_sessionization",
-    "boilerplate_removal",
-    "gopher_quality_flags",
-    "stratified_sample",
-    "embedding_quantize_int8",
-    "decontaminate_train_set",
-    "sequence_packing",
-    "repetition_signals",
-    "source_mix_report",
+    # -- stalest first: last driver-green in r3 --------------------------
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "customer_order_analytics",
+    "top_orders_per_customer",
+    "order_priority_rollup",
+    "event_type_cube",
+    "latest_event_per_user",
+    "event_value_histogram",
+    "percentile_values",
+    "approx_percentiles",
+    "approx_distinct_users",
+    "user_spend_deciles",
+    "salted_skew_aggregation",
+    "brand_premium_parts",
+    "purchasers_minus_errorers",
+    "semi_join_late_orders",
+    "interval_join_attribution",
+    "asof_purchase_attribution",
+    "asof_purchase_attribution_bucketed",
+    "stream_static_enrichment",
+    "conversion_funnel",
+    "retention_cohorts",
+    "rolling_purchase_features",
+    "json_props_extract",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "minhash_lsh_neardups",
+    "simhash_neardups",
+    "ngram_jaccard_neardups",
+    "embedding_neardups",
+    "cosine_topk",
+    "ann_cosine_topk",
+    "token_stats_by_lang",
+    "lang_id_distribution",
+    "quality_scores",
+    # r3-green entries deliberately deferred to round 6 (window is full;
+    # each has an in-window or ≤1-round-old sibling exercising the same
+    # plan family, and all stay under tests/test_oracle_parity.py):
+    #   top100_orders            (ranking sibling: top_orders_per_customer)
+    #   distinct_users_by_type   (sibling: approx_distinct_users + sketch gate)
+    #   pivot_order_status       (sibling: unpivot_order_counts, in-window)
+    #   json_parse_roundtrip     (sibling: json_props_extract)
+    #   scd2_loyalty_tiers       (sibling: scd2_customer_upsert, r4-green)
+    #   engaged_users_intersect  (set-op sibling: purchasers_minus_errorers)
 )
 
 

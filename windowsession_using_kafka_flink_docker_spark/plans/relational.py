@@ -1361,32 +1361,25 @@ GROUP BY 1, 2
     tags=("relational", "aggregate", "incremental"),
 )
 def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
-    cutoff = "2024-01-20"
-
-    def partials(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type", "day").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("_sum"),
-        )
-
-    state = partials(ev.where(F.col("day") < cutoff))   # the materialized MV
-    delta = partials(ev.where(F.col("day") >= cutoff))  # the arriving batch
-    merged = (
-        state.unionByName(delta)
-        .groupBy("event_type", "day")
-        .agg(F.sum("n_events").alias("n_events"), F.sum("_sum").alias("_sum"))
+    from windowsession_using_kafka_flink_docker_spark.operators.rollup import (
+        rollup_merge,
+        rollup_partials,
+        rollup_present,
+        with_day,
     )
+
+    ev = with_day(load_table(spark, sf_dir, "events"))
+    cutoff = "2024-01-20"
+    state = rollup_partials(ev.where(F.col("day") < cutoff))   # materialized MV
+    delta = rollup_partials(ev.where(F.col("day") >= cutoff))  # arriving batch
     # No derived avg in the hashed output: 2-decimal-quantized values over
     # per-day counts park sum/count EXACTLY on .5 rounding boundaries,
     # where Spark (decimal-string HALF_UP) and DuckDB (binary-double
     # round) legitimately disagree in the last digit. count+total fully
     # witness the lossless merge; consumers derive avg downstream.
-    return merged.select(
-        "event_type", "day", "n_events",
-        F.round(F.col("_sum"), 2).alias("total_value"),
-    )
+    # (Shared algebra + the streaming foreachBatch twin live in
+    # operators/rollup.py and streaming/rollup.py.)
+    return rollup_present(rollup_merge(state, delta))
 
 
 from windowsession_using_kafka_flink_docker_spark.sources.zorder import (  # noqa: E402
@@ -1481,4 +1474,71 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         seq.alias("path"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "copurchase_pairs",
+    oracle="""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey FROM baskets
+         GROUP BY l_partkey HAVING COUNT(*) >= 20),
+fb AS (SELECT b.l_orderkey, b.l_partkey
+       FROM baskets b JOIN freq USING (l_partkey)),
+capped AS (SELECT l_orderkey, l_partkey
+           FROM (SELECT fb.*,
+                        COUNT(*) OVER (PARTITION BY l_orderkey) AS bs
+                 FROM fb)
+           WHERE bs <= 50)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM capped a JOIN capped b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+""",
+    description="Frequent co-purchased part pairs (market-basket mining, "
+                "a-priori pruned): baskets = distinct (order, part); items "
+                "below support 20 are dropped BEFORE pair expansion (any "
+                "frequent pair's items are frequent — Agrawal/Srikant "
+                "a-priori), baskets capped at 50 items so one mega-basket "
+                "can't go quadratic; pairs kept at support >= 2. Spark "
+                "shape avoids the self-join entirely: sorted collect_list "
+                "per basket, then an in-row HOF expands the triangular "
+                "pairs — one shuffle for baskets, one for the pair counts, "
+                "and the frequent-item set broadcasts.",
+    bench=True,
+    tags=("relational", "mining", "aggregate"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .where(F.col("_sup") >= 20)
+        .select("l_partkey")
+    )
+    arrs = (
+        baskets.join(F.broadcast(freq), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .where(F.size("parts").between(2, 50))
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
     )

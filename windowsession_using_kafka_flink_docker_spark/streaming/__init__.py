@@ -17,6 +17,10 @@ from windowsession_using_kafka_flink_docker_spark.streaming.pipeline import (
 from windowsession_using_kafka_flink_docker_spark.streaming.stateful import (
     streaming_capped_sessionize,
 )
+from windowsession_using_kafka_flink_docker_spark.streaming.rollup import (
+    IncrementalRollupMaintainer,
+    streaming_rollup_maintenance,
+)
 from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
     alert_grid_writer,
     console_sink,
@@ -45,6 +49,8 @@ __all__ = [
     "streaming_interval_join",
     "streaming_windowed_counts",
     "streaming_capped_sessionize",
+    "IncrementalRollupMaintainer",
+    "streaming_rollup_maintenance",
     "file_events_source",
     "kafka_events_source",
     "kafka_raw_source",

@@ -1,0 +1,128 @@
+"""Streaming rollup maintenance — the 100 TB materialized-view story made
+executable.
+
+``incremental_rollup_merge`` (plans/relational.py, driver-oracled) proves
+the merge algebra over a one-shot state+delta split; this module runs the
+SAME algebra (operators/rollup.py) continuously: a ``foreachBatch`` sink
+merges each micro-batch's partial aggregates into a versioned parquet
+state table. That is the production shape for rollup maintenance on a
+lakehouse without depending on a transactional table format:
+
+- **partials, not rows**: each micro-batch reduces to at most
+  |event_type| × |days touched| partial rows before any state I/O — the
+  maintained table's size is bounded by the key-space, never by the fact
+  volume.
+- **versioned state + batch-id naming = effectively-once**: foreachBatch
+  offers at-least-once delivery (a batch can re-run after a crash), so
+  version ``v{batch_id}`` is derived from the newest version < batch_id
+  and OVERWRITTEN on replay — re-running a batch lands on byte-identical
+  state, the same idempotence trick as the checkpointed parquet sink
+  (streaming/sinks.py parquet_sink exactly-once test).
+- **at scale**: state reads/writes are partitioned by day in production
+  (only days touched by the delta need rewriting — MERGE INTO semantics);
+  here the state is small enough that a full rewrite per batch is the
+  honest local rendering.
+
+Reference parity: flink_stream_task1.py:51-62 maintains per-session
+running sum/count record-at-a-time; this is the same partial-aggregate
+state generalized to a queryable maintained table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from windowsession_using_kafka_flink_docker_spark.operators.rollup import (
+    ROLLUP_KEYS,
+    rollup_merge,
+    rollup_partials,
+    rollup_present,
+    with_day,
+)
+
+_STATE_SCHEMA = ("event_type STRING, day STRING, "
+                 "n_events BIGINT, _sum DOUBLE")
+
+
+class IncrementalRollupMaintainer:
+    """Owns the versioned rollup state under ``state_dir``.
+
+    Layout: ``state_dir/v=<batch_id>/`` parquet dirs; the newest version
+    is the current state. No pointer file is needed — max(version) is the
+    pointer, and an interrupted write of v{N} is re-done wholesale on
+    replay of batch N (parquet overwrite), so readers taking max(version
+    with _SUCCESS) never observe a torn state.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.state_dir):
+            if name.startswith("v=") and os.path.exists(
+                    os.path.join(self.state_dir, name, "_SUCCESS")):
+                out.append(int(name[2:]))
+        return sorted(out)
+
+    def _read_version(self, version: int) -> DataFrame:
+        return self.spark.read.schema(_STATE_SCHEMA).parquet(
+            os.path.join(self.state_dir, f"v={version}"))
+
+    def current_partials(self) -> DataFrame:
+        """The maintained state (partials); empty frame before batch 0."""
+        versions = self._versions()
+        if not versions:
+            return self.spark.createDataFrame([], _STATE_SCHEMA)
+        return self._read_version(versions[-1])
+
+    def current(self) -> DataFrame:
+        """The rollup as consumers see it (rounded presentation edge)."""
+        return rollup_present(self.current_partials())
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch hook: MERGE one micro-batch into the state.
+
+        Replay-safe: state input is the newest version STRICTLY below
+        ``batch_id``, so a re-delivered batch recomputes v{batch_id} from
+        the same base instead of double-counting itself.
+        """
+        delta = rollup_partials(with_day(batch_df))
+        base_versions = [v for v in self._versions() if v < batch_id]
+        if base_versions:
+            merged = rollup_merge(self._read_version(base_versions[-1]), delta)
+        else:
+            merged = delta.select("event_type", "day", "n_events", "_sum")
+        target = os.path.join(self.state_dir, f"v={batch_id}")
+        # Key-space-bounded output: coalesce keeps the state one file per
+        # version locally; production partitions by day instead.
+        merged.coalesce(1).write.mode("overwrite").parquet(target)
+
+
+def streaming_rollup_maintenance(
+    events: DataFrame, maintainer: IncrementalRollupMaintainer,
+    checkpoint_dir: str, query_name: str = "rollup_maintenance",
+) -> StreamingQuery:
+    """Wire an events stream (ts, event_type, value, …) into the
+    maintainer. Update-less sink: all state lives in the maintainer's
+    versioned table, so the stream needs no watermark and emits nothing —
+    aggregation happens inside foreachBatch, set-at-a-time per batch."""
+    return (
+        events.writeStream
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(maintainer.merge_batch)
+        .start()
+    )
+
+
+__all__ = [
+    "IncrementalRollupMaintainer",
+    "streaming_rollup_maintenance",
+    "ROLLUP_KEYS",
+]
