@@ -63,6 +63,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_search",
     # -- new in round 5 --------------------------------------------------
     "copurchase_pairs",
+    "cms_frequency_audit",
+    "resample_locf_hourly",
+    "knn_triangle_count",
     # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
     "session_fixed_gap",
     "session_dynamic_gap",
@@ -107,10 +110,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_neardups",
     "embedding_neardups",
     "cosine_topk",
-    "ann_cosine_topk",
     "token_stats_by_lang",
-    "lang_id_distribution",
-    "quality_scores",
     # r3-green entries deliberately deferred to round 6 (window is full;
     # each has an in-window or ≤1-round-old sibling exercising the same
     # plan family, and all stay under tests/test_oracle_parity.py):
@@ -120,6 +120,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #   json_parse_roundtrip     (sibling: json_props_extract)
     #   scd2_loyalty_tiers       (sibling: scd2_customer_upsert, r4-green)
     #   engaged_users_intersect  (set-op sibling: purchasers_minus_errorers)
+    #   lang_id_distribution     (sibling: token_stats_by_lang, in-window)
+    #   quality_scores           (siblings: gopher_quality_flags +
+    #                             unigram_quality_score, both r4-green)
+    #   ann_cosine_topk          (siblings: cosine_topk in-window +
+    #                             ann_recall_vs_exact, r4-green)
 )
 
 

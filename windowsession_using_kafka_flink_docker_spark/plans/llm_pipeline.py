@@ -1159,14 +1159,10 @@ from windowsession_using_kafka_flink_docker_spark.operators.cluster import (  # 
 )
 
 
-@register(
-    "pagerank_similarity_graph",
-    # The oracle replays BOTH stages: the k-NN edge derivation (top-3
-    # rounded-cosine neighbors per vector, same ranking/tiebreak as the
-    # hash-green cosine_topk) and the 10 unrolled PageRank iterations as
-    # chained CTEs — identical join+aggregate float recurrence, so the
-    # final ranks hash-match at 6 decimals.
-    oracle="""
+# Shared 3-NN cosine graph CTE: top-3 rounded-cosine neighbors per vector,
+# same ranking/tiebreak as the hash-green cosine_topk. Used by the
+# pagerank AND triangle-count oracles so both replay the identical graph.
+_KNN3_SQL = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 knn AS (
   SELECT src, dst FROM (
@@ -1177,6 +1173,16 @@ knn AS (
     FROM base a JOIN base b ON a.vec_id <> b.vec_id)
   WHERE rnk <= 3
 ),
+"""
+
+
+@register(
+    "pagerank_similarity_graph",
+    # The oracle replays BOTH stages: the k-NN edge derivation (shared
+    # _KNN3_SQL CTE) and the 10 unrolled PageRank iterations as
+    # chained CTEs — identical join+aggregate float recurrence, so the
+    # final ranks hash-match at 6 decimals.
+    oracle=_KNN3_SQL + """
 nodes AS (SELECT vec_id AS id FROM base),
 """ + pagerank_oracle_sql("knn", "nodes") + """
 SELECT id AS vec_id, ROUND(rank, 6) AS rank FROM final_rank
@@ -1286,3 +1292,113 @@ LIMIT 10
 def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_topk(load_table(spark, sf_dir, "documents"),
                         ("spark", "stream", "join"))
+
+
+from windowsession_using_kafka_flink_docker_spark.operators import cms as C  # noqa: E402
+
+_CMS_D, _CMS_W = 4, 16  # width 16 on a 31-token vocab PLANTS collisions:
+# the overcount column is non-vacuous by construction (embedding_neardups
+# lesson); production widths are 2^14+ for the same plan.
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT token, {r} AS r, "
+    f"{C.duckdb_cms_bucket_sql('token', r, _CMS_W)} AS bucket FROM tok"
+    for r in range(_CMS_D))
+
+
+@register(
+    "cms_frequency_audit",
+    # The whole sketch pipeline — build (d×w cell counts), point
+    # estimates (min over d cells), and the never-undercount audit —
+    # replays in DuckDB because the bucket hash is md5 in both engines.
+    oracle=f"""
+WITH t AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token
+           FROM documents),
+tok AS (SELECT token FROM t WHERE token <> ''),
+cells AS ({_CMS_CELLS_SQL}),
+sketch AS (SELECT r, bucket, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+exact AS (SELECT token, COUNT(*) AS exact_n FROM tok
+          GROUP BY token HAVING COUNT(*) >= 50),
+audit AS (SELECT e.token, e.exact_n, MIN(s.n) AS cms_n
+          FROM exact e
+          JOIN (SELECT DISTINCT token, r, bucket FROM cells) tb
+            USING (token)
+          JOIN sketch s USING (r, bucket)
+          GROUP BY 1, 2)
+SELECT token, exact_n, cms_n, cms_n - exact_n AS overcount FROM audit
+""",
+    description="Count-min sketch frequency audit: build a d=4 × w=16 "
+                "sketch over token occurrences (the sketch IS a groupBy — "
+                "map-side partial counts merge cell-wise, the textbook "
+                "CMS merge, so the same plan distributes or streams), "
+                "then audit every token with exact count >= 50: the md5 "
+                "bucket hash replays bit-identically in DuckDB, so "
+                "estimate, exact, and the never-undercount overcount "
+                "column are all value-hashed. w=16 against a 31-token "
+                "vocab plants real collisions (overcount > 0 rows) by "
+                "construction.",
+    tags=("llm", "sketch", "text"),
+)
+def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    # ≤ d×w rows; checkpoint so the 4 per-row broadcast slices don't each
+    # replay the full corpus scan behind the sketch aggregation.
+    sketch = C.cms_build(toks, depth=_CMS_D, width=_CMS_W).localCheckpoint()
+    exact = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("exact_n"))
+             .where(F.col("exact_n") >= 50))
+    est = C.cms_estimate(exact, sketch, depth=_CMS_D, width=_CMS_W)
+    return est.select(
+        "token", "exact_n", "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"))
+
+
+@register(
+    "knn_triangle_count",
+    # Oracle replays graph construction (shared _KNN3_SQL) + the
+    # wedge-close join on the canonically ordered edge list.
+    oracle=_KNN3_SQL + """
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM knn),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+members AS (SELECT unnest([x, y, z]) AS vec_id FROM tri)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY vec_id
+""",
+    description="Per-node triangle participation over the undirected 3-NN "
+                "cosine graph (graph-motif family next to the iterative "
+                "pagerank/components operators): canonical low->high edge "
+                "orientation makes each triangle countable exactly once "
+                "via one wedge join (e1.b=e2.a) + one closing semi-probe — "
+                "wedge volume is bounded by edges x max-degree, and the "
+                "k-NN construction caps degree at k+incoming, the "
+                "standard trick that keeps triangle listing near-linear "
+                "on bounded-degree graphs at any scale. Oracle replays "
+                "graph build + join plan verbatim.",
+    tags=("llm", "graph", "join"),
+)
+def knn_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.cosine_topk(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("match_id").alias("dst"))
+    und = (knn.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+           .distinct()
+           # ≤ n_vectors*k rows; checkpoint so the three self-join legs
+           # don't each replay the full cosine-topk pipeline.
+           .localCheckpoint())
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+           .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                   F.col("e2.b").alias("z")))
+    return (tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

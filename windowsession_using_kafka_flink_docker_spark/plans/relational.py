@@ -1542,3 +1542,66 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "resample_locf_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ROUND(AVG(value), 4) AS v
+  FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+         FROM span),
+j AS (SELECT g.user_id, g.h, hourly.v
+      FROM grid g LEFT JOIN hourly
+        ON hourly.user_id = g.user_id AND hourly.h = g.h)
+SELECT user_id,
+       strftime(h, '%Y-%m-%d %H:00') AS hour,
+       last_value(v IGNORE NULLS) OVER w AS value_filled,
+       v IS NOT NULL AS is_observed,
+       CAST(date_diff('hour',
+            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+              OVER w,
+            h) AS BIGINT) AS hours_since_obs
+FROM j
+WINDOW w AS (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    description="Time-series resampling to a regular hourly grid with "
+                "last-observation-carried-forward fill: per-user hourly "
+                "avg, a sequence()+explode grid over each user's observed "
+                "span (keyspace-bounded — users × hours, never fact-"
+                "volume-bounded), left join, then LOCF + staleness "
+                "(hours_since_obs) via one ignore-nulls running window. "
+                "The grid join co-partitions on (user, hour); the fill "
+                "window partitions by user only — at wider spans it "
+                "buckets by (user, month) with boundary handoff exactly "
+                "like the bucketed as-of join. First grid row per user is "
+                "observed by construction, so the fill is total.",
+    bench=True,
+    tags=("relational", "timeseries", "window"),
+)
+def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (Window.partitionBy("user_id").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    obs_h = F.last(F.when(F.col("v").isNotNull(), F.col("h")),
+                   ignorenulls=True).over(w)
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNotNull().alias("is_observed"),
+        ((F.unix_timestamp("h") - F.unix_timestamp(obs_h)) / 3600)
+        .cast("bigint").alias("hours_since_obs"),
+    )
