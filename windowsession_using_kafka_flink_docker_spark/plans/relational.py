@@ -1558,27 +1558,48 @@ j AS (SELECT g.user_id, g.h, hourly.v
         ON hourly.user_id = g.user_id AND hourly.h = g.h)
 SELECT user_id,
        strftime(h, '%Y-%m-%d %H:00') AS hour,
-       last_value(v IGNORE NULLS) OVER w AS value_filled,
-       v IS NOT NULL AS is_observed,
-       CAST(date_diff('hour',
-            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
-              OVER w,
-            h) AS BIGINT) AS hours_since_obs
-FROM j
-WINDOW w AS (PARTITION BY user_id ORDER BY h
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       value_filled,
+       is_observed,
+       hours_since_obs,
+       CAST(floor((CASE WHEN next_h = prev_h THEN value_filled
+             ELSE value_filled + (next_v - value_filled) *
+                  (CAST(date_diff('hour', prev_h, h) AS DOUBLE) /
+                   CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+             END) * 10000) AS BIGINT) / 10000.0 AS value_interp
+FROM (
+  SELECT user_id, h, v,
+         last_value(v IGNORE NULLS) OVER w AS value_filled,
+         v IS NOT NULL AS is_observed,
+         CAST(date_diff('hour',
+              last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER w,
+              h) AS BIGINT) AS hours_since_obs,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER w AS prev_h,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER wf AS next_h
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
 """,
     description="Time-series resampling to a regular hourly grid with "
-                "last-observation-carried-forward fill: per-user hourly "
-                "avg, a sequence()+explode grid over each user's observed "
-                "span (keyspace-bounded — users × hours, never fact-"
-                "volume-bounded), left join, then LOCF + staleness "
-                "(hours_since_obs) via one ignore-nulls running window. "
-                "The grid join co-partitions on (user, hour); the fill "
-                "window partitions by user only — at wider spans it "
-                "buckets by (user, month) with boundary handoff exactly "
-                "like the bucketed as-of join. First grid row per user is "
-                "observed by construction, so the fill is total.",
+                "LOCF fill AND linear interpolation: per-user hourly avg, "
+                "a sequence()+explode grid over each user's observed span "
+                "(keyspace-bounded — users × hours, never fact-volume-"
+                "bounded), left join, then LOCF + staleness "
+                "(hours_since_obs) via one ignore-nulls running window "
+                "and value_interp from the backward+forward neighbor "
+                "pair (two frames over the same partitioning — ONE "
+                "window shuffle). The grid join co-partitions on (user, "
+                "hour); the fill windows partition by user only — at "
+                "wider spans they bucket by (user, month) with boundary "
+                "handoff exactly like the bucketed as-of join. First and "
+                "last grid rows per user are observed by construction, "
+                "so both fills are total.",
     bench=True,
     tags=("relational", "timeseries", "window"),
 )
@@ -1595,13 +1616,37 @@ def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = grid.join(hourly, ["user_id", "h"], "left")
     w = (Window.partitionBy("user_id").orderBy("h")
          .rowsBetween(Window.unboundedPreceding, 0))
-    obs_h = F.last(F.when(F.col("v").isNotNull(), F.col("h")),
-                   ignorenulls=True).over(w)
-    return j.select(
-        "user_id",
-        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+    wf = (Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    hour_diff = (lambda a, b:
+                 ((F.unix_timestamp(a) - F.unix_timestamp(b)) / 3600))
+    base = j.select(
+        "user_id", "h", "v",
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNotNull().alias("is_observed"),
-        ((F.unix_timestamp("h") - F.unix_timestamp(obs_h)) / 3600)
-        .cast("bigint").alias("hours_since_obs"),
+        F.last(obs_h, ignorenulls=True).over(w).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    interp = F.when(
+        F.col("next_h") == F.col("prev_h"), F.col("value_filled")
+    ).otherwise(
+        F.col("value_filled")
+        + (F.col("next_v") - F.col("value_filled"))
+        * (hour_diff("h", "prev_h").cast("double")
+           / hour_diff("next_h", "prev_h").cast("double"))
+    )
+    return base.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "value_filled",
+        "is_observed",
+        hour_diff("h", "prev_h").cast("bigint").alias("hours_since_obs"),
+        # Scaled-floor, NOT round: interp inputs are 4-decimal-quantized
+        # and scaled by small rationals, so exact x.xxxx5 boundaries are
+        # COMMON (~0.2% of rows) and Spark (decimal-string HALF_UP) and
+        # DuckDB (binary-double) round them differently. floor of the
+        # bit-identical product is deterministic in both engines.
+        (F.floor(interp * 10000) / 10000.0).alias("value_interp"),
     )
