@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_frequency_audit",
     "resample_locf_hourly",
     "knn_triangle_count",
+    "session_scd2_dynamic_gap",
     # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
     "session_fixed_gap",
     "session_dynamic_gap",
@@ -104,7 +105,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rolling_purchase_features",
     "json_props_extract",
     "dedup_exact",
-    "dedup_fingerprint",
     "minhash_lsh_neardups",
     "simhash_neardups",
     "ngram_jaccard_neardups",
@@ -125,6 +125,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #                             unigram_quality_score, both r4-green)
     #   ann_cosine_topk          (siblings: cosine_topk in-window +
     #                             ann_recall_vs_exact, r4-green)
+    #   dedup_fingerprint        (siblings: dedup_exact in-window + the
+    #                             near-dup family sharing the normalize
+    #                             stage)
 )
 
 

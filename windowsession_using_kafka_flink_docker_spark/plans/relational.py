@@ -1650,3 +1650,115 @@ def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-identical product is deterministic in both engines.
         (F.floor(interp * 10000) / 10000.0).alias("value_interp"),
     )
+
+
+@register(
+    "session_scd2_dynamic_gap",
+    # Union-of-intervals islands oracle: with a gap that varies WITHIN a
+    # user's stream (tier changes mid-stream), "new session" must compare
+    # against the running MAX of (ts + gap) over all prior events — the
+    # immediately previous event is NOT enough (an early long-gap event
+    # can bridge over a later short-gap one). session_end is likewise
+    # MAX(ts + gap), not max(ts) + gap.
+    oracle="""
+WITH dim AS (
+  SELECT user_id, ts AS valid_from,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS n
+  FROM events WHERE event_type = 'purchase'
+),
+tiers AS (
+  SELECT user_id, valid_from,
+         CASE WHEN n >= 5 THEN 'gold' WHEN n >= 3 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                                     ORDER BY n DESC) AS dup
+        FROM dim)
+  WHERE dup = 1
+),
+ev AS (
+  SELECT e.user_id, e.ts, e.value, e.event_id, t.tier
+  FROM events e ASOF LEFT JOIN tiers t
+    ON e.user_id = t.user_id AND e.ts >= t.valid_from
+),
+g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE COALESCE(tier, 'none') WHEN 'gold' THEN 300
+              WHEN 'silver' THEN 120 WHEN 'bronze' THEN 60
+              ELSE 30 END AS gap
+  FROM ev
+),
+flagged AS (
+  SELECT user_id, ts, value, event_id, gap,
+         MAX(epoch_us(ts) + 1000000 * gap)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+  FROM g
+),
+islands AS (
+  SELECT *,
+         SUM(CASE WHEN reach IS NULL OR epoch_us(ts) > reach
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       make_timestamp(MAX(epoch_us(ts) + 1000000 * gap)) AS session_end,
+       ROUND(SUM(value), 2) AS session_sum,
+       COUNT(*) AS event_count
+FROM islands
+GROUP BY user_id, sid
+""",
+    description="Temporal-dimension dynamic sessionization — the "
+                "composition showcase: the inactivity gap of each EVENT "
+                "comes from the SCD2 loyalty tier valid at that event's "
+                "time (as-of join against the purchase-derived dimension, "
+                "gold 300s / silver 120s / bronze 60s / pre-first-"
+                "purchase 30s), then session_window with the per-event "
+                "gap column. Because the gap varies within a user's "
+                "stream, correct semantics are union-of-intervals (Spark "
+                "merges overlapping [ts, ts+gap) windows natively); the "
+                "oracle replays that with a running-max reach column — "
+                "lag-based islands would be wrong. One as-of shuffle + "
+                "one session aggregation, both keyed by user. No derived "
+                "avg in the hashed output (incremental_rollup_merge "
+                "precedent): this entry's 2-event sessions park sum/2 "
+                "EXACTLY on .5 rounding boundaries where Spark "
+                "(decimal-string HALF_UP) and DuckDB (binary double) "
+                "legitimately disagree; sum+count witness the sessions "
+                "fully.",
+    tags=("relational", "session_window", "scd2", "asof"),
+)
+def session_scd2_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+        asof_join,
+    )
+    from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+        _aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", F.col("ts").alias("valid_from"), "event_id")
+           .withColumn("n", F.row_number().over(w.orderBy("valid_from",
+                                                          "event_id"))))
+    wd = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("n"))
+    tiers = (dim.withColumn("dup", F.row_number().over(wd))
+             .where(F.col("dup") == 1)
+             .select("user_id", "valid_from",
+                     F.when(F.col("n") >= 5, "gold")
+                     .when(F.col("n") >= 3, "silver")
+                     .otherwise("bronze").alias("tier")))
+    enriched = asof_join(
+        ev.select("user_id", "ts", "value"), tiers, on=["user_id"],
+        ts="ts", right_ts="valid_from", right_cols={"tier": "tier"},
+        how="left")
+    gap = (F.when(F.col("tier") == "gold", "300 seconds")
+           .when(F.col("tier") == "silver", "120 seconds")
+           .when(F.col("tier") == "bronze", "60 seconds")
+           .otherwise("30 seconds"))
+    return _aggregate(enriched, gap, "user_id", "ts", "value").drop(
+        "session_avg")
