@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "resample_locf_hourly",
     "knn_triangle_count",
     "session_scd2_dynamic_gap",
+    "data_quality_report",
     # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
     "session_fixed_gap",
     "session_dynamic_gap",
@@ -87,7 +88,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_priority_rollup",
     "event_type_cube",
     "latest_event_per_user",
-    "event_value_histogram",
     "percentile_values",
     "approx_percentiles",
     "approx_distinct_users",
@@ -128,6 +128,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #   dedup_fingerprint        (siblings: dedup_exact in-window + the
     #                             near-dup family sharing the normalize
     #                             stage)
+    #   event_value_histogram    (binning siblings: user_spend_deciles
+    #                             in-window + percentile_values)
 )
 
 

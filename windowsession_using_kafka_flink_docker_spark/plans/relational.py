@@ -1762,3 +1762,79 @@ def session_scd2_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
            .otherwise("30 seconds"))
     return _aggregate(enriched, gap, "user_id", "ts", "value").drop(
         "session_avg")
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+SELECT 'fk_orders_customer' AS rule,
+       COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_violations,
+       COUNT(*) AS n_checked
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'unique_o_orderkey',
+       COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders
+UNION ALL
+SELECT 'not_null_events_value',
+       COUNT(CASE WHEN value IS NULL THEN 1 END), COUNT(*) FROM events
+UNION ALL
+SELECT 'range_l_quantity_le_45',
+       COUNT(CASE WHEN l_quantity > 45 THEN 1 END), COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'ship_on_or_after_order',
+       COUNT(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END), COUNT(*)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'nonneg_c_acctbal',
+       COUNT(CASE WHEN c_acctbal < 0 THEN 1 END), COUNT(*) FROM customer
+""",
+    description="Deequ-style data-quality expectation report: referential "
+                "integrity (orders→customer), key uniqueness, "
+                "not-null, numeric range, cross-table temporal ordering "
+                "(ship on/after order), and sign constraints — each rule "
+                "one conditional-count aggregate over its (joined) scan, "
+                "unioned into a 6-row report. Non-vacuous on the test "
+                "data by probe: range/temporal/sign rules catch 5967 / "
+                "29157 / 122 real violations at sf0.01 while the FK, "
+                "uniqueness, and null rules legitimately pass — the "
+                "report proves both directions. Scale: every rule is a "
+                "map-side conditional count (no distinct shuffle except "
+                "the uniqueness rule; dim joins broadcast).",
+    tags=("relational", "quality", "audit"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def report(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.count(F.when(bad, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select(F.lit(name).alias("rule"), "n_violations", "n_checked")
+
+    fk = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"), "left")
+    uniq = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    ).select(F.lit("unique_o_orderkey").alias("rule"),
+             "n_violations", "n_checked")
+    shipjoin = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"))
+    return (
+        report("fk_orders_customer", fk, F.col("c_custkey").isNull())
+        .unionByName(uniq)
+        .unionByName(report("not_null_events_value", events,
+                            F.col("value").isNull()))
+        .unionByName(report("range_l_quantity_le_45", lineitem,
+                            F.col("l_quantity") > 45))
+        .unionByName(report("ship_on_or_after_order", shipjoin,
+                            F.col("l_shipdate") < F.col("o_orderdate")))
+        .unionByName(report("nonneg_c_acctbal", customer,
+                            F.col("c_acctbal") < 0))
+    )
