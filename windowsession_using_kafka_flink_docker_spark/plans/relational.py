@@ -1616,8 +1616,14 @@ def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = grid.join(hourly, ["user_id", "h"], "left")
     w = (Window.partitionBy("user_id").orderBy("h")
          .rowsBetween(Window.unboundedPreceding, 0))
-    wf = (Window.partitionBy("user_id").orderBy("h")
-          .rowsBetween(0, Window.unboundedFollowing))
+    # Forward fill via a running frame over DESCENDING order — NOT a
+    # [current, unboundedFollowing] frame: Spark's WindowExec evaluates
+    # unbounded-following frames by rescanning the partition tail per row
+    # (O(rows²) per key — measured 1.7 s → 14.3 s on this query at
+    # sf0.1); the descending running frame is O(rows) and costs only one
+    # extra in-partition sort.
+    wd = (Window.partitionBy("user_id").orderBy(F.desc("h"))
+          .rowsBetween(Window.unboundedPreceding, 0))
     obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
     hour_diff = (lambda a, b:
                  ((F.unix_timestamp(a) - F.unix_timestamp(b)) / 3600))
@@ -1626,8 +1632,8 @@ def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("v").isNotNull().alias("is_observed"),
         F.last(obs_h, ignorenulls=True).over(w).alias("prev_h"),
-        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
-        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+        F.last("v", ignorenulls=True).over(wd).alias("next_v"),
+        F.last(obs_h, ignorenulls=True).over(wd).alias("next_h"),
     )
     interp = F.when(
         F.col("next_h") == F.col("prev_h"), F.col("value_filled")
@@ -1729,6 +1735,7 @@ GROUP BY user_id, sid
                 "(decimal-string HALF_UP) and DuckDB (binary double) "
                 "legitimately disagree; sum+count witness the sessions "
                 "fully.",
+    bench=True,
     tags=("relational", "session_window", "scd2", "asof"),
 )
 def session_scd2_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
