@@ -1,0 +1,103 @@
+"""Brute-force cross-checks for the round-5 composites, independent of
+the DuckDB oracles: plain-Python reimplementations on small data must
+agree with the distributed plans."""
+
+from __future__ import annotations
+
+import datetime
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.sessionize import _aggregate
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+
+def test_copurchase_matches_bruteforce(spark, sf_dir):
+    """Same thresholds as the catalog entry (item support >= 20, basket
+    cap 50, pair support >= 2), recomputed in plain Python over the
+    collected lineitem pairs."""
+    li = [(r.l_orderkey, r.l_partkey) for r in
+          load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").collect()]
+    baskets = defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    item_sup = Counter(p for parts in baskets.values() for p in parts)
+    freq = {p for p, n in item_sup.items() if n >= 20}
+    pair_counts: Counter = Counter()
+    for parts in baskets.values():
+        kept = sorted(p for p in parts if p in freq)
+        if not 2 <= len(kept) <= 50:
+            continue
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                pair_counts[(a, b)] += 1
+    want = sorted((a, b, n) for (a, b), n in pair_counts.items() if n >= 2)
+    got = sorted((r.part_a, r.part_b, r.n_orders) for r in
+                 CATALOG["copurchase_pairs"].spark(spark, sf_dir).collect())
+    assert got == want
+
+
+def _brute_sessions(events):
+    """Union-of-intervals sessionization: events = [(user, ts_us, gap_s,
+    value)]; returns {(user, start_us, end_us): (sum, count)}. New session
+    iff ts strictly exceeds the running max reach (merge-on-equal)."""
+    out = {}
+    by_user = defaultdict(list)
+    for u, ts, gap, v in events:
+        by_user[u].append((ts, gap, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = None
+        for ts, gap, v in evs:
+            end = ts + gap * 1_000_000
+            if cur is None or ts > cur[1]:
+                if cur is not None:
+                    out[(u, cur[0], cur[1])] = (cur[2], cur[3])
+                cur = [ts, end, v, 1]
+            else:
+                cur[1] = max(cur[1], end)
+                cur[2] += v
+                cur[3] += 1
+        out[(u, cur[0], cur[1])] = (cur[2], cur[3])
+    return out
+
+
+def test_dynamic_gap_sessions_are_interval_unions(spark):
+    """Per-event gaps varying WITHIN a key: Spark's session_window must
+    merge by interval union — an early long-gap event bridges over a
+    later short-gap one (the case a lag-based check would miss, planted
+    explicitly below), and session_end is max(ts+gap)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # planted bridge: t=0 gap 300s, t=10 gap 5s, t=20 — one session,
+    # end = t0 + 300
+    for ts_s, gap_s in ((0, 300), (10, 5), (20, 5)):
+        rows.append((1, base + datetime.timedelta(seconds=ts_s), gap_s, 1.0))
+    # seeded pseudo-random stream for user 2 (deterministic, no random())
+    t = 0
+    for i in range(60):
+        t += ((i * 37) % 90) + 1
+        rows.append((2, base + datetime.timedelta(seconds=t),
+                     (10, 45, 120)[(i * 13) % 3], float(i % 7)))
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, gap_s INT, value DOUBLE")
+    gap = F.concat(F.col("gap_s").cast("string"), F.lit(" seconds"))
+    got = {
+        (r.user_id,
+         int(r.session_start.timestamp() * 1_000_000),
+         int(r.session_end.timestamp() * 1_000_000)):
+        (float(r.session_sum), r.event_count)
+        for r in _aggregate(df, gap, "user_id", "ts", "value").collect()
+    }
+    epoch = datetime.timezone.utc  # ts are naive; use UTC-consistent µs
+    events = [(u, int(ts.replace(tzinfo=epoch).timestamp() * 1_000_000),
+               g, v) for u, ts, g, v in rows]
+    want = {k: (round(s, 2), c)
+            for k, (s, c) in _brute_sessions(events).items()}
+    got = {k: (round(s, 2), c) for k, (s, c) in got.items()}
+    assert got == want
+    # the planted bridge really exercised union semantics
+    assert (1, events[0][1], events[0][1] + 300_000_000) in want

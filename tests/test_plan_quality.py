@@ -145,3 +145,15 @@ def test_salted_agg_equals_plain_groupby(spark, sf_dir):
         ev.groupBy("user_id").agg(F.sum("value").alias("s"), F.count("value").alias("c")).collect()
     )
     assert got == want
+
+
+def test_resample_has_no_unbounded_following_frame(spark, sf_dir):
+    """BASELINE.md round-5 lesson: WindowExec evaluates
+    [currentRow, unboundedFollowing] frames with a per-row tail rescan —
+    O(rows²) per key (measured 8x on this query). The forward fill must
+    stay a running descending-order frame."""
+    plan = _plan(spark, "resample_locf_hourly", sf_dir, "formatted")
+    assert "UNBOUNDED FOLLOWING" not in plan.upper(), (
+        "resample plans a following frame — re-read BASELINE.md round 5")
+    # one Window op, both fills in it, over a single exchange pair
+    assert plan.count(") Window") <= 2
