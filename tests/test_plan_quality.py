@@ -157,3 +157,46 @@ def test_resample_has_no_unbounded_following_frame(spark, sf_dir):
         "resample plans a following frame — re-read BASELINE.md round 5")
     # one Window op, both fills in it, over a single exchange pair
     assert plan.count(") Window") <= 2
+
+
+def test_runtime_bloom_filter_available_for_selective_joins(spark, sf_dir):
+    """At 100 TB, a selective dim-side predicate should inject a runtime
+    bloom filter on the fact scan (row-level runtime filtering). The
+    size thresholds that gate injection (creation side 10 MB, application
+    side 10 GB) are exactly what real fact tables meet and the test
+    parquet never will — so lower them here to prove the engine's plans
+    DO take the optimization when scale warrants it."""
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    confs = {
+        # application side must SCAN at least this much (default 10 GB —
+        # the "is the fact side big enough to be worth filtering" gate);
+        # the creation-side threshold is a MAX (dim must be small) and
+        # the filtered orders slice already satisfies it.
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "1",
+        # runtime filters target SHUFFLE joins; at test scale every dim
+        # broadcasts (where DPP, not bloom, is the mechanism), so force
+        # the shuffle-join path a 100 TB fact⋈fact join would take.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = (load_table(spark, sf_dir, "orders")
+                  .where(F.col("o_orderpriority") == "1-URGENT"))
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (li.join(orders.hint("merge"),
+                     li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("extended"))
+        assert "might_contain" in plan, (
+            "runtime bloom filter not injected on the fact side")
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
