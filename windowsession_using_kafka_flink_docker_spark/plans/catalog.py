@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_triangle_count",
     "session_scd2_dynamic_gap",
     "data_quality_report",
+    "session_transition_matrix",
     # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
     "session_fixed_gap",
     "session_dynamic_gap",
@@ -89,7 +90,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_type_cube",
     "latest_event_per_user",
     "percentile_values",
-    "approx_percentiles",
     "approx_distinct_users",
     "user_spend_deciles",
     "salted_skew_aggregation",
@@ -130,6 +130,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #                             stage)
     #   event_value_histogram    (binning siblings: user_spend_deciles
     #                             in-window + percentile_values)
+    #   approx_percentiles       (rows-only; exact sibling
+    #                             percentile_values in-window, accuracy
+    #                             pinned by pytest)
 )
 
 

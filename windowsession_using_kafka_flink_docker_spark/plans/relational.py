@@ -1845,3 +1845,82 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report("nonneg_c_acctbal", customer,
                             F.col("c_acctbal") < 0))
     )
+
+
+@register(
+    "session_transition_matrix",
+    # p uses the scaled-floor discipline (resample_locf_hourly comment):
+    # n/total is an exact small rational, so ROUND-at-4 .5 boundaries are
+    # common and engine rounding modes differ; floor of the bit-identical
+    # quotient is deterministic in both.
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS to_type
+  FROM islands
+),
+counted AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM trans WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(floor(n_transitions /
+                  SUM(n_transitions) OVER (PARTITION BY from_type)
+                  * 10000) AS BIGINT) / 10000.0 AS p
+FROM counted
+""",
+    description="Markov transition-matrix estimation over session-scoped "
+                "event sequences: 30min-gap session ids via the islands "
+                "window (fixed gap ⇒ lag-based is exact; 30 min, not the "
+                "parity 30 s, because inter-event times are minutes — a 30 s "
+                "gap yields only singleton sessions and a vacuous matrix), "
+                "next-event via "
+                "lead() WITHIN (user, session) — transitions never cross "
+                "session boundaries — then per-from-type conditional "
+                "probabilities. One key shuffle feeds all three window "
+                "steps; the matrix itself is |event_type|² rows. p via "
+                "scaled floor of the bit-identical rational quotient "
+                "(engine rounding modes differ on the .5 boundaries "
+                "small rationals hit constantly).",
+    tags=("relational", "sequence", "session_window"),
+)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+               > 1_800_000_000),
+            1).otherwise(0).alias("new_s"))
+    islands = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding,
+                                                 0)))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    trans = islands.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(ws).alias("to_type"))
+    counted = (trans.where(F.col("to_type").isNotNull())
+               .groupBy("from_type", "to_type")
+               .agg(F.count(F.lit(1)).alias("n_transitions")))
+    total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counted.select(
+        "from_type", "to_type", "n_transitions",
+        (F.floor(F.col("n_transitions") / total * 10000) / 10000.0)
+        .alias("p"))
