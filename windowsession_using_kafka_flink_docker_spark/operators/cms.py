@@ -68,7 +68,8 @@ def cms_estimate(items: DataFrame, sketch: DataFrame, tok_col: str = "token",
                  depth: int = 4, width: int = 16,
                  out_col: str = "cms_n") -> DataFrame:
     """Point-estimate each distinct token in ``items``: min over the d
-    cell counts. The sketch broadcasts (≤ d×w rows)."""
+    cell counts. The sketch broadcasts (≤ d×w rows). ``items`` must not
+    already carry ``_b<r>``/``_n<r>`` columns (used as join scratch)."""
     est = items
     for r in range(depth):
         cell = (sketch.where(F.col("r") == r)

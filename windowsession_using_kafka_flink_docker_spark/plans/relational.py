@@ -1900,6 +1900,12 @@ FROM counted
     tags=("relational", "sequence", "session_window"),
 )
 def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately a DIFFERENT formulation from the oracle: the oracle
+    # builds explicit session ids (islands) and leads within (user, sid);
+    # here a transition is simply lead-within-user that does NOT land on
+    # a session-start row — same semantics, one window shuffle instead of
+    # two (partitionBy(user, sid) would re-shuffle on the derived sid),
+    # and the two independent derivations agreeing is a stronger check.
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
@@ -1909,14 +1915,12 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
                > 1_800_000_000),
             1).otherwise(0).alias("new_s"))
-    islands = flagged.withColumn(
-        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding,
-                                                 0)))
-    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
-    trans = islands.select(
+    trans = flagged.select(
         F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(ws).alias("to_type"))
-    counted = (trans.where(F.col("to_type").isNotNull())
+        F.lead("event_type").over(w).alias("to_type"),
+        F.lead("new_s").over(w).alias("next_new"))
+    counted = (trans.where(F.col("to_type").isNotNull()
+                           & (F.col("next_new") == 0))
                .groupBy("from_type", "to_type")
                .agg(F.count(F.lit(1)).alias("n_transitions")))
     total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
