@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "session_scd2_dynamic_gap",
     "data_quality_report",
     "session_transition_matrix",
+    "kmv_distinct_audit",
     # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
     "session_fixed_gap",
     "session_dynamic_gap",
@@ -101,7 +102,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_purchase_attribution_bucketed",
     "stream_static_enrichment",
     "conversion_funnel",
-    "retention_cohorts",
     "rolling_purchase_features",
     "json_props_extract",
     "dedup_exact",
@@ -133,6 +133,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #   approx_percentiles       (rows-only; exact sibling
     #                             percentile_values in-window, accuracy
     #                             pinned by pytest)
+    #   retention_cohorts        (cohort/funnel sibling: conversion_funnel
+    #                             in-window)
 )
 
 

@@ -1928,3 +1928,71 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type", "to_type", "n_transitions",
         (F.floor(F.col("n_transitions") / total * 10000) / 10000.0)
         .alias("p"))
+
+
+@register(
+    "kmv_distinct_audit",
+    # Unlike HLL (approx_distinct_users, rows-only: engine-specific
+    # registers), the KMV estimator is exactly replayable: the md5-prefix
+    # hash is bit-identical in DuckDB, the k-th order statistic is
+    # deterministic, and (k-1)/h_(k) is one IEEE division — so a sketch
+    # ESTIMATE gets a full value-hash oracle. Scaled-floor on the outputs
+    # (engine ROUND modes differ on rational .5 boundaries).
+    oracle="""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS hv
+      FROM du),
+ranked AS (SELECT event_type, hv,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hv) AS rn
+           FROM h),
+agg AS (SELECT event_type,
+               COUNT(*) AS exact_n,
+               MAX(CASE WHEN rn = 32 THEN hv END) AS kth
+        FROM ranked GROUP BY event_type),
+est AS (SELECT event_type, exact_n,
+               CASE WHEN exact_n < 32 THEN CAST(exact_n AS DOUBLE)
+                    ELSE 31 / kth END AS raw_est
+        FROM agg)
+SELECT event_type, exact_n,
+       CAST(floor(raw_est * 100) AS BIGINT) / 100.0 AS kmv_n,
+       CAST(floor(abs(raw_est - exact_n) / exact_n * 10000) AS BIGINT)
+         / 10000.0 AS rel_err
+FROM est
+""",
+    description="KMV (k-minimum-values, k=32) distinct-count sketch with "
+                "a FULL value-hash oracle — the deterministic counterpart "
+                "to the rows-only HLL entry: estimate = (k-1)/h_(k) over "
+                "md5-prefix hashes that replay bit-identically in DuckDB, "
+                "audited per event_type against the exact distinct count "
+                "(estimation path at sf>=0.01 where n>k; exact-fallback "
+                "path at sf0.001 where the k-min set holds everything). "
+                "The k-min set is union-mergeable (k smallest of a union "
+                "= k smallest of the k-min sets' union), so production "
+                "keeps per-partition k-min heaps in a partial aggregate; "
+                "the windowed rank here is the honest small-data "
+                "rendering of the same order statistic.",
+    tags=("relational", "sketch", "approx"),
+)
+def kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 32
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    hv = (F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint") / F.lit(4294967296.0))
+    wk = Window.partitionBy("event_type").orderBy("hv")
+    ranked = du.withColumn("hv", hv).withColumn(
+        "rn", F.row_number().over(wk))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_n"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"))
+    raw = F.when(F.col("exact_n") < k, F.col("exact_n").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.col("kth"))
+    return agg.select(
+        "event_type", "exact_n",
+        (F.floor(raw * 100) / 100.0).alias("kmv_n"),
+        (F.floor(F.abs(raw - F.col("exact_n")) / F.col("exact_n") * 10000)
+         / 10000.0).alias("rel_err"))
