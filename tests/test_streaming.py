@@ -1069,3 +1069,33 @@ class TestStreamingRollupMaintenance:
         once = _rows(maint.current(), exclude_sentinel=False)
         maint.merge_batch(ev, 1)  # crash-replay of batch 1
         assert _rows(maint.current(), exclude_sentinel=False) == once
+
+
+class TestStreamingScd2Sessions:
+    def test_scd2_gap_stream_equals_batch(self, spark, sf_dir, stream_dir):
+        """Streaming twin of session_scd2_dynamic_gap: the static SCD2
+        tier-interval table joins the stream by containment (stream-static
+        non-equi join), and per-event gaps drive session_window — results
+        must equal the batch as-of formulation exactly."""
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+            CATALOG,
+        )
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            loyalty_tier_intervals,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            streaming_sessionize_scd2,
+        )
+
+        tiers = loyalty_tier_intervals(load_table(spark, sf_dir, "events"))
+        stream = streaming_sessionize_scd2(
+            _events_stream(spark, stream_dir), tiers)
+        assert stream.isStreaming
+        q = memory_sink(stream, "stream_scd2_sessions")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(spark.table("stream_scd2_sessions"))
+        want = _rows(CATALOG["session_scd2_dynamic_gap"].spark(spark, sf_dir))
+        assert len(got) == len(want) and got == want

@@ -1658,6 +1658,43 @@ def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def loyalty_tiers(ev: DataFrame) -> DataFrame:
+    """Purchase-count loyalty tiers as SCD2 change rows: (user_id,
+    valid_from, tier), deduped to one row per (user, instant) keeping the
+    highest purchase count. Shared by the batch catalog entry and the
+    streaming twin (tests/test_streaming.py)."""
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", F.col("ts").alias("valid_from"), "event_id")
+           .withColumn("n", F.row_number().over(w)))
+    wd = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("n"))
+    return (dim.withColumn("dup", F.row_number().over(wd))
+            .where(F.col("dup") == 1)
+            .select("user_id", "valid_from",
+                    F.when(F.col("n") >= 5, "gold")
+                    .when(F.col("n") >= 3, "silver")
+                    .otherwise("bronze").alias("tier")))
+
+
+def loyalty_tier_intervals(ev: DataFrame) -> DataFrame:
+    """Closed-interval form of :func:`loyalty_tiers` — (user_id,
+    valid_from, valid_to, tier) with valid_to NULL on the current row —
+    the shape a STREAM-static point-in-time join needs (window-function
+    as-of joins are not available on streams; interval containment is)."""
+    wn = Window.partitionBy("user_id").orderBy("valid_from")
+    return loyalty_tiers(ev).withColumn(
+        "valid_to", F.lead("valid_from").over(wn))
+
+
+def tier_gap_expr(tier_col: str = "tier"):
+    """Per-event session-gap duration from the loyalty tier."""
+    c = F.col(tier_col)
+    return (F.when(c == "gold", "300 seconds")
+            .when(c == "silver", "120 seconds")
+            .when(c == "bronze", "60 seconds")
+            .otherwise("30 seconds"))
+
+
 @register(
     "session_scd2_dynamic_gap",
     # Union-of-intervals islands oracle: with a gap that varies WITHIN a
@@ -1747,28 +1784,12 @@ def session_scd2_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (ev.where(F.col("event_type") == "purchase")
-           .select("user_id", F.col("ts").alias("valid_from"), "event_id")
-           .withColumn("n", F.row_number().over(w.orderBy("valid_from",
-                                                          "event_id"))))
-    wd = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("n"))
-    tiers = (dim.withColumn("dup", F.row_number().over(wd))
-             .where(F.col("dup") == 1)
-             .select("user_id", "valid_from",
-                     F.when(F.col("n") >= 5, "gold")
-                     .when(F.col("n") >= 3, "silver")
-                     .otherwise("bronze").alias("tier")))
     enriched = asof_join(
-        ev.select("user_id", "ts", "value"), tiers, on=["user_id"],
-        ts="ts", right_ts="valid_from", right_cols={"tier": "tier"},
-        how="left")
-    gap = (F.when(F.col("tier") == "gold", "300 seconds")
-           .when(F.col("tier") == "silver", "120 seconds")
-           .when(F.col("tier") == "bronze", "60 seconds")
-           .otherwise("30 seconds"))
-    return _aggregate(enriched, gap, "user_id", "ts", "value").drop(
-        "session_avg")
+        ev.select("user_id", "ts", "value"), loyalty_tiers(ev),
+        on=["user_id"], ts="ts", right_ts="valid_from",
+        right_cols={"tier": "tier"}, how="left")
+    return _aggregate(enriched, tier_gap_expr(), "user_id", "ts",
+                      "value").drop("session_avg")
 
 
 @register(

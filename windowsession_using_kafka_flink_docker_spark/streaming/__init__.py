@@ -11,6 +11,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.pipeline import (
     streaming_alerts,
     streaming_sessionize,
     streaming_sessionize_dynamic,
+    streaming_sessionize_scd2,
     streaming_interval_join,
     streaming_windowed_counts,
 )
@@ -46,6 +47,7 @@ __all__ = [
     "streaming_alerts",
     "streaming_sessionize",
     "streaming_sessionize_dynamic",
+    "streaming_sessionize_scd2",
     "streaming_interval_join",
     "streaming_windowed_counts",
     "streaming_capped_sessionize",

@@ -104,6 +104,39 @@ def streaming_sessionize_dynamic(events: DataFrame,
     )
 
 
+def streaming_sessionize_scd2(events: DataFrame, tier_intervals: DataFrame,
+                              watermark_delay: str = MONOTONOUS_DELAY,
+                              key: str = "user_id", ts: str = "ts",
+                              value: str = "value") -> DataFrame:
+    """Temporal-dimension dynamic sessionization, streaming form: the
+    per-event gap comes from the SCD2 tier valid at the event's time.
+
+    The batch twin (plans/relational.py session_scd2_dynamic_gap) attaches
+    the tier with an as-of join; window functions are unavailable on
+    streams, so here the STATIC interval table (valid_from, valid_to]
+    joins by containment — a stream-static left join with a non-equi
+    condition, which Spark executes per micro-batch with the static side
+    broadcast (dimension-sized, never stream-sized). Gap semantics and
+    session merging (union of [ts, ts+gap) intervals) are the batch
+    operator's, verified stream==batch in tests/test_streaming.py."""
+    t = tier_intervals.alias("t")
+    e = events.alias("e")
+    cond = (
+        (F.col(f"e.{key}") == F.col("t.user_id"))
+        & (F.col(f"e.{ts}") >= F.col("t.valid_from"))
+        & (F.col("t.valid_to").isNull()
+           | (F.col(f"e.{ts}") < F.col("t.valid_to")))
+    )
+    enriched = e.join(t, cond, "left").select(
+        f"e.{key}", f"e.{ts}", f"e.{value}", "t.tier")
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        tier_gap_expr,
+    )
+    agg = _session_agg(enriched, tier_gap_expr(), watermark_delay, key, ts,
+                       value)
+    return _project_sessions(agg, key).drop("session_avg")
+
+
 def streaming_windowed_counts(events: DataFrame, duration: str = "5 minutes",
                               slide: str | None = None,
                               watermark_delay: str = MONOTONOUS_DELAY,
