@@ -71,8 +71,11 @@ def test_streaming_build_equals_batch(spark, tmp_path_factory):
         for f in sorted(glob.glob(os.path.join(base, f"c{i}", "*.parquet"))):
             shutil.copy(f, os.path.join(flat, f"{n:02d}.parquet"))
             n += 1
-    stream = (spark.readStream.schema("token STRING")
-              .option("maxFilesPerTrigger", "1").parquet(flat))
+    from windowsession_using_kafka_flink_docker_spark.streaming import (
+        file_events_source,
+    )
+    stream = file_events_source(spark, flat, schema="token STRING",
+                                max_files_per_trigger=1)
     q = (cms_build(stream, depth=3, width=8)
          .writeStream.outputMode("complete")
          .format("memory").queryName("cms_stream_sketch").start())
@@ -84,3 +87,18 @@ def test_streaming_build_equals_batch(spark, tmp_path_factory):
     want = sorted(tuple(r) for r in
                   cms_build(toks, depth=3, width=8).collect())
     assert got == want
+
+
+def test_unseen_tokens_still_estimated(spark):
+    """A queried token absent from the sketched stream must get a row
+    with the min-cell estimate (0 unless every cell collides), not be
+    silently dropped by the estimate join."""
+    toks = _tokens(spark, n=500)
+    sketch = cms_build(toks, depth=3, width=64).localCheckpoint()
+    items = spark.createDataFrame(
+        [("tok1",), ("never-sketched-xyz",)], "token STRING")
+    rows = {r.token: r.cms_n
+            for r in cms_estimate(items, sketch, depth=3, width=64).collect()}
+    assert set(rows) == {"tok1", "never-sketched-xyz"}
+    assert rows["tok1"] > 0
+    assert rows["never-sketched-xyz"] == 0  # w=64, 37 tokens: some cell empty

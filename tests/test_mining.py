@@ -85,14 +85,19 @@ def test_dynamic_gap_sessions_are_interval_unions(spark):
     df = spark.createDataFrame(
         rows, "user_id BIGINT, ts TIMESTAMP, gap_s INT, value DOUBLE")
     gap = F.concat(F.col("gap_s").cast("string"), F.lit(" seconds"))
+    # Spark returns naive datetimes denoting session-TZ (UTC) wall time;
+    # interpret BOTH sides as UTC explicitly — bare .timestamp() on a
+    # naive datetime uses the host OS timezone and would skew `got` by
+    # the UTC offset on any non-UTC machine.
+    utc = datetime.timezone.utc
     got = {
         (r.user_id,
-         int(r.session_start.timestamp() * 1_000_000),
-         int(r.session_end.timestamp() * 1_000_000)):
+         int(r.session_start.replace(tzinfo=utc).timestamp() * 1_000_000),
+         int(r.session_end.replace(tzinfo=utc).timestamp() * 1_000_000)):
         (float(r.session_sum), r.event_count)
         for r in _aggregate(df, gap, "user_id", "ts", "value").collect()
     }
-    epoch = datetime.timezone.utc  # ts are naive; use UTC-consistent µs
+    epoch = utc  # ts are naive; use UTC-consistent µs
     events = [(u, int(ts.replace(tzinfo=epoch).timestamp() * 1_000_000),
                g, v) for u, ts, g, v in rows]
     want = {k: (round(s, 2), c)

@@ -5,15 +5,24 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
 
 
-def _result(spark, sf_dir):
-    return CATALOG["resample_locf_hourly"].spark(spark, sf_dir).cache()
+@pytest.fixture(scope="module")
+def resampled(spark, sf_dir):
+    """Cached once for the module, UNPERSISTED on teardown — a cached
+    plan fragment left in the session-scoped SparkSession would be
+    substituted into later plan-shape assertions (test_plan_quality's
+    window-frame lock) and corrupt their operator counts."""
+    df = CATALOG["resample_locf_hourly"].spark(spark, sf_dir).cache()
+    yield df
+    df.unpersist()
 
 
-def test_fill_is_total_and_grid_regular(spark, sf_dir):
-    df = _result(spark, sf_dir)
+def test_fill_is_total_and_grid_regular(resampled):
+    df = resampled
     assert df.where(F.col("value_filled").isNull()
                     | F.col("value_interp").isNull()).count() == 0
     # regular grid: per user, row count == span hours + 1, all hours unique
@@ -30,8 +39,8 @@ def test_fill_is_total_and_grid_regular(spark, sf_dir):
     assert bad == 0
 
 
-def test_observed_rows_pass_through(spark, sf_dir):
-    df = _result(spark, sf_dir)
+def test_observed_rows_pass_through(resampled):
+    df = resampled
     obs = df.where("is_observed")
     # observed rows: zero staleness, interp == filled == the observation
     assert obs.where("hours_since_obs != 0").count() == 0
@@ -41,10 +50,10 @@ def test_observed_rows_pass_through(spark, sf_dir):
     ).count() == 0
 
 
-def test_interpolation_bounded_by_neighbors(spark, sf_dir):
+def test_interpolation_bounded_by_neighbors(resampled):
     """Linear interpolation never exits the [prev, next] envelope; with
     both neighbors equal it is constant (up to the 1e-4 floor grid)."""
-    df = _result(spark, sf_dir)
+    df = resampled
     assert df.where(~F.col("is_observed")).count() > 0  # real gaps exist
     # prev obs value is the LOCF column itself; next obs value is the
     # filled column of the next observed row ('hour' strings sort

@@ -1036,17 +1036,19 @@ class TestStreamingRollupMaintenance:
         state_dir = str(tmp_path_factory.mktemp("rollup_state"))
         ckpt = str(tmp_path_factory.mktemp("rollup_ckpt"))
         maint = IncrementalRollupMaintainer(spark, state_dir)
-        stream = (spark.readStream
-                  .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-                  .option("maxFilesPerTrigger", "1").parquet(flat))
+        stream = file_events_source(
+            spark, flat, schema="ts TIMESTAMP, event_type STRING, value DOUBLE",
+            max_files_per_trigger=1)
         q = streaming_rollup_maintenance(stream, maint, ckpt)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
 
-        # ≥2 versions ⇒ at least one real state+delta merge happened
-        assert len(maint._versions()) >= 2
+        # exactly current + previous survive: ≥2 proves a real
+        # state+delta merge happened; ≤2 proves pruning bounds the
+        # state dir (a 24/7 stream must not keep one copy per batch)
+        assert 2 >= len(maint._versions()) >= 2
         got = _rows(maint.current(), exclude_sentinel=False)
         ev = load_table(spark, sf_dir, "events")
         want = _rows(rollup_present(rollup_partials(with_day(ev))),

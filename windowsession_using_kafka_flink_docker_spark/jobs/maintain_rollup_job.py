@@ -8,11 +8,11 @@ queryable maintained table updated from deltas, never recomputed from
 the full fact table. Replay-idempotent by versioned batch-id writes
 (streaming/rollup.py). Run from a file drop-dir (default) or Kafka:
 
-    spark-submit -m maintain_rollup_job.py --source /data/incoming \
+    spark-submit maintain_rollup_job.py --source /data/incoming \
         --state /data/rollup_state --checkpoint /tmp/ckpt/rollup
 
     spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0 \
-        -m maintain_rollup_job.py --bootstrap kafka:9092 --source kafka
+        maintain_rollup_job.py --bootstrap kafka:9092 --source kafka
 """
 
 from __future__ import annotations

@@ -4,7 +4,7 @@ Faithful streaming rendering of flink_stream_task1.py:44-87 — run under
 spark-submit with the Kafka connector package (see docker/README.md):
 
     spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0 \
-        -m session_report_job.py --bootstrap kafka:9092
+        session_report_job.py --bootstrap kafka:9092
 """
 
 from __future__ import annotations

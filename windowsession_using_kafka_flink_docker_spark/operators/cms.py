@@ -69,15 +69,20 @@ def cms_estimate(items: DataFrame, sketch: DataFrame, tok_col: str = "token",
                  out_col: str = "cms_n") -> DataFrame:
     """Point-estimate each distinct token in ``items``: min over the d
     cell counts. The sketch broadcasts (≤ d×w rows). ``items`` must not
-    already carry ``_b<r>``/``_n<r>`` columns (used as join scratch)."""
+    already carry ``_b<r>``/``_n<r>`` columns (used as join scratch).
+
+    Left joins: a queried token that was never sketched lands in cells
+    with no row — its count there is 0, so the CMS answer is 0 (or the
+    collision mass of whatever cells it shares), never a dropped row."""
     est = items
     for r in range(depth):
         cell = (sketch.where(F.col("r") == r)
                 .select(F.col("bucket").alias(f"_b{r}"),
                         F.col("n").alias(f"_n{r}")))
         est = est.withColumn(f"_b{r}", cms_bucket(tok_col, r, width)).join(
-            F.broadcast(cell), f"_b{r}")
+            F.broadcast(cell), f"_b{r}", "left")
     cms = reduce(lambda a, b: F.least(a, b),
-                 [F.col(f"_n{r}") for r in range(depth)])
+                 [F.coalesce(F.col(f"_n{r}"), F.lit(0))
+                  for r in range(depth)])
     return est.withColumn(out_col, cms).drop(
         *[c for r in range(depth) for c in (f"_b{r}", f"_n{r}")])

@@ -53,8 +53,10 @@ def scd2_apply(snapshot: DataFrame, changes: DataFrame, key: str,
     only safe when intra-batch duplicates are exact resends.
     """
     snap = snapshot.select(key, *attr_cols, valid_from)
-    order_cols = ([F.col(change_order).desc()] if change_order
-                  else [F.col(c).desc_nulls_last() for c in attr_cols])
+    # attr tuple is ALWAYS the trailing tie-break: two rows sharing the
+    # same change_order value must still dedupe deterministically.
+    order_cols = (([F.col(change_order).desc()] if change_order else [])
+                  + [F.col(c).desc_nulls_last() for c in attr_cols])
     w = Window.partitionBy(key).orderBy(*order_cols)
     chg = (changes.withColumn("_rn", F.row_number().over(w))
            .where(F.col("_rn") == 1).select(key, *attr_cols))

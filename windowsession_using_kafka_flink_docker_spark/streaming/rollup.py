@@ -102,6 +102,20 @@ class IncrementalRollupMaintainer:
         # Key-space-bounded output: coalesce keeps the state one file per
         # version locally; production partitions by day instead.
         merged.coalesce(1).write.mode("overwrite").parquet(target)
+        self._prune(keep_from=batch_id - 1)
+
+    def _prune(self, keep_from: int) -> None:
+        """Drop versions below ``keep_from`` — a 24/7 stream must not
+        accumulate one full state copy per micro-batch. Replay safety
+        needs only the newest version strictly below any batch that can
+        re-run, and the engine never re-delivers batches older than the
+        last committed one — keeping current + previous suffices."""
+        import shutil
+
+        for v in self._versions():
+            if v < keep_from:
+                shutil.rmtree(os.path.join(self.state_dir, f"v={v}"),
+                              ignore_errors=True)
 
 
 def streaming_rollup_maintenance(
