@@ -20,6 +20,7 @@ import datetime
 import os
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from windowsession_using_kafka_flink_docker_spark.operators.alerts import big_customer_alerts
@@ -1101,3 +1102,90 @@ class TestStreamingScd2Sessions:
         got = _rows(spark.table("stream_scd2_sessions"))
         want = _rows(CATALOG["session_scd2_dynamic_gap"].spark(spark, sf_dir))
         assert len(got) == len(want) and got == want
+
+
+class TestStreamingScd2Maintenance:
+    """foreachBatch SCD2 dimension maintenance (streaming/scd.py): change
+    batches MERGE into a versioned dim; the final current rows must match
+    an independent window-function derivation over all events."""
+
+    def _change_stream_dir(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        base = str(tmp_path_factory.mktemp("scd2_changes"))
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changes = (ev.where(F.col("event_type") == "purchase")
+                   .withColumn("n", F.row_number().over(w))
+                   .select("ts", "user_id",
+                           F.when(F.col("n") >= 5, "gold")
+                           .when(F.col("n") >= 3, "silver")
+                           .otherwise("bronze").alias("tier"),
+                           F.pmod(F.dayofmonth("ts"), F.lit(3)).alias("_c")))
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            changes.where(F.col("_c") == i).drop("_c") \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        return flat
+
+    def test_current_rows_match_batch_final_state(self, spark, sf_dir,
+                                                  tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            Scd2DimensionMaintainer, streaming_scd2_maintenance,
+        )
+
+        flat = self._change_stream_dir(spark, sf_dir, tmp_path_factory)
+        maint = Scd2DimensionMaintainer(
+            spark, str(tmp_path_factory.mktemp("scd2_state")),
+            key="user_id", attr_cols=("tier",), batch_ts_col="ts",
+            change_order="ts")
+        stream = file_events_source(
+            spark, flat, schema="ts TIMESTAMP, user_id BIGINT, tier STRING",
+            max_files_per_trigger=1)
+        q = streaming_scd2_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("scd2_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        cur = maint.current_rows()
+        # exactly one current row per key
+        assert cur.groupBy("user_id").count() \
+            .where(F.col("count") > 1).count() == 0
+        got = {(r.user_id, r.tier) for r in cur.collect()}
+        # independent derivation: last tier per user over ALL events.
+        # NOTE: chunking above slices by pmod(day, 3), which does NOT
+        # preserve event order across batches — but SCD2 merge only
+        # tracks attr CHANGES, and tiers are monotone in purchase count,
+        # so the batch-max winner still equals the true final tier.
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = {(r.user_id, r.tier) for r in
+                (ev.where(F.col("event_type") == "purchase")
+                 .withColumn("n", F.row_number().over(w))
+                 .groupBy("user_id")
+                 .agg(F.max("n").alias("maxn"))
+                 .select("user_id",
+                         F.when(F.col("maxn") >= 5, "gold")
+                         .when(F.col("maxn") >= 3, "silver")
+                         .otherwise("bronze").alias("tier"))).collect()}
+        assert got == want
+
+        # replay idempotence: re-running the LAST batch leaves the dim
+        # byte-identical (versioned write derives from versions < id)
+        versions = maint._versions()
+        last = versions[-1]
+        before = sorted(tuple(str(v) for v in r)
+                        for r in maint.current().collect())
+        last_chunk = spark.read.parquet(
+            os.path.join(flat, f"{last:02d}.parquet"))
+        maint.merge_batch(last_chunk, last)
+        after = sorted(tuple(str(v) for v in r)
+                       for r in maint.current().collect())
+        assert before == after

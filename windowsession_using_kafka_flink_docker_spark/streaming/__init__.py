@@ -22,6 +22,10 @@ from windowsession_using_kafka_flink_docker_spark.streaming.rollup import (
     IncrementalRollupMaintainer,
     streaming_rollup_maintenance,
 )
+from windowsession_using_kafka_flink_docker_spark.streaming.scd import (
+    Scd2DimensionMaintainer,
+    streaming_scd2_maintenance,
+)
 from windowsession_using_kafka_flink_docker_spark.streaming.sinks import (
     alert_grid_writer,
     console_sink,
@@ -53,6 +57,8 @@ __all__ = [
     "streaming_capped_sessionize",
     "IncrementalRollupMaintainer",
     "streaming_rollup_maintenance",
+    "Scd2DimensionMaintainer",
+    "streaming_scd2_maintenance",
     "file_events_source",
     "kafka_events_source",
     "kafka_raw_source",
