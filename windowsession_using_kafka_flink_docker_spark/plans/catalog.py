@@ -70,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "data_quality_report",
     "session_transition_matrix",
     "kmv_distinct_audit",
+    "weighted_sample_per_lang",
     # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
     "session_fixed_gap",
     "session_dynamic_gap",
@@ -100,7 +101,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "interval_join_attribution",
     "asof_purchase_attribution",
     "asof_purchase_attribution_bucketed",
-    "stream_static_enrichment",
     "conversion_funnel",
     "rolling_purchase_features",
     "json_props_extract",
@@ -135,6 +135,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #                             pinned by pytest)
     #   retention_cohorts        (cohort/funnel sibling: conversion_funnel
     #                             in-window)
+    #   stream_static_enrichment (broadcast-join sibling revenue_by_nation
+    #                             in-window; its streaming twin is pytest-
+    #                             gated every round)
 )
 
 

@@ -8,7 +8,7 @@ syntax. Float outputs are rounded on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
@@ -1402,3 +1402,54 @@ def knn_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
             .groupBy("vec_id")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+@register(
+    "weighted_sample_per_lang",
+    # Efraimidis-Spirakis A-ES weighted sampling made deterministic and
+    # oracle-replayable: the "random" u is an md5-prefix uniform (bit-
+    # identical in DuckDB), the rank key ln(u)/w is the monotone log form
+    # of u^(1/w), and the FLOAT KEY STAYS OUT of the hashed output (JVM
+    # log and libm ln differ in the last ulp for ~8% of inputs — rank
+    # order is ulp-stable because keys are ~1/n apart, but emitted floats
+    # would hash-mismatch). doc_id breaks the (measure-zero) ties.
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang,
+         LEAST(5, 1 + CAST(floor(n_chars / 500.0) AS BIGINT)) AS w,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, w,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ln(u) / w DESC, doc_id) AS rank
+  FROM base
+)
+SELECT lang, doc_id, w, rank FROM ranked WHERE rank <= 20
+""",
+    description="Weighted sampling without replacement per stratum "
+                "(Efraimidis-Spirakis A-ES): key = u^(1/w) ranked as "
+                "ln(u)/w, u = md5-prefix uniform so the draw is "
+                "deterministic AND fully DuckDB-replayable — the "
+                "training-data shape for quality-weighted subcorpus "
+                "selection (here w = length-bucket 1..5, 20 docs per "
+                "lang). One window shuffle per stratum; at 100 TB the "
+                "same key ranks under a per-partition top-k + merge "
+                "instead of a full sort (the key, not the algorithm, is "
+                "the contract).",
+    tags=("llm", "sampling", "curation"),
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint") / F.lit(4294967296.0))
+    w = F.least(F.lit(5), 1 + F.floor(F.col("n_chars") / 500.0).cast("bigint"))
+    base = docs.select("doc_id", "lang", w.alias("w"), u.alias("u"))
+    wr = Window.partitionBy("lang").orderBy(
+        (F.log("u") / F.col("w")).desc(), "doc_id")
+    return (base.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= 20)
+            .select("lang", "doc_id", "w", "rank"))
