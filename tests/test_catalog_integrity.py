@@ -92,6 +92,65 @@ def test_window_re_certifies_stalest_entries():
     assert not stale, f"entries neither in-window nor recently green: {stale}"
 
 
+def test_priority_is_computed_from_on_disk_history():
+    """DRIVER_PRIORITY must be the pure function of (catalog, history) —
+    not a hand-maintained tuple that can drift when a driver snapshot
+    lands post-commit (the round-4 AND round-5 red-test class)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        compute_driver_priority,
+        driver_history,
+    )
+
+    assert DRIVER_PRIORITY == compute_driver_priority(
+        list(CATALOG), driver_history()[0])
+
+
+def test_window_policy_converges_over_projected_rounds():
+    """Project the rotation two rounds ahead (VERDICT r5 item 2): simulate
+    the driver certifying each computed window, recompute, and assert no
+    entry's certification ever ages past 2 rounds. This proves the
+    mechanism converges — a future snapshot can only make the real test
+    greener, never red."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        DRIVER_WINDOW,
+        PINNED,
+        compute_driver_priority,
+        driver_history,
+    )
+
+    last_green, latest = driver_history()
+    last_green = {n: r for n, r in last_green.items() if n in CATALOG}
+    names = list(CATALOG)
+    for future_round in (latest + 1, latest + 2, latest + 3):
+        priority = compute_driver_priority(names, last_green)
+        window = set(priority[:DRIVER_WINDOW])
+        assert set(PINNED) <= window
+        # every entry neither in this window nor green within 2 rounds
+        # would go red — there must be none
+        stale = [n for n in names if n not in window
+                 and last_green.get(n, 0) < future_round - 2]
+        assert not stale, (
+            f"round {future_round} projection leaves stale entries: {stale}")
+        for n in window:  # driver certifies the window
+            last_green[n] = future_round
+
+
+def test_catalog_size_leaves_rotation_headroom():
+    """Feasibility bound for the rotation: each round the window holds
+    the pins (P), every entry whose certification aged to 2 rounds, and
+    oldest-first fill. Steady-state stale cohort = N - (2W - P), which
+    must fit beside the pins: N <= 3W - 2P. Fail loudly when an added
+    entry would make the policy arithmetically impossible."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        DRIVER_WINDOW,
+        PINNED,
+    )
+
+    assert len(CATALOG) <= 3 * DRIVER_WINDOW - 2 * len(PINNED), (
+        "catalog has outgrown the rotation policy — raise DRIVER_WINDOW "
+        "or relax the staleness bound")
+
+
 def test_core_parity_and_identity_pins_always_in_window():
     """The 8 reference-parity rows and the 2 ANN exact-identity pins must
     never rotate out (VERDICT r4 item 6)."""

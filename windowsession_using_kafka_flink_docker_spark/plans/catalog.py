@@ -46,32 +46,11 @@ def register(name: str, oracle: str | None, description: str = "",
 #: ``queries()`` in iteration order.
 DRIVER_WINDOW = 50
 
-#: Names surfaced FIRST to the driver — the round-5 window, rebuilt per
-#: VERDICT r4 items 1/2/6. Rotation policy (enforced by
-#: tests/test_catalog_integrity.py): (a) entries never driver-checked in
-#: ANY CORRECTNESS_r*.json go first, (b) the 8 core reference-parity rows
-#: and the 2 ANN exact-identity pins stay inside EVERY window, (c) the
-#: remaining slots go to the entries whose last driver-green round is
-#: OLDEST, so no entry's certification ages past ~2 rounds (the testdata's
-#: timestamp types are known to drift between rounds — re-certification is
-#: not paranoia).
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (yielded in r4; front-loaded now) ----------
-    "unpivot_order_counts",
-    "orc_roundtrip_revenue",
-    "user_event_sequences",
-    "tfidf_search",
-    # -- new in round 5 --------------------------------------------------
-    "copurchase_pairs",
-    "cms_frequency_audit",
-    "resample_locf_hourly",
-    "knn_triangle_count",
-    "session_scd2_dynamic_gap",
-    "data_quality_report",
-    "session_transition_matrix",
-    "kmv_distinct_audit",
-    "weighted_sample_per_lang",
-    # -- core reference-parity rows (SURVEY §2.1-2.10) — always in -------
+#: The 8 core reference-parity rows (SURVEY §2.1-2.10) plus the 2 ANN
+#: exact-identity pins — these must appear in EVERY driver window
+#: (VERDICT r4 item 6 / r5 item 7), so the reference-parity claim and the
+#: approximate-ANN hard gates are re-certified each round.
+PINNED: tuple[str, ...] = (
     "session_fixed_gap",
     "session_dynamic_gap",
     "session_fixed_gap_bucketed",
@@ -80,65 +59,95 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "csv_parse_roundtrip",
     "generated_sessionization",
     "generated_big_customer_alert",
-    # -- ANN exact-identity pins for the two rows-only approximate paths -
     "ivf_recall_vs_exact",
     "pq_rerank_all_vs_exact",
-    # -- stalest first: last driver-green in r3 --------------------------
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    "customer_order_analytics",
-    "top_orders_per_customer",
-    "order_priority_rollup",
-    "event_type_cube",
-    "latest_event_per_user",
-    "percentile_values",
-    "approx_distinct_users",
-    "user_spend_deciles",
-    "salted_skew_aggregation",
-    "brand_premium_parts",
-    "purchasers_minus_errorers",
-    "semi_join_late_orders",
-    "interval_join_attribution",
-    "asof_purchase_attribution",
-    "asof_purchase_attribution_bucketed",
-    "conversion_funnel",
-    "rolling_purchase_features",
-    "json_props_extract",
-    "dedup_exact",
-    "minhash_lsh_neardups",
-    "simhash_neardups",
-    "ngram_jaccard_neardups",
-    "embedding_neardups",
-    "cosine_topk",
-    "token_stats_by_lang",
-    # r3-green entries deliberately deferred to round 6 (window is full;
-    # each has an in-window or ≤1-round-old sibling exercising the same
-    # plan family, and all stay under tests/test_oracle_parity.py):
-    #   top100_orders            (ranking sibling: top_orders_per_customer)
-    #   distinct_users_by_type   (sibling: approx_distinct_users + sketch gate)
-    #   pivot_order_status       (sibling: unpivot_order_counts, in-window)
-    #   json_parse_roundtrip     (sibling: json_props_extract)
-    #   scd2_loyalty_tiers       (sibling: scd2_customer_upsert, r4-green)
-    #   engaged_users_intersect  (set-op sibling: purchasers_minus_errorers)
-    #   lang_id_distribution     (sibling: token_stats_by_lang, in-window)
-    #   quality_scores           (siblings: gopher_quality_flags +
-    #                             unigram_quality_score, both r4-green)
-    #   ann_cosine_topk          (siblings: cosine_topk in-window +
-    #                             ann_recall_vs_exact, r4-green)
-    #   dedup_fingerprint        (siblings: dedup_exact in-window + the
-    #                             near-dup family sharing the normalize
-    #                             stage)
-    #   event_value_histogram    (binning siblings: user_spend_deciles
-    #                             in-window + percentile_values)
-    #   approx_percentiles       (rows-only; exact sibling
-    #                             percentile_values in-window, accuracy
-    #                             pinned by pytest)
-    #   retention_cohorts        (cohort/funnel sibling: conversion_funnel
-    #                             in-window)
-    #   stream_static_enrichment (broadcast-join sibling revenue_by_nation
-    #                             in-window; its streaming twin is pytest-
-    #                             gated every round)
 )
+
+#: Historical snapshot-key renames: old driver key -> current catalog
+#: name. A green row under the old key counts as a green row for the
+#: renamed entry (the query itself did not change, only its name).
+RENAMED_ENTRIES: dict[str, str] = {
+    "anti_join_idle_customers": "anti_join_no_urgent_customers",
+}
+
+
+def driver_history(root: str | None = None) -> tuple[dict[str, int], int]:
+    """Parse every on-disk ``CORRECTNESS_r*.json`` driver snapshot.
+
+    Returns ``(last_green, latest_round)`` where ``last_green[name]`` is
+    the newest round in which the entry had a clean driver row: either a
+    full ``hash_match`` or — for entries without an oracle by design — a
+    rows-only check that produced rows. Snapshot keys that were since
+    renamed are mapped through :data:`RENAMED_ENTRIES`.
+    """
+    import glob
+    import json
+    import os
+
+    if root is None:
+        # walk up from this file until a directory holding driver
+        # snapshots (the repo root) is found
+        d = os.path.dirname(os.path.abspath(__file__))
+        while True:
+            if glob.glob(os.path.join(d, "CORRECTNESS_r*.json")):
+                root = d
+                break
+            parent = os.path.dirname(d)
+            if parent == d:
+                root = d  # filesystem root reached; no snapshots anywhere
+                break
+            d = parent
+    last_green: dict[str, int] = {}
+    latest_round = 0
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        latest_round = max(latest_round, rnd)
+        with open(path) as f:
+            snap = json.load(f)
+        for name, row in snap.items():
+            name = RENAMED_ENTRIES.get(name, name)
+            ok = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None)
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, latest_round
+
+
+def compute_driver_priority(
+    names: list[str],
+    last_green: dict[str, int],
+) -> tuple[str, ...]:
+    """Order the catalog for the driver's rotating correctness window.
+
+    Policy (the *mechanism* — VERDICT r5 item 1 — replacing the fragile
+    hand-maintained tuple, so a freshly landed driver snapshot can never
+    leave the window out of sync with the rotation policy):
+
+    1. entries never driver-checked in ANY snapshot go first (a new
+       operator must be certified the round it lands);
+    2. the :data:`PINNED` core-parity + ANN-identity rows follow, so they
+       sit inside every window;
+    3. everything else is ordered oldest-last-green-first (ties broken by
+       registration order), so no entry's certification ages past ~2
+       rounds while the catalog stays under ``2*DRIVER_WINDOW - PINNED``
+       entries.
+
+    Pure function of ``(names, last_green)`` — unit-tested with projected
+    future snapshots in tests/test_catalog_integrity.py.
+    """
+    reg_pos = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if n not in last_green]
+    pinned = [n for n in PINNED if n in names and n not in set(never)]
+    taken = set(never) | set(pinned)
+    rest = sorted((n for n in names if n not in taken),
+                  key=lambda n: (last_green.get(n, 0), reg_pos[n]))
+    return (*never, *pinned, *rest)
+
+
+#: Computed at import time (after the @register modules load, at the
+#: bottom of this file) from the on-disk correctness history.
+DRIVER_PRIORITY: tuple[str, ...] = ()
 
 
 def _ordered() -> dict[str, QuerySpec]:
@@ -168,3 +177,7 @@ from windowsession_using_kafka_flink_docker_spark.plans import (  # noqa: E402,F
     time_windows,
     curation,
 )
+
+# DRIVER_PRIORITY must be computed AFTER the @register imports above have
+# populated CATALOG.
+DRIVER_PRIORITY = compute_driver_priority(list(CATALOG), driver_history()[0])
