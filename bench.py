@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,8 +61,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
 
-    timings = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
-    spread = {n: round(max(v) / sorted(v)[len(v) // 2], 2)
+    # statistics.median averages the middle pair for even N — the naive
+    # sorted(v)[len(v)//2] is the upper-middle element, biasing even-N
+    # figures upward (SPARK_GRAFT_BENCH_RUNS allows any N).
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    spread = {n: round(max(v) / statistics.median(v), 2)
               for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({

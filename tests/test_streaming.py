@@ -1073,6 +1073,28 @@ class TestStreamingRollupMaintenance:
         maint.merge_batch(ev, 1)  # crash-replay of batch 1
         assert _rows(maint.current(), exclude_sentinel=False) == once
 
+    def test_fresh_checkpoint_against_stale_state_fails_fast(
+            self, spark, sf_dir, tmp_path_factory):
+        """A restart with a wiped checkpoint dir (batch ids back at 0)
+        but a surviving state_dir must raise, not silently rebase on
+        nothing while current() serves the old run's state."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalRollupMaintainer,
+        )
+
+        ev = (load_table(spark, sf_dir, "events")
+              .select("ts", "event_type", "value").limit(100))
+        state_dir = str(tmp_path_factory.mktemp("rollup_stale"))
+        maint = IncrementalRollupMaintainer(spark, state_dir)
+        maint.merge_batch(ev, 0)
+        maint.merge_batch(ev, 1)
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(ev, 0)  # fresh-checkpoint restart
+        # replay of the NEWEST batch id stays legal (crash recovery)
+        maint.merge_batch(ev, 1)
+
 
 class TestStreamingScd2Sessions:
     def test_scd2_gap_stream_equals_batch(self, spark, sf_dir, stream_dir):
@@ -1116,13 +1138,23 @@ class TestStreamingScd2Maintenance:
         base = str(tmp_path_factory.mktemp("scd2_changes"))
         ev = load_table(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # Chunk CHRONOLOGICALLY (ntile over global ts order) so batch
+        # order matches event order — SCD2 merge applies batches as CDC
+        # deltas, so out-of-order batches (the old pmod(dayofmonth,3)
+        # slicing) would legitimately end a user on a stale tier: the
+        # dim reflects the max-ts row of the LAST batch containing the
+        # user, not the globally latest tier. (Verified: pmod slicing
+        # passes at sf0.001 only by coincidence; 10 users mismatch at
+        # sf0.01.) Single-partition ntile is fine at test scale.
         changes = (ev.where(F.col("event_type") == "purchase")
                    .withColumn("n", F.row_number().over(w))
                    .select("ts", "user_id",
                            F.when(F.col("n") >= 5, "gold")
                            .when(F.col("n") >= 3, "silver")
                            .otherwise("bronze").alias("tier"),
-                           F.pmod(F.dayofmonth("ts"), F.lit(3)).alias("_c")))
+                           (F.ntile(3).over(
+                               Window.orderBy("ts", "event_id")) - 1
+                            ).alias("_c")))
         flat = os.path.join(base, "flat")
         os.makedirs(flat)
         for i in range(3):
@@ -1160,10 +1192,9 @@ class TestStreamingScd2Maintenance:
             .where(F.col("count") > 1).count() == 0
         got = {(r.user_id, r.tier) for r in cur.collect()}
         # independent derivation: last tier per user over ALL events.
-        # NOTE: chunking above slices by pmod(day, 3), which does NOT
-        # preserve event order across batches — but SCD2 merge only
-        # tracks attr CHANGES, and tiers are monotone in purchase count,
-        # so the batch-max winner still equals the true final tier.
+        # Valid because the chunks are chronological (ntile over global
+        # ts order), so the last batch containing a user also holds the
+        # user's globally latest change row.
         ev = load_table(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         want = {(r.user_id, r.tier) for r in
@@ -1189,3 +1220,29 @@ class TestStreamingScd2Maintenance:
         after = sorted(tuple(str(v) for v in r)
                        for r in maint.current().collect())
         assert before == after
+
+    def test_fresh_checkpoint_against_stale_state_fails_fast(
+            self, spark, tmp_path_factory):
+        """Same lifecycle guard as the rollup maintainer: batch ids
+        restarting below the newest on-disk version must raise."""
+        from datetime import datetime
+
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            Scd2DimensionMaintainer,
+        )
+
+        changes = spark.createDataFrame(
+            [(datetime(2024, 1, 1), 1, "bronze"),
+             (datetime(2024, 1, 2), 1, "silver")],
+            "ts TIMESTAMP, user_id BIGINT, tier STRING")
+        maint = Scd2DimensionMaintainer(
+            spark, str(tmp_path_factory.mktemp("scd2_stale")),
+            key="user_id", attr_cols=("tier",), batch_ts_col="ts",
+            change_order="ts")
+        maint.merge_batch(changes, 0)
+        maint.merge_batch(changes, 1)
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(changes, 0)
+        maint.merge_batch(changes, 1)  # newest-id replay stays legal

@@ -1548,7 +1548,8 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resample_locf_hourly",
     oracle="""
 WITH hourly AS (
-  SELECT user_id, date_trunc('hour', ts) AS h, ROUND(AVG(value), 4) AS v
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(floor(AVG(value) * 10000) AS BIGINT) / 10000.0 AS v
   FROM events GROUP BY 1, 2),
 span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
 grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
@@ -1605,9 +1606,13 @@ FROM (
 )
 def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Scaled-floor (same discipline as value_interp below): ROUND(avg, 4)
+    # diverges between Spark (decimal-string HALF_UP) and DuckDB
+    # (binary-double) on x.xxxx5 boundaries; floor of the identical
+    # IEEE product cannot.
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg((F.floor(F.avg("value") * 10000) / 10000.0).alias("v"))
     span = hourly.groupBy("user_id").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = span.select(

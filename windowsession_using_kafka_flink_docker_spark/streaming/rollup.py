@@ -92,8 +92,20 @@ class IncrementalRollupMaintainer:
         ``batch_id``, so a re-delivered batch recomputes v{batch_id} from
         the same base instead of double-counting itself.
         """
+        versions = self._versions()
+        if versions and versions[-1] > batch_id:
+            # A fresh checkpoint dir (batch ids restart at 0) against an
+            # existing state_dir would silently rebase on nothing while
+            # _versions() keeps serving the old run's higher-numbered
+            # state. The two directories' lifecycles are coupled: wipe
+            # both or keep both. (batch_id == newest version is legal —
+            # that is exactly the replay-after-crash case.)
+            raise ValueError(
+                f"rollup state_dir {self.state_dir} already holds version "
+                f"v={versions[-1]} > incoming batch_id {batch_id}; "
+                "checkpoint_dir and state_dir must be reset together")
         delta = rollup_partials(with_day(batch_df))
-        base_versions = [v for v in self._versions() if v < batch_id]
+        base_versions = [v for v in versions if v < batch_id]
         if base_versions:
             merged = rollup_merge(self._read_version(base_versions[-1]), delta)
         else:

@@ -76,6 +76,16 @@ class Scd2DimensionMaintainer:
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        versions = self._versions()
+        if versions and versions[-1] > batch_id:
+            # Same lifecycle coupling as ContinuousRollupMaintainer: a
+            # restart with a fresh checkpoint (batch ids back at 0) but a
+            # stale state_dir would rebase on nothing while current()
+            # keeps serving the old run's max(_versions) state.
+            raise ValueError(
+                f"scd2 state_dir {self.state_dir} already holds version "
+                f"v={versions[-1]} > incoming batch_id {batch_id}; "
+                "checkpoint_dir and state_dir must be reset together")
         batch_ts = batch_df.agg(F.max(self.batch_ts_col)).collect()[0][0]
         changes = batch_df.select(self.key, *self.attr_cols,
                                   *((self.change_order,)
