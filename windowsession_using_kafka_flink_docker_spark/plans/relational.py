@@ -550,6 +550,69 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_sketch_audit",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 2) AS exact_p50,
+       ROUND(quantile_cont(value, 0.9), 2) AS exact_p90,
+       ROUND(quantile_cont(value, 0.99), 2) AS exact_p99,
+       TRUE AS p50_rank_ok,
+       TRUE AS p90_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+""",
+    description="Hash-checkable audit of the percentile_approx sketch "
+                "(the KMV discipline applied to quantiles, VERDICT r5 "
+                "item 5): the sketch estimate itself is merge-order-"
+                "specific so it stays OUT of the hashed columns; what IS "
+                "hashed is the exact per-group quantiles plus one boolean "
+                "per estimate asserting its realized rank error — "
+                "|count(value <= est)/n - q| — sits within the sketch's "
+                "documented bound (1/accuracy, with generous slack for "
+                "tie/boundary semantics). The oracle pins the booleans "
+                "TRUE, so a sketch drifting outside its bound breaks the "
+                "driver hash. Two passes over events (sketch+exact agg, "
+                "then a broadcast of the per-group estimates back over "
+                "the scan for rank counting) — both map-side-combined "
+                "groupBys, no shuffle of fact rows beyond the agg keys.",
+    tags=("relational", "aggregate", "approx", "audit"),
+)
+def percentile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    acc = 10000
+    est = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("est_p50"),
+        F.percentile_approx("value", 0.9, acc).alias("est_p90"),
+        F.percentile_approx("value", 0.99, acc).alias("est_p99"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", 0.5), 2).alias("exact_p50"),
+        F.round(F.percentile("value", 0.9), 2).alias("exact_p90"),
+        F.round(F.percentile("value", 0.99), 2).alias("exact_p99"),
+    )
+    # realized rank of each estimate: one more pass over events with the
+    # tiny per-group estimate table broadcast onto it
+    ranked = (ev.join(F.broadcast(est), "event_type")
+              .groupBy("event_type")
+              .agg(*[F.sum((F.col("value") <= F.col(f"est_p{q}"))
+                           .cast("long")).alias(f"rank_p{q}")
+                     for q in (50, 90, 99)]))
+    # GK-sketch guarantee is rank error <= n/accuracy; ties make
+    # count(<=) an upper rendering of the rank, so allow 0.005 absolute
+    # quantile slack on top — still ~tight enough that a broken sketch
+    # (or a wrong merge) trips the booleans and with them the hash.
+    slack = 1.0 / acc + 0.005
+    audited = est.join(F.broadcast(ranked), "event_type")
+    return audited.select(
+        "event_type", "n", "exact_p50", "exact_p90", "exact_p99",
+        *[(F.abs(F.col(f"rank_p{q}") / F.col("n") - F.lit(q / 100.0))
+           <= slack).alias(f"p{q}_rank_ok")
+          for q in (50, 90, 99)],
+    )
+
+
+@register(
     "scd2_loyalty_tiers",
     oracle="""
 WITH p AS (
