@@ -33,9 +33,6 @@ def main() -> None:
     spark = get_spark("windowsession-bench")
 
     names = [n for n, s in CATALOG.items() if s.bench]
-    # Warm the JVM/scan path once so per-query numbers measure the plan,
-    # not first-touch classloading.
-    CATALOG[names[0]].spark(spark, sf_dir).count()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
     # Round-robin over the whole set rather than back-to-back repeats:
@@ -46,6 +43,17 @@ def main() -> None:
         clear_stage_caches,
     )
 
+    # Full warm-up pass over EVERY query, excluded from the medians
+    # (VERDICT r5 item 4): first-touch classloading, codegen compilation,
+    # and the one-off Arrow/BLAS native init (which alone put a 3.7×
+    # max/median spread on cosine_topk in r5) land here instead of inside
+    # some measured sample — the residual ±30% total-level variance traced
+    # to exactly these one-offs ramping inside pass 1.
+    clear_stage_caches()
+    for name in names:
+        CATALOG[name].spark(spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+
     for _ in range(RUNS):
         # Release memoized pipeline stages between passes: within one pass,
         # cross-query stage sharing is the engine's real shared-scan
@@ -53,6 +61,10 @@ def main() -> None:
         # pass N>1 query hit pass N-1's persisted shingle table would turn
         # its median into a cache-hit time (~0.01 s), not a query time.
         clear_stage_caches()
+        # Nudge the JVM to collect between passes so pass N's numbers do
+        # not pay for pass N-1's allocation ramp (old-gen pressure was the
+        # other suspect behind the same-code 45.6 s vs 32.9 s totals).
+        spark.sparkContext._jvm.System.gc()
         for name in names:
             spec = CATALOG[name]
             t0 = time.perf_counter()

@@ -200,3 +200,23 @@ def test_runtime_bloom_filter_available_for_selective_joins(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_partition_pruning_reads_only_matching_partitions(spark, sf_dir):
+    """The partitioned-layout roundtrip must plan a scan whose
+    PartitionFilters carry the date predicate — i.e. the week-long query
+    lists 7 of 30 event_date directories, not the whole table."""
+    plan = _plan(spark, "partition_pruning_roundtrip", sf_dir, "formatted")
+    assert "PartitionFilters" in plan, plan
+    # the date bounds must appear inside the partition filter clause, not
+    # as a post-scan Filter over the data columns
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "2024-01-08" in pf and "2024-01-14" in pf, pf
+
+
+def test_skyline_witness_is_broadcast(spark, sf_dir):
+    """The per-price dominance witness table must broadcast back onto
+    parts — a shuffle join here would defeat the whole point of
+    compressing facts to distinct prices first."""
+    plan = _plan(spark, "skyline_pareto_parts", sf_dir, "formatted")
+    assert "BroadcastHashJoin" in plan, plan

@@ -2085,3 +2085,152 @@ def kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(raw * 100) / 100.0).alias("kmv_n"),
         (F.floor(F.abs(raw - F.col("exact_n")) / F.col("exact_n") * 10000)
          / 10000.0).alias("rel_err"))
+
+
+@register(
+    "skyline_pareto_parts",
+    oracle="""
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+""",
+    description="Pareto skyline (minimize p_retailprice, maximize p_size) "
+                "— an operator Spark has no primitive for, expressed "
+                "WITHOUT the quadratic NOT-EXISTS self-join the oracle "
+                "uses: groupBy(price) compresses facts to one row per "
+                "distinct price (map-side combined), a running max of "
+                "size over strictly-cheaper price groups gives the "
+                "dominance witness, and a part survives iff no cheaper "
+                "group reaches its size and no same-price part exceeds "
+                "it. The single ordered window runs over DISTINCT PRICES "
+                "only (already ~1e4x smaller than facts); at 100 TB the "
+                "same prefix-max becomes range-partitioned partial maxima "
+                "+ a broadcast per-range offset scan, exactly like the "
+                "bucketed as-of join's boundary handoff.",
+    tags=("relational", "skyline", "window_function"),
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    per_price = parts.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("gmax"))
+    w = (Window.orderBy("p_retailprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    witness = per_price.withColumn("prevmax", F.max("gmax").over(w))
+    return (
+        parts.join(F.broadcast(witness), "p_retailprice")
+        .where((F.col("prevmax").isNull()
+                | (F.col("prevmax") < F.col("p_size")))
+               & (F.col("gmax") == F.col("p_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+@register(
+    "partition_pruning_roundtrip",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY 1
+""",
+    description="Hive-style partitioned layout + partition pruning: "
+                "events are written partitionBy(event_date) once per "
+                "session, read back with a one-week date predicate, and "
+                "aggregated; the oracle computes the same week straight "
+                "off the unpartitioned parquet, so a partition that was "
+                "mis-bucketed, dropped, or double-read breaks the hash. "
+                "tests/test_plan_quality.py asserts the read plan scans "
+                "only the 7 matching partitions (PartitionFilters, no "
+                "full-table listing) — the layout primitive that turns a "
+                "100 TB scan into a 23 TB-sized one before the first "
+                "filter runs.",
+    tags=("relational", "layout", "pruning", "format"),
+)
+def partition_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"part_prune_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (ev.withColumn("event_date", F.to_date("ts"))
+         .write.mode("overwrite").partitionBy("event_date").parquet(path))
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("event_date").between("2024-01-08", "2024-01-14"))
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "rolling_zscore_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS day,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS daynum,
+         ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY 1, 2, 3),
+scored AS (
+  SELECT user_id, day, total,
+         AVG(total) OVER w AS mu,
+         STDDEV_SAMP(total) OVER w AS sigma,
+         COUNT(*) OVER w AS n_prior
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY daynum
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, total,
+       CAST(floor(ABS(total - mu) / sigma * 1000) AS BIGINT) AS z_milli
+FROM scored
+WHERE n_prior >= 3 AND sigma > 0
+  AND CAST(floor(ABS(total - mu) / sigma * 1000) AS BIGINT) >= 3000
+""",
+    description="Rolling z-score anomaly detection over per-user daily "
+                "spend: calendar-aware trailing window (RANGE over day "
+                "number, 7 preceding..1 preceding — gap-days shrink the "
+                "frame instead of silently stretching it the way a ROWS "
+                "frame would), flag days >= 3 sigma from the trailing "
+                "mean with >= 3 prior observations. One groupBy "
+                "compresses facts to user-days, one window shuffle keyed "
+                "by user does mean+std+count in a single frame pass. "
+                "z is scaled-floored (milli-sigma) so the hash never "
+                "sits on a float rounding boundary.",
+    bench=True,
+    tags=("relational", "timeseries", "anomaly", "window"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("daynum"),
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    w = (Window.partitionBy("user_id").orderBy("daynum")
+         .rangeBetween(-7, -1))
+    scored = daily.select(
+        "user_id", "day", "total",
+        F.avg("total").over(w).alias("mu"),
+        F.stddev_samp("total").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    z_milli = F.floor(F.abs(F.col("total") - F.col("mu"))
+                      / F.col("sigma") * 1000).cast("long")
+    return (
+        scored.where((F.col("n_prior") >= 3) & (F.col("sigma") > 0))
+        .select("user_id",
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "total", z_milli.alias("z_milli"))
+        .where(F.col("z_milli") >= 3000)
+    )
