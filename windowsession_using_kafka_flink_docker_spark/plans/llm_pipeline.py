@@ -983,9 +983,10 @@ def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "neardup_clusters",
-    oracle=f"""
+#: Recursive-CTE transitive closure over the exact ngram-Jaccard pair
+#: graph — shared by the neardup_clusters oracle and the canonical-
+#: survivor oracle so both replay the identical clustering.
+_CLUSTERS_CTE_SQL = f"""
 WITH RECURSIVE docs AS (
   SELECT doc_id,
          list_distinct(
@@ -1020,6 +1021,12 @@ reach(u, v) AS (
 ),
 comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
 csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+"""
+
+
+@register(
+    "neardup_clusters",
+    oracle=_CLUSTERS_CTE_SQL + """
 SELECT comp.doc_id, comp.cluster_id, csize.cluster_size,
        comp.doc_id = comp.cluster_id AS is_canonical
 FROM comp JOIN csize USING (cluster_id)
@@ -1453,3 +1460,209 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (base.withColumn("rank", F.row_number().over(wr))
             .where(F.col("rank") <= 20)
             .select("lang", "doc_id", "w", "rank"))
+
+
+@register(
+    "dedup_canonical_survivors",
+    oracle=_CLUSTERS_CTE_SQL + """
+, sel AS (
+  SELECT comp.cluster_id, comp.doc_id, d.n_chars, csize.cluster_size,
+         row_number() OVER (PARTITION BY comp.cluster_id
+                            ORDER BY d.n_chars DESC, comp.doc_id) AS rk
+  FROM comp
+  JOIN csize USING (cluster_id)
+  JOIN documents d USING (doc_id))
+SELECT cluster_id, doc_id, n_chars, cluster_size,
+       cluster_size - 1 AS n_dropped
+FROM sel WHERE rk = 1
+""",
+    description="End-to-end near-dup dedup with QUALITY-aware survivor "
+                "selection: ngram-Jaccard pairs -> connected components "
+                "-> keep the LONGEST doc per cluster (tie: min doc_id) "
+                "instead of the min-id canonical — the policy a real "
+                "training-data pipeline wants ('keep the best copy'), "
+                "composed from the shared pair/cluster stages plus one "
+                "cluster-keyed window. Output is the kept set with "
+                "per-cluster drop counts; the oracle replays clustering "
+                "via the shared recursive-CTE closure and the same "
+                "argmax.",
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.cluster import (
+        neardup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = neardup_clusters(docs, _ngram_pairs(spark, sf_dir))
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", "doc_id", "n_chars", "cluster_size",
+                (F.col("cluster_size") - 1).alias("n_dropped"))
+    )
+
+
+@register(
+    "sorted_neighborhood_neardups",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {_NORM_SQL} AS nt,
+         list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+  FROM documents),
+ranked AS (
+  SELECT doc_id, toks,
+         row_number() OVER (ORDER BY nt, doc_id) AS rn
+  FROM docs),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         len(list_intersect(a.toks, b.toks)) AS ninter,
+         len(a.toks) + len(b.toks)
+           - len(list_intersect(a.toks, b.toks)) AS nunion
+  FROM ranked a
+  JOIN ranked b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+       ROUND(ninter / nunion, 4) AS jaccard
+FROM pairs
+WHERE ROUND(ninter / nunion, 4) >= 0.5
+""",
+    description="Sorted-neighborhood near-dup blocking (Hernandez-Stolfo "
+                "SNM) — the third blocking family next to LSH banding "
+                "and prefix filtering: sort every doc by its normalized "
+                "text, compare each doc only with its w=3 successors in "
+                "sort order, token-set Jaccard >= 0.5. Cost is exactly "
+                "n*w comparisons regardless of skew — no bucket can go "
+                "quadratic by construction. The global row_number here "
+                "is the honest small-data rendering; at 100 TB the same "
+                "ordering comes from a range-partitioned sort with w "
+                "boundary rows replicated to the next partition (the "
+                "bucketed as-of join's handoff pattern), which keeps the "
+                "pairing shuffle-free after one sort.",
+    tags=("llm", "dedup", "blocking"),
+)
+def sorted_neighborhood_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = T.normalized_text("text")
+    base = docs.select(
+        "doc_id", nt.alias("nt"),
+        F.array_distinct(F.split(nt, " ")).alias("toks"))
+    ranked = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("nt", "doc_id")))
+    w = 3
+    left = ranked.select(
+        F.col("doc_id").alias("ia"), F.col("toks").alias("ta"),
+        F.explode(F.array(*[F.col("rn") + j for j in range(1, w + 1)]))
+        .alias("rn"))
+    pairs = left.join(
+        ranked.select("rn", F.col("doc_id").alias("ib"),
+                      F.col("toks").alias("tb")),
+        "rn")
+    ninter = F.size(F.array_intersect("ta", "tb"))
+    jacc = F.round(
+        ninter.cast("double")
+        / (F.size("ta") + F.size("tb") - ninter), 4)
+    return (
+        pairs.select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            jacc.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "bloom_membership_audit",
+    # The md5-position trick from the KMV/CMS entries applied to a Bloom
+    # filter: the bit positions are a pure function of the key, so DuckDB
+    # rebuilds the IDENTICAL filter and every audit number — including
+    # the realized false-positive count, not just a bound boolean — is
+    # value-hashed.
+    oracle="""
+WITH build AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'),
+probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bpos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || i), 1, 8))::BIGINT
+           % 16384 AS pos
+  FROM build, range(1, 4) t(i)),
+ppos AS (
+  SELECT k,
+         ('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || i), 1, 8))::BIGINT
+           % 16384 AS pos
+  FROM probe, range(1, 4) t(i)),
+verdict AS (
+  SELECT p.k,
+         COUNT(DISTINCT p.pos) AS n_pos,
+         COUNT(DISTINCT CASE WHEN b.pos IS NOT NULL THEN p.pos END) AS n_hit,
+         MAX(CASE WHEN p.k IN (SELECT k FROM build) THEN 1 ELSE 0 END) AS truth
+  FROM ppos p LEFT JOIN bpos b ON b.pos = p.pos
+  GROUP BY p.k)
+SELECT COUNT(*) AS n_probe,
+       (SELECT COUNT(*) FROM build) AS n_build,
+       CAST(SUM(truth) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN truth = 1 AND n_hit = n_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_pass,
+       CAST(SUM(CASE WHEN truth = 0 AND n_hit = n_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM verdict
+""",
+    description="Bloom-filter membership as first-class, replayable data: "
+                "k=3 md5-derived bit positions over an m=16384 grid, "
+                "built from URGENT-order customers, probed with every "
+                "customer. n_true_pass == n_true hash-proves the no-"
+                "false-negative law; n_false_pos is the REALIZED fp "
+                "count, hash-checked exactly (not a bound boolean) "
+                "because both engines derive the same positions. At "
+                "scale the position set (<= m rows) is the broadcast "
+                "side of a semi-join that prunes the probe scan — the "
+                "manual rendering of the runtime row-filter Spark's AQE "
+                "injects (see test_plan_quality's might_contain probe).",
+    tags=("llm", "sketch", "join", "audit"),
+)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m, k = 16384, 3
+
+    def positions(key: F.Column) -> F.Column:
+        return F.array_distinct(F.array(*[
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))
+                          .cast("binary")), 1, 8), 16, 10).cast("bigint"),
+                F.lit(m))
+            for i in range(1, k + 1)]))
+
+    build = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_custkey").distinct())
+    probe = orders.select("o_custkey").distinct()
+    bpos = (build.select(F.explode(positions(F.col("o_custkey")))
+                         .alias("pos")).distinct())
+    ppos = probe.select(
+        "o_custkey",
+        F.explode(positions(F.col("o_custkey"))).alias("pos"))
+    hits = (ppos.join(F.broadcast(bpos.withColumn("hit", F.lit(1))),
+                      "pos", "left")
+            .groupBy("o_custkey")
+            .agg(F.countDistinct("pos").alias("n_pos"),
+                 F.countDistinct(F.when(F.col("hit").isNotNull(),
+                                        F.col("pos"))).alias("n_hit")))
+    truth = build.withColumn("truth", F.lit(1))
+    verdict = hits.join(F.broadcast(truth), "o_custkey", "left") \
+        .withColumn("truth", F.coalesce("truth", F.lit(0)))
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build"))
+    return verdict.crossJoin(F.broadcast(n_build)).agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.first("n_build").cast("long").alias("n_build"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum(F.when((F.col("truth") == 1)
+                     & (F.col("n_hit") == F.col("n_pos")), 1)
+              .otherwise(0)).cast("long").alias("n_true_pass"),
+        F.sum(F.when((F.col("truth") == 0)
+                     & (F.col("n_hit") == F.col("n_pos")), 1)
+              .otherwise(0)).cast("long").alias("n_false_pos"),
+    )
