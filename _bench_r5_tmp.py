@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from windowsession_using_kafka_flink_docker_spark import get_spark
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+#: Repetitions per query. The r3→r4 driver comparison showed 1.3-1.4×
+#: swings on 1-2 s queries from single-shot timing in a shared warm JVM
+#: (GC / codegen-cache state left by whichever heavy query ran before).
+#: Median-of-N makes the per-query number a property of the PLAN again;
+#: the max/median spread is reported so regressions can be told from
+#: noise. Override with SPARK_GRAFT_BENCH_RUNS=1 for a quick pass.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("windowsession-bench")
+
+    names = [n for n, s in CATALOG.items() if s.bench]
+    # Warm the JVM/scan path once so per-query numbers measure the plan,
+    # not first-touch classloading.
+    CATALOG[names[0]].spark(spark, sf_dir).count()
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    # Round-robin over the whole set rather than back-to-back repeats:
+    # back-to-back reuses whatever JVM state the query itself just
+    # created, which is exactly the warm-vs-cold flattery the median is
+    # supposed to defeat.
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+        clear_stage_caches,
+    )
+
+    for _ in range(RUNS):
+        # Release memoized pipeline stages between passes: within one pass,
+        # cross-query stage sharing is the engine's real shared-scan
+        # behavior (and was measured that way in rounds 1-4), but letting a
+        # pass N>1 query hit pass N-1's persisted shingle table would turn
+        # its median into a cache-hit time (~0.01 s), not a query time.
+        clear_stage_caches()
+        for name in names:
+            spec = CATALOG[name]
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            # foreach-noop forces full materialization w/o driver collect
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
+    spread = {n: round(max(v) / sorted(v)[len(v) // 2], 2)
+              for n, v in samples.items()}
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": RUNS,
+        "spread_max_over_median": spread,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

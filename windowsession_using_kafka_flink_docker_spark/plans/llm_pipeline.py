@@ -1666,3 +1666,66 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("n_hit") == F.col("n_pos")), 1)
               .otherwise(0)).cast("long").alias("n_false_pos"),
     )
+
+
+@register(
+    "bigram_lm_bits",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+  FROM documents
+  WHERE len(string_split({_NORM_SQL}, ' ')) >= 2),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS b
+  FROM base),
+bc AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+wc AS (SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS c1
+       FROM bg GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(-log2(bc.c / CAST(wc.c1 AS DOUBLE))), 4) AS bits_per_bigram
+FROM bg
+JOIN bc USING (b)
+JOIN wc ON wc.w1 = split_part(bg.b, ' ', 1)
+GROUP BY doc_id
+""",
+    description="Bigram language-model scoring — the conditional-"
+                "probability step up from the unigram_quality_score "
+                "entry: train bigram counts c(w1 w2) and first-position "
+                "counts c(w1 .) on the corpus itself (one pass, two "
+                "map-side-combined groupBys over the exploded bigram "
+                "stream), score each doc by mean -log2 p(w2|w1) in "
+                "bits/bigram. No smoothing needed: scoring the training "
+                "corpus means every bigram has c >= 1. The join back is "
+                "keyed on the joint bigram string; at 100 TB the zipfian "
+                "head of the bigram dictionary broadcasts and only the "
+                "tail shuffles (the salted-agg playbook). Train AND "
+                "score are both inside the driver hash.",
+    tags=("llm", "text", "quality", "lm"),
+)
+def bigram_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(T.normalized_text("text"), " ")
+    base = (docs.select("doc_id", toks.alias("toks"))
+            .where(F.size("toks") >= 2))
+    bg = base.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i),
+                F.element_at("toks", i + F.lit(1))))).alias("b"))
+    bc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wc = (bg.select(F.split_part("b", F.lit(" "), F.lit(1)).alias("w1"))
+          .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    scored = (bg
+              .join(bc, "b")
+              .join(wc, F.split_part("b", F.lit(" "), F.lit(1)) == F.col("w1"))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg(-F.log2(F.col("c")
+                                         / F.col("c1").cast("double"))), 4)
+                   .alias("bits_per_bigram")))
+    return scored

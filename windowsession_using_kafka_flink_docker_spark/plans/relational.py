@@ -2234,3 +2234,120 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total", z_milli.alias("z_milli"))
         .where(F.col("z_milli") >= 3000)
     )
+
+
+@register(
+    "session_pattern_match",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts AS _ts, event_id AS _tb, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30000000 THEN 1
+              ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, SUM(_new) OVER (PARTITION BY user_id ORDER BY _ts, _tb
+                            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+agg AS (
+  SELECT user_id, sid,
+         MIN(_ts) AS session_start,
+         COUNT(*) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY _ts, _tb) AS seq
+  FROM sess GROUP BY 1, 2)
+SELECT user_id,
+       epoch_us(session_start) AS session_start_us,
+       n_events, seq,
+       len(regexp_extract_all(seq, 'v+p')) AS n_funnel
+FROM agg
+""",
+    description="MATCH_RECOGNIZE-style sequential pattern matching, which "
+                "Spark lacks as a primitive: each 30 s session's ordered "
+                "event-type sequence is folded into a compact symbol "
+                "string (one session_window aggregation — collect_list + "
+                "sort_array stays bounded because sessions are gap-"
+                "bounded), then the pattern 'one-or-more views directly "
+                "followed by a purchase' is counted per session with a "
+                "greedy regex over the symbol string. The WHOLE sequence "
+                "string is in the hashed output, so symbol order — not "
+                "just match counts — is driver-verified. Same shuffle "
+                "budget as plain sessionization: one exchange on user_id.",
+    tags=("relational", "session_window", "sequence", "pattern"),
+)
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 seconds"))
+        .agg(F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("evs"))
+    )
+    seq = F.concat_ws(
+        "", F.transform("evs", lambda e: F.substring(e["event_type"], 1, 1)))
+    return sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.size("evs").alias("n_events"),
+        seq.alias("seq"),
+    ).withColumn(
+        "n_funnel",
+        F.size(F.expr("regexp_extract_all(seq, 'v+p', 0)")).cast("long"),
+    )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value,
+       CAST(64 AS BIGINT) AS n_files_before,
+       GREATEST(1, CAST(CEIL(COUNT(*) / 250000.0) AS BIGINT))
+         AS n_files_after
+FROM events
+""",
+    description="Small-file compaction — the table-maintenance operator "
+                "every long-lived lake needs (streaming sinks and "
+                "per-batch writes fragment tables until listing + task "
+                "scheduling dominate scan time): events are exploded "
+                "into 64 small parquet files, then compacted to "
+                "ceil(rows/250k) right-sized files via a round-robin "
+                "repartition write. The hashed output pins BOTH the "
+                "content (row count, distinct users, value total must "
+                "survive the rewrite bit-exactly) AND the file-count "
+                "arithmetic, with actual filesystem part-file counts fed "
+                "into the result columns. At scale the same rewrite runs "
+                "per partition-directory with maxRecordsPerFile as the "
+                "splitter so one task never owns a whole partition.",
+    tags=("relational", "layout", "maintenance", "format"),
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import math
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"compact_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    small, compacted = os.path.join(base, "small"), os.path.join(base, "big")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        ev.repartition(64).write.mode("overwrite").parquet(small)
+    frag = spark.read.parquet(small)
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        n = frag.count()
+        n_files = max(1, math.ceil(n / 250_000))
+        frag.repartition(n_files).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    n_before = len(glob.glob(os.path.join(small, "part-*")))
+    n_after = len(glob.glob(os.path.join(compacted, "part-*")))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+    )
