@@ -2351,3 +2351,189 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_before).cast("long").alias("n_files_before"),
         F.lit(n_after).cast("long").alias("n_files_after"),
     )
+
+
+@register(
+    "grouped_ols_trend",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY user_id),
+fit AS (
+  SELECT user_id, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS deny,
+         sx, sy
+  FROM stats
+  WHERE n >= 5 AND n * syy - sy * sy > 0)
+SELECT user_id, n AS n_days,
+       CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 100)
+            AS BIGINT) AS slope_ce2,
+       CAST(floor((CAST(sy AS DOUBLE)
+                   - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 100)
+            AS BIGINT) AS intercept_ce2,
+       CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                  / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 10000)
+            AS BIGINT) AS r2_e4
+FROM fit
+""",
+    description="Per-group closed-form OLS (spend trend per user) from "
+                "INTEGER sufficient statistics: daily totals quantized "
+                "to cents, then n/Sx/Sy/Sxy/Sxx/Syy accumulated as exact "
+                "bigints — a thousand independent regressions as one "
+                "map-side-combinable aggregation pass, no per-group "
+                "iteration, no Python. slope/intercept/r2 come from one "
+                "identical IEEE expression over those exact integers in "
+                "both engines, so the result is bit-deterministic and "
+                "fully hashable (the builtin regr_* aggregates are NOT: "
+                "their internal centering orders differ per engine by "
+                "~1e-7, which tripped the scaled-floor hash at sf0.01). "
+                "The integer-sufficient-statistics shape is also exactly "
+                "what merges associatively across 1000 executors.",
+    tags=("relational", "analytics", "regression", "aggregate"),
+)
+def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("x"),
+    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("y"))
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    fit = stats.select(
+        "user_id", "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    ).where((F.col("n") >= 5) & (F.col("deny") > 0))
+    slope = F.col("num").cast("double") / F.col("den").cast("double")
+    intercept = ((F.col("sy").cast("double")
+                  - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    r2 = (F.col("num").cast("double") * F.col("num").cast("double")
+          / (F.col("den").cast("double") * F.col("deny").cast("double")))
+    return fit.select(
+        "user_id", F.col("n").alias("n_days"),
+        F.floor(slope * 100).cast("long").alias("slope_ce2"),
+        F.floor(intercept * 100).cast("long").alias("intercept_ce2"),
+        F.floor(r2 * 10000).cast("long").alias("r2_e4"),
+    )
+
+
+@register(
+    "distribution_drift_report",
+    oracle="""
+WITH halves AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+              THEN 'a' ELSE 'b' END AS half
+  FROM events),
+counts AS (
+  SELECT event_type,
+         SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS n_b
+  FROM halves GROUP BY event_type),
+tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(floor(n_a / CAST(t_a AS DOUBLE) * 10000) AS BIGINT) AS p_e4,
+       CAST(floor(n_b / CAST(t_b AS DOUBLE) * 10000) AS BIGINT) AS q_e4,
+       CAST(floor(ABS(n_a / CAST(t_a AS DOUBLE)
+                      - n_b / CAST(t_b AS DOUBLE)) * 10000) AS BIGINT)
+         AS abs_drift_e4
+FROM counts CROSS JOIN tot
+""",
+    description="Category-distribution drift between the first and second "
+                "half of the month — the monitoring primitive that "
+                "catches a pipeline silently changing its input mix "
+                "before model quality does: per-type shares in each "
+                "half plus total-variation contribution, all from ONE "
+                "conditional-count aggregation pass (no second scan, no "
+                "join of two filtered subqueries) and a broadcast of the "
+                "1-row totals. Scaled-floor on every derived share.",
+    tags=("relational", "quality", "drift", "audit"),
+)
+def distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_a = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    counts = ev.groupBy("event_type").agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum((~is_a).cast("long")).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    p = F.col("n_a") / F.col("t_a").cast("double")
+    q = F.col("n_b") / F.col("t_b").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_a", "n_b",
+        F.floor(p * 10000).cast("long").alias("p_e4"),
+        F.floor(q * 10000).cast("long").alias("q_e4"),
+        F.floor(F.abs(p - q) * 10000).cast("long").alias("abs_drift_e4"),
+    )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       CAST(floor(SUM(value * dur_us) / SUM(dur_us) * 100) AS BIGINT)
+         AS twap_e2
+FROM seq
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dur_us) > 0
+""",
+    description="Time-weighted average (TWAP): each reading holds until "
+                "the user's next event, so the mean is the integral of "
+                "the step function over observed time — the correct "
+                "summary for irregularly-sampled series where the plain "
+                "AVG over-weights bursts. One user-keyed window (lead) "
+                "feeding one aggregation: a single exchange, reused by "
+                "both steps. Duration weights are exact integer "
+                "microseconds; the TWAP itself is scaled-floored.",
+    tags=("relational", "timeseries", "aggregate"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value",
+        (F.unix_micros(F.lead("ts").over(w))
+         - F.unix_micros(F.col("ts"))).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_intervals"),
+             F.sum("dur_us").cast("long").alias("total_us"),
+             F.floor(F.sum(F.col("value") * F.col("dur_us"))
+                     / F.sum("dur_us") * 100).cast("long").alias("twap_e2"))
+        .where(F.col("total_us") > 0)
+    )
