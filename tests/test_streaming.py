@@ -1246,3 +1246,105 @@ class TestStreamingScd2Maintenance:
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(changes, 0)
         maint.merge_batch(changes, 1)  # newest-id replay stays legal
+
+
+class TestIncrementalJoinView:
+    """Two-sided delta IVM (streaming/joinview.py): the maintained view
+    of orders ⋈ customer must equal the one-shot batch join no matter
+    how either side's rows were split into batches."""
+
+    def _chunks(self, df, col, n):
+        """n deterministic hash-slices — deliberately NOT chronological:
+        delta-join algebra must be order-independent (every pair joins at
+        the batch where the later row arrives), unlike CDC-style SCD2."""
+        return [df.where(F.pmod(F.xxhash64(col), F.lit(n)) == i)
+                for i in range(n)]
+
+    def test_view_equals_batch_join_any_interleaving(
+            self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalJoinView,
+        )
+
+        orders = (load_table(spark, sf_dir, "orders")
+                  .select(F.col("o_custkey").alias("custkey"),
+                          "o_orderkey", "o_totalprice"))
+        cust = (load_table(spark, sf_dir, "customer")
+                .select(F.col("c_custkey").alias("custkey"), "c_name"))
+        view = IncrementalJoinView(
+            spark, str(tmp_path_factory.mktemp("jv_state")), key="custkey")
+        das = self._chunks(orders, "o_orderkey", 3)
+        dbs = self._chunks(cust, "custkey", 3)
+        # interleave asymmetrically: all of B arrives before the last A
+        view.apply_batch(das[0], dbs[0], 0)
+        view.apply_batch(das[1], dbs[1], 1)
+        view.apply_batch(orders.limit(0), dbs[2], 2)
+        view.apply_batch(das[2], cust.limit(0), 3)
+
+        got = _rows(view.current())
+        want = _rows(orders.join(cust, "custkey"))
+        assert len(got) == len(want) and got == want
+
+        # replay idempotence: re-running the last batch is a no-op
+        view.apply_batch(das[2], cust.limit(0), 3)
+        assert _rows(view.current()) == want
+
+        # lifecycle guard: fresh checkpoint against stale state raises
+        import pytest
+        with pytest.raises(ValueError, match="reset together"):
+            view.apply_batch(das[0], dbs[0], 0)
+
+    def test_streaming_union_tagged_maintenance(
+            self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalJoinView,
+            streaming_join_view_maintenance,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming.sources import (
+            file_events_source,
+        )
+
+        orders = (load_table(spark, sf_dir, "orders")
+                  .select(F.col("o_custkey").alias("custkey"),
+                          "o_orderkey", "o_totalprice"))
+        cust = (load_table(spark, sf_dir, "customer")
+                .select(F.col("c_custkey").alias("custkey"), "c_name"))
+        tagged_a = orders.select(
+            F.lit("a").alias("_src"), "custkey", "o_orderkey",
+            "o_totalprice", F.lit(None).cast("string").alias("c_name"))
+        tagged_b = cust.select(
+            F.lit("b").alias("_src"), "custkey",
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"), "c_name")
+
+        base = str(tmp_path_factory.mktemp("jv_stream"))
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i, chunk in enumerate(
+                self._chunks(tagged_a, "custkey", 2)
+                + self._chunks(tagged_b, "custkey", 2)):
+            d = os.path.join(base, f"c{i}")
+            chunk.coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+
+        view = IncrementalJoinView(
+            spark, str(tmp_path_factory.mktemp("jv_state2")), key="custkey")
+        stream = file_events_source(
+            spark, flat,
+            schema=("_src STRING, custkey BIGINT, o_orderkey BIGINT, "
+                    "o_totalprice DOUBLE, c_name STRING"),
+            max_files_per_trigger=1)
+        q = streaming_join_view_maintenance(
+            stream, view, str(tmp_path_factory.mktemp("jv_ckpt")),
+            a_cols=("o_orderkey", "o_totalprice"), b_cols=("c_name",))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(view.current())
+        want = _rows(orders.join(cust, "custkey"))
+        assert len(got) == len(want) and got == want

@@ -22,6 +22,10 @@ from windowsession_using_kafka_flink_docker_spark.streaming.rollup import (
     IncrementalRollupMaintainer,
     streaming_rollup_maintenance,
 )
+from windowsession_using_kafka_flink_docker_spark.streaming.joinview import (
+    IncrementalJoinView,
+    streaming_join_view_maintenance,
+)
 from windowsession_using_kafka_flink_docker_spark.streaming.scd import (
     Scd2DimensionMaintainer,
     streaming_scd2_maintenance,
@@ -46,6 +50,8 @@ from windowsession_using_kafka_flink_docker_spark.streaming.sources import (
 )
 
 __all__ = [
+    "IncrementalJoinView",
+    "streaming_join_view_maintenance",
     "MONOTONOUS_DELAY",
     "EVENT_WIRE_SCHEMA",
     "streaming_alerts",

@@ -1,0 +1,152 @@
+"""Incremental join-view maintenance (two-sided delta IVM).
+
+The third maintainer next to the rollup (aggregate view) and SCD2
+(dimension) twins: a materialized JOIN view kept current as BOTH sides
+arrive incrementally. Classic delta algebra — for a batch carrying
+deltas ``dA``/``dB`` against accumulated sides ``A``/``B``::
+
+    dM = (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB)
+    M' = M ∪ dM,  A' = A ∪ dA,  B' = B ∪ dB
+
+Every joinable pair ``(a, b)`` lands in the view exactly once — at the
+batch where the LATER of the two rows arrives (``dA ⋈ B`` catches b
+earlier, ``A ⋈ dB`` catches a earlier, ``dA ⋈ dB`` the same batch) — so
+the maintained view equals the one-shot batch join regardless of how
+rows were split into batches. No Flink-style two-sided join state with
+per-record timers is needed; the accumulated sides ARE the state, stored
+as columnar parquet the next delta joins against.
+
+At 100 TB: the accumulated sides are written bucketed by the join key,
+so each delta join is a shuffle-free bucket-local probe, and ``dM``
+appends as new files per batch (MERGE-free). Here the state is small
+enough that versioned full tables are the honest local rendering; the
+versioning/replay scheme is byte-for-byte the rollup maintainer's
+(version ``v{batch_id}`` derived from the newest version < batch_id,
+overwritten on replay, pruned to two).
+
+Reference context: the reference has no joins at all (SURVEY §2.11);
+this is the streaming-extension counterpart of the batch
+`stream_static_enrichment` / `revenue_by_nation` join rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+class IncrementalJoinView:
+    """Owns a versioned inner-join view ``A ⋈key B`` under ``state_dir``.
+
+    ``key`` is the equi-join column (same name both sides); all other
+    columns pass through (names must not collide apart from the key).
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, key: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.key = key
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- versioned-state plumbing (same scheme as streaming/rollup.py) --
+    def _versions(self, part: str) -> list[int]:
+        root = os.path.join(self.state_dir, part)
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            if name.startswith("v=") and os.path.exists(
+                    os.path.join(root, name, "_SUCCESS")):
+                out.append(int(name[2:]))
+        return sorted(out)
+
+    def _read(self, part: str, version: int) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, part, f"v={version}"))
+
+    def _latest_before(self, part: str, batch_id: int) -> DataFrame | None:
+        versions = [v for v in self._versions(part) if v < batch_id]
+        return self._read(part, versions[-1]) if versions else None
+
+    def _write(self, part: str, batch_id: int, df: DataFrame) -> None:
+        target = os.path.join(self.state_dir, part, f"v={batch_id}")
+        df.coalesce(1).write.mode("overwrite").parquet(target)
+        for v in self._versions(part):
+            if v < batch_id - 1:
+                shutil.rmtree(
+                    os.path.join(self.state_dir, part, f"v={v}"),
+                    ignore_errors=True)
+
+    def apply_batch(self, delta_a: DataFrame, delta_b: DataFrame,
+                    batch_id: int) -> None:
+        """MERGE one batch of two-sided deltas into the view.
+
+        Replay-safe exactly like the rollup maintainer: state input is
+        the newest version STRICTLY below ``batch_id``; re-delivery
+        recomputes v{batch_id} from the same base.
+        """
+        versions = self._versions("m")
+        if versions and versions[-1] > batch_id:
+            raise ValueError(
+                f"join-view state_dir {self.state_dir} already holds "
+                f"version v={versions[-1]} > incoming batch_id {batch_id}; "
+                "checkpoint_dir and state_dir must be reset together")
+        a_prev = self._latest_before("a", batch_id)
+        b_prev = self._latest_before("b", batch_id)
+        m_prev = self._latest_before("m", batch_id)
+
+        parts = [delta_a.join(delta_b, self.key)]
+        if b_prev is not None:
+            parts.append(delta_a.join(b_prev, self.key))
+        if a_prev is not None:
+            parts.append(a_prev.join(delta_b, self.key))
+        delta_m = parts[0]
+        for p in parts[1:]:
+            delta_m = delta_m.unionByName(p)
+
+        a_new = (a_prev.unionByName(delta_a)
+                 if a_prev is not None else delta_a)
+        b_new = (b_prev.unionByName(delta_b)
+                 if b_prev is not None else delta_b)
+        m_new = (m_prev.unionByName(delta_m)
+                 if m_prev is not None else delta_m)
+        self._write("a", batch_id, a_new)
+        self._write("b", batch_id, b_new)
+        self._write("m", batch_id, m_new)
+
+    def current(self) -> DataFrame:
+        versions = self._versions("m")
+        if not versions:
+            raise ValueError("join view: no state yet")
+        return self._read("m", versions[-1])
+
+
+def streaming_join_view_maintenance(
+        tagged: DataFrame, view: IncrementalJoinView, checkpoint_dir: str,
+        tag_col: str = "_src", a_tag: str = "a",
+        a_cols: tuple[str, ...] = (), b_cols: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """foreachBatch driver for the join view over ONE union-tagged stream.
+
+    Structured Streaming's foreachBatch sees a single source, so the two
+    delta streams arrive unioned with a ``tag_col`` discriminator (the
+    standard multi-source trick); each micro-batch is split back into
+    (dA, dB) and merged. ``a_cols``/``b_cols`` name each side's payload
+    columns (the join key is always kept).
+    """
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        da = (batch_df.where(F.col(tag_col) == a_tag)
+              .select(view.key, *a_cols))
+        db = (batch_df.where(F.col(tag_col) != a_tag)
+              .select(view.key, *b_cols))
+        view.apply_batch(da, db, batch_id)
+
+    return (tagged.writeStream
+            .foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())
