@@ -220,3 +220,18 @@ def test_skyline_witness_is_broadcast(spark, sf_dir):
     compressing facts to distinct prices first."""
     plan = _plan(spark, "skyline_pareto_parts", sf_dir, "formatted")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_entry_zero_exchange(spark, sf_dir):
+    """The join_bucketed_zero_shuffle catalog entry must plan NO Exchange
+    at all: the bucketed scans satisfy the join's distribution AND the
+    join's clustering satisfies the downstream per-customer aggregation.
+    Broadcast is disabled so nothing hides a shuffle at test scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "join_bucketed_zero_shuffle", sf_dir, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan

@@ -2537,3 +2537,102 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.sum("dur_us") * 100).cast("long").alias("twap_e2"))
         .where(F.col("total_us") > 0)
     )
+
+
+@register(
+    "join_bucketed_zero_shuffle",
+    oracle="""
+SELECT c.c_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+    description="Co-located (bucketed) fact-dimension join: orders and "
+                "customer are laid out bucketed on the join key with "
+                "equal bucket counts at INGEST time, so the join — and "
+                "the per-customer aggregation after it, which the join's "
+                "clustering already satisfies — plans ZERO Exchange "
+                "nodes (asserted by test_plan_quality; broadcast is "
+                "disabled for the check so nothing hides the shuffle). "
+                "Identical results to the plain shuffle join, same "
+                "oracle. At 100 TB this is the difference between an "
+                "ingest-once layout decision and re-shuffling the fact "
+                "table on every query; with both sides sorted in-bucket "
+                "the merge needs no local sort either.",
+    tags=("relational", "join", "bucketing", "layout"),
+)
+def join_bucketed_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.sources.bucketed import (
+        bucketed_pair,
+    )
+
+    orders, cust = bucketed_pair(spark, sf_dir)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        % 97 <> 0),
+new AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 89 = 0
+              THEN ROUND(value * 2, 2) ELSE value END AS value
+  FROM events),
+j AS (
+  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'insert'
+              WHEN o.value <> n.value THEN 'update'
+              ELSE 'unchanged' END AS op
+  FROM old o FULL JOIN new n ON o.event_id = n.event_id)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY op
+""",
+    description="CDC extraction between two table snapshots — the "
+                "reconciliation/diff primitive behind migrations, "
+                "replica verification, and change feeds for systems "
+                "without a transactional log: full outer join on the "
+                "key, rows classified insert/update/unchanged (both "
+                "synthetic snapshots derive deterministically from "
+                "events via md5 selectors, so the oracle rebuilds them "
+                "bit-identically and the per-op counts value-hash). "
+                "One co-partitioned full-outer join keyed on event_id; "
+                "at scale both snapshots are bucketed on the key and "
+                "the diff is bucket-local, with per-op counts as "
+                "map-side partials.",
+    tags=("relational", "cdc", "join", "audit"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sel = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("bigint"), F.lit(97))
+    upd = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("bigint"), F.lit(89))
+    old = (ev.where(sel != 0)
+           .select("event_id", "user_id", "event_type", "value"))
+    new = ev.select(
+        "event_id", "user_id", "event_type",
+        F.when(upd == 0, F.round(F.col("value") * 2, 2))
+        .otherwise(F.col("value")).alias("value"))
+    j = old.alias("o").join(new.alias("n"),
+                            F.col("o.event_id") == F.col("n.event_id"),
+                            "full_outer")
+    op = (F.when(F.col("o.event_id").isNull(), "insert")
+          .when(F.col("o.value") != F.col("n.value"), "update")
+          .otherwise("unchanged"))
+    return (j.select(op.alias("op"))
+            .groupBy("op").agg(F.count(F.lit(1)).cast("long").alias("n")))

@@ -67,3 +67,23 @@ def bucketed_events(spark: SparkSession, sf_dir: str, buckets: int = 8) -> DataF
         )
         _WRITTEN.add(key)
     return spark.table(table)
+
+
+def bucketed_pair(spark: SparkSession, sf_dir: str, buckets: int = 8,
+                  ) -> tuple[DataFrame, DataFrame]:
+    """orders and customer re-laid-out bucketed on the JOIN key (custkey)
+    with equal bucket counts — the co-located layout under which their
+    join plans zero Exchange nodes. Same write-once-per-(app, sf)
+    discipline as :func:`bucketed_events`."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app = spark.sparkContext.applicationId
+    suffix = f"{sf_tag}_{buckets}_{app.replace('-', '_')}"
+    key = (app, f"pair_{sf_tag}", buckets)
+    ot, ct = f"orders_bucketed_{suffix}", f"customer_bucketed_{suffix}"
+    if key not in _WRITTEN or not spark.catalog.tableExists(ot):
+        save_bucketed(load_table(spark, sf_dir, "orders"), ot, buckets,
+                      "o_custkey", sort_cols=("o_custkey",))
+        save_bucketed(load_table(spark, sf_dir, "customer"), ct, buckets,
+                      "c_custkey", sort_cols=("c_custkey",))
+        _WRITTEN.add(key)
+    return spark.table(ot), spark.table(ct)
