@@ -277,3 +277,59 @@ def test_stage_caches_clear(spark, sf_dir):
     assert not L._SHINGLE_CACHE and not L._NGRAM_PAIRS_CACHE
     assert not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
     assert L._shingle_stage(spark, sf_dir).count() > 0
+
+
+class TestSortedNeighborhoodRanged:
+    def test_ranged_equals_windowed(self, spark, sf_dir):
+        """The range-partitioned + boundary-ghost SNM (scale path) must
+        emit EXACTLY the pairs of the single-window catalog entry — the
+        same equality discipline as the bucketed as-of join."""
+        from windowsession_using_kafka_flink_docker_spark.operators.dedup import (
+            sorted_neighborhood_pairs_ranged,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+            normalized_text,
+        )
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+            CATALOG,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        nt = normalized_text("text")
+        base = docs.select(
+            "doc_id", nt.alias("nt"),
+            F.array_distinct(F.split(nt, " ")).alias("toks"))
+        got = sorted(map(str, sorted_neighborhood_pairs_ranged(
+            base, w=3, num_ranges=8).collect()))
+        want = sorted(map(str, CATALOG["sorted_neighborhood_neardups"]
+                          .spark(spark, sf_dir).collect()))
+        assert got == want and len(got) > 0
+
+    def test_ranged_plan_has_no_single_partition_window(self, spark, sf_dir):
+        """The scale path must not contain a global (empty-partition-key)
+        window — that is the whole point."""
+        from windowsession_using_kafka_flink_docker_spark.operators.dedup import (
+            sorted_neighborhood_pairs_ranged,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+            normalized_text,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        nt = normalized_text("text")
+        base = docs.select(
+            "doc_id", nt.alias("nt"),
+            F.array_distinct(F.split(nt, " ")).alias("toks"))
+        df = sorted_neighborhood_pairs_ranged(base)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("extended"))
+        import re
+        assert not re.search(r"Window \[.*\], \[\]", plan), (
+            "global window (no partition keys) found in the scale path")

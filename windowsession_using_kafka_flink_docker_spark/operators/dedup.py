@@ -18,7 +18,7 @@ Scale design: every variant is a pure DataFrame plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic seeds for the MinHash permutation family (a*h+b mod p).
@@ -412,3 +412,53 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
     blocked.unpersist()
     return result
+
+
+def sorted_neighborhood_pairs_ranged(
+        base: DataFrame, w: int = 3, num_ranges: int = 8) -> DataFrame:
+    """The 100 TB rendering of sorted-neighborhood blocking: the global
+    sort order comes from ``repartitionByRange`` + a per-partition rank,
+    with each partition's last ``w`` rows replicated as GHOST rows into
+    the next partition — so no single-partition global window exists
+    anywhere in the plan (the catalog entry's ``row_number() OVER
+    (ORDER BY ...)`` is the honest small-data rendering this replaces).
+
+    ``base`` must carry (doc_id, nt, toks). Pair coverage argument: a
+    global-order adjacent pair (i, i+j), j <= w, either falls inside one
+    range partition (both real rows, same pid) or crosses a boundary —
+    in which case row i is within the last w of its partition and is
+    replicated as a ghost with a non-positive rank into the next, where
+    it pairs with that partition's first rows. Ghost-ghost pairs are
+    excluded (the right side must be real) because those pairs were
+    already emitted by the previous partition. Equality with the
+    windowed form is pinned by test_dedup_similarity.py.
+    """
+    ranged = (base.repartitionByRange(num_ranges, "nt", "doc_id")
+              .withColumn("pid", F.spark_partition_id()))
+    wp = Window.partitionBy("pid").orderBy("nt", "doc_id")
+    ranked = ranged.withColumn("rn", F.row_number().over(wp))
+    pmax = ranked.groupBy("pid").agg(F.max("rn").alias("max_rn"))
+    # last w rows of partition p become ghosts of partition p+1 with
+    # ranks shifted to (rn - max_rn) in (-w, 0] — i.e. just before row 1
+    ghosts = (ranked.join(F.broadcast(pmax), "pid")
+              .where(F.col("rn") > F.col("max_rn") - w)
+              .select((F.col("pid") + 1).alias("pid"),
+                      (F.col("rn") - F.col("max_rn")).alias("rn"),
+                      "doc_id", "toks", F.lit(True).alias("is_ghost")))
+    real = ranked.select("pid", "rn", "doc_id", "toks",
+                         F.lit(False).alias("is_ghost"))
+    allrows = real.unionByName(ghosts)
+    left = allrows.select(
+        "pid", F.col("doc_id").alias("ia"), F.col("toks").alias("ta"),
+        F.explode(F.array(*[F.col("rn") + j for j in range(1, w + 1)]))
+        .alias("rn"))
+    right = real.select("pid", "rn", F.col("doc_id").alias("ib"),
+                        F.col("toks").alias("tb"))
+    pairs = left.join(right, ["pid", "rn"])
+    ninter = F.size(F.array_intersect("ta", "tb"))
+    jacc = F.round(
+        ninter.cast("double") / (F.size("ta") + F.size("tb") - ninter), 4)
+    return (pairs.select(F.least("ia", "ib").alias("id_a"),
+                         F.greatest("ia", "ib").alias("id_b"),
+                         jacc.alias("jaccard"))
+            .where(F.col("jaccard") >= 0.5))
