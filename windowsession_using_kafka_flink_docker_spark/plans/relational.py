@@ -2636,3 +2636,30 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
           .otherwise("unchanged"))
     return (j.select(op.alias("op"))
             .groupBy("op").agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def skyline_witness_ranged(per_price: DataFrame,
+                           num_ranges: int = 8) -> DataFrame:
+    """Scale path for the skyline dominance witness: the prefix max over
+    strictly-cheaper price groups computed WITHOUT a global single-
+    partition window. Range-partition the (already fact-compressed)
+    per-price rows, take a partition-local running max, then combine
+    with a broadcast of per-partition maxima offsets (the cross-
+    partition prefix). The only ordered window over one partition runs
+    on ``num_ranges`` rows — constant size however large the price
+    domain grows. Equality with the windowed witness is pinned by
+    tests/test_skyline.py.
+    """
+    ranged = (per_price.repartitionByRange(num_ranges, "p_retailprice")
+              .withColumn("pid", F.spark_partition_id()))
+    wloc = (Window.partitionBy("pid").orderBy("p_retailprice")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    loc = ranged.withColumn("locmax", F.max("gmax").over(wloc))
+    ptot = ranged.groupBy("pid").agg(F.max("gmax").alias("pmax"))
+    woff = (Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = ptot.withColumn("offmax", F.max("pmax").over(woff)) \
+        .select("pid", "offmax")
+    return (loc.join(F.broadcast(offs), "pid")
+            .withColumn("prevmax", F.greatest("locmax", "offmax"))
+            .select("p_retailprice", "gmax", "prevmax"))
