@@ -1536,11 +1536,13 @@ WHERE ROUND(ninter / nunion, 4) >= 0.5
                 "sort order, token-set Jaccard >= 0.5. Cost is exactly "
                 "n*w comparisons regardless of skew — no bucket can go "
                 "quadratic by construction. The global row_number here "
-                "is the honest small-data rendering; at 100 TB the same "
-                "ordering comes from a range-partitioned sort with w "
-                "boundary rows replicated to the next partition (the "
-                "bucketed as-of join's handoff pattern), which keeps the "
-                "pairing shuffle-free after one sort.",
+                "is the honest small-data rendering; the scale path — a "
+                "range-partitioned sort with each partition's last w "
+                "rows replicated as ghost rows into the next partition "
+                "(operators/dedup.py:sorted_neighborhood_pairs_ranged, "
+                "the bucketed as-of join's handoff pattern) — is "
+                "IMPLEMENTED and equality-pinned by "
+                "tests/test_dedup_similarity.py.",
     tags=("llm", "dedup", "blocking"),
 )
 def sorted_neighborhood_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

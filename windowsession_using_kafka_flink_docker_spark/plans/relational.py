@@ -2106,10 +2106,12 @@ WHERE NOT EXISTS (
                 "dominance witness, and a part survives iff no cheaper "
                 "group reaches its size and no same-price part exceeds "
                 "it. The single ordered window runs over DISTINCT PRICES "
-                "only (already ~1e4x smaller than facts); at 100 TB the "
-                "same prefix-max becomes range-partitioned partial maxima "
-                "+ a broadcast per-range offset scan, exactly like the "
-                "bucketed as-of join's boundary handoff.",
+                "only (already ~1e4x smaller than facts); the scale path "
+                "— range-partitioned partial maxima + a broadcast "
+                "per-range offset (skyline_witness_ranged, this module) "
+                "— is IMPLEMENTED and equality-pinned by "
+                "tests/test_skyline.py, exactly like the bucketed as-of "
+                "join's boundary handoff.",
     tags=("relational", "skyline", "window_function"),
 )
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
