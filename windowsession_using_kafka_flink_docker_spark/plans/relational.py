@@ -2112,6 +2112,7 @@ WHERE NOT EXISTS (
                 "— is IMPLEMENTED and equality-pinned by "
                 "tests/test_skyline.py, exactly like the bucketed as-of "
                 "join's boundary handoff.",
+    bench=True,
     tags=("relational", "skyline", "window_function"),
 )
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,6 +2276,7 @@ FROM agg
                 "string is in the hashed output, so symbol order — not "
                 "just match counts — is driver-verified. Same shuffle "
                 "budget as plain sessionization: one exchange on user_id.",
+    bench=True,
     tags=("relational", "session_window", "sequence", "pattern"),
 )
 def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2405,6 +2407,7 @@ FROM fit
                 "~1e-7, which tripped the scaled-floor hash at sf0.01). "
                 "The integer-sufficient-statistics shape is also exactly "
                 "what merges associatively across 1000 executors.",
+    bench=True,
     tags=("relational", "analytics", "regression", "aggregate"),
 )
 def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
