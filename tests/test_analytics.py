@@ -1,0 +1,51 @@
+"""Equality pins for the round-6 analytics scale paths: the distributed
+global rank must reproduce the single-partition window functions exactly
+(oracle parity for the entries themselves runs via test_oracle_parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+    global_rank_ranged,
+    ntile_from_rank,
+)
+from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+    load_table,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return (load_table(spark, sf_dir, "orders")
+            .select("o_totalprice", "o_orderkey"))
+
+
+class TestDistributedGlobalRank:
+    def test_equals_windowed_row_number(self, orders):
+        """The range-partitioned rank (16-row ordered window only) must
+        equal the single-partition row_number for every row."""
+        ranged = global_rank_ranged(orders, ["o_totalprice", "o_orderkey"])
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        windowed = orders.withColumn(
+            "wrank", F.row_number().over(w).cast("long"))
+        diff = (ranged.join(windowed, ["o_totalprice", "o_orderkey"])
+                .where(F.col("grank") != F.col("wrank")).count())
+        assert diff == 0
+
+    @pytest.mark.parametrize("k", [3, 7, 10, 100000])
+    def test_ntile_from_rank_equals_window_ntile(self, orders, k):
+        """ntile reproduced from the rank must agree bucket-for-bucket
+        with the native window function, including k > n (every rank its
+        own bucket) and non-divisible remainders."""
+        total = orders.count()
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        both = (orders
+                .withColumn("wbin", F.ntile(k).over(w).cast("long"))
+                .withColumn("r", F.row_number().over(w).cast("long"))
+                .withColumn("fbin", ntile_from_rank(
+                    F.col("r"), F.lit(total).cast("long"), k).cast("long")))
+        diff = both.where(F.col("wbin") != F.col("fbin")).count()
+        assert diff == 0

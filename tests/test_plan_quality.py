@@ -235,3 +235,34 @@ def test_bucketed_join_entry_zero_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_q3_top_k_avoids_global_sort_and_broadcasts_dims(spark, sf_dir):
+    """Q3's ORDER BY ... LIMIT 10 must plan as TakeOrderedAndProject
+    (per-partition top-k + 10-row driver merge, never a global sort),
+    and the BUILDING customer slice must broadcast."""
+    plan = _plan(spark, "q3_shipping_priority", sf_dir, "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q22_not_exists_becomes_broadcast_anti_join(spark, sf_dir):
+    """The correlated NOT EXISTS must reach the physical plan as a
+    broadcast left-anti join — the recent-orders projection is one slim
+    column after pushdown, so shuffling customers for it would be
+    wasted."""
+    plan = _plan(spark, "q22_idle_rich_customers", sf_dir, "formatted")
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_equi_depth_histogram_has_no_global_sort_of_facts(spark, sf_dir):
+    """The histogram entry must NOT contain a single-partition Sort/Window
+    over the orders table: the global rank comes from range partitioning
+    + per-partition row_number; the only single-partition window is the
+    16-row per-partition-count prefix (Exchange SinglePartition feeding a
+    16-row aggregate result is fine, one feeding a full-table Sort is
+    not). Assert by checking the ntile window function itself is absent
+    and a range exchange is present."""
+    plan = _plan(spark, "equi_depth_histogram", sf_dir, "formatted")
+    assert "ntile" not in plan.lower(), plan
+    assert "rangepartitioning" in plan.lower(), plan

@@ -1,0 +1,549 @@
+"""Round-6 analytics additions: classic decision-support shapes (TPC-H
+Q3/Q17/Q22 style), market-basket association rules, exact-integer
+exponential smoothing, RFM segmentation, an equi-depth histogram built on
+a range-partitioned distributed global rank, and gaps-and-islands streaks.
+
+Shared float discipline (see catalog.py): derived ratios are scaled-floor
+on BOTH engines; monetary sums are quantized to exact BIGINT cents before
+aggregation so no hash can drift on summation order. The reference
+(`/root/reference/` — 3 PyFlink session-window jobs) has none of these;
+they extend the engine into the decision-support surface a Spark user
+expects from a complete analytics engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import register
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+
+def _cents(col: str) -> Column:
+    """Exact integer cents from a 2-decimal DOUBLE money column."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT))
+              AS BIGINT) AS revenue_e4,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1, 3, 4)
+SELECT l_orderkey, revenue_e4, o_orderdate, o_orderpriority
+FROM rev
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+""",
+    description="TPC-H Q3-style shipping priority: the canonical "
+                "dimension-filter → fact-join → top-k shape. The 'BUILDING' "
+                "customer slice broadcasts (never shuffles the fact side), "
+                "the orders→lineitem join carries pushed-down date filters "
+                "into both scans, and the final ORDER BY ... LIMIT 10 plans "
+                "as TakeOrderedAndProject — per-partition top-10 then a "
+                "10-row driver merge, no global sort at any scale. Revenue "
+                "is an exact BIGINT in 1e-4 dollar units (cents × "
+                "discount-complement percent), so ordering and hashing "
+                "cannot drift on float summation order.",
+    bench=True,
+    tags=("relational", "join", "topk", "sql"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev_e4 = F.sum(
+        _cents("l_extendedprice")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    ).cast("long").alias("revenue_e4")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_e4)
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH th AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey),
+sel AS (
+  SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN th ON th.l_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#1' AND l.l_quantity < th.qty_threshold)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(floor(CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 7.0)
+            AS BIGINT) AS avg_yearly_cents
+FROM sel
+""",
+    description="TPC-H Q17-style small-quantity revenue: the correlated "
+                "scalar subquery ('below 20% of this part's average "
+                "quantity') expressed declaratively — Catalyst decorrelates "
+                "it into a per-part aggregate joined back, exactly the "
+                "rewrite the hand-written plan uses: thresholds are one "
+                "map-side-combinable groupBy over lineitem, semi-restricted "
+                "to the brand's parts and broadcast into the fact scan, so "
+                "the only full-table pass is the threshold build. The "
+                "average is exact (integer-valued quantities sum exactly in "
+                "a double), so the strict < comparison is bit-identical in "
+                "both engines; revenue sums as exact BIGINT cents.",
+    tags=("relational", "subquery", "join", "sql"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (load_table(spark, sf_dir, "part")
+                   .where(F.col("p_brand") == "Brand#1")
+                   .select("p_partkey"))
+    th = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+        .join(F.broadcast(brand_parts),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "qty_threshold")
+    )
+    sel = (
+        li.select("l_partkey", "l_quantity", _cents("l_extendedprice")
+                  .alias("cents"))
+        .join(F.broadcast(th), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return sel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.floor(F.coalesce(F.sum("cents"), F.lit(0)).cast("double") / 7.0)
+        .cast("long").alias("avg_yearly_cents"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH bal AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer),
+avg_pos AS (
+  SELECT CAST(SUM(bal_cents) AS DOUBLE) / COUNT(*) AS avg_cents
+  FROM bal WHERE bal_cents > 0),
+idle AS (
+  SELECT b.c_custkey, b.c_mktsegment, b.bal_cents
+  FROM bal b CROSS JOIN avg_pos a
+  WHERE CAST(b.bal_cents AS DOUBLE) > a.avg_cents
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = b.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+FROM idle GROUP BY c_mktsegment
+""",
+    description="TPC-H Q22-style: above-average-balance customers with no "
+                "recent orders — combines a global scalar aggregate "
+                "threshold (the correlated-average idiom) with a "
+                "correlated NOT EXISTS, which Catalyst rewrites to a "
+                "left-anti join. The 1-row average broadcasts; the "
+                "anti-join's right side is the date-filtered orders "
+                "projection (one slim column after pushdown), and the "
+                "final per-segment rollup is map-side combinable. "
+                "Balances are exact BIGINT cents, so the threshold "
+                "comparison and the hashed totals are bit-deterministic.",
+    tags=("relational", "subquery", "join", "anti", "sql"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal_cents"))
+    avg_pos = (bal.where(F.col("bal_cents") > 0)
+               .agg((F.sum("bal_cents").cast("double")
+                     / F.count(F.lit(1))).alias("avg_cents")))
+    recent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate")
+                     >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    idle = (
+        bal.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("bal_cents").cast("double") > F.col("avg_cents"))
+        .join(recent, bal.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum("bal_cents").cast("long").alias("total_bal_cents")))
+
+
+@register(
+    "association_rules",
+    oracle="""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_b AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+freq AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets
+         GROUP BY l_partkey HAVING COUNT(*) >= 20),
+fb AS (SELECT b.l_orderkey, b.l_partkey
+       FROM baskets b JOIN freq USING (l_partkey)),
+capped AS (SELECT l_orderkey, l_partkey
+           FROM (SELECT fb.*,
+                        COUNT(*) OVER (PARTITION BY l_orderkey) AS bs
+                 FROM fb)
+           WHERE bs <= 50),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_ab
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.part_a AS antecedent, p.part_b AS consequent,
+       CAST(p.n_ab AS BIGINT) AS n_both,
+       CAST(fa.n_item AS BIGINT) AS n_antecedent,
+       CAST(floor(CAST(p.n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE)
+                  * 10000) AS BIGINT) AS confidence_e4,
+       CAST(floor(CAST(p.n_ab * n_b.n AS DOUBLE)
+                  / CAST(fa.n_item * fb2.n_item AS DOUBLE) * 10000)
+            AS BIGINT) AS lift_e4
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb2 ON fb2.l_partkey = p.part_b
+CROSS JOIN n_b
+""",
+    description="Directional association rules a→b with confidence and "
+                "lift on top of the a-priori-pruned co-purchase counts "
+                "(same support floors as copurchase_pairs: item >= 20, "
+                "pair >= 3, basket cap 50 so no mega-basket goes "
+                "quadratic). The Spark shape mirrors copurchase_pairs — "
+                "sorted per-basket array + in-row HOF expansion of ordered "
+                "pairs, NO self-join — then joins the broadcast frequent-"
+                "item supports and the broadcast 1-row basket total to "
+                "derive confidence = P(b|a) and lift = P(a,b)/(P(a)P(b)). "
+                "All inputs to the ratios are exact BIGINTs; each ratio is "
+                "one double division scaled-floored identically in DuckDB.",
+    tags=("relational", "mining", "aggregate", "audit"),
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (load_table(spark, sf_dir, "lineitem")
+               .select("l_orderkey", "l_partkey").distinct())
+    n_b = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n"))
+    freq = (baskets.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_item"))
+            .where(F.col("n_item") >= 20))
+    arrs = (
+        baskets.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .where(F.size("parts").between(2, 50))
+    )
+    # ordered (a, b) pairs a != b via in-row HOF — no self-join
+    pairs = (
+        arrs.select(F.explode(F.expr(
+            "flatten(transform(parts, x -> "
+            "transform(filter(parts, y -> y != x), "
+            "y -> struct(x AS part_a, y AS part_b))))")).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"),
+                     F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"),
+                     F.col("n_item").alias("n_b_item"))
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    lift = ((F.col("n_ab") * F.col("n")).cast("double")
+            / (F.col("n_a") * F.col("n_b_item")).cast("double"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_b))
+        .select(F.col("part_a").alias("antecedent"),
+                F.col("part_b").alias("consequent"),
+                F.col("n_ab").cast("long").alias("n_both"),
+                F.col("n_a").cast("long").alias("n_antecedent"),
+                F.floor(conf * 10000).cast("long").alias("confidence_e4"),
+                F.floor(lift * 10000).cast("long").alias("lift_e4"))
+    )
+
+
+@register(
+    "ewma_daily_spend",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(round(SUM(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT user_id, cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+  FROM daily),
+agg AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CASE WHEN i = 1 THEN cents
+                  ELSE cents * CAST(power(2, i - 2) AS BIGINT) END) AS t
+  FROM seq GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       CAST(floor(CAST(t AS DOUBLE) / power(2, n - 1)) AS BIGINT)
+         AS ewma_cents
+FROM agg
+""",
+    description="Exponentially-weighted moving average of daily spend "
+                "(alpha = 1/2, seeded at the first day) — the recursive "
+                "smoother E_n = y_n/2 + E_{n-1}/2 rendered as ONE "
+                "aggregation with exact integer geometric weights: "
+                "E_n = (y_1 + sum_{i>=2} y_i 2^{i-2}) / 2^{n-1}, every "
+                "term an exact BIGINT (daily cents <= 1e5 x 2^28 << 2^63 "
+                "for the <= 31-day keyspace) and the final division by a "
+                "power of two exact in binary FP, so the floor is "
+                "bit-deterministic with no rounding discipline needed. "
+                "One user-keyed window for day indices feeds one "
+                "map-side-combinable aggregate — the same single-exchange "
+                "shape as the sessionizer, and the weight trick is what "
+                "makes an inherently sequential recurrence mergeable "
+                "across 1000 executors.",
+    tags=("relational", "timeseries", "aggregate"),
+)
+def ewma_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = daily.select(
+        "user_id", "cents", F.row_number().over(w).alias("i"))
+    term = F.when(F.col("i") == 1, F.col("cents")).otherwise(
+        F.col("cents") * F.pow(F.lit(2), F.col("i") - 2).cast("long"))
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(term).alias("t"))
+    return agg.select(
+        "user_id", F.col("n").cast("long").alias("n_days"),
+        F.floor(F.col("t").cast("double")
+                / F.pow(F.lit(2), F.col("n") - 1)).cast("long")
+        .alias("ewma_cents"))
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   DATE '2001-09-01') AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1),
+seg AS (
+  SELECT r.*, c.c_mktsegment,
+         ntile(5) OVER (PARTITION BY c.c_mktsegment
+                        ORDER BY r.recency_days, r.custkey) AS r_score,
+         ntile(5) OVER (PARTITION BY c.c_mktsegment
+                        ORDER BY r.frequency DESC, r.custkey) AS f_score,
+         ntile(5) OVER (PARTITION BY c.c_mktsegment
+                        ORDER BY r.monetary_cents DESC, r.custkey)
+           AS m_score
+  FROM rfm r JOIN customer c ON c.c_custkey = r.custkey)
+SELECT custkey, c_mktsegment, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM seg
+""",
+    description="RFM customer segmentation: recency/frequency/monetary "
+                "from one order scan (exact integer days, counts, and "
+                "cents), then quintile scores via ntile(5) partitioned by "
+                "market segment with fully-deterministic tie-broken "
+                "orderings (custkey breaks every tie, so Spark and DuckDB "
+                "agree bucket-for-bucket). Partitioning the score windows "
+                "by segment bounds each sort; at 100 TB the same buckets "
+                "come from the distributed-rank construction of "
+                "equi_depth_histogram (ntile reproduced exactly from a "
+                "range-partitioned rank — equality pinned in "
+                "tests/test_analytics.py) instead of a wider window. The "
+                "customer dimension broadcasts into the per-customer "
+                "aggregate.",
+    tags=("relational", "analytics", "window_function", "ntile"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(F.lit("2001-09-01").cast("date"),
+                   F.to_date(F.max("o_orderdate"))).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("monetary_cents"),
+    )
+    j = rfm.join(F.broadcast(cust), rfm.custkey == cust.c_custkey)
+    seg = Window.partitionBy("c_mktsegment")
+    r_s = F.ntile(5).over(seg.orderBy("recency_days", "custkey"))
+    f_s = F.ntile(5).over(seg.orderBy(F.desc("frequency"), F.asc("custkey")))
+    m_s = F.ntile(5).over(
+        seg.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
+    return j.select(
+        "custkey", "c_mktsegment",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_cents",
+        r_s.cast("long").alias("r_score"),
+        f_s.cast("long").alias("f_score"),
+        m_s.cast("long").alias("m_score"),
+        F.concat(r_s.cast("string"), f_s.cast("string"),
+                 m_s.cast("string")).alias("segment"),
+    )
+
+
+def global_rank_ranged(df: DataFrame, order_cols: list[str],
+                       num_ranges: int = 16) -> DataFrame:
+    """Distributed global dense 1-based rank WITHOUT a single-partition
+    window: range-partition on the order columns, partition-local
+    ``row_number``, then add broadcast per-partition row-count prefix
+    offsets. The only ordered window over one partition runs on
+    ``num_ranges`` rows — constant however large the table. The rank is
+    invariant to where the (sampled) range boundaries land because the
+    order columns are required to be a total order (caller supplies a
+    unique tiebreaker). Same construction as the skyline scale path
+    (relational.skyline_witness_ranged); equality with the windowed
+    ``row_number`` is pinned in tests/test_analytics.py.
+    """
+    ranged = (df.repartitionByRange(num_ranges, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    loc = ranged.withColumn("_lrn", F.row_number().over(wloc))
+    counts = loc.groupBy("_pid").agg(F.max("_lrn").alias("_pn"))
+    woff = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (counts
+            .withColumn("_off",
+                        F.coalesce(F.sum("_pn").over(woff), F.lit(0)))
+            .select("_pid", "_off"))
+    return (loc.join(F.broadcast(offs), "_pid")
+            .withColumn("grank", (F.col("_lrn") + F.col("_off"))
+                        .cast("long"))
+            .drop("_pid", "_lrn", "_off"))
+
+
+def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """SQL-standard ``ntile(k)`` bucket from a global 1-based rank: the
+    first ``total % k`` buckets get ``total/k + 1`` rows, the rest get
+    ``total/k``. The ceil divisions go through correctly-rounded double
+    division + floor, exact for any realistic cardinality (an off-by-one
+    would need rank * buckets near 2^53).
+    """
+    q = F.floor(total / k)
+    rem = total % k
+    big = rem * (q + 1)  # rows living in the first `rem` (larger) buckets
+    in_big = F.floor((rank + q) / (q + 1))          # ceil(rank/(q+1))
+    in_small = rem + F.floor((rank - big + q - 1) / q)
+    return F.when(rank <= big, in_big).otherwise(in_small)
+
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM ranked GROUP BY bin
+""",
+    description="Equi-depth (decile) histogram of order value — the "
+                "statistics primitive behind optimizer histograms and "
+                "drift monitors. The oracle uses the ntile window (a "
+                "single-partition global sort); the Spark plan does NOT: "
+                "it builds a distributed global rank via range "
+                "partitioning + per-partition row_number + broadcast "
+                "prefix offsets (global_rank_ranged — the only ordered "
+                "single-partition window touches 16 partition-count "
+                "rows), then reproduces SQL ntile semantics exactly from "
+                "integer arithmetic (ntile_from_rank). Bucket-for-bucket "
+                "equality with the window function is pinned in "
+                "tests/test_analytics.py; bin min/max are raw 2-decimal "
+                "values, counts exact.",
+    bench=True,
+    tags=("relational", "histogram", "layout", "window_function"),
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey")
+    ranked = global_rank_ranged(orders, ["o_totalprice", "o_orderkey"])
+    total = orders.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    binned = ranked.crossJoin(F.broadcast(total)).select(
+        "o_totalprice",
+        ntile_from_rank(F.col("grank"), F.col("_total"), 10)
+        .cast("long").alias("bin"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@register(
+    "longest_daily_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""",
+    description="Longest run of consecutive active days per user — the "
+                "gaps-and-islands idiom: distinct activity days, island "
+                "id = day_ordinal - row_number (constant within a "
+                "consecutive run), then two nested integer aggregations. "
+                "Everything is exact integers; one user-keyed exchange "
+                "feeds the dedup, the window, and both aggregations "
+                "(Catalyst reuses the clustering), so the whole streak "
+                "analysis costs a single shuffle of (user, day) pairs — "
+                "at 100 TB that's the distinct-day set, orders of "
+                "magnitude smaller than the event stream.",
+    tags=("relational", "sequence", "window_function", "analytics"),
+)
+def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        (F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+         - F.row_number().over(w)).alias("grp"))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"))

@@ -176,6 +176,7 @@ from windowsession_using_kafka_flink_docker_spark.plans import (  # noqa: E402,F
     llm_pipeline,
     time_windows,
     curation,
+    analytics,
 )
 
 # DRIVER_PRIORITY must be computed AFTER the @register imports above have
