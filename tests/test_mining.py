@@ -106,3 +106,64 @@ def test_dynamic_gap_sessions_are_interval_unions(spark):
     assert got == want
     # the planted bridge really exercised union semantics
     assert (1, events[0][1], events[0][1] + 300_000_000) in want
+
+
+def test_association_rules_match_bruteforce(spark, sf_dir):
+    """Directional rules recomputed in plain Python with the same
+    thresholds (item >= 20, basket cap 50, pair >= 3), including the
+    floored confidence/lift scaling."""
+    import math
+
+    li = [(r.l_orderkey, r.l_partkey) for r in
+          load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").collect()]
+    baskets = defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    n_baskets = len(baskets)
+    item_sup = Counter(p for parts in baskets.values() for p in parts)
+    freq = {p: n for p, n in item_sup.items() if n >= 20}
+    pair_counts: Counter = Counter()
+    for parts in baskets.values():
+        kept = sorted(p for p in parts if p in freq)
+        if not 2 <= len(kept) <= 50:
+            continue
+        for a in kept:
+            for b in kept:
+                if a != b:
+                    pair_counts[(a, b)] += 1
+    want = sorted(
+        (a, b, n, freq[a],
+         math.floor(n / freq[a] * 10000),
+         math.floor(n * n_baskets / (freq[a] * freq[b]) * 10000))
+        for (a, b), n in pair_counts.items() if n >= 3)
+    got = sorted(
+        (r.antecedent, r.consequent, r.n_both, r.n_antecedent,
+         r.confidence_e4, r.lift_e4)
+        for r in CATALOG["association_rules"].spark(spark, sf_dir).collect())
+    assert got == want
+
+
+def test_ewma_matches_sequential_recurrence(spark, sf_dir):
+    """The one-pass geometric-weight aggregation must equal the literal
+    sequential recurrence E_n = y_n/2 + E_{n-1}/2 run day by day in
+    Python (exact integer halving via fractions to avoid FP drift)."""
+    import math
+    from fractions import Fraction
+
+    ev = (load_table(spark, sf_dir, "events")
+          .groupBy("user_id", F.to_date("ts").alias("d"))
+          .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+          .collect())
+    series = defaultdict(list)
+    for r in ev:
+        series[r.user_id].append((r.d, r.cents))
+    want = {}
+    for u, days in series.items():
+        e = None
+        for _, cents in sorted(days):
+            e = Fraction(cents) if e is None else (Fraction(cents) + e) / 2
+        want[u] = (len(days), math.floor(e))
+    got = {r.user_id: (r.n_days, r.ewma_cents) for r in
+           CATALOG["ewma_daily_spend"].spark(spark, sf_dir).collect()}
+    assert got == want
