@@ -547,3 +547,52 @@ def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("len").cast("long").alias("longest_streak"),
         F.sum("len").cast("long").alias("active_days"))
+
+
+@register(
+    "rolling_distinct_types",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dayno,
+         event_type
+  FROM events),
+days AS (SELECT DISTINCT user_id, dayno FROM daily)
+SELECT d.user_id, CAST(d.dayno AS BIGINT) AS dayno,
+       CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types_7d
+FROM days d JOIN daily e
+  ON e.user_id = d.user_id
+ AND e.dayno BETWEEN d.dayno - 6 AND d.dayno
+GROUP BY 1, 2
+""",
+    description="Distinct event types per user over a trailing 7-day "
+                "window — COUNT(DISTINCT) OVER is a primitive Spark's "
+                "window functions lack, so the plan renders it as "
+                "size(array_distinct(flatten(collect_list(day_type_set)))) "
+                "over a RANGE frame of per-day type sets: state is "
+                "bounded by 7 days x the type domain per frame, and the "
+                "whole query is ONE user-keyed exchange feeding the "
+                "daily compression, the window, and the output. The "
+                "oracle takes the engine-neutral shape instead — a "
+                "7-day range self-join + COUNT(DISTINCT) — which is "
+                "exactly the shuffle-amplifying plan the Spark side "
+                "avoids (the join replays each day up to 7 times). All "
+                "integer output, hash-exact.",
+    tags=("relational", "window", "frame", "distinct", "timeseries"),
+)
+def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("dayno"), "event_type")
+        .distinct()
+        .groupBy("user_id", "dayno")
+        .agg(F.collect_set("event_type").alias("types_day")))
+    w = (Window.partitionBy("user_id").orderBy("dayno")
+         .rangeBetween(-6, 0))
+    return daily.select(
+        "user_id", F.col("dayno").cast("long").alias("dayno"),
+        F.size(F.array_distinct(
+            F.flatten(F.collect_list("types_day").over(w))))
+        .cast("long").alias("n_types_7d"))
