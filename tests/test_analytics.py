@@ -49,3 +49,41 @@ class TestDistributedGlobalRank:
                     F.col("r"), F.lit(total).cast("long"), k).cast("long")))
         diff = both.where(F.col("wbin") != F.col("fbin")).count()
         assert diff == 0
+
+
+class TestNtileFormulaExhaustive:
+    """Pure-Python mirror of ntile_from_rank's arithmetic (same floor-of-
+    float-division shape), swept with hypothesis against a direct
+    bucket-size simulation — catches remainder edge cases the 4-k Spark
+    test can't enumerate."""
+
+    @staticmethod
+    def _formula(rank: int, total: int, k: int) -> int:
+        import math
+        q = math.floor(total / k)
+        rem = total % k
+        big = rem * (q + 1)
+        if rank <= big:
+            return math.floor((rank + q) / (q + 1))
+        return rem + math.floor((rank - big + q - 1) / q)
+
+    @staticmethod
+    def _simulate(total: int, k: int) -> list[int]:
+        """SQL-standard ntile: first total%k buckets get one extra row."""
+        q, rem = divmod(total, k)
+        out = []
+        for b in range(1, k + 1):
+            out.extend([b] * (q + 1 if b <= rem else q))
+        return out
+
+    def test_hypothesis_sweep(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(total=st.integers(1, 500), k=st.integers(1, 600))
+        def check(total, k):
+            want = self._simulate(total, k)
+            got = [self._formula(r, total, k) for r in range(1, total + 1)]
+            assert got == want, (total, k)
+
+        check()
