@@ -44,3 +44,59 @@ def test_uniform_on_cycle(spark):
     got = {r.id: r.rank for r in pagerank(edges_df, nodes_df).collect()}
     for v in (1, 2, 3):
         assert abs(got[v] - 1 / 3) < 1e-12
+
+
+class TestBfsHops:
+    """bfs_hops vs a plain-Python deque BFS on a fixed graph: two
+    components, a cycle, a chain longer than the hop cap, and an
+    isolated non-source node."""
+
+    EDGES = [(1, 2), (2, 3), (3, 4), (4, 1),      # 4-cycle
+             (3, 5), (5, 6), (6, 7), (7, 8),      # tail chain
+             (20, 21), (21, 22)]                  # separate component
+
+    def _brute(self, sources, max_hops, directed=False):
+        from collections import defaultdict, deque
+        adj = defaultdict(set)
+        for a, b in self.EDGES:
+            adj[a].add(b)
+            if not directed:
+                adj[b].add(a)
+        dist = {s: 0 for s in sources}
+        dq = deque(sources)
+        while dq:
+            u = dq.popleft()
+            if dist[u] == max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    def _run(self, spark, sources, max_hops, directed=False):
+        from windowsession_using_kafka_flink_docker_spark.operators.cluster import (
+            bfs_hops,
+        )
+        edges = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        src_df = spark.createDataFrame([(s,) for s in sources], ["id"])
+        out = bfs_hops(edges, src_df, max_hops=max_hops, directed=directed)
+        return {r.id: r.hops for r in out.collect()}
+
+    def test_single_source(self, spark):
+        assert self._run(spark, [1], 10) == self._brute([1], 10)
+
+    def test_multi_source_and_other_component(self, spark):
+        got = self._run(spark, [1, 20], 10)
+        assert got == self._brute([1, 20], 10)
+        assert got[22] == 2  # reached through the second seed
+
+    def test_hop_cap_truncates(self, spark):
+        got = self._run(spark, [1], 2)
+        assert got == self._brute([1], 2)
+        assert 6 not in got  # 3 hops away, cap is 2
+
+    def test_directed_respects_orientation(self, spark):
+        got = self._run(spark, [5], 10, directed=True)
+        assert got == self._brute([5], 10, directed=True)
+        assert 3 not in got  # edge (3,5) only points 3 -> 5

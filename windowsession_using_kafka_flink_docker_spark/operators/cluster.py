@@ -209,3 +209,54 @@ def pagerank_oracle_sql(edges_cte: str, nodes_cte: str, damping: float = 0.85,
   ) c ON c.id = n.id
 )""")
     return ",\n".join(parts) + f",\nfinal_rank AS (SELECT * FROM r{iterations})"
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 10,
+             src: str = "src", dst: str = "dst",
+             directed: bool = False) -> DataFrame:
+    """Multi-source BFS hop distance over an edge list — the traversal
+    primitive next to connected_components (labels) and pagerank (mass):
+    "how many similarity hops from any seed document is this one?", the
+    query behind contamination-radius and influence-neighborhood checks
+    on the near-dup/kNN graphs.
+
+    Frontier algorithm as joins: round h joins the current frontier
+    against the (symmetrized unless ``directed``) edge frame, anti-joins
+    out already-settled nodes, and stamps survivors with ``hops = h``.
+    Exactly-correct distances because frontier h settles ALL nodes at
+    hop h before h+1 runs; nodes unreachable within ``max_hops`` are
+    absent from the result (callers outer-join if they need NULLs).
+
+    Scale shape: the edge frame is hash-partitioned on the probe side
+    once and reused every round; per round the shuffled state is the
+    frontier/settled (id, hops) long frames only — never payloads; the
+    two driver-side scalars per round (materialize + empty-check) are
+    bounded by the hop cap, and ``localCheckpoint`` truncates lineage so
+    round N never replans rounds 1..N-1 (same discipline as the
+    component and rank loops above).
+    """
+    if directed:
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().repartition(F.col("a")).persist()
+    sym.count()
+    settled = (sources.toDF("id").distinct()
+               .select("id", F.lit(0).alias("hops"))
+               .localCheckpoint(eager=True))
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym.a == frontier.id)
+            .select(F.col("b").alias("id")).distinct()
+            .join(settled, "id", "left_anti")
+            .select("id", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        settled = settled.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    sym.unpersist()
+    return settled
