@@ -1214,6 +1214,54 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_bfs_hops",
+    # The oracle replays the shared 3-NN edge derivation (_KNN3_SQL, same
+    # tie-breaking as the PageRank/triangle entries) and runs BFS as a
+    # recursive CTE: UNION-deduped (id, hops) pairs, min(hops) per id is
+    # the hop distance. Integer output, exact hash.
+    oracle=_KNN3_SQL.replace("WITH base", "WITH RECURSIVE base", 1) + """
+sym AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+seeds AS (SELECT vec_id AS id FROM base WHERE vec_id % 50 = 0),
+bfs AS (
+  SELECT id, 0 AS hops FROM seeds
+  UNION
+  SELECT s.dst, b.hops + 1
+  FROM bfs b JOIN sym s ON s.src = b.id
+  WHERE b.hops < 6
+)
+SELECT CAST(id AS BIGINT) AS vec_id,
+       CAST(MIN(hops) AS BIGINT) AS hops
+FROM bfs GROUP BY id
+""",
+    description="Multi-source BFS hop distance over the undirected 3-NN "
+                "cosine graph (seeds: every 50th vector, hop cap 6) — "
+                "the contamination-radius query: how many similarity "
+                "hops separate each document from a known-bad seed set. "
+                "Spark side runs operators/cluster.bfs_hops (frontier/"
+                "anti-join rounds, slim (id, hops) state, lineage "
+                "truncated per round); the oracle replays the identical "
+                "edge set via the shared _KNN3_SQL CTE and a UNION-"
+                "deduped recursive CTE with min(hops). Distances are "
+                "exact integers — frontier round h settles every node "
+                "at hop h before h+1 — so the hash gate covers the "
+                "traversal, not just counts.",
+    tags=("llm", "graph", "iterative", "join"),
+)
+def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.cluster import (
+        bfs_hops,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.cosine_topk(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("match_id").alias("dst"))
+    seeds = emb.where(F.col("vec_id") % 50 == 0).select("vec_id")
+    out = bfs_hops(knn, seeds, max_hops=6)
+    return out.select(F.col("id").cast("long").alias("vec_id"),
+                      F.col("hops").cast("long").alias("hops"))
+
+
+@register(
     "unigram_quality_score",
     # CCNet-style LM quality proxy without an external model: train the
     # unigram LM on the corpus itself (token frequencies), score each doc
