@@ -36,7 +36,7 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           # trains + encodes (persist/count) at plan-construction time
           "pq_ann_topk", "pq_rerank_all_vs_exact",
           # iterative: runs one job per iteration at plan-construction time
-          "pagerank_similarity_graph"}
+          "pagerank_similarity_graph", "knn_bfs_hops"}
 
 # Sanctioned Arrow-batched Python stages — and ONLY these:
 # - media decode (opaque binary payloads, no JVM expression can decode);
