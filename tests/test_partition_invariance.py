@@ -1,0 +1,44 @@
+"""Distributed-correctness property the oracle gate can't see: results
+must be invariant to the shuffle partition count. The DuckDB comparison
+runs at one fixed parallelism; these tests re-execute the most
+partitioning-sensitive entries (range-partitioned ranks, sorted
+collect_lists, hash-keyed sampling, k-minimum sketches) with a
+deliberately awkward partition count and pin equality row-for-row."""
+
+from __future__ import annotations
+
+import pytest
+
+from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+# Entries whose plans lean on partition-dependent machinery: the
+# distributed global rank (equi_depth_histogram), post-collect sorted
+# sequences (user_event_sequences), deterministic md5-keyed sampling
+# (weighted_sample_per_lang), k-min sketch merge (kmv_distinct_audit),
+# frontier BFS rounds (knn_bfs_hops), and the ntile windows (rfm).
+SENSITIVE = [
+    "equi_depth_histogram",
+    "user_event_sequences",
+    "weighted_sample_per_lang",
+    "kmv_distinct_audit",
+    "knn_bfs_hops",
+    "rfm_segmentation",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        low = _rows(CATALOG[name].spark(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        high = _rows(CATALOG[name].spark(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high, f"{name}: result depends on shuffle partition count"
