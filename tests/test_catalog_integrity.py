@@ -78,17 +78,19 @@ def test_priority_covers_all_never_checked_entries():
 def test_window_re_certifies_stalest_entries():
     """Rotation invariant: every catalog entry is either inside the
     upcoming driver window (first DRIVER_WINDOW names of queries()) or was
-    driver-green within the last two snapshots. Keeps certifications fresh
-    against driver-side testdata drift without demanding an infinite
-    window."""
+    driver-green within the last STALENESS_BOUND snapshots. Keeps
+    certifications fresh against driver-side testdata drift without
+    demanding an infinite window."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
         DRIVER_WINDOW,
+        STALENESS_BOUND,
     )
 
     last_green, latest_round = _driver_history()
     window = set(list(queries())[:DRIVER_WINDOW])
     stale = [n for n in CATALOG
-             if n not in window and last_green.get(n, 0) < latest_round - 1]
+             if n not in window
+             and last_green.get(n, 0) < latest_round - (STALENESS_BOUND - 1)]
     assert not stale, f"entries neither in-window nor recently green: {stale}"
 
 
@@ -106,14 +108,18 @@ def test_priority_is_computed_from_on_disk_history():
 
 
 def test_window_policy_converges_over_projected_rounds():
-    """Project the rotation two rounds ahead (VERDICT r5 item 2): simulate
-    the driver certifying each computed window, recompute, and assert no
-    entry's certification ever ages past 2 rounds. This proves the
-    mechanism converges — a future snapshot can only make the real test
-    greener, never red."""
+    """Project the rotation five rounds ahead (VERDICT r5 item 2, extended
+    for the round-7 bound relaxation): simulate the driver certifying each
+    computed window, recompute, and assert no entry's certification ever
+    ages past STALENESS_BOUND rounds. This proves the mechanism converges —
+    a future snapshot can only make the real test greener, never red. Five
+    projected rounds cover a full rotation cycle of the relaxed bound
+    (every entry certified at least once every STALENESS_BOUND+1 = 4
+    windows) plus one round of slack."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
         DRIVER_WINDOW,
         PINNED,
+        STALENESS_BOUND,
         compute_driver_priority,
         driver_history,
     )
@@ -121,14 +127,14 @@ def test_window_policy_converges_over_projected_rounds():
     last_green, latest = driver_history()
     last_green = {n: r for n, r in last_green.items() if n in CATALOG}
     names = list(CATALOG)
-    for future_round in (latest + 1, latest + 2, latest + 3):
+    for future_round in range(latest + 1, latest + 6):
         priority = compute_driver_priority(names, last_green)
         window = set(priority[:DRIVER_WINDOW])
         assert set(PINNED) <= window
-        # every entry neither in this window nor green within 2 rounds
-        # would go red — there must be none
+        # every entry neither in this window nor green within
+        # STALENESS_BOUND rounds would go red — there must be none
         stale = [n for n in names if n not in window
-                 and last_green.get(n, 0) < future_round - 2]
+                 and last_green.get(n, 0) < future_round - STALENESS_BOUND]
         assert not stale, (
             f"round {future_round} projection leaves stale entries: {stale}")
         for n in window:  # driver certifies the window
@@ -137,16 +143,24 @@ def test_window_policy_converges_over_projected_rounds():
 
 def test_catalog_size_leaves_rotation_headroom():
     """Feasibility bound for the rotation: each round the window holds
-    the pins (P), every entry whose certification aged to 2 rounds, and
-    oldest-first fill. Steady-state stale cohort = N - (2W - P), which
-    must fit beside the pins: N <= 3W - 2P. Fail loudly when an added
-    entry would make the policy arithmetically impossible."""
+    the pins (P), every entry whose certification aged to STALENESS_BOUND
+    rounds, and oldest-first fill. An entry certified in round r is fresh
+    through r + STALENESS_BOUND - 1 and must re-enter the window by
+    r + STALENESS_BOUND, so the effective cycle is STALENESS_BOUND + 1
+    windows and the capacity is N <= (B+1)*W - B*P (B=2 gave 130; the
+    round-7 relaxation to B=3 gives 170). Fail loudly when an added entry
+    would make the policy arithmetically impossible, and require >= 5
+    entries of headroom so a round's additions never land exactly on the
+    ceiling (VERDICT r6 item 1's done-criterion)."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
         DRIVER_WINDOW,
         PINNED,
+        STALENESS_BOUND,
     )
 
-    assert len(CATALOG) <= 3 * DRIVER_WINDOW - 2 * len(PINNED), (
+    capacity = ((STALENESS_BOUND + 1) * DRIVER_WINDOW
+                - STALENESS_BOUND * len(PINNED))
+    assert len(CATALOG) <= capacity - 5, (
         "catalog has outgrown the rotation policy — raise DRIVER_WINDOW "
         "or relax the staleness bound")
 

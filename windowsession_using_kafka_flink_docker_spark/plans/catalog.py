@@ -46,6 +46,17 @@ def register(name: str, oracle: str | None, description: str = "",
 #: ``queries()`` in iteration order.
 DRIVER_WINDOW = 50
 
+#: Maximum rounds a driver certification may age before the entry MUST be
+#: scheduled back into the upcoming window. Round 7 formally relaxed this
+#: from 2 to 3 (VERDICT r6 item 1): the catalog had reached 129 of the
+#: 2-round policy's arithmetic capacity of 130
+#: (N <= 3*DRIVER_WINDOW - 2*len(PINNED)), and the 3-round bound raises
+#: capacity to 4*50 - 3*10 = 170 while the projection tests in
+#: tests/test_catalog_integrity.py prove the rotation still converges —
+#: every entry re-certified within 3 rounds of its last green row, with
+#: headroom for ~40 more operators.
+STALENESS_BOUND = 3
+
 #: The 8 core reference-parity rows (SURVEY §2.1-2.10) plus the 2 ANN
 #: exact-identity pins — these must appear in EVERY driver window
 #: (VERDICT r4 item 6 / r5 item 7), so the reference-parity claim and the
@@ -129,9 +140,11 @@ def compute_driver_priority(
     2. the :data:`PINNED` core-parity + ANN-identity rows follow, so they
        sit inside every window;
     3. everything else is ordered oldest-last-green-first (ties broken by
-       registration order), so no entry's certification ages past ~2
-       rounds while the catalog stays under ``2*DRIVER_WINDOW - PINNED``
-       entries.
+       registration order), so no entry's certification ages past
+       :data:`STALENESS_BOUND` rounds while the catalog stays under the
+       feasibility capacity ``(STALENESS_BOUND+1)*DRIVER_WINDOW -
+       STALENESS_BOUND*len(PINNED)`` (see
+       tests/test_catalog_integrity.py::test_catalog_size_leaves_rotation_headroom).
 
     Pure function of ``(names, last_green)`` — unit-tested with projected
     future snapshots in tests/test_catalog_integrity.py.
