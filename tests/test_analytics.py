@@ -35,6 +35,25 @@ class TestDistributedGlobalRank:
                 .where(F.col("grank") != F.col("wrank")).count())
         assert diff == 0
 
+    def test_equals_windowed_row_number_without_exchange_reuse(
+            self, spark, orders):
+        """ADVICE r6: correctness must not silently depend on the planner
+        deduping the range exchange. With exchangeReuseEnabled=false the
+        operator pins a single instantiation via persist — ranks must
+        still match the windowed form exactly."""
+        spark.conf.set("spark.sql.exchangeReuseEnabled", "false")
+        try:
+            ranged = global_rank_ranged(
+                orders, ["o_totalprice", "o_orderkey"])
+            w = Window.orderBy("o_totalprice", "o_orderkey")
+            windowed = orders.withColumn(
+                "wrank", F.row_number().over(w).cast("long"))
+            diff = (ranged.join(windowed, ["o_totalprice", "o_orderkey"])
+                    .where(F.col("grank") != F.col("wrank")).count())
+            assert diff == 0
+        finally:
+            spark.conf.set("spark.sql.exchangeReuseEnabled", "true")
+
     @pytest.mark.parametrize("k", [3, 7, 10, 100000])
     def test_ntile_from_rank_equals_window_ntile(self, orders, k):
         """ntile reproduced from the rank must agree bucket-for-bucket

@@ -167,3 +167,48 @@ def test_ewma_matches_sequential_recurrence(spark, sf_dir):
     got = {r.user_id: (r.n_days, r.ewma_cents) for r in
            CATALOG["ewma_daily_spend"].spark(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_ewma_long_horizon_matches_recurrence(spark):
+    """VERDICT r6 item 3: the clamped-exponent form must stay correct far
+    past the old silent-overflow bound (~63 days of unbounded 2^(i-2)
+    weights). Exact equality with the Fraction recurrence for series up
+    to EWMA_HORIZON+1 days; beyond that the truncated tail may shift the
+    floor by at most one cent (tail < max_daily_cents / 2^HORIZON)."""
+    import math
+    import random
+    from fractions import Fraction
+
+    from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+        EWMA_HORIZON,
+        ewma_from_daily,
+    )
+
+    rng = random.Random(7)
+    rows, want = [], {}
+    for uid, n_days in enumerate(
+            [1, 2, EWMA_HORIZON, EWMA_HORIZON + 1, EWMA_HORIZON + 2,
+             63, 64, 120, 200]):
+        # spiky series incl. zero days and near-2^31-cent days — the old
+        # form's weights alone would overflow int64 past day 63
+        cents = [rng.choice([0, 1, 999, 10_000_000, 2_000_000_000])
+                 for _ in range(n_days)]
+        for i, c in enumerate(cents):
+            rows.append((uid, f"2024-01-01 d{i:03d}", c))
+        e = None
+        for c in cents:
+            e = Fraction(c) if e is None else (Fraction(c) + e) / 2
+        want[uid] = (n_days, math.floor(e))
+    daily = spark.createDataFrame(rows, "user_id LONG, d STRING, cents LONG")
+    got = {r.user_id: (r.n_days, r.ewma_cents)
+           for r in ewma_from_daily(daily).collect()}
+    assert set(got) == set(want)
+    for uid, (n_days, exact) in want.items():
+        g_n, g_e = got[uid]
+        assert g_n == n_days
+        if n_days <= EWMA_HORIZON + 1:
+            assert g_e == exact, f"uid={uid}: exact domain diverged"
+        else:
+            # truncation drops only sub-cent tail mass; floor can shift
+            # down by at most 1
+            assert exact - 1 <= g_e <= exact, f"uid={uid}: {g_e} vs {exact}"

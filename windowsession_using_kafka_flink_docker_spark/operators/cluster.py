@@ -231,10 +231,18 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 10,
     once and reused every round; per round the shuffled state is the
     frontier/settled (id, hops) long frames only — never payloads; the
     two driver-side scalars per round (materialize + empty-check) are
-    bounded by the hop cap, and ``localCheckpoint`` truncates lineage so
-    round N never replans rounds 1..N-1 (same discipline as the
-    component and rank loops above).
+    bounded by the hop cap. Only the NEW frontier is materialized each
+    round (``localCheckpoint``) — the settled set is kept as the list of
+    already-checkpointed per-hop frontiers and only *unioned lazily* for
+    the anti-join probe, so per-round materialization cost is
+    O(frontier), not O(V) (ADVICE r6: the previous form re-checkpointed
+    the whole growing settled set every hop, O(V * max_hops) total). The
+    union node count grows with the hop cap, but every leaf is a
+    truncated-lineage checkpoint, so round N never replans rounds
+    1..N-1.
     """
+    from functools import reduce
+
     if directed:
         sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
@@ -242,21 +250,23 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, max_hops: int = 10,
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.distinct().repartition(F.col("a")).persist()
     sym.count()
-    settled = (sources.toDF("id").distinct()
-               .select("id", F.lit(0).alias("hops"))
-               .localCheckpoint(eager=True))
-    frontier = settled
+    frontier = (sources.toDF("id").distinct()
+                .select("id", F.lit(0).alias("hops"))
+                .localCheckpoint(eager=True))
+    frontiers = [frontier]
     for h in range(1, max_hops + 1):
+        settled_ids = reduce(DataFrame.union,
+                             (f.select("id") for f in frontiers))
         nxt = (
             sym.join(frontier, sym.a == frontier.id)
             .select(F.col("b").alias("id")).distinct()
-            .join(settled, "id", "left_anti")
+            .join(settled_ids, "id", "left_anti")
             .select("id", F.lit(h).alias("hops"))
             .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
             break
-        settled = settled.union(nxt).localCheckpoint(eager=True)
+        frontiers.append(nxt)
         frontier = nxt
     sym.unpersist()
-    return settled
+    return reduce(DataFrame.union, frontiers)

