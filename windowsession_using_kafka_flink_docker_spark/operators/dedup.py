@@ -122,6 +122,20 @@ def base_hashes_expr(shingles: F.Column) -> F.Column:
     return F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
 
 
+def base_hashes_md5_expr(shingles: F.Column) -> F.Column:
+    """Engine-portable base hash: 32-bit md5 prefix folded into the
+    Mersenne field. Slower than xxhash64 (the production default) but
+    bit-replayable in DuckDB as
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647`` — the same
+    md5-position playbook as the KMV/CMS/Bloom audits, which is what lets
+    the driver hash-check a *measured* LSH recall instead of trusting an
+    asserted one (see plans/llm_pipeline.py minhash_recall_vs_exact)."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8),
+                         16, 10).cast("long") % _MERSENNE_P)
+
+
 def minhash_signature(base: F.Column, num_hashes: int = 64, seed: int = 42) -> F.Column:
     """MinHash signature (array<bigint>) over a *pre-hashed* shingle array
     (see :func:`base_hashes_expr`): n universal-hash permutations
@@ -168,12 +182,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       k: int = 3, num_hashes: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.5, unit: str = "word",
                       max_bucket_size: int = 1000,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      portable: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= jaccard_threshold. Candidate recall is governed by the
     (bands, rows-per-band) S-curve; verification makes precision exact.
+
+    ``portable=True`` swaps the xxhash64 base/band hashes for md5-derived
+    ones so the ENTIRE pipeline (signatures, banding, bucket cap,
+    candidates, verification) replays bit-identically in DuckDB — the
+    audit mode behind the driver-hashed recall row. Same algorithm, same
+    permutation family, same S-curve; only the (uniform) base hash
+    differs, so the measured recall is representative of the production
+    xxhash path.
     """
     rows = num_hashes // bands
     owns_shingles = shingles is None
@@ -186,10 +209,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # non-cheap alias alone when it is referenced more than once, so the
     # base hashes are computed once (not once per permutation) and the
     # signature once (not once per band struct).
+    base_fn = base_hashes_md5_expr if portable else base_hashes_expr
     sig_df = (
-        docs.select("_id", base_hashes_expr(F.col("_sh")).alias("_base"))
+        docs.select("_id", base_fn(F.col("_sh")).alias("_base"))
         .select("_id", minhash_signature(F.col("_base"), num_hashes).alias("_sig"))
     )
+
+    def _band_hash(b: int) -> F.Column:
+        sl = F.slice(F.col("_sig"), b * rows + 1, rows)
+        if portable:
+            # md5 over the comma-joined signature slice — DuckDB:
+            # md5(array_to_string(list_slice(sig, lo, hi), ','))
+            return F.md5(F.array_join(
+                F.transform(sl, lambda x: x.cast("string")), ",")
+                .cast("binary"))
+        return F.xxhash64(sl.cast("string"))
 
     # Slim banding table: (id, band_id, band_hash) only — candidate
     # generation never carries shingle or signature arrays through the
@@ -197,7 +231,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     band_cols = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
-            F.xxhash64(F.slice(F.col("_sig"), b * rows + 1, rows).cast("string")).alias("band_hash"),
+            _band_hash(b).alias("band_hash"),
         )
         for b in range(bands)
     ])
@@ -341,6 +375,19 @@ def token_hashes_expr(text_col: str) -> F.Column:
     return F.transform(toks, lambda t: F.xxhash64(t))
 
 
+def token_hashes_md5_expr(text_col: str) -> F.Column:
+    """Engine-portable 60-bit token hash (15-hex md5 prefix) as
+    array<long> — DuckDB: ``('0x' || substr(md5(t), 1, 15))::BIGINT``.
+    The audit-mode counterpart of :func:`token_hashes_expr` (see
+    :func:`base_hashes_md5_expr` for why md5)."""
+    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import normalized_text
+    toks = F.array_distinct(F.split(normalized_text(text_col), " "))
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15),
+                         16, 10).cast("long"))
+
+
 def simhash_expr(hashes_col: F.Column, bits: int = 64) -> F.Column:
     """64-bit SimHash as a bigint from a precomputed token-hash array:
     per-bit majority vote, assembled with shift/or. Pure JVM expressions;
@@ -365,25 +412,37 @@ def simhash_expr(hashes_col: F.Column, bits: int = 64) -> F.Column:
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3, max_bucket_size: int = 10_000) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    signature chunks (a pair within Hamming distance 3 of a 64-bit hash
-    must agree exactly on at least one of 4 chunks — pigeonhole).
+                      max_hamming: int = 3, max_bucket_size: int = 10_000,
+                      portable: bool = False) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on signature
+    chunks (a pair within Hamming distance 3 must agree exactly on at
+    least one of 4 chunks — pigeonhole).
 
     ``max_bucket_size`` drops degenerate chunk buckets (e.g., the
     all-zeros chunk that short/boilerplate docs converge to) before the
     self-join — the same cap MinHash banding applies, so no single bucket
     can go quadratic at 100 TB.
+
+    ``portable=True`` switches to 60-bit md5-derived token hashes (and
+    4 x 15-bit chunks) so the whole pipeline replays bit-identically in
+    DuckDB — the audit mode behind the driver-hashed recall row
+    (plans/llm_pipeline.py simhash_recall_vs_exact). Production default
+    stays xxhash64/64-bit.
     """
+    bits = 60 if portable else 64
+    chunk_bits = bits // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    tok_fn = token_hashes_md5_expr if portable else token_hashes_expr
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = (
         df.repartition(n_part, F.col(id_col))
-        .select(F.col(id_col).alias("_id"), token_hashes_expr(text_col).alias("_h"))
-        .select("_id", simhash_expr(F.col("_h")).alias("_sig"))
+        .select(F.col(id_col).alias("_id"), tok_fn(text_col).alias("_h"))
+        .select("_id", simhash_expr(F.col("_h"), bits=bits).alias("_sig"))
     )
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"),
-                 F.shiftright(F.col("_sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+                 F.shiftright(F.col("_sig"), c * chunk_bits)
+                 .bitwiseAND(F.lit(chunk_mask)).alias("chunk"))
         for c in range(4)
     ])
     blocked = docs.select("_id", "_sig", F.explode(chunks).alias("c")).select(
