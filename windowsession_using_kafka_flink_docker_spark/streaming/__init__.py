@@ -26,6 +26,12 @@ from windowsession_using_kafka_flink_docker_spark.streaming.joinview import (
     IncrementalJoinView,
     streaming_join_view_maintenance,
 )
+from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+    IncrementalDriftMaintainer,
+    IncrementalEwmaMaintainer,
+    streaming_drift_maintenance,
+    streaming_ewma_maintenance,
+)
 from windowsession_using_kafka_flink_docker_spark.streaming.scd import (
     Scd2DimensionMaintainer,
     streaming_scd2_maintenance,
@@ -63,6 +69,10 @@ __all__ = [
     "streaming_capped_sessionize",
     "IncrementalRollupMaintainer",
     "streaming_rollup_maintenance",
+    "IncrementalEwmaMaintainer",
+    "IncrementalDriftMaintainer",
+    "streaming_ewma_maintenance",
+    "streaming_drift_maintenance",
     "Scd2DimensionMaintainer",
     "streaming_scd2_maintenance",
     "file_events_source",
