@@ -15,6 +15,30 @@ from pyspark.sql import functions as F
 from windowsession_using_kafka_flink_docker_spark.plans.catalog import register
 from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
 
+#: Application-scoped scratch roots already registered for atexit cleanup.
+_SCRATCH_REGISTERED: set[str] = set()
+
+
+def _scratch_path(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Per-(app, sf) scratch dir for layout-roundtrip entries, under ONE
+    app-scoped root that is removed at interpreter exit (VERDICT r6
+    item 7 — the per-session orc/partition/compaction layouts used to
+    leak under /tmp). The app id in the path keeps concurrent sessions
+    on one host from clobbering each other mid-query."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"windowsession_scratch_{spark.sparkContext.applicationId}")
+    if root not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(
+        root, f"{name}_{os.path.basename(sf_dir.rstrip('/'))}")
+
 
 @register(
     "q1_pricing_summary",
@@ -1080,15 +1104,10 @@ GROUP BY l_returnflag
 )
 def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"orc_rt_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _scratch_path(spark, "orc_rt", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         li.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -2156,14 +2175,9 @@ GROUP BY 1
 )
 def partition_pruning_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"part_prune_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    path = _scratch_path(spark, "part_prune", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (ev.withColumn("event_date", F.to_date("ts"))
          .write.mode("overwrite").partitionBy("event_date").parquet(path))
@@ -2329,14 +2343,9 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import math
     import os
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"compact_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    base = _scratch_path(spark, "compact", sf_dir)
     small, compacted = os.path.join(base, "small"), os.path.join(base, "big")
     if not os.path.exists(os.path.join(small, "_SUCCESS")):
         ev.repartition(64).write.mode("overwrite").parquet(small)
