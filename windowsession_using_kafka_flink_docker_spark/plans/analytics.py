@@ -114,6 +114,7 @@ FROM sel
                 "average is exact (integer-valued quantities sum exactly in "
                 "a double), so the strict < comparison is bit-identical in "
                 "both engines; revenue sums as exact BIGINT cents.",
+    bench=True,
     tags=("relational", "subquery", "join", "sql"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,6 +174,7 @@ FROM idle GROUP BY c_mktsegment
                 "final per-segment rollup is map-side combinable. "
                 "Balances are exact BIGINT cents, so the threshold "
                 "comparison and the hashed totals are bit-deterministic.",
+    bench=True,
     tags=("relational", "subquery", "join", "anti", "sql"),
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,6 +241,7 @@ CROSS JOIN n_b
                 "derive confidence = P(b|a) and lift = P(a,b)/(P(a)P(b)). "
                 "All inputs to the ratios are exact BIGINTs; each ratio is "
                 "one double division scaled-floored identically in DuckDB.",
+    bench=True,
     tags=("relational", "mining", "aggregate", "audit"),
 )
 def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2533,6 +2533,7 @@ HAVING SUM(dur_us) > 0
                 "feeding one aggregation: a single exchange, reused by "
                 "both steps. Duration weights are exact integer "
                 "microseconds; the TWAP itself is scaled-floored.",
+    bench=True,
     tags=("relational", "timeseries", "aggregate"),
 )
 def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
