@@ -656,3 +656,247 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(
             F.flatten(F.collect_list("types_day").over(w))))
         .cast("long").alias("n_types_7d"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions.
+
+
+@register(
+    "interval_coverage_merge",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE)
+           + CAST((CAST(l_quantity AS BIGINT) % 10 + 1) AS INTEGER) AS e,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+flg AS (
+  SELECT *,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+              THEN 1 ELSE 0 END AS _new
+  FROM iv
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY s, e, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+isl AS (
+  SELECT *, SUM(_new) OVER (PARTITION BY l_suppkey
+                            ORDER BY s, e, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS _isl
+  FROM flg),
+m AS (
+  SELECT l_suppkey, _isl, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS nr
+  FROM isl GROUP BY 1, 2)
+SELECT l_suppkey,
+       CAST(SUM(nr) AS BIGINT) AS n_raw,
+       CAST(COUNT(*) AS BIGINT) AS n_merged,
+       CAST(SUM(date_diff('day', ms, me)) AS BIGINT) AS covered_days
+FROM m GROUP BY l_suppkey
+""",
+    description="Merge overlapping per-supplier shipping windows "
+                "(interval union, the gaps-and-islands generalization "
+                "from point events to [start, end) intervals): each line "
+                "item occupies [shipdate, shipdate + (qty mod 10) + 1 "
+                "days); a window is a NEW island iff its start exceeds "
+                "the running max end of every earlier window, islands "
+                "aggregate to merged intervals, and coverage sums their "
+                "exact day spans. Island boundaries are provably "
+                "order-insensitive among equal starts (s_i = s_{i-1} <= "
+                "e_{i-1} <= running max), and the full (s, e, orderkey, "
+                "linenumber) tiebreak makes both engines' windows "
+                "bit-identical anyway. ONE supplier-keyed exchange feeds "
+                "the running-max window, the island window, and both "
+                "aggregations — the same single-shuffle discipline as "
+                "the sessionizer, which this operator generalizes "
+                "(sessions = intervals of zero length + gap).",
+    tags=("relational", "interval", "window_function", "timeseries"),
+)
+def interval_coverage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey", F.to_date("l_shipdate").alias("s"),
+        F.date_add(F.to_date("l_shipdate"),
+                   (F.col("l_quantity").cast("long") % 10 + 1).cast("int")
+                   ).alias("e"),
+        "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "s", "e", "l_orderkey", "l_linenumber")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "_new",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0))
+    islands = flagged.withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = islands.groupBy("l_suppkey", "_isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("nr"))
+    return merged.groupBy("l_suppkey").agg(
+        F.sum("nr").cast("long").alias("n_raw"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.sum(F.datediff("me", "ms")).cast("long").alias("covered_days"))
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+WITH ranked AS (
+  SELECT p_brand, p_retailprice, CAST(p_size AS BIGINT) AS w,
+         SUM(CAST(p_size AS BIGINT)) OVER (
+           PARTITION BY p_brand
+           ORDER BY p_retailprice, p_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(p_size AS BIGINT)) OVER (PARTITION BY p_brand) AS total
+  FROM part)
+SELECT p_brand,
+       CAST(MAX(total) AS BIGINT) AS total_weight,
+       ROUND(MIN(CASE WHEN 2 * cum >= total
+                      THEN p_retailprice END), 2) AS median_price
+FROM ranked GROUP BY p_brand
+""",
+    description="Exact weighted median of part retail price per brand "
+                "(weight = p_size): the smallest price whose cumulative "
+                "weight reaches half the brand's total, decided by the "
+                "EXACT integer comparison 2*cum >= total — no fractional "
+                "midpoint, no float rank, so both engines pick the "
+                "identical row even at tie-dense distributions (the "
+                "(price, partkey) tiebreak makes the cumulative walk a "
+                "total order). The lower-median convention is the "
+                "distributed-friendly one: one brand-keyed exchange "
+                "serves the running-sum window, the partition total, and "
+                "the final aggregate; no per-group sort-and-index "
+                "collect. The weighted generalization is what plain "
+                "percentile_approx cannot express (its rank space is "
+                "row-count, not weight).",
+    tags=("relational", "aggregate", "percentile", "window_function"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    wall = Window.partitionBy("p_brand")
+    ranked = part.select(
+        "p_brand", "p_retailprice",
+        F.sum(F.col("p_size").cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum(F.col("p_size").cast("long")).over(wall).alias("total"))
+    return ranked.groupBy("p_brand").agg(
+        F.max("total").cast("long").alias("total_weight"),
+        F.round(F.min(F.when(2 * F.col("cum") >= F.col("total"),
+                             F.col("p_retailprice"))), 2)
+        .alias("median_price"))
+
+
+#: Benford first-digit expectations, floor-scaled to 1e-4, precomputed in
+#: Python and inlined as LITERALS into both engines — log10 is the one
+#: place libm implementations may differ by an ulp, so neither engine
+#: computes it at query time.
+_BENFORD_E4 = {d: int(__import__("math").floor(
+    __import__("math").log10(1 + 1 / d) * 10000)) for d in range(1, 10)}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_E4.items()) + " END"
+
+
+@register(
+    "benford_digit_audit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT digit,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(floor(n * 10000.0 / t) AS BIGINT) AS observed_e4,
+       CAST(""" + _BENFORD_CASE_SQL + """ AS BIGINT) AS benford_e4,
+       CAST(ABS(floor(n * 10000.0 / t) - (""" + _BENFORD_CASE_SQL + """))
+            AS BIGINT) AS deviation_e4
+FROM counts CROSS JOIN tot
+""",
+    description="Benford's-law first-digit audit over order totals — the "
+                "fraud/data-corruption screen: per leading digit 1-9, "
+                "the observed share (scaled-floor e4) against the "
+                "log10(1+1/d) expectation. The expectation constants are "
+                "precomputed in Python and inlined as integer literals "
+                "into BOTH engines, because libm log10 may differ by an "
+                "ulp across implementations and the driver hashes exact "
+                "values. First digit extracted via integer-to-string on "
+                "floor(total) — exact, no float log in either plan. One "
+                "9-row aggregate from one scan + a broadcast 1-row "
+                "total.",
+    tags=("relational", "quality", "audit", "aggregate"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long").alias("digit")
+    counts = (orders.where(F.col("o_totalprice") >= 1)
+              .select(digit).groupBy("digit")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.agg(F.sum("n").alias("t"))
+    benford = F.element_at(
+        F.create_map(*[x for d, v in _BENFORD_E4.items()
+                       for x in (F.lit(d), F.lit(v))]),
+        F.col("digit").cast("int"))
+    obs = F.floor(F.col("n") * 10000.0 / F.col("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_orders"),
+        obs.cast("long").alias("observed_e4"),
+        benford.cast("long").alias("benford_e4"),
+        F.abs(obs - benford).cast("long").alias("deviation_e4"))
+
+
+@register(
+    "dow_seasonality_index",
+    oracle="""
+WITH base AS (
+  SELECT isodow(ts) AS dow,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+perdow AS (
+  SELECT dow, COUNT(*) AS n, SUM(cents) AS c FROM base GROUP BY dow),
+tot AS (SELECT SUM(n) AS nt, SUM(c) AS ct FROM perdow)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS total_cents,
+       CAST(floor(n * 10000.0 / nt) AS BIGINT) AS traffic_share_e4,
+       CAST(floor((c * nt) * 10000.0 / (n * ct)) AS BIGINT)
+         AS value_index_e4
+FROM perdow CROSS JOIN tot
+""",
+    description="Day-of-week seasonality profile of the event stream "
+                "(ISO weekday 1=Mon..7=Sun): traffic share per weekday "
+                "plus a value index — the ratio of the weekday's average "
+                "event value to the overall average, computed as ONE "
+                "double division over exact BIGINT cross-products "
+                "(c*nt)/(n*ct) so both engines hit the identical IEEE "
+                "result before the scaled floor (never a "
+                "ratio-of-two-divisions, which can differ in the last "
+                "ulp). Weekday extraction is isodow in DuckDB and "
+                "weekday+1 in Spark — the one calendar function pair "
+                "that agrees on Monday=1. A 7-row aggregate from one "
+                "scan + a broadcast total: the shape survives any "
+                "volume.",
+    tags=("relational", "timeseries", "aggregate", "datetime"),
+)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    perdow = base.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+    tot = perdow.agg(F.sum("n").alias("nt"), F.sum("c").alias("ct"))
+    return perdow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("total_cents"),
+        F.floor(F.col("n") * 10000.0 / F.col("nt")).cast("long")
+        .alias("traffic_share_e4"),
+        F.floor((F.col("c") * F.col("nt")) * 10000.0
+                / (F.col("n") * F.col("ct"))).cast("long")
+        .alias("value_index_e4"))

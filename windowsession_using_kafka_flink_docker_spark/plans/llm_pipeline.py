@@ -2039,3 +2039,140 @@ def simhash_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("recall_e4"),
         F.when(F.col("n_true") == 0, F.lit(True))
          .otherwise(recall >= 8000).alias("recall_ok"))
+
+
+@register(
+    "largest_remainder_quota",
+    oracle="""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+ext AS (SELECT lang, n, SUM(n) OVER () AS total FROM counts),
+b AS (
+  SELECT lang, n, total,
+         (1000 * n) // total AS base,
+         1000 * n - ((1000 * n) // total) * total AS rem
+  FROM ext),
+d AS (
+  SELECT *, 1000 - SUM(base) OVER () AS deficit,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rn
+  FROM b)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM d
+""",
+    description="Largest-remainder (Hamilton) apportionment of a "
+                "1000-slot sampling budget across languages — the quota "
+                "arithmetic behind stratified_sample done EXACTLY: base "
+                "quota = integer-division floor of the proportional "
+                "share, then the leftover slots go to the largest "
+                "remainders (1000*n - base*total, an exact BIGINT — "
+                "never a float fraction), ties broken by lang. "
+                "Guarantees the quotas sum to exactly 1000 and each "
+                "stratum is within one slot of exact proportionality — "
+                "what independent per-stratum rounding cannot. The "
+                "whole-frame windows run over the LANGUAGE domain (a "
+                "handful of rows after the aggregate), not over "
+                "documents — the same tiny-domain single-partition "
+                "pattern as global_rank_ranged's 16-row offset frame.",
+    tags=("llm", "sampling", "curation", "aggregate"),
+)
+def largest_remainder_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    ext = counts.select("lang", "n", F.sum("n").over(wall).alias("total"))
+    b = ext.select(
+        "lang", "n", "total",
+        F.expr("div(1000 * n, total)").alias("base"),
+        (1000 * F.col("n")
+         - F.expr("div(1000 * n, total)") * F.col("total")).alias("rem"))
+    d = b.select(
+        "*",
+        (1000 - F.sum("base").over(wall)).alias("deficit"),
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("lang"))).alias("rn"))
+    return d.select(
+        "lang", F.col("n").cast("long").alias("n_docs"),
+        (F.col("base") + F.when(F.col("rn") <= F.col("deficit"), 1)
+         .otherwise(0)).cast("long").alias("quota"))
+
+
+@register(
+    "knn_degree_assortativity",
+    oracle=_KNN3_SQL + """
+sym AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM sym e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs)
+SELECT n AS n_edges, sx, sy, sxy, sxx, syy,
+       CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                 THEN 0
+                 ELSE floor(
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy)) * 1000000)
+            END AS BIGINT) AS assortativity_e6
+FROM stats
+""",
+    description="Degree assortativity of the undirected 3-NN cosine "
+                "graph — the Pearson correlation of endpoint degrees "
+                "over the symmetrized edge list, the graph-health "
+                "statistic that distinguishes hub-and-spoke similarity "
+                "structure (disassortative, near-dup clusters glued to "
+                "boilerplate hubs) from degree-uniform neighborhoods. "
+                "Same discipline as grouped_ols_trend: the five "
+                "sufficient statistics are EXACT BIGINTs from one "
+                "aggregation over the edge frame (degrees joined in from "
+                "a node-sized count that broadcasts), and the final "
+                "correlation is ONE identical IEEE expression in both "
+                "engines (sqrt is correctly rounded), scaled-floored to "
+                "e6. The oracle replays the shared _KNN3_SQL edge "
+                "derivation, so the graph is bit-identical to the "
+                "PageRank/triangle/BFS entries'.",
+    tags=("llm", "graph", "aggregate", "quality"),
+)
+def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.cosine_topk(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("match_id").alias("dst"))
+    sym = (knn.union(knn.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+           .distinct())
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")).withColumnRenamed(
+        "src", "id")
+    pairs = (sym
+             .join(F.broadcast(deg.select(F.col("id").alias("src"),
+                                          F.col("d").alias("x"))), "src")
+             .join(F.broadcast(deg.select(F.col("id").alias("dst"),
+                                          F.col("d").alias("y"))), "dst"))
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = ((n.cast("double") * sxy - sx.cast("double") * sy)
+         / (F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
+            * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)))
+    return stats.select(
+        n.alias("n_edges"), "sx", "sy", "sxy", "sxx", "syy",
+        F.when((vx == 0) | (vy == 0), F.lit(0))
+        .otherwise(F.floor(r * 1000000)).cast("long")
+        .alias("assortativity_e6"))
