@@ -23,6 +23,14 @@ SENSITIVE = [
     "kmv_distinct_audit",
     "knn_bfs_hops",
     "rfm_segmentation",
+    # round 7: running-max island windows (interval merge), cumulative
+    # weighted rank (weighted median), LSH banding under the bucket cap
+    # (the measured recall must not depend on where bucket members land),
+    # and the whole-frame quota windows
+    "interval_coverage_merge",
+    "weighted_median_price",
+    "minhash_recall_vs_exact",
+    "largest_remainder_quota",
 ]
 
 

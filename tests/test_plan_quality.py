@@ -36,7 +36,10 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           # trains + encodes (persist/count) at plan-construction time
           "pq_ann_topk", "pq_rerank_all_vs_exact",
           # iterative: runs one job per iteration at plan-construction time
-          "pagerank_similarity_graph", "knn_bfs_hops"}
+          "pagerank_similarity_graph", "knn_bfs_hops",
+          # run the full portable near-dup pipelines (eager builders) to
+          # measure recall at plan-construction time
+          "minhash_recall_vs_exact", "simhash_recall_vs_exact"}
 
 # Sanctioned Arrow-batched Python stages — and ONLY these:
 # - media decode (opaque binary payloads, no JVM expression can decode);
@@ -47,7 +50,8 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
 _PANDAS_OK = {"media_features", "media_frame_sample",
               "cosine_topk", "ann_cosine_topk", "embedding_neardups",
               "ann_recall_vs_exact", "ivf_recall_vs_exact",
-              "ann_multiprobe_topk", "ann_multiprobe_recall_vs_exact"}
+              "ann_multiprobe_topk", "ann_multiprobe_recall_vs_exact",
+              "knn_degree_assortativity"}
 
 
 @pytest.mark.parametrize(
@@ -266,3 +270,13 @@ def test_equi_depth_histogram_has_no_global_sort_of_facts(spark, sf_dir):
     plan = _plan(spark, "equi_depth_histogram", sf_dir, "formatted")
     assert "ntile" not in plan.lower(), plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_interval_merge_and_weighted_median_single_exchange(spark, sf_dir):
+    """The round-7 windowed analytics must keep the one-exchange shape
+    their docstrings promise: the partition-key exchange feeds the
+    running window(s) AND the downstream aggregations (grouping on a
+    superset of the partitioning key never re-shuffles)."""
+    for name in ("interval_coverage_merge", "weighted_median_price"):
+        plan = _plan(spark, name, sf_dir, "simple")
+        assert plan.count("Exchange") == 1, f"{name}:\n{plan}"
