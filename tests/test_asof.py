@@ -261,3 +261,70 @@ class TestAsofNulls:
                                      tolerance_sec=300.0).collect())
         assert got == want
         assert len(want) == 1  # only user 1's 4-second-old view survives
+
+
+class TestForwardAsof:
+    def test_forward_with_ties_and_inner_semantics(self, spark):
+        left, right = _frames(spark)
+        got = sorted(
+            (r.user_id, r.ts, r.value, r.asof_ts, r.mark)
+            for r in asof_join(left, right, on=["user_id"],
+                               right_cols={"mark": "mark"},
+                               direction="forward").collect()
+        )
+        assert got == [
+            (1, _t("2024-01-01 00:00:10"), 100.0,
+             _t("2024-01-01 00:00:25"), 2.0),
+            # left @30 has no future right row -> dropped (inner)
+            (2, _t("2024-01-01 00:00:05"), 300.0,
+             _t("2024-01-01 00:00:20"), 3.0),
+            (2, _t("2024-01-01 00:00:20"), 400.0,   # tie matches
+             _t("2024-01-01 00:00:20"), 3.0),
+        ]
+
+    def test_forward_tolerance_rejects_distant_matches(self, spark):
+        left, right = _frames(spark)
+        got = sorted(
+            (r.user_id, r.ts)
+            for r in asof_join(left, right, on=["user_id"],
+                               right_cols={"mark": "mark"},
+                               direction="forward",
+                               tolerance_sec=15.0).collect()
+        )
+        assert got == [
+            (1, _t("2024-01-01 00:00:10")),  # 25-10 = 15 s
+            (2, _t("2024-01-01 00:00:05")),  # 20-5 = 15 s
+            (2, _t("2024-01-01 00:00:20")),  # tie, 0 s
+        ]
+
+    def test_forward_matches_naive_quadratic_reference(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        ev = load_table(spark, sf_dir, "events").limit(4000)
+        v = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "value")
+        p = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("pv")))
+        got = sorted(
+            (r.user_id, r.ts, r.asof_ts, r.pv)
+            for r in asof_join(v, p, on=["user_id"], right_cols={"pv": "pv"},
+                               direction="forward").collect())
+        from pyspark.sql import Window
+        naive = (
+            v.alias("l").join(p.alias("r"),
+                              (F.col("l.user_id") == F.col("r.user_id"))
+                              & (F.col("l.ts") <= F.col("r.ts")))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("l.user_id", "l.ts", "l.value")
+                .orderBy(F.col("r.ts"))))
+            .where(F.col("_rn") == 1))
+        want = sorted(
+            (r["user_id"], r["ts"], r["asof_ts"], r["pv"])
+            for r in naive.select(
+                F.col("l.user_id").alias("user_id"),
+                F.col("l.ts").alias("ts"),
+                F.col("r.ts").alias("asof_ts"), "pv").collect())
+        assert got == want

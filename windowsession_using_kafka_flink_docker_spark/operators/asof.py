@@ -43,14 +43,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               right_cols: dict[str, str] | None = None,
               right_ts_name: str = "asof_ts",
               tolerance_sec: float | None = None,
-              how: str = "inner") -> DataFrame:
-    """Backward as-of join of ``left`` to ``right`` on key columns ``on``.
+              how: str = "inner",
+              direction: str = "backward") -> DataFrame:
+    """As-of join of ``left`` to ``right`` on key columns ``on``.
+
+    ``direction='backward'`` (default, pandas/DuckDB semantics): each left
+    row picks the right row with the GREATEST ``right.ts <= left.ts``.
+    ``direction='forward'``: the right row with the SMALLEST
+    ``right.ts >= left.ts`` — the next-event attribution variant (DuckDB:
+    ``ASOF JOIN ... ON l.ts <= r.ts``). Implementation-wise forward is
+    the identical union-merge with the window ordered descending, so the
+    one-exchange/one-sort scale shape is unchanged; ties match in both
+    directions.
 
     ``right_cols`` maps output column name -> right column name (the
     payload carried from the matched right row); the matched right row's
     timestamp is emitted as ``right_ts_name``. ``tolerance_sec`` optionally
-    rejects matches further than that many seconds in the past (pandas
-    ``merge_asof(tolerance=...)``); inner-only. ``how='left'`` keeps
+    rejects matches further than that many seconds away (past for
+    backward, future for forward); inner-only. ``how='left'`` keeps
     unmatched left rows with NULL right columns (matched-ness is
     ``right_ts_name IS NOT NULL`` — right rows with a NULL event time are
     dropped up front, so the marker is unambiguous). NULL key values join
@@ -58,6 +68,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
     if tolerance_sec is not None and how != "inner":
         raise ValueError("tolerance_sec is only supported with how='inner'")
     right_ts = right_ts or ts
@@ -94,7 +107,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         rrow.alias("_asof_r"),
     )
 
-    w = (Window.partitionBy(*on).orderBy(_ORD, _SIDE)
+    ord_col = F.asc(_ORD) if direction == "backward" else F.desc(_ORD)
+    w = (Window.partitionBy(*on).orderBy(ord_col, F.asc(_SIDE))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = lside.unionByName(rside).select(
         *on, _ORD, _SIDE, *left_payload,
@@ -114,10 +128,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         .drop("_asof_r")
     )
     if tolerance_sec is not None:
-        out = out.where(
-            F.col(ts).cast("double") - F.col(right_ts_name).cast("double")
-            <= F.lit(float(tolerance_sec))
-        )
+        gap = F.col(ts).cast("double") - F.col(right_ts_name).cast("double")
+        if direction == "forward":
+            gap = -gap
+        out = out.where(gap <= F.lit(float(tolerance_sec)))
     return out
 
 

@@ -2176,3 +2176,46 @@ def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((vx == 0) | (vy == 0), F.lit(0))
         .otherwise(F.floor(r * 1000000)).cast("long")
         .alias("assortativity_e6"))
+
+
+@register(
+    "embedding_norm_audit",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id,
+         sqrt(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+           (a, b) -> a + b)) AS nrm
+  FROM embeddings)
+SELECT CAST(floor(nrm * 100) AS BIGINT) AS norm_bucket_e2,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+FROM norms GROUP BY 1
+""",
+    description="L2-norm histogram of the embedding column at cm "
+                "resolution — the vector-QA primitive that catches "
+                "unnormalized or degenerate embeddings before they "
+                "poison cosine math downstream. Determinism detail: the "
+                "sum of squares is an explicit LEFT FOLD in both engines "
+                "(Spark aggregate() over the double-cast array, DuckDB "
+                "list_reduce over a 0.0-prepended square list), because "
+                "a engine-chosen summation order could differ in the "
+                "last ulp and flip a floor bucket; sqrt is IEEE "
+                "correctly-rounded so the composed value is "
+                "bit-identical. Per-vector map work + one bucket-keyed "
+                "aggregate: embarrassingly parallel at any scale.",
+    tags=("llm", "embedding", "quality", "audit"),
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x)
+    norms = emb.select("vec_id", F.sqrt(sq_sum).alias("nrm"))
+    return (norms
+            .groupBy(F.floor(F.col("nrm") * 100).cast("long")
+                     .alias("norm_bucket_e2"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                 F.min("vec_id").cast("long").alias("min_vec_id")))

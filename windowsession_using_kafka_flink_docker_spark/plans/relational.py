@@ -2678,3 +2678,168 @@ def skyline_witness_ranged(per_price: DataFrame,
     return (loc.join(F.broadcast(offs), "pid")
             .withColumn("prevmax", F.greatest("locmax", "offmax"))
             .select("p_retailprice", "gmax", "prevmax"))
+
+
+@register(
+    "asof_forward_next_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, ROUND(MAX(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT v.user_id,
+       v.ts AS view_ts,
+       ROUND(v.value, 2) AS view_value,
+       p.ts AS purchase_ts,
+       p.purchase_value,
+       epoch_us(p.ts) - epoch_us(v.ts) AS wait_us
+FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+""",
+    description="FORWARD as-of join (time-to-convert attribution): each "
+                "view event picks the user's NEXT purchase at-or-after "
+                "it, with the wait expressed in exact integer "
+                "microseconds — the mirror of asof_purchase_attribution's "
+                "backward match and the second half of the temporal-join "
+                "family (pandas merge_asof direction='forward'). Same "
+                "union-merge implementation and scale shape as the "
+                "backward variant — ONE key exchange, one per-partition "
+                "sort (descending), a single running-struct window — "
+                "never a quadratic range join; oracled against DuckDB's "
+                "native forward ASOF JOIN (ON v.ts <= p.ts). Purchases "
+                "are pre-deduped per (user, ts) by max value so the "
+                "matched row is unique in both engines.",
+    tags=("relational", "join", "asof"),
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+         .select("user_id", "ts", "value"))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .groupBy("user_id", "ts")
+         .agg(F.round(F.max("value"), 2).alias("purchase_value")))
+    out = asof_join(
+        v, p, on=["user_id"], ts="ts",
+        right_cols={"purchase_value": "purchase_value"},
+        right_ts_name="purchase_ts", direction="forward")
+    return out.select(
+        "user_id", F.col("ts").alias("view_ts"),
+        F.round("value", 2).alias("view_value"),
+        "purchase_ts", "purchase_value",
+        (F.unix_micros("purchase_ts") - F.unix_micros(F.col("ts")))
+        .cast("long").alias("wait_us"))
+
+
+@register(
+    "spend_percentile_ranks",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey AS custkey,
+         CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2)
+SELECT c_mktsegment, custkey, spend_cents,
+       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT)
+         AS pct_rank_e6,
+       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_e6,
+       CAST(rank() OVER w AS BIGINT) AS rnk
+FROM spend
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_cents, custkey)
+""",
+    description="percent_rank / cume_dist / rank over per-customer spend "
+                "within each market segment — the relative-standing "
+                "window-function family (the ranking checklist rows next "
+                "to ntile and row_number). Spend is summed as exact "
+                "BIGINT cents, the ordering is fully tie-broken by "
+                "custkey, and both ranks derive from the SQL-standard "
+                "integer formulas ((rank-1)/(n-1), peers_cum/n) whose "
+                "single double division lands on the identical IEEE "
+                "value in both engines before the e6 floor. Partitioning "
+                "by segment bounds each sort — the global variant would "
+                "come from global_rank_ranged, as equi_depth_histogram "
+                "does. One exchange feeds all three window functions and "
+                "the aggregation above them.",
+    tags=("relational", "window_function", "aggregate"),
+)
+def spend_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    spend = (orders.join(F.broadcast(cust),
+                         orders.o_custkey == cust.c_custkey)
+             .groupBy("c_mktsegment", F.col("o_custkey").alias("custkey"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")).cast("long").alias("spend_cents")))
+    w = Window.partitionBy("c_mktsegment").orderBy("spend_cents", "custkey")
+    return spend.select(
+        "c_mktsegment", "custkey", "spend_cents",
+        F.floor(F.percent_rank().over(w) * 1000000).cast("long")
+        .alias("pct_rank_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("long")
+        .alias("cume_e6"),
+        F.rank().over(w).cast("long").alias("rnk"))
+
+
+@register(
+    "mode_imputation",
+    oracle="""
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2', '3')
+              THEN NULL
+              ELSE CAST(round(value * 100, 0) AS BIGINT) END AS cents
+  FROM events),
+modes AS (
+  SELECT event_type, cents AS mode_cents FROM (
+    SELECT event_type, cents, COUNT(*) AS n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY COUNT(*) DESC, cents) AS rn
+    FROM base WHERE cents IS NOT NULL GROUP BY event_type, cents)
+  WHERE rn = 1)
+SELECT b.event_id, b.event_type,
+       COALESCE(b.cents, m.mode_cents) AS cents_filled,
+       b.cents IS NULL AS was_imputed
+FROM base b JOIN modes m ON m.event_type = b.event_type
+""",
+    description="Missing-value imputation by per-group mode: a "
+                "deterministic md5 selector nulls out 1/4 of the value "
+                "column (the same replayable-corruption trick as "
+                "hash_split_train_test), then each null takes its event "
+                "type's most frequent cent value, ties broken by the "
+                "smallest value so the mode is unique in both engines. "
+                "The mode table is one (type, cents) count plus a "
+                "type-partitioned top-1 window — group-domain-sized — "
+                "and broadcasts back onto the fact scan: the fact table "
+                "is never shuffled to be repaired, which is the property "
+                "that matters when the table is 100 TB and the mode "
+                "table is kilobytes.",
+    tags=("relational", "quality", "aggregate", "audit"),
+)
+def mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nulled = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")),
+                    1, 1).isin("0", "1", "2", "3"),
+        F.lit(None).cast("long")
+    ).otherwise(F.round(F.col("value") * 100, 0).cast("long"))
+    base = ev.select("event_id", "event_type", nulled.alias("cents"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("cents"))
+    modes = (base.where(F.col("cents").isNotNull())
+             .groupBy("event_type", "cents")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select("event_type", F.col("cents").alias("mode_cents")))
+    return (base.join(F.broadcast(modes), "event_type")
+            .select("event_id", "event_type",
+                    F.coalesce("cents", "mode_cents").alias("cents_filled"),
+                    F.col("cents").isNull().alias("was_imputed")))
