@@ -106,3 +106,61 @@ class TestNtileFormulaExhaustive:
             assert got == want, (total, k)
 
         check()
+
+
+class TestClampedBalanceIdentity:
+    """The prefix-scan identity b_t = cum_t - min(0, running_min(cum_t))
+    must equal the literal sequential recurrence b_t = max(0, b_{t-1} +
+    x_t) for arbitrary integer ledgers — the non-associative clamp is
+    exactly what makes this worth pinning."""
+
+    def test_hypothesis_sweep(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                        max_size=40))
+        def check(xs):
+            b, out_rec = 0, []
+            for x in xs:
+                b = max(0, b + x)
+                out_rec.append(b)
+            cum, run_min, out_id = 0, 0, []
+            for x in xs:
+                cum += x
+                run_min = min(run_min, cum)
+                out_id.append(cum - min(0, run_min))
+            assert out_rec == out_id
+
+        check()
+
+    def test_spark_matches_recurrence_on_real_data(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+            CATALOG,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value").collect()
+        ledgers = defaultdict(list)
+        for r in ev:
+            c = int(round(r.value * 100))
+            d = c if r.event_type == "purchase" else (
+                -c if r.event_type in ("error", "click") else 0)
+            ledgers[r.user_id].append((r.ts, r.event_id, d))
+        want = {}
+        for u, rows in ledgers.items():
+            b, peak = 0, 0
+            for _, _, d in sorted(rows):
+                b = max(0, b + d)
+                peak = max(peak, b)
+            want[u] = (peak, b)
+        got = {r.user_id: (r.peak_balance_cents, r.final_balance_cents)
+               for r in CATALOG["clamped_running_balance"]
+               .spark(spark, sf_dir).collect()}
+        assert got == want

@@ -900,3 +900,141 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("c") * F.col("nt")) * 10000.0
                 / (F.col("n") * F.col("ct"))).cast("long")
         .alias("value_index_e4"))
+
+
+@register(
+    "clamped_running_balance",
+    oracle="""
+WITH ledger AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT)
+              WHEN event_type IN ('error', 'click')
+              THEN -CAST(round(value * 100, 0) AS BIGINT)
+              ELSE 0 END AS delta_cents
+  FROM events),
+scanned AS (
+  SELECT user_id, ts, event_id, delta_cents,
+         SUM(delta_cents) OVER w AS cum,
+         MIN(SUM(delta_cents) OVER w) OVER w AS run_min
+  FROM ledger
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+clamped AS (
+  SELECT user_id, ts, event_id, delta_cents,
+         cum - LEAST(CAST(0 AS BIGINT), run_min) AS bal
+  FROM scanned)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tx,
+       CAST(SUM(CASE WHEN delta_cents > 0 THEN delta_cents ELSE 0 END)
+            AS BIGINT) AS credits_cents,
+       CAST(SUM(CASE WHEN delta_cents < 0 THEN -delta_cents ELSE 0 END)
+            AS BIGINT) AS debits_cents,
+       CAST(MAX(bal) AS BIGINT) AS peak_balance_cents,
+       CAST(arg_max(bal, ARRAY[epoch_us(ts), event_id]) AS BIGINT)
+         AS final_balance_cents
+FROM clamped GROUP BY user_id
+""",
+    description="Floor-clamped running balance per user (credits = "
+                "purchases, debits = errors/clicks, balance never below "
+                "zero): the classic NON-associative recurrence "
+                "b_t = max(0, b_{t-1} + x_t) that a naive reading makes "
+                "inherently sequential, rendered as the exact "
+                "prefix-scan identity b_t = cum_t - min(0, "
+                "running_min(cum_t)) — two stacked windows over ONE "
+                "user-keyed exchange, fully parallel across users and "
+                "mergeable across partitions of one user's history. "
+                "Everything is exact BIGINT cents; the final balance is "
+                "the arg_max over the full (ts, event_id) tiebreak so "
+                "both engines pick the identical last row. The identity "
+                "is hypothesis-pinned against the literal sequential "
+                "recurrence in tests/test_analytics.py.",
+    tags=("relational", "window_function", "timeseries", "aggregate"),
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    delta = (F.when(F.col("event_type") == "purchase", cents)
+             .when(F.col("event_type").isin("error", "click"), -cents)
+             .otherwise(F.lit(0).cast("long")))
+    ledger = ev.select("user_id", "ts", "event_id",
+                       delta.alias("delta_cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    scanned = ledger.select(
+        "user_id", "ts", "event_id", "delta_cents",
+        F.sum("delta_cents").over(w).alias("cum"))
+    clamped = scanned.select(
+        "user_id", "ts", "event_id", "delta_cents",
+        (F.col("cum") - F.least(F.lit(0).cast("long"),
+                                F.min("cum").over(w))).alias("bal"))
+    return clamped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tx"),
+        F.sum(F.when(F.col("delta_cents") > 0, F.col("delta_cents"))
+              .otherwise(0)).cast("long").alias("credits_cents"),
+        F.sum(F.when(F.col("delta_cents") < 0, -F.col("delta_cents"))
+              .otherwise(0)).cast("long").alias("debits_cents"),
+        F.max("bal").cast("long").alias("peak_balance_cents"),
+        F.max_by("bal", F.array(F.unix_micros("ts"),
+                                F.col("event_id")))
+        .cast("long").alias("final_balance_cents"))
+
+
+@register(
+    "frequent_triples",
+    oracle="""
+WITH freq AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING COUNT(*) >= 20),
+inv AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l JOIN freq f ON f.l_partkey = l.l_partkey),
+sized AS (
+  SELECT l_orderkey FROM inv
+  GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 3 AND 50)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       c.l_partkey AS part_c,
+       CAST(COUNT(*) AS BIGINT) AS n_baskets
+FROM inv a
+JOIN inv b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+JOIN inv c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+JOIN sized s ON s.l_orderkey = a.l_orderkey
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+""",
+    description="Frequent item TRIPLES in order baskets — the k=3 rung "
+                "of the a-priori ladder above copurchase_pairs: prune to "
+                "frequent parts (support >= 20), cap baskets to 3..50 "
+                "distinct frequent items, expand ordered triples "
+                "IN-ROW with nested higher-order transforms over the "
+                "sorted basket array (C(|basket|,3) per row, bounded by "
+                "the cap — never a 3-way self-join of the fact table), "
+                "then one count aggregate. The oracle states the same "
+                "semantics as the brute-force 3-way inv join, which is "
+                "exactly the plan shape the in-row expansion avoids: at "
+                "100 TB the self-join explodes on hot parts while the "
+                "HOF expansion is per-basket CPU with a hard cap. "
+                "Support thresholds are exact integer counts.",
+    tags=("relational", "mining", "aggregate"),
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = (li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_item"))
+            .where(F.col("n_item") >= 20))
+    arrs = (
+        li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts").between(3, 50)))
+    triples = arrs.select(F.explode(F.expr("""
+        flatten(flatten(transform(sequence(1, size(parts) - 2), i ->
+          transform(sequence(i + 1, size(parts) - 1), j ->
+            transform(sequence(j + 1, size(parts)), k ->
+              struct(parts[i - 1] AS part_a, parts[j - 1] AS part_b,
+                     parts[k - 1] AS part_c))))))
+    """)).alias("t")).select("t.part_a", "t.part_b", "t.part_c")
+    return (triples.groupBy("part_a", "part_b", "part_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+            .where(F.col("n_baskets") >= 2))

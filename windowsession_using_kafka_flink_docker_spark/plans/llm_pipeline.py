@@ -2219,3 +2219,63 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("norm_bucket_e2"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
                  F.min("vec_id").cast("long").alias("min_vec_id")))
+
+
+@register(
+    "knn_neighbor_jaccard",
+    oracle=_KNN3_SQL + """
+sym AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src),
+shared AS (
+  SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2)
+SELECT u, v, n_shared,
+       CAST(floor(n_shared * 10000.0 / (du.d + dv.d - n_shared))
+            AS BIGINT) AS jaccard_e4
+FROM shared JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
+WHERE n_shared >= 2
+""",
+    description="Neighbor-set Jaccard similarity between node pairs of "
+                "the undirected 3-NN cosine graph — structural "
+                "similarity (two documents whose similarity "
+                "NEIGHBORHOODS agree) as opposed to direct cosine, the "
+                "link-prediction/SimRank-lite primitive. Co-neighbor "
+                "counts come from the same wedge join as "
+                "knn_triangle_count (pairs through a shared neighbor, "
+                "grouped — |N(u) ∩ N(v)| without ever materializing "
+                "neighbor sets), degrees join in from a node-sized "
+                "count, and the Jaccard is one scaled-floor division "
+                "over exact BIGINTs. The kNN construction bounds "
+                "out-degree at k, so wedge fan-out per node is bounded "
+                "by total degree — the degree-capped variant of the "
+                "triangle entry is the hub escape hatch at 100 TB. "
+                "Reported at support >= 2 shared neighbors (the "
+                "support-1 tail is noise for ranking).",
+    tags=("llm", "graph", "join", "similarity"),
+)
+def knn_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.cosine_topk(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("match_id").alias("dst"))
+    sym = (knn.union(knn.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"))).distinct())
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    a = sym.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    shared = (a.join(b, "w").where(F.col("u") < F.col("v"))
+              .groupBy("u", "v")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+              .where(F.col("n_shared") >= 2))
+    du = F.broadcast(deg.select(F.col("src").alias("u"),
+                                F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("src").alias("v"),
+                                F.col("d").alias("dv")))
+    return (shared.join(du, "u").join(dv, "v")
+            .select("u", "v", "n_shared",
+                    F.floor(F.col("n_shared") * 10000.0
+                            / (F.col("du") + F.col("dv")
+                               - F.col("n_shared"))).cast("long")
+                    .alias("jaccard_e4")))

@@ -2843,3 +2843,81 @@ def mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type",
                     F.coalesce("cents", "mode_cents").alias("cents_filled"),
                     F.col("cents").isNull().alias("was_imputed")))
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+SELECT 'lineitem.l_orderkey -> orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+         AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'events.user_id -> customer',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id))
+""",
+    description="Referential-integrity audit across the star schema's "
+                "four foreign-key edges: child row count and orphan "
+                "count per relation (orphan = child key with no parent "
+                "row), the Deequ-style constraint check a pipeline runs "
+                "before trusting joins. Each orphan count is ONE "
+                "left-anti join against the parent's key projection; "
+                "DIMENSION parents (customer, part) broadcast their slim "
+                "key column so the fact side never shuffles, while the "
+                "fact-to-fact edge (lineitem->orders) stays a shuffled "
+                "anti join — broadcasting a 100 TB parent's keys is not "
+                "a plan, and at scale that edge is where a runtime Bloom "
+                "filter or the bucketed layout earns its keep. A NOT "
+                "EXISTS subquery and an anti join are the same plan "
+                "after decorrelation, which is how the oracle states "
+                "it. The events→customer "
+                "edge is expected to carry orphans (the generator's user "
+                "space is wider than the customer table) — the audit "
+                "REPORTS, never silently drops.",
+    tags=("relational", "quality", "join", "anti", "audit"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(name, child, key, parent, pkey, broadcast_parent=True):
+        pk = parent.select(pkey)
+        if broadcast_parent:
+            pk = F.broadcast(pk)
+        orphans = child.select(key).join(
+            pk, F.col(key) == F.col(pkey), "left_anti")
+        return (child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+                .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+                .select(F.lit(name).alias("relation"),
+                        F.col("n_child_rows").cast("long"),
+                        F.col("n_orphans").cast("long")))
+
+    return (
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey",
+              orders, "o_orderkey", broadcast_parent=False)
+        .unionByName(audit("orders.o_custkey -> customer", orders,
+                           "o_custkey", cust, "c_custkey"))
+        .unionByName(audit("lineitem.l_partkey -> part", li, "l_partkey",
+                           part, "p_partkey"))
+        .unionByName(audit("events.user_id -> customer", ev, "user_id",
+                           cust, "c_custkey")))
