@@ -913,17 +913,21 @@ WITH ledger AS (
               THEN -CAST(round(value * 100, 0) AS BIGINT)
               ELSE 0 END AS delta_cents
   FROM events),
-scanned AS (
+cums AS (
   SELECT user_id, ts, event_id, delta_cents,
-         SUM(delta_cents) OVER w AS cum,
-         MIN(SUM(delta_cents) OVER w) OVER w AS run_min
+         SUM(delta_cents) OVER w AS cum
   FROM ledger
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 clamped AS (
   SELECT user_id, ts, event_id, delta_cents,
-         cum - LEAST(CAST(0 AS BIGINT), run_min) AS bal
-  FROM scanned)
+         CAST(cum - LEAST(CAST(0 AS BIGINT), MIN(cum) OVER w2)
+              AS BIGINT) AS bal,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM cums
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_tx,
        CAST(SUM(CASE WHEN delta_cents > 0 THEN delta_cents ELSE 0 END)
@@ -931,7 +935,7 @@ SELECT user_id,
        CAST(SUM(CASE WHEN delta_cents < 0 THEN -delta_cents ELSE 0 END)
             AS BIGINT) AS debits_cents,
        CAST(MAX(bal) AS BIGINT) AS peak_balance_cents,
-       CAST(arg_max(bal, ARRAY[epoch_us(ts), event_id]) AS BIGINT)
+       CAST(MAX(CASE WHEN rn_last = 1 THEN bal END) AS BIGINT)
          AS final_balance_cents
 FROM clamped GROUP BY user_id
 """,
@@ -964,10 +968,13 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned = ledger.select(
         "user_id", "ts", "event_id", "delta_cents",
         F.sum("delta_cents").over(w).alias("cum"))
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
     clamped = scanned.select(
         "user_id", "ts", "event_id", "delta_cents",
         (F.col("cum") - F.least(F.lit(0).cast("long"),
-                                F.min("cum").over(w))).alias("bal"))
+                                F.min("cum").over(w))).alias("bal"),
+        F.row_number().over(w_last).alias("rn_last"))
     return clamped.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tx"),
         F.sum(F.when(F.col("delta_cents") > 0, F.col("delta_cents"))
@@ -975,8 +982,7 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("delta_cents") < 0, -F.col("delta_cents"))
               .otherwise(0)).cast("long").alias("debits_cents"),
         F.max("bal").cast("long").alias("peak_balance_cents"),
-        F.max_by("bal", F.array(F.unix_micros("ts"),
-                                F.col("event_id")))
+        F.max(F.when(F.col("rn_last") == 1, F.col("bal")))
         .cast("long").alias("final_balance_cents"))
 
 
