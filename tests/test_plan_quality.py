@@ -51,7 +51,8 @@ _PANDAS_OK = {"media_features", "media_frame_sample",
               "cosine_topk", "ann_cosine_topk", "embedding_neardups",
               "ann_recall_vs_exact", "ivf_recall_vs_exact",
               "ann_multiprobe_topk", "ann_multiprobe_recall_vs_exact",
-              "knn_degree_assortativity", "knn_neighbor_jaccard"}
+              "knn_degree_assortativity", "knn_neighbor_jaccard",
+              "knn_local_clustering"}
 
 
 @pytest.mark.parametrize(

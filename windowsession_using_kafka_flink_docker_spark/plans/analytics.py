@@ -1044,3 +1044,138 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (triples.groupBy("part_a", "part_b", "part_c")
             .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
             .where(F.col("n_baskets") >= 2))
+
+
+@register(
+    "mad_anomalies",
+    oracle="""
+WITH vals AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+med AS (
+  SELECT user_id,
+         MIN(CASE WHEN 2 * rn >= n THEN cents END) AS median_cents
+  FROM (SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM vals)
+  GROUP BY user_id),
+devs AS (
+  SELECT v.user_id, v.cents, m.median_cents,
+         ABS(v.cents - m.median_cents) AS dev
+  FROM vals v JOIN med m ON m.user_id = v.user_id),
+mad AS (
+  SELECT user_id,
+         MIN(CASE WHEN 2 * rn >= n THEN dev END) AS mad_cents
+  FROM (SELECT user_id, dev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY dev, cents) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM devs)
+  GROUP BY user_id)
+SELECT d.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(d.median_cents) AS BIGINT) AS median_cents,
+       CAST(MAX(a.mad_cents) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN d.dev > 3 * a.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+FROM devs d JOIN mad a ON a.user_id = d.user_id
+GROUP BY d.user_id
+""",
+    description="Robust anomaly counts per user via median absolute "
+                "deviation — the outlier-resistant sibling of "
+                "rolling_zscore_anomalies (one wild value corrupts a "
+                "mean/std gate but not a median/MAD one). Both medians "
+                "are the EXACT lower median decided by the integer test "
+                "2*rank >= count (the weighted_median_price discipline "
+                "at weight 1), deviations are exact BIGINT cents, and "
+                "the 3x-MAD flag is an integer comparison — nothing "
+                "floats anywhere, so the whole report is "
+                "bit-deterministic. Tie-breaks (cents, event_id) and "
+                "(dev, cents) make each rank walk a total order. Shape: "
+                "two ranked windows and two joins, all on the SAME "
+                "user-keyed clustering, so one exchange of slim (user, "
+                "cents) pairs carries the entire analysis.",
+    tags=("relational", "anomaly", "window_function", "quality"),
+)
+def mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    wu = Window.partitionBy("user_id")
+    w1 = wu.orderBy("cents", "event_id")
+    ranked = vals.select(
+        "user_id", "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"))
+    med = ranked.groupBy("user_id").agg(
+        F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("cents")))
+        .alias("median_cents"))
+    devs = (vals.join(med, "user_id")
+            .select("user_id", "cents", "median_cents",
+                    F.abs(F.col("cents") - F.col("median_cents"))
+                    .alias("dev")))
+    w2 = wu.orderBy("dev", "cents")
+    dranked = devs.select(
+        "user_id", "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"))
+    mad = dranked.groupBy("user_id").agg(
+        F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("dev")))
+        .alias("mad_cents"))
+    return (devs.join(mad, "user_id")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.max("median_cents").cast("long").alias("median_cents"),
+                 F.max("mad_cents").cast("long").alias("mad_cents"),
+                 F.sum(F.when(F.col("dev") > 3 * F.col("mad_cents"), 1)
+                       .otherwise(0)).cast("long").alias("n_anomalies")))
+
+
+@register(
+    "weekly_category_growth",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, week, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+  FROM weekly)
+SELECT event_type, week, n, CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(floor((n - prev_n) * 10000.0 / prev_n) AS BIGINT)
+         AS growth_e4
+FROM lagged WHERE prev_n IS NOT NULL
+""",
+    description="Week-over-week traffic growth per event type — the "
+                "trend primitive behind alerting dashboards: weekly "
+                "counts (ISO Monday weeks, date_trunc agrees between "
+                "engines), a lag window over OBSERVED weeks per type, "
+                "and the growth ratio as one scaled-floor division over "
+                "exact integer counts. Adjacent-observed-week semantics "
+                "(a fully silent week compares against the last active "
+                "one) stated identically in both engines. Shape: one "
+                "partial-agg shuffle on (type, week) — key-space "
+                "bounded — then a window over the tiny per-type weekly "
+                "domain.",
+    tags=("relational", "timeseries", "window_function", "datetime"),
+)
+def weekly_category_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+        .alias("week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = weekly.withColumn("prev_n", F.lag("n").over(w))
+    return (lagged.where(F.col("prev_n").isNotNull())
+            .select("event_type", "week", "n",
+                    F.col("prev_n").cast("long").alias("prev_n"),
+                    F.floor((F.col("n") - F.col("prev_n")) * 10000.0
+                            / F.col("prev_n")).cast("long")
+                    .alias("growth_e4")))

@@ -2279,3 +2279,65 @@ def knn_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("du") + F.col("dv")
                                - F.col("n_shared"))).cast("long")
                     .alias("jaccard_e4")))
+
+
+@register(
+    "knn_local_clustering",
+    oracle=_KNN3_SQL + """
+sym AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src),
+ce AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+closed AS (
+  SELECT a.src AS w, CAST(COUNT(*) AS BIGINT) AS tri
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  JOIN ce ON ce.u = a.dst AND ce.v = b.dst
+  GROUP BY a.src)
+SELECT deg.id, deg.d AS degree,
+       CAST(COALESCE(closed.tri, 0) AS BIGINT) AS n_triangles,
+       CAST(floor(2.0 * COALESCE(closed.tri, 0) * 10000
+                  / (deg.d * (deg.d - 1))) AS BIGINT) AS clustering_e4
+FROM deg LEFT JOIN closed ON closed.w = deg.id
+WHERE deg.d >= 2
+""",
+    description="Local clustering coefficient per node of the "
+                "undirected 3-NN cosine graph: closed wedges at each "
+                "center over possible wedges d(d-1)/2 — the node-level "
+                "refinement of knn_triangle_count (a near-dup cluster "
+                "shows cc ~= 1, a boilerplate hub cc ~= 0, so this is "
+                "the per-document signal the global count hides). Same "
+                "wedge join as the triangle entry with the canonical "
+                "edge set probed for closure; counts exact BIGINT, the "
+                "coefficient one scaled-floor expression over integers. "
+                "Wedge fan-out is bounded by the kNN degree (the "
+                "degree-capped variant is the hub escape hatch at "
+                "scale); nodes of degree < 2 are excluded (coefficient "
+                "undefined).",
+    tags=("llm", "graph", "join", "quality"),
+)
+def knn_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.cosine_topk(emb, emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("match_id").alias("dst"))
+    sym = (knn.union(knn.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"))).distinct())
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")).withColumnRenamed(
+        "src", "id")
+    ce = (sym.where(F.col("src") < F.col("dst"))
+          .select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    a = sym.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    closed = (a.join(b, "w").where(F.col("u") < F.col("v"))
+              .join(ce, ["u", "v"])
+              .groupBy("w")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    return (deg.where(F.col("degree") >= 2)
+            .join(closed.withColumnRenamed("w", "id"), "id", "left")
+            .select(
+                "id", "degree",
+                F.coalesce("n_triangles", F.lit(0)).cast("long")
+                .alias("n_triangles"),
+                F.floor(2.0 * F.coalesce("n_triangles", F.lit(0)) * 10000
+                        / (F.col("degree") * (F.col("degree") - 1)))
+                .cast("long").alias("clustering_e4")))

@@ -2921,3 +2921,116 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            part, "p_partkey"))
         .unionByName(audit("events.user_id -> customer", ev, "user_id",
                            cust, "c_custkey")))
+
+
+@register(
+    "kmv_set_operations_audit",
+    # Same md5-prefix KMV discipline as kmv_distinct_audit, extended to
+    # SET ALGEBRA: the k-min set of a union is the k smallest of the
+    # union of k-min sets (mergeable), and the intersection estimate is
+    # the Beyer et al. rho * union form — every step replays
+    # bit-identically in DuckDB, so sketch ESTIMATES get value hashes.
+    oracle="""
+WITH membership AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_b
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY user_id),
+h AS (
+  SELECT user_id, in_a, in_b,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS hv
+  FROM membership),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY hv) AS rn, COUNT(*) OVER () AS n
+  FROM h),
+kmin AS (SELECT * FROM ranked WHERE rn <= 64),
+agg AS (
+  SELECT MAX(n) AS n_union,
+         MAX(CASE WHEN rn = 64 THEN hv END) AS kth,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS rho_k,
+         COUNT(*) AS k_used
+  FROM kmin),
+exacts AS (
+  SELECT SUM(in_a) AS exact_a, SUM(in_b) AS exact_b,
+         COUNT(*) AS exact_union,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+           AS exact_inter
+  FROM membership),
+est AS (
+  SELECT *,
+         CASE WHEN n_union < 64 THEN CAST(n_union AS DOUBLE)
+              ELSE 63 / kth END AS raw_union
+  FROM agg)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       CAST(floor(raw_union * 100) AS BIGINT) AS est_union_e2,
+       CAST(floor(raw_union * rho_k / k_used * 100) AS BIGINT)
+         AS est_inter_e2,
+       CAST(floor(abs(raw_union - exact_union) / exact_union * 10000)
+            AS BIGINT) AS union_rel_err_e4
+FROM est CROSS JOIN exacts
+""",
+    description="KMV sketch SET ALGEBRA with a full value-hash oracle: "
+                "distinct purchasers (A) and viewers (B) summarized by "
+                "one k=64 k-minimum-values sketch over md5-prefix "
+                "hashes, then |A union B| estimated by (k-1)/h_(k) and "
+                "|A intersect B| by the Beyer et al. rho-scaling (share "
+                "of the union's k-min set belonging to both sides, "
+                "times the union estimate). The k-min set of a union is "
+                "the k smallest of the merged k-min sets — the "
+                "mergeability that lets production keep per-partition "
+                "heaps and estimate arbitrary set expressions WITHOUT "
+                "rescanning either side; exact counts ride along so the "
+                "audit shows the realized error, and every estimate is "
+                "hash-checked because md5, the order statistic, and the "
+                "one IEEE division replay bit-identically in DuckDB.",
+    tags=("relational", "sketch", "approx", "setop", "audit"),
+)
+def kmv_set_operations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    membership = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("in_a"),
+             F.max(F.when(F.col("event_type") == "view", 1)
+                   .otherwise(0)).alias("in_b")))
+    hv = (F.conv(F.substring(
+        F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint") / F.lit(4294967296.0))
+    h = membership.withColumn("hv", hv)
+    wall = Window.partitionBy()
+    ranked = h.select(
+        "*", F.row_number().over(Window.orderBy("hv")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    kmin = ranked.where(F.col("rn") <= k)
+    agg = kmin.agg(
+        F.max("n").alias("n_union"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+              .otherwise(0)).alias("rho_k"),
+        F.count(F.lit(1)).alias("k_used"))
+    exacts = membership.agg(
+        F.sum("in_a").alias("exact_a"), F.sum("in_b").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+              .otherwise(0)).alias("exact_inter"))
+    raw_union = F.when(F.col("n_union") < k,
+                       F.col("n_union").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.col("kth"))
+    return agg.crossJoin(exacts).select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.floor(raw_union * 100).cast("long").alias("est_union_e2"),
+        F.floor(raw_union * F.col("rho_k") / F.col("k_used") * 100)
+        .cast("long").alias("est_inter_e2"),
+        F.floor(F.abs(raw_union - F.col("exact_union"))
+                / F.col("exact_union") * 10000).cast("long")
+        .alias("union_rel_err_e4"))
