@@ -31,6 +31,10 @@ SENSITIVE = [
     "weighted_median_price",
     "minhash_recall_vs_exact",
     "largest_remainder_quota",
+    # round-7 second batch: exact-median rank walks and the k-min order
+    # statistic must not depend on how rows land in partitions
+    "mad_anomalies",
+    "kmv_set_operations_audit",
 ]
 
 
