@@ -1527,3 +1527,77 @@ class TestStreamingAnalyticsTwins:
         maint.merge_batch(ev, 5)
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(ev, 0)
+
+
+class TestStreamingLedgerMaintenance:
+    """The clamped-balance ledger maintainer (non-associative clamp,
+    in-order prefix-scan state) must equal the driver-oracled batch
+    entry after chronological micro-batches, stay idempotent under
+    replay, and respect the lifecycle guard."""
+
+    def _day_chunks(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        base = str(tmp_path_factory.mktemp("ledger_events"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_id", "event_type", "value")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        # CHRONOLOGICAL slices — the ledger assumption is in-order
+        # arrival per user, unlike the hash-slice batches of the
+        # order-independent join-view maintainer
+        for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
+            d = os.path.join(base, f"c{i}")
+            ev.where(F.dayofmonth("ts").between(lo, hi)) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        return flat
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalLedgerMaintainer, streaming_ledger_maintenance,
+        )
+
+        flat = self._day_chunks(spark, sf_dir, tmp_path_factory)
+        maint = IncrementalLedgerMaintainer(
+            spark, str(tmp_path_factory.mktemp("ledger_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema="ts TIMESTAMP, user_id BIGINT, event_id BIGINT, "
+                   "event_type STRING, value DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_ledger_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("ledger_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert 2 >= len(maint.state.versions()) >= 2
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["clamped_running_balance"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        assert len(got) == len(want) and got == want
+
+    def test_replay_and_guard(self, spark, sf_dir, tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalLedgerMaintainer,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_id", "event_type", "value")
+        first = ev.where(F.dayofmonth("ts") <= 15)
+        second = ev.where(F.dayofmonth("ts") > 15)
+        maint = IncrementalLedgerMaintainer(
+            spark, str(tmp_path_factory.mktemp("ledger_replay")))
+        maint.merge_batch(first, 0)
+        maint.merge_batch(second, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(second, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(first, 0)

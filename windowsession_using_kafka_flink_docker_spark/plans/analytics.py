@@ -902,6 +902,19 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_index_e4"))
 
 
+def ledger_deltas(ev: DataFrame) -> DataFrame:
+    """(user_id, ts, event_id, delta_cents) signed ledger from the event
+    stream — shared by the batch entry and the streaming ledger
+    maintainer (streaming/analytics_twins.py) so both sides price the
+    same events identically."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    delta = (F.when(F.col("event_type") == "purchase", cents)
+             .when(F.col("event_type").isin("error", "click"), -cents)
+             .otherwise(F.lit(0).cast("long")))
+    return ev.select("user_id", "ts", "event_id",
+                     delta.alias("delta_cents"))
+
+
 @register(
     "clamped_running_balance",
     oracle="""
@@ -957,12 +970,7 @@ FROM clamped GROUP BY user_id
 )
 def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    delta = (F.when(F.col("event_type") == "purchase", cents)
-             .when(F.col("event_type").isin("error", "click"), -cents)
-             .otherwise(F.lit(0).cast("long")))
-    ledger = ev.select("user_id", "ts", "event_id",
-                       delta.alias("delta_cents"))
+    ledger = ledger_deltas(ev)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     scanned = ledger.select(

@@ -29,8 +29,10 @@ from windowsession_using_kafka_flink_docker_spark.streaming.joinview import (
 from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
     IncrementalDriftMaintainer,
     IncrementalEwmaMaintainer,
+    IncrementalLedgerMaintainer,
     streaming_drift_maintenance,
     streaming_ewma_maintenance,
+    streaming_ledger_maintenance,
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.scd import (
     Scd2DimensionMaintainer,
@@ -71,8 +73,10 @@ __all__ = [
     "streaming_rollup_maintenance",
     "IncrementalEwmaMaintainer",
     "IncrementalDriftMaintainer",
+    "IncrementalLedgerMaintainer",
     "streaming_ewma_maintenance",
     "streaming_drift_maintenance",
+    "streaming_ledger_maintenance",
     "Scd2DimensionMaintainer",
     "streaming_scd2_maintenance",
     "file_events_source",

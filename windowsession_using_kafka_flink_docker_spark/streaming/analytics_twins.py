@@ -1,6 +1,8 @@
 """Streaming twins for the analytics entries that are incremental by
 construction (VERDICT r6 item 5): ``ewma_daily_spend`` and
-``distribution_drift_report``.
+``distribution_drift_report`` — plus ``clamped_running_balance``, whose
+non-associative clamp needs the in-order prefix-scan state documented on
+IncrementalLedgerMaintainer.
 
 Both batch entries reduce the fact stream to key-space-bounded mergeable
 partials before any derivation:
@@ -151,6 +153,109 @@ class IncrementalDriftMaintainer:
         )
 
 
+class IncrementalLedgerMaintainer:
+    """Streaming twin of ``clamped_running_balance`` — the third
+    analytics maintainer, and the interesting one: the clamp
+    b_t = max(0, b_{t-1} + x_t) is NON-associative, so no finite
+    commutative partial exists. What IS mergeable under IN-ORDER
+    arrival (the ledger assumption: each user's events arrive in
+    event-time order across batches, which an append-only ledger
+    stream satisfies) is the prefix-scan state
+    ``(cum_end, min_prefix, peak, n, credits, debits)``:
+
+        cum_AB      = cum_A + cum_B
+        minpre_AB   = min(minpre_A, cum_A + minpre_B)
+        bal_t (in B) = (cum_A + cum_B_t) - min(0, minpre_A,
+                                               cum_A + minpre_B_t)
+        peak_AB     = max(peak_A, max_t bal_t)
+
+    so each micro-batch needs ONE per-user window over its own rows
+    plus a join against the per-user scalar state — never a re-scan of
+    history. current() derives the same columns as the driver-oracled
+    batch entry (final balance = cum_end - min(0, min_prefix)).
+    Versioning/replay/prune/guard are the shared scheme.
+    """
+
+    _SCHEMA = ("user_id BIGINT, n_tx BIGINT, credits_cents BIGINT, "
+               "debits_cents BIGINT, cum_end BIGINT, min_prefix BIGINT, "
+               "peak_cents BIGINT")
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            ledger_deltas,
+        )
+
+        self.state.guard(batch_id)
+        ledger = ledger_deltas(batch_df)
+        w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cum_b = F.sum("delta_cents").over(w)
+        # the running min follows the EVENT order: both scans derive
+        # from the same ordered window in one projection
+        rows = ledger.select(
+            "user_id", "delta_cents",
+            cum_b.alias("cum_b"),
+            F.min(cum_b).over(w).alias("minpre_b"))
+
+        prev = self.state.latest_before(batch_id)
+        if prev is None:
+            prev = self.state.spark.createDataFrame([], self._SCHEMA)
+        p = prev.select(
+            "user_id", F.col("n_tx").alias("p_n"),
+            F.col("credits_cents").alias("p_cr"),
+            F.col("debits_cents").alias("p_db"),
+            F.col("cum_end").alias("p_cum"),
+            F.col("min_prefix").alias("p_min"),
+            F.col("peak_cents").alias("p_peak"))
+        joined = rows.join(p, "user_id", "left").select(
+            "user_id", "delta_cents", "cum_b", "minpre_b", "p_min",
+            F.coalesce("p_cum", F.lit(0)).alias("p_cum"),
+            F.coalesce("p_n", F.lit(0)).alias("p_n"),
+            F.coalesce("p_cr", F.lit(0)).alias("p_cr"),
+            F.coalesce("p_db", F.lit(0)).alias("p_db"),
+            F.coalesce("p_peak", F.lit(0)).alias("p_peak"))
+        # global prefix min at row t = min(state min_prefix, state cum +
+        # batch prefix min); NULL state min means "no prior rows"
+        gmin = F.least(
+            F.coalesce(F.col("p_min"),
+                       F.col("p_cum") + F.col("minpre_b")),
+            F.col("p_cum") + F.col("minpre_b"))
+        bal = ((F.col("p_cum") + F.col("cum_b"))
+               - F.least(F.lit(0).cast("long"), gmin))
+        touched = joined.groupBy("user_id").agg(
+            (F.max("p_n") + F.count(F.lit(1))).cast("long").alias("n_tx"),
+            (F.max("p_cr")
+             + F.sum(F.when(F.col("delta_cents") > 0,
+                            F.col("delta_cents")).otherwise(0)))
+            .cast("long").alias("credits_cents"),
+            (F.max("p_db")
+             + F.sum(F.when(F.col("delta_cents") < 0,
+                            -F.col("delta_cents")).otherwise(0)))
+            .cast("long").alias("debits_cents"),
+            (F.max("p_cum") + F.sum("delta_cents")).cast("long")
+            .alias("cum_end"),
+            F.min(gmin).cast("long").alias("min_prefix"),
+            F.greatest(F.max("p_peak"), F.max(bal)).cast("long")
+            .alias("peak_cents"))
+        untouched = prev.join(rows.select("user_id").distinct(),
+                              "user_id", "left_anti")
+        self.state.write(batch_id, untouched.unionByName(touched))
+
+    def current(self) -> DataFrame:
+        s = self.state.current()
+        return s.select(
+            "user_id", "n_tx", "credits_cents", "debits_cents",
+            F.col("peak_cents").alias("peak_balance_cents"),
+            (F.col("cum_end")
+             - F.least(F.lit(0).cast("long"), F.col("min_prefix")))
+            .cast("long").alias("final_balance_cents"))
+
+
 def _maintenance_stream(events: DataFrame, maintainer, checkpoint_dir: str,
                         query_name: str) -> StreamingQuery:
     return (events.writeStream
@@ -174,9 +279,18 @@ def streaming_drift_maintenance(
                                "drift_maintenance")
 
 
+def streaming_ledger_maintenance(
+        events: DataFrame, maintainer: IncrementalLedgerMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(events, maintainer, checkpoint_dir,
+                               "ledger_maintenance")
+
+
 __all__ = [
     "IncrementalEwmaMaintainer",
     "IncrementalDriftMaintainer",
+    "IncrementalLedgerMaintainer",
     "streaming_ewma_maintenance",
     "streaming_drift_maintenance",
+    "streaming_ledger_maintenance",
 ]
