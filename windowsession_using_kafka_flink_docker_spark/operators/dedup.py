@@ -521,3 +521,83 @@ def sorted_neighborhood_pairs_ranged(
                          F.greatest("ia", "ib").alias("id_b"),
                          jacc.alias("jaccard"))
             .where(F.col("jaccard") >= 0.5))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      threshold: float = 0.8, unit: str = "word",
+                      shingles: DataFrame | None = None) -> DataFrame:
+    """Asymmetric containment near-dups: pairs where the smaller
+    document's shingle set is mostly INSIDE the larger's —
+    ``|A ∩ B| / |A| >= threshold`` with ``|A| <= |B|`` — the
+    quote/boilerplate-inclusion detector symmetric Jaccard misses (a
+    100-word quote inside a 10k-word page has Jaccard ~ 0.01 but
+    containment ~ 1.0).
+
+    Exact recall by the containment prefix filter: if
+    ``|A ∩ B| >= ceil(t*|A|)`` then at least one of A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles under the global
+    rarest-first (document frequency) order is in B — so only the
+    CONTAINED side is prefix-indexed, joined against the container
+    side's full inverted index; rare-shingle prefixes keep the join
+    keys off the hot boilerplate grams. Verification computes exact
+    containment on the full shingle sets, so output equals all-pairs
+    semantics and the oracle needn't model the blocking. Equal-size
+    pairs are canonicalized to (smaller id contained) so mirror rows
+    can't double-report.
+    """
+    owns = shingles is None
+    base = shingle_table(df, text_col, id_col, k, unit) if owns else shingles
+    docs = (
+        base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
+        .persist()
+    )
+    sized = docs.select("_id", F.col("_sh").alias("_sh_full"),
+                        F.size("_sh").alias("_n"))
+    inv = docs.select("_id", F.size("_sh").alias("_n"),
+                      F.explode("_sh").alias("s"))
+    freq = inv.groupBy("s").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "s")
+    t = F.lit(threshold)
+    prefix = (
+        inv.join(freq, "s")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn")
+               <= F.col("_n") - F.ceil(t * F.col("_n")) + 1)
+        .select("s", F.col("_id").alias("id_a"), F.col("_n").alias("na"))
+    )
+    full = inv.select("s", F.col("_id").alias("id_b"),
+                      F.col("_n").alias("nb"))
+    cand = (
+        prefix.join(full, "s")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") >= F.ceil(t * F.col("na")))
+            & ((F.col("na") < F.col("nb"))
+               | ((F.col("na") == F.col("nb"))
+                  & (F.col("id_a") < F.col("id_b"))))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        cand.join(sized.select(F.col("_id").alias("id_a"),
+                               F.col("_sh_full").alias("_sa"),
+                               F.col("_n").alias("na")), "id_a")
+        .join(sized.select(F.col("_id").alias("id_b"),
+                           F.col("_sh_full").alias("_sb")), "id_b")
+    )
+    result = (
+        verified
+        .withColumn("containment",
+                    F.round(F.size(F.array_intersect("_sa", "_sb"))
+                            / F.col("na"), 4))
+        .where(F.col("containment") >= threshold)
+        .select(F.col("id_a").alias("contained_id"),
+                F.col("id_b").alias("container_id"), "containment")
+    )
+    result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
+    docs.unpersist()
+    if owns:
+        base.unpersist()
+    return result

@@ -1187,3 +1187,66 @@ def weekly_category_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor((F.col("n") - F.col("prev_n")) * 10000.0
                             / F.col("prev_n")).cast("long")
                     .alias("growth_e4")))
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey),
+aged AS (
+  SELECT strftime(f.cohort_month, '%Y-%m') AS cohort,
+         (year(o.o_orderdate) - year(f.cohort_month)) * 12
+           + (month(o.o_orderdate) - month(f.cohort_month)) AS age_months,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey),
+percohort AS (
+  SELECT cohort, age_months,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM aged GROUP BY 1, 2)
+SELECT cohort, CAST(age_months AS BIGINT) AS age_months,
+       revenue_cents, n_orders,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort
+                                     ORDER BY age_months
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents
+FROM percohort
+""",
+    description="Cohort lifetime-value curve: customers grouped by "
+                "first-order month, revenue accumulated by cohort age in "
+                "months — the LTV complement of retention_cohorts "
+                "(which counts activity; this prices it). First-order "
+                "months come from one per-customer aggregate joined "
+                "back; ages are exact integer month arithmetic "
+                "(year*12+month deltas, no date subtraction "
+                "in floats); the running LTV is a window over the tiny "
+                "(cohort, age) domain AFTER aggregation, so the only "
+                "fact-sized work is one groupBy. All BIGINT cents, "
+                "hash-exact.",
+    tags=("relational", "cohort", "analytics", "window_function"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month"))
+    aged = (orders.join(firsts, "o_custkey")
+            .select(
+                F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+                ((F.year("o_orderdate") - F.year("cohort_month")) * 12
+                 + (F.month("o_orderdate") - F.month("cohort_month")))
+                .alias("age_months"),
+                _cents("o_totalprice").alias("cents")))
+    percohort = aged.groupBy("cohort", "age_months").agg(
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"))
+    w = (Window.partitionBy("cohort").orderBy("age_months")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return percohort.select(
+        "cohort", F.col("age_months").cast("long").alias("age_months"),
+        "revenue_cents", "n_orders",
+        F.sum("revenue_cents").over(w).cast("long")
+        .alias("cum_revenue_cents"))

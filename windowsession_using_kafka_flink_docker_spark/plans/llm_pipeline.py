@@ -2341,3 +2341,52 @@ def knn_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(2.0 * F.coalesce("n_triangles", F.lit(0)) * 10000
                         / (F.col("degree") * (F.col("degree") - 1)))
                 .cast("long").alias("clustering_e4")))
+
+
+@register(
+    "containment_neardups",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, GREATEST(len(toks) - 2, 1) + 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+           )
+         ) AS sh
+  FROM (SELECT doc_id, string_split(""" + _NORM_SQL + """, ' ') AS toks FROM documents)
+),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+sized AS (SELECT doc_id, len(sh) AS n FROM docs),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a AS contained_id, id_b AS container_id,
+       ROUND(n_shared / na.n, 4) AS containment
+FROM shared
+JOIN sized na ON na.doc_id = id_a
+JOIN sized nb ON nb.doc_id = id_b
+WHERE (na.n < nb.n OR (na.n = nb.n AND id_a < id_b))
+  AND ROUND(n_shared / na.n, 4) >= 0.8
+""",
+    description="Asymmetric containment near-dups over word 3-shingles "
+                "(|A intersect B| / |A| >= 0.8 with A the smaller set): "
+                "the quote/boilerplate-INCLUSION detector that symmetric "
+                "Jaccard structurally misses — a short document embedded "
+                "verbatim in a long one has Jaccard near zero but "
+                "containment near one. Exact recall via the containment "
+                "prefix filter (only the contained side indexes its "
+                "|A| - ceil(t|A|) + 1 RAREST shingles, probed against "
+                "the full inverted index — rare-prefix keys keep hot "
+                "boilerplate grams out of the join), exact precision by "
+                "full-set verification, so the oracle is plain all-pairs "
+                "semantics. Equal-size pairs canonicalize to the "
+                "smaller id. The fourth blocking family next to banding "
+                "(MinHash), chunk pigeonhole (SimHash) and "
+                "sorted-neighborhood windows.",
+    tags=("llm", "dedup", "ngram", "blocking"),
+)
+def containment_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"),
+                               shingles=_shingle_stage(spark, sf_dir))

@@ -3034,3 +3034,84 @@ def kmv_set_operations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.abs(raw_union - F.col("exact_union"))
                 / F.col("exact_union") * 10000).cast("long")
         .alias("union_rel_err_e4"))
+
+
+@register(
+    "conversion_latency_by_tier",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+waits AS (
+  SELECT v.user_id, epoch_us(p.ts) - epoch_us(v.ts) AS wait_us
+  FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts),
+tiers AS (
+  SELECT 9999 AS user_id, 'vip' AS tier
+  UNION ALL SELECT i, 'tier_a' FROM range(2, 10) t(i)
+  UNION ALL SELECT i, 'tier_b' FROM range(100, 201) t(i)
+),
+tiered AS (
+  SELECT COALESCE(t.tier, 'default') AS tier, w.wait_us
+  FROM waits w LEFT JOIN tiers t USING (user_id)),
+ranked AS (
+  SELECT tier, wait_us,
+         row_number() OVER (PARTITION BY tier
+                            ORDER BY wait_us) AS rn,
+         COUNT(*) OVER (PARTITION BY tier) AS n
+  FROM tiered)
+SELECT tier,
+       CAST(MAX(n) AS BIGINT) AS n_conversions,
+       CAST(MIN(CASE WHEN 2 * rn >= n THEN wait_us END) AS BIGINT)
+         AS median_wait_us
+FROM ranked GROUP BY tier
+""",
+    description="Median view-to-purchase latency per reference user tier "
+                "— the funnel-speed report that composes three of the "
+                "engine's primitives: the FORWARD as-of join "
+                "(next-purchase attribution, one exchange + one "
+                "descending window), the task3 tier dimension "
+                "(flink_stream_task3.py:54-62, a static 110-row "
+                "broadcast), and the exact lower median decided by the "
+                "integer test 2*rank >= count over exact "
+                "integer-microsecond waits. Tie-break: wait_us ordering "
+                "within tier is made total by the rank walk itself "
+                "(equal waits are interchangeable for a median). "
+                "Everything after the as-of is tier-domain-sized.",
+    tags=("relational", "join", "asof", "percentile", "analytics"),
+)
+def conversion_latency_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", "ts").groupBy("user_id", "ts").agg(
+             F.count(F.lit(1)).alias("_dup")).drop("_dup"))
+    waits = asof_join(
+        v, p, on=["user_id"], ts="ts", right_ts_name="purchase_ts",
+        direction="forward").select(
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros(F.col("ts")))
+        .alias("wait_us"))
+    rows = ([(9999, "vip")]
+            + [(u, "tier_a") for u in range(2, 10)]
+            + [(u, "tier_b") for u in range(100, 201)])
+    tiers = spark.createDataFrame(rows, "user_id BIGINT, tier STRING")
+    tiered = (waits.join(F.broadcast(tiers), "user_id", "left")
+              .select(F.coalesce("tier", F.lit("default")).alias("tier"),
+                      "wait_us"))
+    wt = Window.partitionBy("tier")
+    ranked = tiered.select(
+        "tier", "wait_us",
+        F.row_number().over(wt.orderBy("wait_us")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"))
+    return ranked.groupBy("tier").agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("wait_us")))
+        .cast("long").alias("median_wait_us"))
