@@ -39,7 +39,9 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           "pagerank_similarity_graph", "knn_bfs_hops",
           # run the full portable near-dup pipelines (eager builders) to
           # measure recall at plan-construction time
-          "minhash_recall_vs_exact", "simhash_recall_vs_exact"}
+          "minhash_recall_vs_exact", "simhash_recall_vs_exact",
+          # eager containment ssjoin builder (localCheckpoint)
+          "containment_neardups"}
 
 # Sanctioned Arrow-batched Python stages — and ONLY these:
 # - media decode (opaque binary payloads, no JVM expression can decode);
