@@ -333,3 +333,55 @@ class TestSortedNeighborhoodRanged:
         import re
         assert not re.search(r"Window \[.*\], \[\]", plan), (
             "global window (no partition keys) found in the scale path")
+
+
+class TestContainmentPrefixFilter:
+    """The containment prefix filter's exact-recall argument, swept with
+    hypothesis in pure Python: for ANY pair of shingle sets with
+    |A∩B|/|A| >= t, A's first |A| - ceil(t|A|) + 1 shingles under any
+    fixed total order must intersect B — so the blocked join can never
+    miss a qualifying pair."""
+
+    def test_hypothesis_sweep(self):
+        import math
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=500, deadline=None)
+        @given(
+            a=st.sets(st.integers(0, 60), min_size=1, max_size=30),
+            b=st.sets(st.integers(0, 60), min_size=1, max_size=30),
+            t=st.sampled_from([0.5, 0.8, 0.9, 1.0]),
+            seed=st.integers(0, 5),
+        )
+        def check(a, b, t, seed):
+            containment = len(a & b) / len(a)
+            if containment < t:
+                return  # filter only promises recall of qualifying pairs
+            # any fixed total order (here: hash-ish shuffle by seed)
+            order = sorted(a, key=lambda x: (x * 2654435761 + seed) % 997)
+            p = len(a) - math.ceil(t * len(a)) + 1
+            assert set(order[:p]) & b, (
+                "prefix filter missed a qualifying pair")
+
+        check()
+
+    def test_containment_detects_planted_quote(self, spark):
+        """A short doc embedded verbatim in a long one must surface with
+        containment 1.0 while its Jaccard is far below any symmetric
+        threshold."""
+        from windowsession_using_kafka_flink_docker_spark.operators.dedup import (
+            containment_pairs, ngram_jaccard_pairs,
+        )
+
+        quote = "the quick brown fox jumps over the lazy dog again"
+        filler = " ".join(f"word{i} token{i} item{i}" for i in range(120))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, filler + " " + quote + " " + filler)],
+            "doc_id LONG, text STRING")
+        got = containment_pairs(docs).collect()
+        assert [(r.contained_id, r.container_id, r.containment)
+                for r in got] == [(1, 2, 1.0)]
+        # the symmetric detector (same shingles, Jaccard >= 0.5) is blind
+        assert ngram_jaccard_pairs(docs).count() == 0
