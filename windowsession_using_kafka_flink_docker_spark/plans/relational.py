@@ -3115,3 +3115,122 @@ def conversion_latency_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_conversions"),
         F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("wait_us")))
         .cast("long").alias("median_wait_us"))
+
+
+@register(
+    "sessionized_bounce_rate",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 1000000 * 30 THEN 1
+              ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS _sid
+  FROM flagged),
+sess AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, _sid),
+tiers AS (
+  SELECT 9999 AS user_id, 'vip' AS tier
+  UNION ALL SELECT i, 'tier_a' FROM range(2, 10) t(i)
+  UNION ALL SELECT i, 'tier_b' FROM range(100, 201) t(i)
+),
+tiered AS (
+  SELECT COALESCE(t.tier, 'default') AS tier, s.n_events
+  FROM sess s LEFT JOIN tiers t USING (user_id))
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(floor(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                  * 10000.0 / COUNT(*)) AS BIGINT) AS bounce_e4
+FROM tiered GROUP BY tier
+""",
+    description="Bounce rate per reference user tier: share of 30s-gap "
+                "sessions containing exactly one event — the engagement "
+                "KPI built directly on the engine's parity sessionizer "
+                "(same session_window the reference jobs use, same "
+                "gaps-and-islands oracle with the strict-> break and "
+                "event_id tiebreak) joined against the task3 tier "
+                "dimension (broadcast, 110 rows). Everything after the "
+                "sessionizer's one user-keyed exchange is "
+                "tier-domain-sized; the rate is one scaled-floor "
+                "division over exact counts. Note the ties nuance the "
+                "shared oracle documents: tied timestamps never split a "
+                "session, so the bounce flag is order-insensitive.",
+    tags=("relational", "session_window", "analytics", "parity"),
+)
+def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev)  # 30s default gap, per-user sum/count/avg
+    rows = ([(9999, "vip")]
+            + [(u, "tier_a") for u in range(2, 10)]
+            + [(u, "tier_b") for u in range(100, 201)])
+    tiers = spark.createDataFrame(rows, "user_id BIGINT, tier STRING")
+    tiered = (sess.join(F.broadcast(tiers), "user_id", "left")
+              .select(F.coalesce("tier", F.lit("default")).alias("tier"),
+                      "event_count"))
+    bounces = F.sum(F.when(F.col("event_count") == 1, 1).otherwise(0))
+    return tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        F.floor(bounces * 10000.0 / F.count(F.lit(1))).cast("long")
+        .alias("bounce_e4"))
+
+
+@register(
+    "supplier_hhi_by_parttype",
+    oracle="""
+WITH qty AS (
+  SELECT p.p_type, l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+tot AS (
+  SELECT p_type,
+         CAST(SUM(q) AS BIGINT) AS t,
+         CAST(SUM(q * q) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM qty GROUP BY p_type)
+SELECT p_type, n_suppliers, t AS total_qty,
+       CAST(floor(sq * 1000000.0 / (t * t)) AS BIGINT) AS hhi_e6
+FROM tot
+""",
+    description="Herfindahl-Hirschman supplier-concentration index per "
+                "part type — the market-concentration statistic "
+                "(sum of squared quantity shares, 1e6-scaled: 1/n for "
+                "perfect competition up to 1.0 for a monopoly supplier). "
+                "Quantities are integer-valued, so per-supplier sums and "
+                "their squares are exact BIGINTs, and the index is ONE "
+                "double division of exact integers (sum-of-squares over "
+                "total-squared) before the scaled floor — never a sum of "
+                "pre-divided float shares, whose order could drift. Two "
+                "map-side-combinable aggregates with the part dimension "
+                "broadcast into the fact scan.",
+    tags=("relational", "analytics", "aggregate", "join"),
+)
+def supplier_hhi_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    qty = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("p_type", "l_suppkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("q")))
+    tot = qty.groupBy("p_type").agg(
+        F.sum("q").cast("long").alias("t"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    return tot.select(
+        "p_type", "n_suppliers", F.col("t").alias("total_qty"),
+        F.floor(F.col("sq") * 1000000.0 / (F.col("t") * F.col("t")))
+        .cast("long").alias("hhi_e6"))
