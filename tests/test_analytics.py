@@ -164,3 +164,42 @@ class TestClampedBalanceIdentity:
                for r in CATALOG["clamped_running_balance"]
                .spark(spark, sf_dir).collect()}
         assert got == want
+
+
+class TestLargestRemainderProperties:
+    """Hamilton apportionment invariants, swept in pure Python with the
+    same integer arithmetic the entry uses: quotas sum EXACTLY to the
+    budget, and every stratum is within one slot of exact
+    proportionality (the property independent per-stratum rounding
+    lacks)."""
+
+    def test_hypothesis_sweep(self):
+        import math
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(counts=st.lists(st.integers(1, 10**6), min_size=1,
+                               max_size=20),
+               budget=st.integers(1, 100_000))
+        def check(counts, budget):
+            total = sum(counts)
+            base = [budget * n // total for n in counts]
+            rem = [(budget * n - b * total, -i)
+                   for i, (n, b) in enumerate(zip(counts, base))]
+            deficit = budget - sum(base)
+            assert 0 <= deficit < len(counts) or len(counts) == 1
+            order = sorted(range(len(counts)),
+                           key=lambda i: rem[i], reverse=True)
+            quota = list(base)
+            for i in order[:deficit]:
+                quota[i] += 1
+            assert sum(quota) == budget
+            for n, q in zip(counts, quota):
+                exact = budget * n / total
+                assert math.floor(exact) <= q <= math.ceil(exact) + 0 or \
+                    abs(q - exact) < 1, (n, q, exact)
+                assert abs(q - exact) < 1
+
+        check()
