@@ -3234,3 +3234,69 @@ def supplier_hhi_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type", "n_suppliers", F.col("t").alias("total_qty"),
         F.floor(F.col("sq") * 1000000.0 / (F.col("t") * F.col("t")))
         .cast("long").alias("hhi_e6"))
+
+
+@register(
+    "table_stats_report",
+    oracle="""
+SELECT 'o_custkey' AS column_name,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS ndv,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', (SELECT COUNT(*) FROM orders),
+       COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', (SELECT COUNT(*) FROM orders),
+       COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_cents', (SELECT COUNT(*) FROM orders),
+       COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT
+         CAST(round(o_totalprice * 100, 0) AS BIGINT)),
+       CAST(MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR),
+       CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR)
+FROM orders
+""",
+    description="ANALYZE-TABLE-style column statistics for the orders "
+                "table (per column: row count, null count, exact NDV, "
+                "min/max rendered as strings so heterogeneous column "
+                "types stack into one long-format report) — the "
+                "cost-based-optimizer ingest primitive: these are "
+                "exactly the numbers join reordering and broadcast "
+                "decisions feed on, and at 100 TB each column's stats "
+                "are one map-side-combinable aggregate over the scan "
+                "the table maintenance pass already pays for (NDV "
+                "becomes the mergeable KMV/HLL sketch of "
+                "kmv_distinct_audit at scale; exact here so the driver "
+                "can hash it). Money quantized to BIGINT cents before "
+                "the distinct so both engines count identical values.",
+    tags=("relational", "quality", "aggregate", "audit"),
+)
+def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def col_stats(name, col, out_name=None):
+        return orders.agg(
+            F.lit(out_name or name).alias("column_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).cast("long").alias("ndv"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"))
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (col_stats("o_custkey", F.col("o_custkey"))
+            .unionByName(col_stats("o_orderstatus",
+                                   F.col("o_orderstatus")))
+            .unionByName(col_stats("o_orderpriority",
+                                   F.col("o_orderpriority")))
+            .unionByName(col_stats("o_totalprice_cents", cents,
+                                   "o_totalprice_cents")))
