@@ -203,3 +203,78 @@ class TestLargestRemainderProperties:
                 assert abs(q - exact) < 1
 
         check()
+
+
+class TestIntervalMergeIdentity:
+    """The running-max island construction must equal the textbook
+    sweep-line interval union for arbitrary [s, e) multisets — including
+    duplicate starts, nested intervals, and exact adjacency (s == prior
+    max e merges, per the exclusive-end convention)."""
+
+    def test_hypothesis_sweep(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 100), st.integers(1, 15)),
+                        min_size=1, max_size=30))
+        def check(raw):
+            iv = sorted((s, s + d) for s, d in raw)
+            # textbook sweep-line union
+            merged = []
+            for s, e in iv:
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            want = (len(merged), sum(e - s for s, e in merged))
+            # the entry's construction: new island iff s > running max e
+            # over strictly-earlier rows; islands aggregate to min s /
+            # max e
+            islands, run_max = [], None
+            for s, e in iv:
+                if run_max is None or s > run_max:
+                    islands.append([s, e])
+                else:
+                    islands[-1][0] = min(islands[-1][0], s)
+                    islands[-1][1] = max(islands[-1][1], e)
+                run_max = e if run_max is None else max(run_max, e)
+            got = (len(islands), sum(e - s for s, e in islands))
+            assert got == want
+
+        check()
+
+
+class TestWeightedMedianIdentity:
+    """The 2*cum >= total pick must equal the definitional weighted
+    lower median (smallest value whose cumulative weight reaches half
+    the total) for arbitrary positive-weight multisets."""
+
+    def test_hypothesis_sweep(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.lists(st.tuples(st.integers(-50, 50), st.integers(1, 9)),
+                        min_size=1, max_size=25))
+        def check(pairs):
+            pairs = sorted(pairs)
+            total = sum(w for _, w in pairs)
+            # definitional: smallest v with cumweight(<= v by walk) >= total/2
+            cum = 0
+            want = None
+            for v, w in pairs:
+                cum += w
+                if 2 * cum >= total:
+                    want = v
+                    break
+            # entry's form: min value among rows where 2*cum >= total
+            cum = 0
+            qualifying = []
+            for v, w in pairs:
+                cum += w
+                if 2 * cum >= total:
+                    qualifying.append(v)
+            assert min(qualifying) == want
+
+        check()
