@@ -2390,3 +2390,50 @@ WHERE (na.n < nb.n OR (na.n = nb.n AND id_a < id_b))
 def containment_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(load_table(spark, sf_dir, "documents"),
                                shingles=_shingle_stage(spark, sf_dir))
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=_CLUSTERS_CTE_SQL + """
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+FROM csize GROUP BY cluster_size
+""",
+    description="Size distribution of the near-dup clusters — the "
+                "dedup-impact report every curation run reads before "
+                "deleting anything: how many clusters of each size, how "
+                "many documents they hold, and the removable count "
+                "(size-1 per cluster = docs dropped if one survivor is "
+                "kept). One tiny groupBy over the connected-components "
+                "output, so it shares every stage (shingles, exact "
+                "pairs, label propagation) with neardup_clusters / "
+                "dedup_canonical_survivors via the per-session memos; "
+                "the oracle reuses the identical recursive-CTE closure. "
+                "The engine counts on the is_canonical rows (exactly one "
+                "per cluster by construction), so the groupBy aggregates "
+                "one slim row per cluster, not one per document, and the "
+                "doc/removable totals are pure arithmetic on the grouped "
+                "key. Singleton clusters dominate by construction, so the "
+                "histogram is also the sanity check that clustering "
+                "didn't collapse the corpus.",
+    tags=("llm", "dedup", "graph", "audit"),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators.cluster import (
+        neardup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = neardup_clusters(docs, _ngram_pairs(spark, sf_dir))
+    counts = (comp.filter(F.col("is_canonical"))
+              .groupBy(F.col("cluster_size").cast("long")
+                       .alias("cluster_size"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_clusters")))
+    return counts.select(
+        "cluster_size", "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters"))
+        .cast("long").alias("n_removable"))
