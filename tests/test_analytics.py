@@ -278,3 +278,42 @@ class TestWeightedMedianIdentity:
             assert min(qualifying) == want
 
         check()
+
+
+class TestABTestChiSquare:
+    """ab_test_chi2_by_event: the scaled chi-square must equal an
+    independent Python recomputation of Pearson's statistic from the
+    emitted integer counts, and the hash arms must partition all users."""
+
+    def test_chi2_matches_python_recomputation(self, spark, sf_dir):
+        import math
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            ab_test_chi2_by_event,
+        )
+
+        rows = ab_test_chi2_by_event(spark, sf_dir).collect()
+        assert rows, "harness produced no metrics"
+        for r in rows:
+            a, b = r.conv_a, r.n_a - r.conv_a
+            c, d = r.conv_b, r.n_b - r.conv_b
+            n = r.n_a + r.n_b
+            chi2 = (n * (a * d - b * c) ** 2
+                    / (r.n_a * r.n_b * (a + c) * (b + d)))
+            assert r.chi2_e6 == math.floor(chi2 * 1_000_000)
+            assert r.significant == (r.chi2_e6 >= 3_841_459)
+            # conversion must be non-degenerate: the guard filtered
+            # saturated metrics, so 0 < converters < population
+            assert 0 < a + c < n
+
+    def test_arms_partition_users(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            ab_test_chi2_by_event,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        n_users = ev.select("user_id").distinct().count()
+        rows = ab_test_chi2_by_event(spark, sf_dir).collect()
+        for r in rows:
+            assert r.n_a + r.n_b == n_users
+            assert r.n_a > 0 and r.n_b > 0, "md5 arm assignment collapsed"

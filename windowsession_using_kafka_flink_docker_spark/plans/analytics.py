@@ -1250,3 +1250,134 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents", "n_orders",
         F.sum("revenue_cents").over(w).cast("long")
         .alias("cum_revenue_cents"))
+
+
+@register(
+    "ab_test_chi2_by_event",
+    oracle="""
+WITH armed AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events)),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM armed),
+cnt AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+typetot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+conv AS (
+  SELECT cnt.event_type, cnt.user_id
+  FROM cnt
+  JOIN typetot USING (event_type), tot
+  WHERE cnt.c * (tot.n_a + tot.n_b) > typetot.tot),
+per AS (
+  SELECT c.event_type,
+         CAST(SUM(CASE WHEN a.arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN a.arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+  FROM conv c JOIN armed a USING (user_id) GROUP BY 1),
+cells AS (
+  SELECT event_type, n_a, n_b, conv_a, conv_b,
+         n_a + n_b AS n_all,
+         conv_a + conv_b AS n_conv,
+         conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b AS det
+  FROM per, tot
+  WHERE conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b)
+SELECT event_type, n_a, n_b, conv_a, conv_b,
+       CAST(floor(conv_a * 1000000.0 / n_a) AS BIGINT) AS rate_a_e6,
+       CAST(floor(conv_b * 1000000.0 / n_b) AS BIGINT) AS rate_b_e6,
+       CAST(floor(CAST(n_all AS DOUBLE)
+                  * CAST(det AS DOUBLE) * CAST(det AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * CAST(n_conv AS DOUBLE)
+                     * CAST(n_all - n_conv AS DOUBLE))
+                  * 1000000) AS BIGINT) AS chi2_e6,
+       CAST(floor(CAST(n_all AS DOUBLE)
+                  * CAST(det AS DOUBLE) * CAST(det AS DOUBLE)
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     * CAST(n_conv AS DOUBLE)
+                     * CAST(n_all - n_conv AS DOUBLE))
+                  * 1000000) AS BIGINT) >= 3841459 AS significant
+FROM cells
+""",
+    description="Deterministic A/B (really A/A) experiment harness: every "
+                "user is assigned an arm by the first md5 hex digit of "
+                "their user_id -- reproducible across runs, engines, and "
+                "cluster sizes, no RNG or seed coordination, the same "
+                "idiom as hash_split_train_test -- then each event_type "
+                "gets a 2x2 Pearson chi-square test of 'did arm affect "
+                "the share of HEAVY users of this event' (heavy = the "
+                "user's per-type count strictly above the global per-user "
+                "mean for that type, pinned by the exact integer "
+                "cross-multiplication c * n_users > total -- scale-free "
+                "and non-degenerate, unlike at-least-once conversion "
+                "which saturates at 100% on this data). "
+                "Sufficient statistics are exact BIGINTs (per-arm user "
+                "totals, per-arm converter counts from one distinct "
+                "(event_type, user_id) pass); the statistic is one "
+                "identical IEEE expression over those integers in both "
+                "engines (each factor cast to double BEFORE multiplying "
+                "-- the raw product n_a*n_b*conv*nonconv overflows int64 "
+                "past ~100k users), scaled-floor hashed, with the 95% "
+                "1-dof threshold pinned on the scaled integer (3841459 = "
+                "floor(1e6 * 3.841459)). Because arms are hash-random, "
+                "this doubles as the null-calibration check every "
+                "experimentation platform runs: significant should be "
+                "false for ~95% of metrics. Scale shape: arm is a "
+                "scan-side expression, the distinct pass is map-side "
+                "combinable, and the 2-number totals frame broadcasts; "
+                "nothing fact-sized shuffles twice.",
+    tags=("relational", "analytics", "experiment", "aggregate"),
+)
+def ab_test_chi2_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")),
+                    1, 1).isin(*"01234567"),
+        "A").otherwise("B")
+    armed = (ev.select("user_id").distinct()
+             .select("user_id", arm.alias("arm")))
+    tot = armed.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long").alias("n_b"))
+    cnt = (ev.groupBy("event_type", "user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    typetot = cnt.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("tot"))
+    conv = (cnt.join(F.broadcast(typetot), "event_type")
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("c") * (F.col("n_a") + F.col("n_b")) > F.col("tot"))
+            .select("event_type", "user_id"))
+    per = (conv.join(armed, "user_id")
+           .groupBy("event_type")
+           .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                .cast("long").alias("conv_a"),
+                F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                .cast("long").alias("conv_b")))
+    cells = (per.crossJoin(F.broadcast(tot))
+             .withColumn("n_all", F.col("n_a") + F.col("n_b"))
+             .withColumn("n_conv", F.col("conv_a") + F.col("conv_b"))
+             .withColumn("det",
+                         F.col("conv_a") * (F.col("n_b") - F.col("conv_b"))
+                         - (F.col("n_a") - F.col("conv_a")) * F.col("conv_b"))
+             .where((F.col("n_conv") > 0) & (F.col("n_conv") < F.col("n_all"))))
+    chi2 = (F.col("n_all").cast("double")
+            * F.col("det").cast("double") * F.col("det").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")
+               * F.col("n_conv").cast("double")
+               * (F.col("n_all") - F.col("n_conv")).cast("double")))
+    chi2_e6 = F.floor(chi2 * 1000000).cast("long")
+    return cells.select(
+        "event_type", "n_a", "n_b", "conv_a", "conv_b",
+        F.floor(F.col("conv_a") * 1000000.0 / F.col("n_a"))
+        .cast("long").alias("rate_a_e6"),
+        F.floor(F.col("conv_b") * 1000000.0 / F.col("n_b"))
+        .cast("long").alias("rate_b_e6"),
+        chi2_e6.alias("chi2_e6"),
+        (chi2_e6 >= 3841459).alias("significant"))
