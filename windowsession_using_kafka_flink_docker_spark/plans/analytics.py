@@ -1381,3 +1381,188 @@ def ab_test_chi2_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("rate_b_e6"),
         chi2_e6.alias("chi2_e6"),
         (chi2_e6 >= 3841459).alias("significant"))
+
+
+@register(
+    "welch_t_spend_ab",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+armed AS (
+  SELECT cents,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm
+  FROM spend),
+stats AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) AS ss
+  FROM armed GROUP BY 1),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         MAX(CASE WHEN arm = 'A' THEN s END) AS s_a,
+         MAX(CASE WHEN arm = 'B' THEN s END) AS s_b,
+         MAX(CASE WHEN arm = 'A' THEN CAST(ss AS DOUBLE) END) AS ss_a,
+         MAX(CASE WHEN arm = 'B' THEN CAST(ss AS DOUBLE) END) AS ss_b
+  FROM stats),
+calc AS (
+  SELECT n_a, n_b, s_a, s_b,
+         (ss_a - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                 / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS va,
+         (ss_b - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                 / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS vb
+  FROM wide
+  WHERE n_a >= 2 AND n_b >= 2)
+SELECT n_a, n_b, s_a AS sum_a_cents, s_b AS sum_b_cents,
+       CAST(floor(s_a * 100.0 / n_a) AS BIGINT) AS mean_a_ce2,
+       CAST(floor(s_b * 100.0 / n_b) AS BIGINT) AS mean_b_ce2,
+       CAST(floor(ABS(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt(va / CAST(n_a AS DOUBLE)
+                         + vb / CAST(n_b AS DOUBLE))
+                  * 1000000) AS BIGINT) AS abs_t_e6,
+       CAST(floor(ABS(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt(va / CAST(n_a AS DOUBLE)
+                         + vb / CAST(n_b AS DOUBLE))
+                  * 1000000) AS BIGINT) >= 1959964 AS significant
+FROM calc
+""",
+    description="Welch's unequal-variance t-test on per-user total spend "
+                "between the two md5-hash arms — the continuous-metric "
+                "twin of ab_test_chi2_by_event (same deterministic "
+                "assignment, same null-calibration reading: arms are "
+                "hash-random, so significance should be rare). Sufficient "
+                "statistics per arm are exact integers: user spend "
+                "quantized to BIGINT cents, and the sum of squares "
+                "accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) "
+                "because BIGINT cents-squared overflows int64 past ~1e5 "
+                "users at this value scale — the overflow-proof scale "
+                "path the EWMA fix established. The t statistic is one "
+                "identical IEEE expression (each exact stat cast to "
+                "double at the same point on both engines; sqrt is "
+                "correctly rounded IEEE so it cannot diverge), "
+                "scaled-floor hashed with the two-sided 95% threshold "
+                "pinned on the integer (1959964 = floor(1e6 * "
+                "1.959964)). Scale shape: one map-side-combinable "
+                "groupBy(user), one 2-row groupBy(arm), a 1-row pivot — "
+                "nothing fact-sized shuffles twice.",
+    tags=("relational", "analytics", "experiment", "aggregate"),
+)
+def welch_t_spend_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")),
+                    1, 1).isin(*"01234567"),
+        "A").otherwise("B")
+    armed = spend.select("cents", arm.alias("arm"))
+    cdec = F.col("cents").cast("decimal(19,0)")
+    stats = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(cdec * cdec).alias("ss"))
+    wide = stats.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("ss").cast("double")))
+        .alias("ss_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("ss").cast("double")))
+        .alias("ss_b"),
+    ).where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    va = ((F.col("ss_a")
+           - F.col("s_a").cast("double") * F.col("s_a").cast("double")
+           / F.col("n_a").cast("double"))
+          / (F.col("n_a") - 1).cast("double"))
+    vb = ((F.col("ss_b")
+           - F.col("s_b").cast("double") * F.col("s_b").cast("double")
+           / F.col("n_b").cast("double"))
+          / (F.col("n_b") - 1).cast("double"))
+    calc = wide.select("n_a", "n_b", "s_a", "s_b",
+                       va.alias("va"), vb.alias("vb"))
+    abs_t = (F.abs(F.col("s_a").cast("double") / F.col("n_a").cast("double")
+                   - F.col("s_b").cast("double") / F.col("n_b").cast("double"))
+             / F.sqrt(F.col("va") / F.col("n_a").cast("double")
+                      + F.col("vb") / F.col("n_b").cast("double")))
+    abs_t_e6 = F.floor(abs_t * 1000000).cast("long")
+    return calc.select(
+        "n_a", "n_b",
+        F.col("s_a").alias("sum_a_cents"), F.col("s_b").alias("sum_b_cents"),
+        F.floor(F.col("s_a") * 100.0 / F.col("n_a"))
+        .cast("long").alias("mean_a_ce2"),
+        F.floor(F.col("s_b") * 100.0 / F.col("n_b"))
+        .cast("long").alias("mean_b_ce2"),
+        abs_t_e6.alias("abs_t_e6"),
+        (abs_t_e6 >= 1959964).alias("significant"))
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT CASE
+         WHEN p.p_brand = 'Brand#12' THEN 'small'
+         WHEN p.p_brand = 'Brand#23' THEN 'medium'
+         ELSE 'large' END AS bracket,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+""",
+    description="TPC-H Q19's shape (discounted revenue under a 3-branch "
+                "disjunctive join predicate mixing part attributes and "
+                "lineitem attributes; the classic container/shipmode "
+                "columns do not exist in this schema so the branches use "
+                "brand x size x quantity brackets) -- the optimizer "
+                "stress-case for OR-predicate handling: the "
+                "brand/size-only disjunction factors out and pushes to "
+                "the part SCAN (pruning the dimension before the join), "
+                "the part side broadcasts, and the mixed "
+                "brand-AND-quantity conjuncts evaluate post-join without "
+                "a second pass. Revenue is the exact-integer e4 cents "
+                "product discipline of q3_shipping_priority. Grouping by "
+                "branch keeps per-branch exactness visible instead of "
+                "one opaque total.",
+    tags=("relational", "analytics", "join", "decision_support"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b1 = ((F.col("p_brand") == "Brand#12")
+          & F.col("p_size").between(1, 5)
+          & F.col("l_quantity").between(1, 11))
+    b2 = ((F.col("p_brand") == "Brand#23")
+          & F.col("p_size").between(1, 10)
+          & F.col("l_quantity").between(10, 20))
+    b3 = ((F.col("p_brand") == "Brand#34")
+          & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(20, 30))
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    ).cast("long").alias("revenue_e4")
+    bracket = (F.when(F.col("p_brand") == "Brand#12", "small")
+               .when(F.col("p_brand") == "Brand#23", "medium")
+               .otherwise("large"))
+    dim = F.broadcast(part.where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size"))
+    return (li.join(dim, F.col("l_partkey") == F.col("p_partkey"))
+            .where(b1 | b2 | b3)
+            .groupBy(bracket.alias("bracket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"), rev))

@@ -2437,3 +2437,65 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_docs"),
         ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters"))
         .cast("long").alias("n_removable"))
+
+
+@register(
+    "zipf_rank_frequency",
+    oracle="""
+WITH freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(""" + _NORM_SQL + """, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY token),
+top AS (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+  FROM freq ORDER BY n DESC, token LIMIT 50),
+expect AS (
+  SELECT rank, token, n,
+         CAST(floor(MAX(n) OVER () * 1.0 / rank) AS BIGINT) AS zipf_expected
+  FROM top)
+SELECT CAST(rank AS BIGINT) AS rank, token, n, zipf_expected,
+       CAST(floor(ABS(n - zipf_expected) * 10000.0 / zipf_expected)
+            AS BIGINT) AS deviation_e4
+FROM expect
+""",
+    description="Zipf's-law corpus audit: the top-50 rank-frequency table "
+                "with the ideal Zipf expectation n(1)/rank and each "
+                "token's deviation from it — the standard corpus-health "
+                "check that a scraped/deduped corpus still has a natural "
+                "token distribution (a flat curve means boilerplate "
+                "flooding; a cliff means over-aggressive dedup). Shares "
+                "the normalize-tokenize-count stages with "
+                "heavy_hitter_tokens; the rank and the expectation are "
+                "PURE INTEGER arithmetic (row_number over the "
+                "deterministic count-then-token order, floor of the "
+                "max-count/rank quotient) so every cell is hash-exact — "
+                "no logs, no float summation. Scale shape: explode -> "
+                "map-side partial count -> one agg shuffle -> "
+                "TakeOrderedAndProject; the windows run on the 50-row "
+                "post-limit frame only (provably tiny domain, same "
+                "precedent as the partition-count frames).",
+    tags=("llm", "text", "topk", "audit"),
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    top = (toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+           .orderBy(F.desc("n"), "token")
+           .limit(50))
+    w_rank = Window.orderBy(F.desc("n"), "token")
+    w_all = Window.partitionBy()
+    ranked = top.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "token", "n",
+        F.floor(F.max("n").over(w_all) * 1.0 / F.row_number().over(w_rank))
+        .cast("long").alias("zipf_expected"))
+    return ranked.select(
+        "rank", "token", "n", "zipf_expected",
+        F.floor(F.abs(F.col("n") - F.col("zipf_expected")) * 10000.0
+                / F.col("zipf_expected"))
+        .cast("long").alias("deviation_e4"))
