@@ -317,3 +317,106 @@ class TestABTestChiSquare:
         for r in rows:
             assert r.n_a + r.n_b == n_users
             assert r.n_a > 0 and r.n_b > 0, "md5 arm assignment collapsed"
+
+
+class TestInequalityAndNonparametrics:
+    """Brute-force Python recomputations for gini_spend_inequality,
+    cusum_changepoint_daily_revenue, and mann_whitney_spend_ab — each
+    entry's statistic re-derived definitionally from the raw parquet."""
+
+    @pytest.fixture(scope="class")
+    def user_spend(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        rows = (ev.groupBy("user_id")
+                .agg(F.round(F.sum("value") * 100, 0).cast("long")
+                     .alias("cents")).collect())
+        return {r.user_id: r.cents for r in rows}
+
+    @staticmethod
+    def _arm(user_id: int) -> str:
+        import hashlib
+
+        h = hashlib.md5(str(user_id).encode()).hexdigest()
+        return "A" if h[0] in "01234567" else "B"
+
+    def test_gini_brute_force(self, spark, sf_dir, user_spend):
+        import math
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            gini_spend_inequality,
+        )
+
+        xs = sorted(user_spend.values())
+        n, s1 = len(xs), sum(xs)
+        s2 = sum((i + 1) * x for i, x in enumerate(xs))
+        gini = (2 * float(s2) - (n + 1.0) * s1) / (float(n) * s1)
+        row = gini_spend_inequality(spark, sf_dir).collect()[0]
+        assert row.n_users == n
+        assert row.total_cents == s1
+        assert abs(row.gini_e6 - math.floor(gini * 1_000_000)) <= 1
+        top10 = sum(xs[n - n // 10:])
+        bot50 = sum(xs[: n // 2])
+        assert row.top10_share_e6 == top10 * 1_000_000 // s1
+        assert row.bot50_share_e6 == bot50 * 1_000_000 // s1
+
+    def test_cusum_brute_force(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            cusum_changepoint_daily_revenue,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        daily = sorted(
+            (r.d, r.cents)
+            for r in orders.groupBy(F.col("o_orderdate").alias("d"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                 .cast("long").alias("cents")).collect())
+        n = len(daily)
+        s = sum(c for _, c in daily)
+        pref, best = 0, None
+        for j, (d, c) in enumerate(daily, start=1):
+            if j == n:
+                break
+            pref += c
+            cval = n * pref - j * s
+            key = (abs(cval), -j)
+            if best is None or key > best[0]:
+                best = (key, d, j, cval)
+        row = cusum_changepoint_daily_revenue(spark, sf_dir).collect()[0]
+        assert row.n_days == n and row.total_cents == s
+        assert row.peak_day_index == best[2]
+        assert row.cusum_scaled == best[3]
+
+    def test_mann_whitney_brute_force(self, spark, sf_dir, user_spend):
+        import math
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            mann_whitney_spend_ab,
+        )
+
+        sample = sorted((c, u) for u, c in user_spend.items())
+        n = len(sample)
+        # doubled average ranks per tied value
+        from collections import defaultdict
+
+        positions = defaultdict(list)
+        for i, (c, _) in enumerate(sample, start=1):
+            positions[c].append(i)
+        r2_a = 0
+        n_a = n_b = 0
+        for c, u in sample:
+            pos = positions[c]
+            r2 = min(pos) + max(pos)
+            if self._arm(u) == "A":
+                r2_a += r2
+                n_a += 1
+            else:
+                n_b += 1
+        u2_a = r2_a - n_a * (n_a + 1)
+        tie_sum = sum(len(p) ** 3 - len(p) for p in positions.values())
+        var = (n_a * n_b / 12.0
+               * ((n + 1.0) - tie_sum / (n * (n - 1.0))))
+        z = abs(u2_a - n_a * n_b) / (2 * math.sqrt(var))
+        row = mann_whitney_spend_ab(spark, sf_dir).collect()[0]
+        assert (row.n_a, row.n_b, row.u2_a) == (n_a, n_b, u2_a)
+        assert abs(row.abs_z_e6 - math.floor(z * 1_000_000)) <= 1
+        assert row.significant == (row.abs_z_e6 >= 1_959_964)

@@ -1566,3 +1566,279 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(b1 | b2 | b3)
             .groupBy(bracket.alias("bracket"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_items"), rev))
+
+
+@register(
+    "gini_spend_inequality",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn
+  FROM spend),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(CAST(rn AS HUGEINT) * cents) AS DOUBLE) AS s2
+  FROM ranked),
+shares AS (
+  SELECT CAST(SUM(CASE WHEN r.rn > t.n - t.n // 10 THEN r.cents ELSE 0 END)
+              AS BIGINT) AS top10_cents,
+         CAST(SUM(CASE WHEN r.rn <= t.n // 2 THEN r.cents ELSE 0 END)
+              AS BIGINT) AS bot50_cents
+  FROM ranked r, tot t)
+SELECT t.n AS n_users, t.s1 AS total_cents,
+       CAST(floor((2 * t.s2 - (CAST(t.n AS DOUBLE) + 1)
+                              * CAST(t.s1 AS DOUBLE))
+                  / (CAST(t.n AS DOUBLE) * CAST(t.s1 AS DOUBLE))
+                  * 1000000) AS BIGINT) AS gini_e6,
+       CAST(floor(s.top10_cents * 1000000.0 / t.s1) AS BIGINT)
+         AS top10_share_e6,
+       CAST(floor(s.bot50_cents * 1000000.0 / t.s1) AS BIGINT)
+         AS bot50_share_e6
+FROM tot t, shares s
+""",
+    description="Spend-inequality report: exact Gini coefficient of "
+                "per-user total spend plus the top-10%/bottom-50% spend "
+                "shares -- the concentration reading (who holds the "
+                "revenue) that complements supplier_hhi_by_parttype's "
+                "market view. Gini comes from the closed rank form "
+                "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over "
+                "cents ranked ascending with user_id tie-break (tie "
+                "order provably cannot change the sum: equal x across a "
+                "tie block multiplies a fixed position total). The rank "
+                "is global_rank_ranged -- range partition + local "
+                "row_number + broadcast prefix offsets, NO "
+                "single-partition window over users -- and sum(rank*x) "
+                "accumulates in DECIMAL(38,0)/HUGEINT (rank*cents "
+                "overflows int64 past ~1e7 users, the Welch discipline). "
+                "The statistic is one identical IEEE expression over "
+                "exact integers, scaled-floor hashed. Second pass for "
+                "the conditional shares joins the 1-row totals broadcast "
+                "against the ranked frame.",
+    tags=("relational", "analytics", "aggregate", "rank"),
+)
+def gini_spend_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    ranked = global_rank_ranged(spend, ["cents", "user_id"])
+    gdec = F.col("grank").cast("decimal(19,0)")
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(gdec * F.col("cents")).cast("double").alias("s2"))
+    joined = ranked.crossJoin(F.broadcast(tot))
+    shares = joined.agg(
+        F.max("n").alias("n"), F.max("s1").alias("s1"), F.max("s2").alias("s2"),
+        F.sum(F.when(
+            F.col("grank") > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
+            F.col("cents")).otherwise(0)).cast("long").alias("top10_cents"),
+        F.sum(F.when(
+            F.col("grank") <= F.floor(F.col("n") / 2).cast("long"),
+            F.col("cents")).otherwise(0)).cast("long").alias("bot50_cents"))
+    return shares.select(
+        F.col("n").alias("n_users"), F.col("s1").alias("total_cents"),
+        F.floor((2 * F.col("s2")
+                 - (F.col("n").cast("double") + 1) * F.col("s1").cast("double"))
+                / (F.col("n").cast("double") * F.col("s1").cast("double"))
+                * 1000000).cast("long").alias("gini_e6"),
+        F.floor(F.col("top10_cents") * 1000000.0 / F.col("s1"))
+        .cast("long").alias("top10_share_e6"),
+        F.floor(F.col("bot50_cents") * 1000000.0 / F.col("s1"))
+        .cast("long").alias("bot50_share_e6"))
+
+
+@register(
+    "cusum_changepoint_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM daily),
+pre AS (
+  SELECT d, cents,
+         CAST(SUM(cents) OVER (ORDER BY d) AS BIGINT) AS pref,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS j
+  FROM daily),
+cus AS (
+  SELECT p.d, p.j, p.pref, t.n, t.s,
+         t.n * p.pref - p.j * t.s AS c
+  FROM pre p, tot t
+  WHERE p.j < t.n)
+SELECT d AS peak_date, j AS peak_day_index, n AS n_days, s AS total_cents,
+       c AS cusum_scaled,
+       CAST(floor(pref * 100.0 / j) AS BIGINT) AS mean_before_ce2,
+       CAST(floor((s - pref) * 100.0 / (n - j)) AS BIGINT) AS mean_after_ce2
+FROM cus ORDER BY ABS(c) DESC, d LIMIT 1
+""",
+    description="CUSUM change-point detection on the daily order-revenue "
+                "series: the split point j maximizing |n*prefix_j - j*S| "
+                "-- the classic scaled cumulative-sum deviation, which "
+                "avoids ALL division so every candidate statistic is an "
+                "exact BIGINT (n*prefix stays under int64 because the "
+                "day keyspace is calendar-bounded ~1e4 regardless of "
+                "data scale; cents totals to ~1e13 at 100 TB keep the "
+                "product under 1e17). Emits the argmax day (earliest-day "
+                "tie-break makes the cut deterministic) with the "
+                "before/after mean daily revenue, i.e. the level shift "
+                "the split detects. Scale shape: one map-side-combined "
+                "groupBy(date) collapses the fact table to the bounded "
+                "daily series; the ordered prefix window and the argmax "
+                "top-1 run on that keyspace-bounded frame only (the "
+                "resample_locf_hourly precedent), and the 2-number "
+                "totals broadcast.",
+    tags=("relational", "analytics", "timeseries", "window_function"),
+)
+def cusum_changepoint_daily_revenue(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    w = Window.orderBy("d")
+    pre = daily.select(
+        "d", "cents",
+        F.sum("cents").over(w).cast("long").alias("pref"),
+        F.row_number().over(w).cast("long").alias("j"))
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("s"))
+    cus = (pre.crossJoin(F.broadcast(tot))
+           .where(F.col("j") < F.col("n"))
+           .withColumn("c", F.col("n") * F.col("pref")
+                       - F.col("j") * F.col("s")))
+    return (cus.orderBy(F.abs(F.col("c")).desc(), "d").limit(1)
+            .select(F.col("d").alias("peak_date"),
+                    F.col("j").alias("peak_day_index"),
+                    F.col("n").alias("n_days"),
+                    F.col("s").alias("total_cents"),
+                    F.col("c").alias("cusum_scaled"),
+                    F.floor(F.col("pref") * 100.0 / F.col("j"))
+                    .cast("long").alias("mean_before_ce2"),
+                    F.floor((F.col("s") - F.col("pref")) * 100.0
+                            / (F.col("n") - F.col("j")))
+                    .cast("long").alias("mean_after_ce2")))
+
+
+@register(
+    "mann_whitney_spend_ab",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+armed AS (
+  SELECT user_id, cents,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm
+  FROM spend),
+ranked AS (
+  SELECT user_id, cents, arm,
+         ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn
+  FROM armed),
+grp AS (
+  SELECT cents,
+         CAST(MIN(rn) + MAX(rn) AS BIGINT) AS r2,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM ranked GROUP BY cents),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN r.arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN r.arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN r.arm = 'A' THEN g.r2 ELSE 0 END) AS BIGINT)
+           AS r2_a
+  FROM ranked r JOIN grp g USING (cents)),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum FROM grp),
+calc AS (
+  SELECT n_a, n_b, n_a + n_b AS n,
+         r2_a - n_a * (n_a + 1) AS u2_a,
+         tie_sum
+  FROM stats, ties
+  WHERE n_a >= 2 AND n_b >= 2)
+SELECT n_a, n_b, u2_a,
+       CAST(floor(ABS(CAST(u2_a - n_a * n_b AS DOUBLE))
+                  / (2 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                              / 12.0
+                              * (CAST(n + 1 AS DOUBLE)
+                                 - CAST(tie_sum AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n - 1 AS DOUBLE)))))
+                  * 1000000) AS BIGINT) AS abs_z_e6,
+       CAST(floor(ABS(CAST(u2_a - n_a * n_b AS DOUBLE))
+                  / (2 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                              / 12.0
+                              * (CAST(n + 1 AS DOUBLE)
+                                 - CAST(tie_sum AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n - 1 AS DOUBLE)))))
+                  * 1000000) AS BIGINT) >= 1959964 AS significant
+FROM calc
+""",
+    description="Mann-Whitney U (Wilcoxon rank-sum) on per-user spend "
+                "between the md5 arms -- the NONPARAMETRIC member of the "
+                "experiment family next to the chi-square (categorical) "
+                "and Welch t (parametric means): rank-based, so a "
+                "heavy-tailed whale distribution cannot distort it. All "
+                "sufficient statistics are exact integers: ranks come "
+                "from global_rank_ranged's total order, tied values get "
+                "average ranks carried as DOUBLED rank sums (2*avg = "
+                "min_rank + max_rank per tie group, so nothing is ever "
+                ".5), U is the doubled identity 2U = 2R_A - n_A(n_A+1), "
+                "and the tie-correction term sum(t^3 - t) is a bigint. "
+                "The normal approximation z (tie-corrected variance, no "
+                "continuity correction) is one identical IEEE expression "
+                "over those integers, scaled-floor hashed with the "
+                "two-sided 95% threshold pinned on the integer. Scale "
+                "shape: the ranked frame never re-sorts -- the tie "
+                "groups are one groupBy(cents) and the rank sums one "
+                "more aggregate; ties join back via broadcast-sized "
+                "per-value frames.",
+    tags=("relational", "analytics", "experiment", "rank"),
+)
+def mann_whitney_spend_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")),
+                    1, 1).isin(*"01234567"),
+        "A").otherwise("B")
+    armed = spend.select("user_id", "cents", arm.alias("arm"))
+    ranked = global_rank_ranged(armed, ["cents", "user_id"])
+    grp = ranked.groupBy("cents").agg(
+        (F.min("grank") + F.max("grank")).cast("long").alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("t"))
+    stats = (ranked.join(grp, "cents")
+             .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                  .cast("long").alias("n_a"),
+                  F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                  .cast("long").alias("n_b"),
+                  F.sum(F.when(F.col("arm") == "A", F.col("r2")).otherwise(0))
+                  .cast("long").alias("r2_a")))
+    ties = grp.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tie_sum"))
+    calc = (stats.crossJoin(F.broadcast(ties))
+            .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+            .select("n_a", "n_b", "tie_sum",
+                    (F.col("n_a") + F.col("n_b")).alias("n"),
+                    (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+                    .alias("u2_a")))
+    abs_z = (F.abs((F.col("u2_a") - F.col("n_a") * F.col("n_b"))
+                   .cast("double"))
+             / (2 * F.sqrt(F.col("n_a").cast("double")
+                           * F.col("n_b").cast("double") / 12.0
+                           * ((F.col("n") + 1).cast("double")
+                              - F.col("tie_sum").cast("double")
+                              / (F.col("n").cast("double")
+                                 * (F.col("n") - 1).cast("double"))))))
+    abs_z_e6 = F.floor(abs_z * 1000000).cast("long")
+    return calc.select(
+        "n_a", "n_b", "u2_a",
+        abs_z_e6.alias("abs_z_e6"),
+        (abs_z_e6 >= 1959964).alias("significant"))
