@@ -1537,6 +1537,7 @@ GROUP BY 1
                 "product discipline of q3_shipping_priority. Grouping by "
                 "branch keeps per-branch exactness visible instead of "
                 "one opaque total.",
+    bench=True,
     tags=("relational", "analytics", "join", "decision_support"),
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
