@@ -420,3 +420,61 @@ class TestInequalityAndNonparametrics:
         assert (row.n_a, row.n_b, row.u2_a) == (n_a, n_b, u2_a)
         assert abs(row.abs_z_e6 - math.floor(z * 1_000_000)) <= 1
         assert row.significant == (row.abs_z_e6 >= 1_959_964)
+
+
+class TestDecompositionAndBacktest:
+    """price_volume_decomposition: the two-term bridge must reconstruct the
+    exact delta within floor error; seasonal_naive_backtest: MAE/MAPE
+    re-derived from a Python dict of the daily series."""
+
+    def test_decomposition_identity(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            price_volume_decomposition,
+        )
+
+        rows = price_volume_decomposition(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # vol + price == delta exactly in rationals; each term is
+            # floored independently so the reconstruction is within 2
+            recon = r.volume_effect_e4 + r.price_effect_e4
+            assert 0 <= r.delta_e4 - recon <= 2, r
+            # and the floors match a direct Python recomputation
+            import math
+
+            p1 = r.r1_e4 / r.q1
+            p2 = r.r2_e4 / r.q2
+            assert r.volume_effect_e4 == math.floor((r.q2 - r.q1) * p1)
+            assert r.price_effect_e4 == math.floor((p2 - p1) * r.q2)
+
+    def test_backtest_brute_force(self, spark, sf_dir):
+        from datetime import timedelta
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            seasonal_naive_backtest,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        daily = {
+            r.d: r.cents
+            for r in orders.groupBy(F.col("o_orderdate").alias("d"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                 .cast("long").alias("cents")).collect()
+        }
+        per_dow = {}
+        for d, cents in daily.items():
+            prev = daily.get(d - timedelta(days=7))
+            if prev is None or cents <= 0:
+                continue
+            dow = d.isoweekday()
+            err = abs(cents - prev)
+            tot, pct, n = per_dow.get(dow, (0, 0, 0))
+            per_dow[dow] = (tot + err, pct + err * 10000 // cents, n + 1)
+        got = {r.dow: r for r in
+               seasonal_naive_backtest(spark, sf_dir).collect()}
+        assert set(got) == set(per_dow)
+        for dow, (tot, pct, n) in per_dow.items():
+            r = got[dow]
+            assert r.n_days == n
+            assert r.mae_cents == tot // n
+            assert r.mape_e4 == pct // n

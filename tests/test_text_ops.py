@@ -52,12 +52,14 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     approximate quantile must lie between the exact quantiles at q ± 2%
     (tail values can differ a lot in value space on small groups even when
     the rank is nearly exact)."""
-    from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        approx_percentiles,
+    )
     from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
 
     qs = [0.5, 0.9, 0.99]
     approx = {r.event_type: [r.p50, r.p90, r.p99]
-              for r in CATALOG["approx_percentiles"].spark(spark, sf_dir).collect()}
+              for r in approx_percentiles(spark, sf_dir).collect()}
     lo_hi = {
         r.event_type: (r.lo, r.hi)
         for r in load_table(spark, sf_dir, "events").groupBy("event_type")

@@ -1843,3 +1843,155 @@ def mann_whitney_spend_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "n_b", "u2_a",
         abs_z_e6.alias("abs_z_e6"),
         (abs_z_e6 >= 1959964).alias("significant"))
+
+
+@register(
+    "price_volume_decomposition",
+    oracle="""
+WITH j AS (
+  SELECT p.p_brand,
+         CASE WHEN l.l_shipdate < DATE '1998-07-01' THEN 1 ELSE 2 END
+           AS period,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT) AS rev_e4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+per AS (
+  SELECT p_brand,
+         CAST(SUM(CASE WHEN period = 1 THEN qty ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN period = 2 THEN qty ELSE 0 END) AS BIGINT) AS q2,
+         CAST(SUM(CASE WHEN period = 1 THEN rev_e4 ELSE 0 END) AS BIGINT)
+           AS r1_e4,
+         CAST(SUM(CASE WHEN period = 2 THEN rev_e4 ELSE 0 END) AS BIGINT)
+           AS r2_e4
+  FROM j GROUP BY 1
+  HAVING SUM(CASE WHEN period = 1 THEN qty ELSE 0 END) > 0
+     AND SUM(CASE WHEN period = 2 THEN qty ELSE 0 END) > 0)
+SELECT p_brand, q1, q2, r1_e4, r2_e4,
+       r2_e4 - r1_e4 AS delta_e4,
+       CAST(floor((q2 - q1) * (CAST(r1_e4 AS DOUBLE)
+                               / CAST(q1 AS DOUBLE))) AS BIGINT)
+         AS volume_effect_e4,
+       CAST(floor((CAST(r2_e4 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                   - CAST(r1_e4 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                  * CAST(q2 AS DOUBLE)) AS BIGINT)
+         AS price_effect_e4
+FROM per
+""",
+    description="Price-volume decomposition of revenue change per brand "
+                "between two ship-date periods -- the classic 'why did "
+                "revenue move' bridge: delta = (q2-q1)*p1 (volume at old "
+                "unit price) + (p2-p1)*q2 (unit-price change on new "
+                "volume), an identity that sums EXACTLY to the exact "
+                "delta in rationals (the two-term Laspeyres/Paasche "
+                "split, floors reported per effect, delta itself exact "
+                "BIGINT e4-cents -- the product-of-rounds revenue "
+                "discipline of q3_shipping_priority). Sufficient statistics are one "
+                "map-side-combinable conditional aggregate per brand "
+                "over the broadcast part join -- q1/q2/r1/r2 exact "
+                "integers, effects one identical IEEE expression. "
+                "Brands with an empty period are excluded (no unit "
+                "price to decompose against). Scale shape: dimension "
+                "broadcast, single agg shuffle on the 25-brand keyspace.",
+    tags=("relational", "analytics", "decomposition", "aggregate"),
+)
+def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+         .select(
+             "p_brand",
+             F.when(F.col("l_shipdate") < F.lit("1998-07-01").cast("date"),
+                    1).otherwise(2).alias("period"),
+             F.col("l_quantity").cast("long").alias("qty"),
+             (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+              * F.round((1 - F.col("l_discount")) * 100, 0).cast("long"))
+             .alias("rev_e4")))
+    per = (j.groupBy("p_brand")
+           .agg(F.sum(F.when(F.col("period") == 1, F.col("qty")).otherwise(0))
+                .cast("long").alias("q1"),
+                F.sum(F.when(F.col("period") == 2, F.col("qty")).otherwise(0))
+                .cast("long").alias("q2"),
+                F.sum(F.when(F.col("period") == 1, F.col("rev_e4")).otherwise(0))
+                .cast("long").alias("r1_e4"),
+                F.sum(F.when(F.col("period") == 2, F.col("rev_e4")).otherwise(0))
+                .cast("long").alias("r2_e4"))
+           .where((F.col("q1") > 0) & (F.col("q2") > 0)))
+    p1 = F.col("r1_e4").cast("double") / F.col("q1").cast("double")
+    p2 = F.col("r2_e4").cast("double") / F.col("q2").cast("double")
+    return per.select(
+        "p_brand", "q1", "q2", "r1_e4", "r2_e4",
+        (F.col("r2_e4") - F.col("r1_e4")).alias("delta_e4"),
+        F.floor((F.col("q2") - F.col("q1")) * p1)
+        .cast("long").alias("volume_effect_e4"),
+        F.floor((p2 - p1) * F.col("q2").cast("double"))
+        .cast("long").alias("price_effect_e4"))
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+paired AS (
+  SELECT a.d, a.cents,
+         b.cents AS forecast,
+         CAST(isodow(CAST(a.d AS DATE)) AS BIGINT) AS dow
+  FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 7 DAY
+  WHERE a.cents > 0)
+SELECT dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(floor(SUM(ABS(cents - forecast)) * 1.0 / COUNT(*)) AS BIGINT)
+         AS mae_cents,
+       CAST(floor(SUM(ABS(cents - forecast) * 10000 // cents) * 1.0
+                  / COUNT(*)) AS BIGINT) AS mape_e4
+FROM paired GROUP BY 1
+""",
+    description="Seasonal-naive forecast backtest: predict each day's "
+                "order revenue with the same weekday one week earlier "
+                "(the standard baseline every forecasting system must "
+                "beat) and score MAE and MAPE per weekday over the "
+                "whole history. The lag-7 pairing is a self-equi-join "
+                "on the calendar-bounded daily series -- NOT a window "
+                "over facts (the fact table collapses to <=1e4 daily "
+                "rows first, the cusum precedent), and with calendar "
+                "gaps a date-keyed join is the correct lag anyway "
+                "(lag(7) over row positions would silently pair across "
+                "gaps). Errors are exact BIGINT cents; the per-day "
+                "percentage error is the exact integer floor "
+                "|e|*1e4 // actual, so MAE/MAPE are integer arithmetic "
+                "until one final identical floored division. isodow vs "
+                "dayofweek calendar pairing as in dow_seasonality_index.",
+    tags=("relational", "analytics", "timeseries", "forecast"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    lagged = daily.select(F.col("d").alias("d_lag"),
+                          F.col("cents").alias("forecast"))
+    paired = (daily.join(lagged,
+                         F.col("d_lag")
+                         == F.col("d") - F.expr("INTERVAL 7 DAY"))
+              .where(F.col("cents") > 0)
+              .select("d", "cents", "forecast",
+                      # Spark dayofweek: 1=Sunday..7=Saturday; isodow:
+                      # 1=Monday..7=Sunday — same shifted pairing as
+                      # dow_seasonality_index
+                      (((F.dayofweek("d") + 5) % 7) + 1).cast("long")
+                      .alias("dow")))
+    withe = paired.withColumn(
+        "abs_err", F.abs(F.col("cents") - F.col("forecast")))
+    # exact integer division on BOTH engines (Spark `div`, DuckDB `//`):
+    # abs_err*1e4 can exceed 2^53, where a double-divide floor could
+    # disagree with the exact quotient
+    pct = F.expr("(abs_err * 10000) div cents")
+    return (withe.groupBy("dow")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.floor(F.sum("abs_err") * 1.0 / F.count(F.lit(1)))
+                 .cast("long").alias("mae_cents"),
+                 F.floor(F.sum(pct) * 1.0 / F.count(F.lit(1)))
+                 .cast("long").alias("mape_e4")))

@@ -200,14 +200,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register(
-    "ann_cosine_topk",
-    oracle=None,  # approximate by design → rows-only
-    description="Sign-LSH bucketed ANN top-k (random-hyperplane cosine "
-                "LSH); bucket id doubles as partition/cluster key at scale",
-    tags=("llm", "similarity", "ann"),
-)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k (random-hyperplane cosine LSH); bucket
+    id doubles as partition/cluster key at scale.
+
+    Retired from the catalog (VERDICT r6 item 1 consolidation): the
+    rows-only registration added no signal once ``ann_recall_vs_exact``
+    hash-pinned the same operator's recall against the exact top-k — that
+    audit entry runs the identical sign-LSH pipeline and is the
+    driver-checked quality gate."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_cosine_topk(emb, emb.where(F.col("vec_id") < 10), dim=64, k=10)
 
@@ -2499,3 +2500,82 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.abs(F.col("n") - F.col("zipf_expected")) * 10000.0
                 / F.col("zipf_expected"))
         .cast("long").alias("deviation_e4"))
+
+
+@register(
+    "eval_ngram_novelty",
+    oracle="""
+WITH docs_sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, GREATEST(len(toks) - 2, 1) + 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+           )
+         ) AS sh,
+         CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3')
+              THEN 'eval' ELSE 'train' END AS split
+  FROM (SELECT doc_id, text,
+               string_split(""" + _NORM_SQL + """, ' ') AS toks
+        FROM documents)),
+inv AS (SELECT doc_id, split, unnest(sh) AS s FROM docs_sh),
+train_s AS (SELECT DISTINCT s FROM inv WHERE split = 'train'),
+eval_tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM inv WHERE split = 'eval' GROUP BY 1),
+eval_seen AS (
+  SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM inv i JOIN train_s t USING (s)
+  WHERE i.split = 'eval' GROUP BY 1)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(e.n_seen, 0) AS n_seen,
+       CAST((t.n_shingles - COALESCE(e.n_seen, 0)) * 10000
+            // t.n_shingles AS BIGINT) AS novelty_e4
+FROM eval_tot t LEFT JOIN eval_seen e USING (doc_id)
+""",
+    description="Per-eval-doc n-gram novelty against the train split: the "
+                "share of an eval document's distinct word-3-shingles "
+                "that appear NOWHERE in the train half of the "
+                "hash_split_train_test partition — the memorization/"
+                "contamination reading an eval-set owner needs (novelty "
+                "~0 means the eval doc is effectively memorized training "
+                "text; decontaminate_train_set answers the converse "
+                "question by REMOVING leaked train docs, this one SCORES "
+                "the eval side without touching the corpus). Reuses the "
+                "persisted per-session shingle stage shared by the whole "
+                "dedup family and the same md5 text split as "
+                "hash_split_train_test; the novelty ratio is an exact "
+                "integer floor-division. Scale shape: one distinct over "
+                "train shingles, one shingle-keyed semi-ish join (LEFT "
+                "SEMI in Spark), both shuffling slim (doc_id, shingle) "
+                "pairs — at 100 TB the shingle join key becomes "
+                "xxhash64(shingle) to shrink the exchange, exactly the "
+                "winnowing playbook.",
+    tags=("llm", "text", "dedup", "audit"),
+)
+def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split_frame = docs.select(
+        F.col("doc_id"),
+        F.when(F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+               .isin("0", "1", "2", "3"), "eval")
+        .otherwise("train").alias("split"))
+    sh = _shingle_stage(spark, sf_dir)
+    ex = (sh.select(F.col("_id").alias("doc_id"),
+                    F.explode("_sh").alias("s"))
+          .join(split_frame, "doc_id"))
+    train_s = (ex.where(F.col("split") == "train")
+               .select("s").distinct())
+    eval_ex = ex.where(F.col("split") == "eval")
+    tot = eval_ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    seen = (eval_ex.join(train_s, "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seen")))
+    return (tot.join(seen, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce(F.col("n_seen"), F.lit(0)).cast("long")
+                    .alias("n_seen"),
+                    F.expr("(n_shingles - coalesce(n_seen, 0)) * 10000"
+                           " div n_shingles")
+                    .cast("long").alias("novelty_e4")))
