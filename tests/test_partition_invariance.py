@@ -38,6 +38,12 @@ SENSITIVE = [
     # containment prefix filter: recall must be exact regardless of how
     # inverted-index entries land in partitions
     "containment_neardups",
+    # round-7 fourth/fifth batches: ranged-rank consumers (Gini's
+    # rank*cents sum, Mann-Whitney's tie-averaged rank sums) and the
+    # argmax-by-ordered-prefix change-point must be partition-count-proof
+    "gini_spend_inequality",
+    "mann_whitney_spend_ab",
+    "cusum_changepoint_daily_revenue",
 ]
 
 
