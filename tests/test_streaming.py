@@ -1601,3 +1601,92 @@ class TestStreamingLedgerMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(first, 0)
+
+
+class TestStreamingDailyRevenueMaintenance:
+    """One bounded per-day revenue state serving TWO driver-oracled
+    presentations (streaming/analytics_twins.py
+    IncrementalDailyRevenueMaintainer): the maintained change-point and
+    seasonal-naive backtest must equal cusum_changepoint_daily_revenue /
+    seasonal_naive_backtest after year-sliced micro-batch arrival of the
+    orders stream, stay idempotent under replay, and respect the
+    coupled-lifecycle guard."""
+
+    def _order_chunks(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        base = str(tmp_path_factory.mktemp("dailyrev_orders"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_totalprice")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            orders.where(F.pmod(F.year("o_orderdate"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        return flat
+
+    def test_stream_equals_batch_both_presentations(
+            self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalDailyRevenueMaintainer,
+            streaming_daily_revenue_maintenance,
+        )
+
+        flat = self._order_chunks(spark, sf_dir, tmp_path_factory)
+        maint = IncrementalDailyRevenueMaintainer(
+            spark, str(tmp_path_factory.mktemp("dailyrev_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema="o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_daily_revenue_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("dailyrev_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        for current, entry in (
+                (maint.current_changepoint, "cusum_changepoint_daily_revenue"),
+                (maint.current_backtest, "seasonal_naive_backtest")):
+            got = _rows(current(), exclude_sentinel=False)
+            want = _rows(CATALOG[entry].spark(spark, sf_dir),
+                         exclude_sentinel=False)
+            assert got == want, entry
+
+    def test_replay_is_idempotent(self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalDailyRevenueMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_totalprice")
+        maint = IncrementalDailyRevenueMaintainer(
+            spark, str(tmp_path_factory.mktemp("dailyrev_replay")))
+        maint.merge_batch(orders, 0)
+        maint.merge_batch(orders, 1)
+        once = _rows(maint.current_changepoint(), exclude_sentinel=False)
+        maint.merge_batch(orders, 1)  # crash-replay of batch 1
+        assert _rows(maint.current_changepoint(),
+                     exclude_sentinel=False) == once
+
+    def test_fresh_checkpoint_against_stale_state_fails_fast(
+            self, spark, sf_dir, tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalDailyRevenueMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_totalprice").limit(100)
+        maint = IncrementalDailyRevenueMaintainer(
+            spark, str(tmp_path_factory.mktemp("dailyrev_guard")))
+        maint.merge_batch(orders, 5)
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(orders, 0)

@@ -1702,6 +1702,14 @@ def cusum_changepoint_daily_revenue(spark: SparkSession,
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """Change-point derivation over a (d, cents) daily frame — shared by
+    the driver-oracled batch entry above and the streaming daily-revenue
+    maintainer (streaming/analytics_twins.py), so stream == batch is the
+    same code path by construction."""
     w = Window.orderBy("d")
     pre = daily.select(
         "d", "cents",
@@ -1971,6 +1979,13 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    return backtest_from_daily(daily)
+
+
+def backtest_from_daily(daily: DataFrame) -> DataFrame:
+    """Seasonal-naive MAE/MAPE derivation over a (d, cents) daily frame —
+    shared with the streaming daily-revenue maintainer like
+    cusum_from_daily."""
     lagged = daily.select(F.col("d").alias("d_lag"),
                           F.col("cents").alias("forecast"))
     paired = (daily.join(lagged,

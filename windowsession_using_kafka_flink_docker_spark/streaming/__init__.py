@@ -28,9 +28,11 @@ from windowsession_using_kafka_flink_docker_spark.streaming.joinview import (
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
     IncrementalDriftMaintainer,
+    IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
     IncrementalLedgerMaintainer,
     streaming_drift_maintenance,
+    streaming_daily_revenue_maintenance,
     streaming_ewma_maintenance,
     streaming_ledger_maintenance,
 )
@@ -71,9 +73,11 @@ __all__ = [
     "streaming_capped_sessionize",
     "IncrementalRollupMaintainer",
     "streaming_rollup_maintenance",
+    "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
+    "streaming_daily_revenue_maintenance",
     "streaming_ewma_maintenance",
     "streaming_drift_maintenance",
     "streaming_ledger_maintenance",

@@ -256,6 +256,48 @@ class IncrementalLedgerMaintainer:
             .cast("long").alias("final_balance_cents"))
 
 
+class IncrementalDailyRevenueMaintainer:
+    """Maintains per-day order-revenue cent partials; ONE bounded state
+    (|calendar days| rows regardless of order volume) serves TWO
+    driver-oracled presentations: ``current_changepoint()`` re-derives
+    cusum_changepoint_daily_revenue and ``current_backtest()``
+    seasonal_naive_backtest, both through the same *_from_daily helpers
+    the batch entries use — stream == batch is the same code path by
+    construction. Cents merge as exact BIGINTs, so the maintained daily
+    frame is bit-identical to the batch aggregate under any batch
+    interleaving (unlike the EWMA state, no presentation-side rounding
+    order can differ either: the partials are already integers)."""
+
+    _SCHEMA = "d TIMESTAMP, cents BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.state.guard(batch_id)
+        delta = (batch_df
+                 .groupBy(F.col("o_orderdate").alias("d"))
+                 .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                            .cast("long")).cast("long").alias("cents")))
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("d")
+                  .agg(F.sum("cents").cast("long").alias("cents")))
+        self.state.write(batch_id, merged)
+
+    def current_changepoint(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            cusum_from_daily,
+        )
+        return cusum_from_daily(self.state.current())
+
+    def current_backtest(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            backtest_from_daily,
+        )
+        return backtest_from_daily(self.state.current())
+
+
 def _maintenance_stream(events: DataFrame, maintainer, checkpoint_dir: str,
                         query_name: str) -> StreamingQuery:
     return (events.writeStream
@@ -286,10 +328,19 @@ def streaming_ledger_maintenance(
                                "ledger_maintenance")
 
 
+def streaming_daily_revenue_maintenance(
+        orders: DataFrame, maintainer: IncrementalDailyRevenueMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "daily_revenue_maintenance")
+
+
 __all__ = [
+    "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
+    "streaming_daily_revenue_maintenance",
     "streaming_ewma_maintenance",
     "streaming_drift_maintenance",
     "streaming_ledger_maintenance",
