@@ -478,3 +478,104 @@ class TestDecompositionAndBacktest:
             assert r.n_days == n
             assert r.mae_cents == tot // n
             assert r.mape_e4 == pct // n
+
+
+class TestExperimentStatisticIdentities:
+    """Pure-Python hypothesis sweeps pinning the closed shortcut forms
+    the experiment entries compute against the definitional statistics
+    — over arbitrary integer contingency tables / samples, not just the
+    one table in the parquet."""
+
+    def test_chi2_shortcut_equals_definitional(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(a=st.integers(0, 10**6), b=st.integers(0, 10**6),
+               c=st.integers(0, 10**6), d=st.integers(0, 10**6))
+        def check(a, b, c, d):
+            n = a + b + c + d
+            # entry guards: both arms non-empty, conversions non-degenerate
+            if min(a + b, c + d) == 0 or (a + c) in (0, n):
+                return
+            # shortcut (the entry's form): N*(ad-bc)^2 / product of margins
+            shortcut = (n * (a * d - b * c) ** 2
+                        / ((a + b) * (c + d) * (a + c) * (b + d)))
+            # definitional: sum over cells of (O-E)^2/E
+            definitional = 0.0
+            for obs, row, col in ((a, a + b, a + c), (b, a + b, b + d),
+                                  (c, c + d, a + c), (d, c + d, b + d)):
+                e = row * col / n
+                definitional += (obs - e) ** 2 / e
+            assert abs(shortcut - definitional) <= 1e-6 * max(1.0, shortcut)
+
+        check()
+
+    def test_welch_sufficient_stats_equal_definitional(self):
+        import math
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(xs=st.lists(st.integers(-10**6, 10**6), min_size=2,
+                           max_size=30),
+               ys=st.lists(st.integers(-10**6, 10**6), min_size=2,
+                           max_size=30))
+        def check(xs, ys):
+            def var_def(v):
+                m = sum(v) / len(v)
+                return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+            # entry's form: (ss - s^2/n)/(n-1) from integer sufficient stats
+            def var_stats(v):
+                n, s, ss = len(v), sum(v), sum(x * x for x in v)
+                return (ss - float(s) * s / n) / (n - 1)
+
+            va_d, va_s = var_def(xs), var_stats(xs)
+            vb_d, vb_s = var_def(ys), var_stats(ys)
+            scale = max(1.0, abs(va_d), abs(vb_d))
+            assert abs(va_d - va_s) <= 1e-6 * scale
+            assert abs(vb_d - vb_s) <= 1e-6 * scale
+            if va_d + vb_d == 0:
+                return
+            t_def = (abs(sum(xs) / len(xs) - sum(ys) / len(ys))
+                     / math.sqrt(var_def(xs) / len(xs)
+                                 + var_def(ys) / len(ys)))
+            t_stats = (abs(sum(xs) / len(xs) - sum(ys) / len(ys))
+                       / math.sqrt(var_stats(xs) / len(xs)
+                                   + var_stats(ys) / len(ys)))
+            assert abs(t_def - t_stats) <= 1e-6 * max(1.0, t_def)
+
+        check()
+
+    def test_mann_whitney_doubled_ranks_equal_scipy_free_reference(self):
+        from collections import defaultdict
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(pairs=st.lists(
+            st.tuples(st.integers(0, 50), st.booleans()),
+            min_size=4, max_size=60))
+        def check(pairs):
+            # reference: U_A = sum over (a in A, b in B) of
+            #            1[a > b] + 0.5 * 1[a == b]
+            a_vals = [v for v, is_a in pairs if is_a]
+            b_vals = [v for v, is_a in pairs if not is_a]
+            if len(a_vals) < 2 or len(b_vals) < 2:
+                return
+            u2_ref = sum(2 if a > b else (1 if a == b else 0)
+                         for a in a_vals for b in b_vals)
+            # entry's form: doubled tie-averaged rank sums
+            srt = sorted(v for v, _ in pairs)
+            pos = defaultdict(list)
+            for i, v in enumerate(srt, start=1):
+                pos[v].append(i)
+            r2_a = sum(min(pos[v]) + max(pos[v]) for v in a_vals)
+            n_a = len(a_vals)
+            u2_entry = r2_a - 2 * (n_a * (n_a + 1) // 2)
+            assert u2_entry == u2_ref
+
+        check()
