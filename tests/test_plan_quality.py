@@ -283,3 +283,31 @@ def test_interval_merge_and_weighted_median_single_exchange(spark, sf_dir):
     for name in ("interval_coverage_merge", "weighted_median_price"):
         plan = _plan(spark, name, sf_dir, "simple")
         assert plan.count("Exchange") == 1, f"{name}:\n{plan}"
+
+
+def test_q19_pushes_disjunction_and_broadcasts_part(spark, sf_dir):
+    """Q19's shape: the quantity disjunction must reach the lineitem
+    SCAN as a data filter (not evaluate only post-join), the brand
+    IN-list must prune the part scan, and the dimension must broadcast
+    — the whole point of the disjunctive-predicate entry."""
+    plan = _plan(spark, "q19_disjunctive_revenue", sf_dir, "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the pushed quantity disjunction must reach a scan's PushedFilters
+    # block ('formatted' puts filters in the per-node detail)
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "l_quantity" in ln]
+    assert pushed and any("Or(" in ln for ln in pushed), plan
+
+
+def test_ranged_rank_entries_have_no_fact_scale_single_partition_sort(
+        spark, sf_dir):
+    """gini_spend_inequality and mann_whitney_spend_ab promise the
+    ranged-rank construction: a range exchange must be present and the
+    plan must not route the per-user spend frame through a
+    single-partition ordered window (the offsets prefix over
+    num_ranges rows is the only SinglePartition consumer, and it feeds
+    a broadcast, not a Sort of facts)."""
+    for name in ("gini_spend_inequality", "mann_whitney_spend_ab"):
+        plan = _plan(spark, name, sf_dir, "formatted")
+        assert "rangepartitioning" in plan.lower(), (name, plan)
