@@ -1690,3 +1690,76 @@ class TestStreamingDailyRevenueMaintenance:
         maint.merge_batch(orders, 5)
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(orders, 0)
+
+
+class TestStreamingUserSpendMaintenance:
+    """One per-user spend state serving the whole spend-statistics
+    family (streaming/analytics_twins.py IncrementalUserSpendMaintainer):
+    the maintained Gini, Welch-t, and Mann-Whitney reports must equal
+    the driver-oracled batch entries after day-sliced micro-batches,
+    stay idempotent under replay, and respect the lifecycle guard."""
+
+    def test_stream_equals_batch_all_presentations(
+            self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalUserSpendMaintainer,
+            streaming_user_spend_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("uspend_events"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "value")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            ev.where(F.pmod(F.dayofmonth("ts"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalUserSpendMaintainer(
+            spark, str(tmp_path_factory.mktemp("uspend_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema="ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_user_spend_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("uspend_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        for current, entry in (
+                (maint.current_gini, "gini_spend_inequality"),
+                (maint.current_welch, "welch_t_spend_ab"),
+                (maint.current_mannwhitney, "mann_whitney_spend_ab")):
+            got = _rows(current(), exclude_sentinel=False)
+            want = _rows(CATALOG[entry].spark(spark, sf_dir),
+                         exclude_sentinel=False)
+            assert got == want, entry
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalUserSpendMaintainer,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "value")
+        maint = IncrementalUserSpendMaintainer(
+            spark, str(tmp_path_factory.mktemp("uspend_replay")))
+        maint.merge_batch(ev, 0)
+        maint.merge_batch(ev, 1)
+        once = _rows(maint.current_gini(), exclude_sentinel=False)
+        maint.merge_batch(ev, 1)  # crash-replay of batch 1
+        assert _rows(maint.current_gini(),
+                     exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(ev, 0)

@@ -1457,6 +1457,12 @@ def welch_t_spend_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     spend = ev.groupBy("user_id").agg(
         F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    return welch_from_spend(spend)
+
+
+def welch_from_spend(spend: DataFrame) -> DataFrame:
+    """Welch-t derivation over a (user_id, cents) frame — shared with
+    the streaming user-spend maintainer like gini_from_spend."""
     arm = F.when(
         F.substring(F.md5(F.col("user_id").cast("string").cast("binary")),
                     1, 1).isin(*"01234567"),
@@ -1625,6 +1631,14 @@ def gini_spend_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     spend = ev.groupBy("user_id").agg(
         F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    return gini_from_spend(spend)
+
+
+def gini_from_spend(spend: DataFrame) -> DataFrame:
+    """Inequality derivation over a (user_id, cents) frame — shared by
+    the driver-oracled batch entry above and the streaming user-spend
+    maintainer (streaming/analytics_twins.py), so stream == batch is the
+    same code path by construction."""
     ranked = global_rank_ranged(spend, ["cents", "user_id"])
     gdec = F.col("grank").cast("decimal(19,0)")
     tot = ranked.agg(
@@ -1813,6 +1827,12 @@ def mann_whitney_spend_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     spend = ev.groupBy("user_id").agg(
         F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    return mann_whitney_from_spend(spend)
+
+
+def mann_whitney_from_spend(spend: DataFrame) -> DataFrame:
+    """Mann-Whitney derivation over a (user_id, cents) frame — shared
+    with the streaming user-spend maintainer like gini_from_spend."""
     arm = F.when(
         F.substring(F.md5(F.col("user_id").cast("string").cast("binary")),
                     1, 1).isin(*"01234567"),

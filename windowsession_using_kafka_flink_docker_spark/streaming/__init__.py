@@ -30,9 +30,11 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalDriftMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
+    IncrementalUserSpendMaintainer,
     IncrementalLedgerMaintainer,
     streaming_drift_maintenance,
     streaming_daily_revenue_maintenance,
+    streaming_user_spend_maintenance,
     streaming_ewma_maintenance,
     streaming_ledger_maintenance,
 )
@@ -75,9 +77,11 @@ __all__ = [
     "streaming_rollup_maintenance",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
+    "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
     "streaming_daily_revenue_maintenance",
+    "streaming_user_spend_maintenance",
     "streaming_ewma_maintenance",
     "streaming_drift_maintenance",
     "streaming_ledger_maintenance",

@@ -298,6 +298,57 @@ class IncrementalDailyRevenueMaintainer:
         return backtest_from_daily(self.state.current())
 
 
+class IncrementalUserSpendMaintainer:
+    """Maintains per-user spend partials; ONE user-space-bounded state
+    serves the whole spend-statistics family: ``current_gini()``,
+    ``current_welch()`` and ``current_mannwhitney()`` re-derive the
+    driver-oracled gini_spend_inequality / welch_t_spend_ab /
+    mann_whitney_spend_ab through the same *_from_spend helpers the
+    batch entries use. The state keeps raw DOUBLE sums (like the EWMA
+    maintainer) and the presentations quantize to cents at read time —
+    merge-order fp noise (~1e-13 on 2-decimal inputs) is far below the
+    half-cent rounding threshold, which is the same argument that makes
+    the batch entries' own groupBy sums hash-stable."""
+
+    _SCHEMA = "user_id BIGINT, _sum DOUBLE"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.state.guard(batch_id)
+        delta = (batch_df.groupBy("user_id")
+                 .agg(F.sum("value").alias("_sum")))
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("user_id")
+                  .agg(F.sum("_sum").alias("_sum")))
+        self.state.write(batch_id, merged)
+
+    def _spend(self) -> DataFrame:
+        return self.state.current().select(
+            "user_id",
+            F.round(F.col("_sum") * 100, 0).cast("long").alias("cents"))
+
+    def current_gini(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            gini_from_spend,
+        )
+        return gini_from_spend(self._spend())
+
+    def current_welch(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            welch_from_spend,
+        )
+        return welch_from_spend(self._spend())
+
+    def current_mannwhitney(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            mann_whitney_from_spend,
+        )
+        return mann_whitney_from_spend(self._spend())
+
+
 def _maintenance_stream(events: DataFrame, maintainer, checkpoint_dir: str,
                         query_name: str) -> StreamingQuery:
     return (events.writeStream
@@ -335,13 +386,22 @@ def streaming_daily_revenue_maintenance(
                                "daily_revenue_maintenance")
 
 
+def streaming_user_spend_maintenance(
+        events: DataFrame, maintainer: IncrementalUserSpendMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(events, maintainer, checkpoint_dir,
+                               "user_spend_maintenance")
+
+
 __all__ = [
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
+    "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
     "streaming_daily_revenue_maintenance",
     "streaming_ewma_maintenance",
+    "streaming_user_spend_maintenance",
     "streaming_drift_maintenance",
     "streaming_ledger_maintenance",
 ]
