@@ -44,6 +44,10 @@ SENSITIVE = [
     "gini_spend_inequality",
     "mann_whitney_spend_ab",
     "cusum_changepoint_daily_revenue",
+    # distinct + left-semi over the shingle inversion and the argmax
+    # lag-7 self-join must not depend on row placement either
+    "eval_ngram_novelty",
+    "seasonal_naive_backtest",
 ]
 
 

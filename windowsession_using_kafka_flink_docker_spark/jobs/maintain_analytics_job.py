@@ -1,0 +1,81 @@
+"""Continuous analytics-maintenance job: one process keeping the
+round-7 statistics families fresh from streams, never recomputing from
+the full fact tables.
+
+Wires the two multi-presentation maintainers
+(streaming/analytics_twins.py):
+
+- ``IncrementalDailyRevenueMaintainer`` over an orders drop-dir —
+  per-day cent partials serving the CUSUM change-point and the
+  seasonal-naive backtest (the driver-oracled
+  ``cusum_changepoint_daily_revenue`` / ``seasonal_naive_backtest``);
+- ``IncrementalUserSpendMaintainer`` over an events drop-dir —
+  per-user spend partials serving the Gini inequality report and the
+  Welch-t / Mann-Whitney experiment readouts
+  (``gini_spend_inequality`` / ``welch_t_spend_ab`` /
+  ``mann_whitney_spend_ab``).
+
+Both states are key-space-bounded (calendar days / users), versioned by
+batch id, replay-idempotent, and lifecycle-guarded — the same
+``_VersionedState`` scheme as the rollup/SCD2/join-view maintainers.
+Run either side (or both) from file drop-dirs:
+
+    spark-submit maintain_analytics_job.py \
+        --orders /data/orders_incoming --events /data/events_incoming \
+        --state-root /data/analytics_state --checkpoint-root /tmp/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from windowsession_using_kafka_flink_docker_spark import get_spark
+from windowsession_using_kafka_flink_docker_spark.streaming import (
+    IncrementalDailyRevenueMaintainer,
+    IncrementalUserSpendMaintainer,
+    streaming_daily_revenue_maintenance,
+    streaming_user_spend_maintenance,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--orders", default=None,
+                    help="orders parquet drop directory (o_orderdate, "
+                         "o_totalprice); omit to skip the revenue side")
+    ap.add_argument("--events", default=None,
+                    help="events parquet drop directory (ts, user_id, "
+                         "value); omit to skip the spend side")
+    ap.add_argument("--state-root", default="/tmp/analytics_state")
+    ap.add_argument("--checkpoint-root", default="/tmp/ckpt/analytics")
+    args = ap.parse_args()
+    if not args.orders and not args.events:
+        ap.error("at least one of --orders / --events is required")
+
+    spark = get_spark("maintain-analytics-job")
+    queries = []
+    if args.orders:
+        orders = (spark.readStream
+                  .schema("o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+                  .parquet(args.orders))
+        rev = IncrementalDailyRevenueMaintainer(
+            spark, os.path.join(args.state_root, "daily_revenue"))
+        queries.append(streaming_daily_revenue_maintenance(
+            orders, rev, os.path.join(args.checkpoint_root,
+                                      "daily_revenue")))
+    if args.events:
+        events = (spark.readStream
+                  .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+                  .parquet(args.events))
+        spend = IncrementalUserSpendMaintainer(
+            spark, os.path.join(args.state_root, "user_spend"))
+        queries.append(streaming_user_spend_maintenance(
+            events, spend, os.path.join(args.checkpoint_root,
+                                        "user_spend")))
+    for q in queries:
+        q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()
