@@ -1,11 +1,20 @@
 """Streaming twins for the analytics entries that are incremental by
-construction (VERDICT r6 item 5): ``ewma_daily_spend`` and
-``distribution_drift_report`` — plus ``clamped_running_balance``, whose
-non-associative clamp needs the in-order prefix-scan state documented on
-IncrementalLedgerMaintainer.
+construction (VERDICT r6 item 5, extended through round 7): five
+maintainers covering eight driver-oracled batch entries —
+``ewma_daily_spend``, ``distribution_drift_report``,
+``clamped_running_balance`` (whose non-associative clamp needs the
+in-order prefix-scan state documented on IncrementalLedgerMaintainer),
+the daily-revenue pair (``cusum_changepoint_daily_revenue`` +
+``seasonal_naive_backtest`` on ONE calendar-bounded state), and the
+spend-statistics family (``gini_spend_inequality`` +
+``welch_t_spend_ab`` + ``mann_whitney_spend_ab`` on ONE user-bounded
+state). Each ``current_*()`` presentation calls the same helper the
+batch entry was refactored onto (``ewma_from_daily``,
+``cusum_from_daily``, ``backtest_from_daily``, ``*_from_spend``), so
+stream == batch is one code path, never a parallel implementation.
 
-Both batch entries reduce the fact stream to key-space-bounded mergeable
-partials before any derivation:
+Every batch entry here reduces the fact stream to key-space-bounded
+mergeable partials before any derivation:
 
 - EWMA: per-(user, day) spend sums. The clamped-geometric-weight EWMA
   (plans/analytics.py ewma_from_daily) is a pure function of that daily
