@@ -385,3 +385,96 @@ class TestContainmentPrefixFilter:
                 for r in got] == [(1, 2, 1.0)]
         # the symmetric detector (same shingles, Jaccard >= 0.5) is blind
         assert ngram_jaccard_pairs(docs).count() == 0
+
+
+class TestCurationAuditConsistency:
+    """Cross-entry identities for the round-7 curation audits: each new
+    report must agree with the primitives it claims to share stages
+    with, re-derived independently in Python where cheap."""
+
+    def test_novelty_brute_force(self, spark, sf_dir):
+        import hashlib
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+            CATALOG,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents") \
+            .select("doc_id", "text").collect()
+
+        def norm_tokens(text):
+            import re
+
+            t = re.sub(r"[^a-z0-9 ]", " ", text.lower())
+            t = re.sub(r" +", " ", t).strip()
+            return t.split(" ") if t else []
+
+        def shingles(text):
+            toks = norm_tokens(text)
+            if len(toks) <= 3:
+                return {" ".join(toks[:3])} if toks else set()
+            return {" ".join(toks[i:i + 3])
+                    for i in range(len(toks) - 2)}
+
+        split = {}
+        sh = {}
+        for r in docs:
+            split[r.doc_id] = ("eval" if hashlib.md5(r.text.encode())
+                               .hexdigest()[0] in "0123" else "train")
+            sh[r.doc_id] = shingles(r.text)
+        train_union = set()
+        for d, s in sh.items():
+            if split[d] == "train":
+                train_union |= s
+        got = {r.doc_id: (r.n_shingles, r.n_seen, r.novelty_e4)
+               for r in CATALOG["eval_ngram_novelty"]
+               .spark(spark, sf_dir).collect()}
+        want_ids = {d for d in sh if split[d] == "eval" and sh[d]}
+        assert set(got) == want_ids
+        for d in want_ids:
+            n = len(sh[d])
+            seen = len(sh[d] & train_union)
+            assert got[d] == (n, seen, (n - seen) * 10000 // n), d
+
+    def test_cluster_histogram_consistent_with_components(
+            self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+            CATALOG,
+        )
+
+        comp = CATALOG["neardup_clusters"].spark(spark, sf_dir).collect()
+        hist = {r.cluster_size: r for r in
+                CATALOG["dup_cluster_size_histogram"]
+                .spark(spark, sf_dir).collect()}
+        from collections import Counter
+
+        sizes = Counter(r.cluster_size for r in comp
+                        if r.is_canonical)
+        assert set(hist) == set(sizes)
+        for size, n_clusters in sizes.items():
+            row = hist[size]
+            assert row.n_clusters == n_clusters
+            assert row.n_docs == size * n_clusters
+            assert row.n_removable == (size - 1) * n_clusters
+        # and the histogram must account for every document exactly once
+        assert sum(r.n_docs for r in hist.values()) == len(comp)
+
+    def test_zipf_agrees_with_heavy_hitters(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+            CATALOG,
+        )
+
+        hh = CATALOG["heavy_hitter_tokens"].spark(spark, sf_dir).collect()
+        zipf = sorted(CATALOG["zipf_rank_frequency"]
+                      .spark(spark, sf_dir).collect(),
+                      key=lambda r: r.rank)
+        assert [(r.token, r.n) for r in zipf] == [(r.token, r.n)
+                                                  for r in hh]
+        n1 = zipf[0].n
+        for r in zipf:
+            assert r.zipf_expected == n1 // r.rank
+            assert r.deviation_e4 == (abs(r.n - r.zipf_expected) * 10000
+                                      // r.zipf_expected)
