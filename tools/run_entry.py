@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Run one catalog entry by name and optionally compare it against its
+DuckDB oracle — the one-liner every build/debug session otherwise
+re-invents with ad-hoc ``python -c``:
+
+    python tools/run_entry.py gini_spend_inequality                # show
+    python tools/run_entry.py gini_spend_inequality --oracle       # gate
+    python tools/run_entry.py q19_disjunctive_revenue --explain
+    python tools/run_entry.py --list experiment                    # find
+
+Prints ``RESULT <name> OK|FAIL`` on --oracle so output survives Spark's
+progress-bar carriage returns (grep -a RESULT).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("name", nargs="?", help="catalog entry name")
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--oracle", action="store_true",
+                    help="compare against the DuckDB oracle")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan")
+    ap.add_argument("--rows", type=int, default=20)
+    ap.add_argument("--list", dest="list_filter", metavar="SUBSTR",
+                    nargs="?", const="",
+                    help="list entries (optionally filtered by "
+                         "name/tag/description substring)")
+    args = ap.parse_args()
+
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+    if args.list_filter is not None:
+        needle = args.list_filter.lower()
+        for n, spec in sorted(CATALOG.items()):
+            hay = " ".join((n, " ".join(spec.tags), spec.description)).lower()
+            if needle in hay:
+                kind = "oracle" if spec.oracle else "rows-only"
+                print(f"{n}  [{kind}]  tags={','.join(spec.tags)}")
+        return
+    if not args.name:
+        ap.error("entry name required (or --list)")
+    if args.name not in CATALOG:
+        ap.error(f"unknown entry {args.name!r} — try --list {args.name}")
+
+    from windowsession_using_kafka_flink_docker_spark import get_spark
+
+    spark = get_spark("run-entry")
+    spec = CATALOG[args.name]
+    df = spec.spark(spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.rows, truncate=False)
+    print(f"rows: {df.count()}")
+    if args.oracle:
+        if spec.oracle is None:
+            print(f"RESULT {args.name} ROWS-ONLY (no oracle registered)")
+            return
+        from tests.oracle import compare
+
+        ok, msg = compare(df, spec.oracle, args.sf)
+        print(f"RESULT {args.name} {'OK' if ok else 'FAIL'} {msg[:400]}")
+        if not ok:
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
