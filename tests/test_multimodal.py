@@ -128,3 +128,64 @@ class TestResizeAndFrames:
         for i in vids:
             n = i % 5 + 2
             assert sorted(by_doc[i]) == list(range(min(n, 4)))
+
+
+class TestImageAhash:
+    """_ahash_bits unit semantics + the resize-robustness property the
+    catalog entry claims for STRUCTURED images (the parquet fixture's
+    pseudorandom pixels intentionally exercise the near-tie adversarial
+    case instead; oracle parity covers those)."""
+
+    def test_gradient_lights_bright_half(self):
+        import numpy as np
+
+        from windowsession_using_kafka_flink_docker_spark.operators.multimodal import (
+            _ahash_bits,
+        )
+
+        px = np.zeros((16, 16, 3), dtype=np.uint8)
+        px[:, 8:, :] = 255
+        bits = _ahash_bits(px)
+        assert bits == ("0000" + "1111") * 8
+        assert bits.count("1") == 32
+
+    def test_structured_image_is_resize_robust(self):
+        import numpy as np
+
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            media_codec as C,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.multimodal import (
+            _ahash_bits,
+        )
+
+        # smooth horizontal gradient, 48x32 — strong block structure
+        w, h = 48, 32
+        col = np.linspace(0, 255, w).astype(np.uint8)
+        px = np.repeat(col[None, :, None], h, axis=0).repeat(3, axis=2)
+        png = C.encode_png(w, h, px.tobytes())
+        a1 = _ahash_bits(C.decode_png_pixels(png)[2])
+        resized = C.resize_png(png, 32, 32)
+        a2 = _ahash_bits(C.decode_png_pixels(resized)[2])
+        ham = sum(x != y for x, y in zip(a1, a2))
+        assert ham <= 4, (a1, a2, ham)
+        # and the hash itself reads the gradient: left dark, right lit
+        assert a1[0] == "0" and a1[7] == "1"
+
+    def test_catalog_entry_covers_every_png(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+            CATALOG,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        n_pngs = (load_table(spark, sf_dir, "documents")
+                  .where("doc_id % 3 = 0").count())
+        rows = CATALOG["image_ahash_fingerprints"] \
+            .spark(spark, sf_dir).collect()
+        assert len(rows) == n_pngs
+        for r in rows:
+            assert len(r.ahash) == 64 and set(r.ahash) <= {"0", "1"}
+            assert len(r.ahash_resized) == 64
+            assert 0 <= r.hamming_resize <= 64

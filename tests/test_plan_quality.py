@@ -50,6 +50,7 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
 #   slower — see operators/similarity.py module docstring).
 # Everything else in the catalog must stay native-expression.
 _PANDAS_OK = {"media_features", "media_frame_sample",
+              "image_ahash_fingerprints",
               "cosine_topk", "ann_cosine_topk", "embedding_neardups",
               "ann_recall_vs_exact", "ivf_recall_vs_exact",
               "ann_multiprobe_topk", "ann_multiprobe_recall_vs_exact",

@@ -221,3 +221,66 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             })
 
     return vids.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+def _ahash_bits(px) -> str:
+    """64-char '01' average-hash of an (h, w, 3) uint8 pixel array: 8x8
+    block-partition of integer gray sums (r+g+b, never divided), each
+    block lit iff its mean gray exceeds the image mean — the exact
+    integer cross-multiplication s_block * N > S * n_block, so the hash
+    is a pure function of the pixels with no float threshold."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    gray = px.astype(np.int64).sum(axis=2)  # (h, w) sums in [0, 765]
+    ys = np.arange(h) * 8 // h
+    xs = np.arange(w) * 8 // w
+    s = np.zeros((8, 8), dtype=np.int64)
+    n = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(s, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
+    np.add.at(n, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1)
+    total, count = int(gray.sum()), h * w
+    bits = (s * count > total * n).astype(np.uint8)
+    return "".join("1" if bits[by, bx] else "0"
+                   for by in range(8) for bx in range(8))
+
+
+def image_ahash_features(media: DataFrame) -> DataFrame:
+    """Per-PNG perceptual fingerprints over the REAL codec path: decode
+    pixels (inflate + unfilter), average-hash them, then resize to 32x32
+    through the genuine nearest-neighbor resampler (decode → index-map →
+    re-encode → decode again) and hash the resized image — the
+    resize-robustness reading (small Hamming distance) that makes aHash
+    the standard image near-dup key. Arrow-batched mapInPandas; at scale
+    the hash string is the blocking key for Hamming-bucketed image
+    dedup, exactly the SimHash chunk playbook on a binary column."""
+    imgs = media.where(media.media_type == "image/png") \
+        .select("doc_id", "payload")
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash", StringType()),
+        StructField("ahash_resized", StringType()),
+        StructField("hamming_resize", LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h, px = C.decode_png_pixels(data)
+                a1 = _ahash_bits(px)
+                _, _, px32 = C.decode_png_pixels(
+                    C.resize_png(data, 32, 32))
+                a2 = _ahash_bits(px32)
+                ham = sum(c1 != c2 for c1, c2 in zip(a1, a2))
+                rows.append((int(doc_id), w, h, a1, a2, ham))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "ahash", "ahash_resized",
+                "hamming_resize"])
+
+    return imgs.mapInPandas(gen, schema=out_schema)

@@ -2579,3 +2579,109 @@ def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(n_shingles - coalesce(n_seen, 0)) * 10000"
                            " div n_shingles")
                     .cast("long").alias("novelty_e4")))
+
+
+@register(
+    "image_ahash_fingerprints",
+    # The PNG payloads carry closed-form pixels (media_codec._mix_bytes:
+    # byte i of image doc_id is (i*2654435761 + doc_id*97 + 13) % 256 —
+    # numpy's uint64 wrap is invisible mod 256 since 256 | 2^64), so the
+    # oracle recomputes BOTH hashes arithmetically while Spark must
+    # inflate real IDAT streams, unfilter rows, nearest-neighbor resample
+    # through re-encode, and hash genuine pixel arrays to match.
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(doc_id % 48 + 16 AS BIGINT) AS w,
+         CAST(doc_id % 32 + 16 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0),
+opx AS (
+  SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM imgs),
+ogray AS (
+  SELECT doc_id, w, h,
+         (p % w) * 8 // w AS bx,
+         (p // w) * 8 // h AS by,
+         ((3 * p) * 2654435761 + doc_id * 97 + 13) % 256
+       + ((3 * p + 1) * 2654435761 + doc_id * 97 + 13) % 256
+       + ((3 * p + 2) * 2654435761 + doc_id * 97 + 13) % 256 AS gray
+  FROM opx),
+oblocks AS (
+  SELECT doc_id, by, bx, CAST(SUM(gray) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ogray GROUP BY 1, 2, 3),
+otot AS (
+  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS stot,
+         CAST(SUM(n) AS BIGINT) AS ntot
+  FROM oblocks GROUP BY 1),
+obit AS (
+  SELECT b.doc_id, b.by * 8 + b.bx AS k,
+         CASE WHEN b.s * t.ntot > t.stot * b.n THEN 1 ELSE 0 END AS bit
+  FROM oblocks b JOIN otot t USING (doc_id)),
+rpx AS (
+  SELECT doc_id, w, h, unnest(range(1024)) AS q FROM imgs),
+rgray AS (
+  SELECT doc_id,
+         (q % 32) // 4 AS bx,
+         (q // 32) // 4 AS by,
+         ((3 * p) * 2654435761 + doc_id * 97 + 13) % 256
+       + ((3 * p + 1) * 2654435761 + doc_id * 97 + 13) % 256
+       + ((3 * p + 2) * 2654435761 + doc_id * 97 + 13) % 256 AS gray
+  FROM (SELECT doc_id, q,
+               ((q // 32) * h // 32) * w + ((q % 32) * w // 32) AS p
+        FROM rpx)),
+rblocks AS (
+  SELECT doc_id, by, bx, CAST(SUM(gray) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM rgray GROUP BY 1, 2, 3),
+rtot AS (
+  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS stot,
+         CAST(SUM(n) AS BIGINT) AS ntot
+  FROM rblocks GROUP BY 1),
+rbit AS (
+  SELECT b.doc_id, b.by * 8 + b.bx AS k,
+         CASE WHEN b.s * t.ntot > t.stot * b.n THEN 1 ELSE 0 END AS bit
+  FROM rblocks b JOIN rtot t USING (doc_id))
+SELECT i.doc_id,
+       CAST(i.w AS INTEGER) AS width,
+       CAST(i.h AS INTEGER) AS height,
+       (SELECT string_agg(CAST(o.bit AS VARCHAR), '' ORDER BY o.k)
+        FROM obit o WHERE o.doc_id = i.doc_id) AS ahash,
+       (SELECT string_agg(CAST(r.bit AS VARCHAR), '' ORDER BY r.k)
+        FROM rbit r WHERE r.doc_id = i.doc_id) AS ahash_resized,
+       (SELECT CAST(SUM(CASE WHEN o.bit <> r.bit THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM obit o JOIN rbit r USING (doc_id, k)
+        WHERE o.doc_id = i.doc_id) AS hamming_resize
+FROM imgs i
+""",
+    description="Image perceptual fingerprints over the REAL PNG codec "
+                "path: decode pixels (zlib inflate + per-row unfilter), "
+                "64-bit average-hash them (8x8 block partition, block lit "
+                "iff block-mean gray beats image-mean by the exact "
+                "integer cross-multiplication s*N > S*n — no float "
+                "threshold, no division), then resample to 32x32 through "
+                "the genuine nearest-neighbor resizer (decode -> "
+                "index-map -> re-encode -> decode again) and hash the "
+                "resized image; the per-image Hamming distance between "
+                "the two hashes is the resize-robustness reading that "
+                "makes aHash the standard image near-dup key (small on "
+                "structured images — pinned in tests/test_multimodal.py "
+                "on a gradient; LARGE on this fixture's pseudorandom "
+                "pixels, whose block means all sit within a hair of the "
+                "global mean — which makes the fixture the adversarial "
+                "case for threshold parity: 64 near-tie integer "
+                "comparisons per image, every one agreeing across "
+                "engines). The oracle "
+                "rebuilds BOTH hashes arithmetically from the closed-form "
+                "pixel formula, so a single wrong byte anywhere in the "
+                "inflate/unfilter/resample path breaks the driver hash — "
+                "the pixel-level deepening of media_features' header "
+                "parity. Scale shape: Arrow-batched mapInPandas per "
+                "image, no shuffle at all (the hash string becomes the "
+                "blocking key for Hamming-bucketed image dedup — the "
+                "SimHash chunk playbook on a binary column).",
+    tags=("llm", "multimodal", "dedup", "fingerprint"),
+)
+def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.image_ahash_features(M.attach_media(docs))
