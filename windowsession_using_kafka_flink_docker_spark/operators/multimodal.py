@@ -254,8 +254,12 @@ def image_ahash_features(media: DataFrame) -> DataFrame:
     the standard image near-dup key. Arrow-batched mapInPandas; at scale
     the hash string is the blocking key for Hamming-bucketed image
     dedup, exactly the SimHash chunk playbook on a binary column."""
+    # per-image CPU work (inflate + unfilter + resample) must track
+    # cores, not the input file count (the winnowing lesson)
+    n_part = int(media.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
     imgs = media.where(media.media_type == "image/png") \
-        .select("doc_id", "payload")
+        .select("doc_id", "payload").repartition(n_part, "doc_id")
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),
