@@ -2680,6 +2680,7 @@ FROM imgs i
                 "image, no shuffle at all (the hash string becomes the "
                 "blocking key for Hamming-bucketed image dedup — the "
                 "SimHash chunk playbook on a binary column).",
+    bench=True,
     tags=("llm", "multimodal", "dedup", "fingerprint"),
 )
 def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
