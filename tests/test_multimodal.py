@@ -189,3 +189,64 @@ class TestImageAhash:
             assert len(r.ahash) == 64 and set(r.ahash) <= {"0", "1"}
             assert len(r.ahash_resized) == 64
             assert 0 <= r.hamming_resize <= 64
+
+
+class TestSampleLevelCodecParity:
+    """Sample-level pins beneath the header parsers: the PCM16 payload a
+    chunk walk locates must decode to exactly the closed-form values the
+    builder planted — one wrong RIFF offset or endianness flip and every
+    sample moves (the audio analogue of the aHash pixel-level parity)."""
+
+    def test_wav_pcm16_samples_match_closed_form(self):
+        import struct
+
+        import numpy as np
+
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            media_codec as C,
+        )
+
+        for seed, rate, n in ((7, 8000, 160), (41, 16000, 480)):
+            wav = C.build_wav(rate, n, seed=seed)
+            info = C.parse_wav(wav)
+            assert (info["sample_rate"], info["n_samples"]) == (rate, n)
+            # locate the data chunk by the same walk the parser does
+            b, off, payload = bytes(wav), 12, None
+            while off + 8 <= len(b):
+                ctype = b[off:off + 4]
+                (length,) = struct.unpack("<I", b[off + 4:off + 8])
+                if ctype == b"data":
+                    payload = b[off + 8:off + 8 + length]
+                off += 8 + length + (length & 1)
+            samples = np.frombuffer(payload, dtype="<i2")
+            want = (C._mix_bytes(n * 2, seed).view("<u2")
+                    .astype(np.int32) - 32768).astype(np.int16)
+            assert np.array_equal(samples, want)
+
+    def test_mp4_demuxed_frames_match_planted_bytes(self):
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            media_codec as C,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.multimodal import (
+            build_payload,
+        )
+
+        # a video doc: doc_id % 3 == 2; frame i carries planted size
+        # doc_id % 100 + 32 + 7*i — demux must return byte-identical
+        # slices of the mdat, not just matching lengths
+        doc_id = 5
+        payload, mtype = build_payload(doc_id)
+        assert mtype == "video/mp4"
+        info = C.parse_mp4(payload)
+        sizes = [doc_id % 100 + 32 + 7 * i
+                 for i in range(doc_id % 5 + 2)]
+        assert info["sample_sizes"] == sizes
+        # slice the mdat at the stco offset with the stsz sizes and pin
+        # every frame byte-identical to the planted _mix_bytes content
+        b = bytes(payload)
+        off = info["chunk_offset"]
+        for i, s in enumerate(sizes):
+            frame = b[off:off + s]
+            want = C._mix_bytes(s, doc_id * 31 + i).tobytes()
+            assert frame == want, f"frame {i} bytes diverge"
+            off += s
