@@ -1763,3 +1763,74 @@ class TestStreamingUserSpendMaintenance:
                      exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(ev, 0)
+
+
+class TestStreamingTokenFrequencyMaintenance:
+    """Corpus token-frequency state serving the heavy-hitter and Zipf
+    presentations (streaming/analytics_twins.py
+    IncrementalTokenFrequencyMaintainer): both must equal the
+    driver-oracled batch entries after corpus-sliced micro-batches —
+    exact integer counts, so bit-for-bit under any interleaving."""
+
+    def test_stream_equals_batch_both_presentations(
+            self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalTokenFrequencyMaintainer,
+            streaming_token_frequency_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("tokfreq_docs"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalTokenFrequencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("tokfreq_state")))
+        stream = file_events_source(
+            spark, flat, schema="doc_id BIGINT, text STRING",
+            max_files_per_trigger=1)
+        q = streaming_token_frequency_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("tokfreq_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        for current, entry in (
+                (maint.current_heavy_hitters, "heavy_hitter_tokens"),
+                (maint.current_zipf, "zipf_rank_frequency")):
+            got = _rows(current(), exclude_sentinel=False)
+            want = _rows(CATALOG[entry].spark(spark, sf_dir),
+                         exclude_sentinel=False)
+            assert got == want, entry
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalTokenFrequencyMaintainer,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        maint = IncrementalTokenFrequencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("tokfreq_replay")))
+        maint.merge_batch(docs, 0)
+        maint.merge_batch(docs, 1)
+        once = _rows(maint.current_zipf(), exclude_sentinel=False)
+        maint.merge_batch(docs, 1)  # crash-replay of batch 1
+        assert _rows(maint.current_zipf(),
+                     exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(docs, 0)

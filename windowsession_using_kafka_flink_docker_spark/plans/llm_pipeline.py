@@ -877,15 +877,28 @@ LIMIT 50
     tags=("llm", "text", "topk"),
 )
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_from_freq(_token_freq(spark, sf_dir))
+
+
+def token_freq_from_docs(docs: DataFrame) -> DataFrame:
+    """(token, n) corpus frequency table — the shared tokenize+count
+    stage under heavy_hitter_tokens / zipf_rank_frequency and the
+    streaming token-frequency maintainer."""
     toks = docs.select(
         F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
     ).where(F.col("token") != "")
-    return (
-        toks.groupBy("token").agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "token")
-        .limit(50)
-    )
+    return toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+
+
+def _token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_freq_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def heavy_hitters_from_freq(freq: DataFrame) -> DataFrame:
+    """Top-50 derivation over a (token, n) frequency frame — shared with
+    the streaming token-frequency maintainer so stream == batch is one
+    code path."""
+    return freq.orderBy(F.desc("n"), "token").limit(50)
 
 
 # PII patterns (RE2 ∩ Java regex — no lookaround/backrefs, identical
@@ -2481,13 +2494,14 @@ FROM expect
     tags=("llm", "text", "topk", "audit"),
 )
 def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
-    ).where(F.col("token") != "")
-    top = (toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
-           .orderBy(F.desc("n"), "token")
-           .limit(50))
+    return zipf_from_freq(_token_freq(spark, sf_dir))
+
+
+def zipf_from_freq(freq: DataFrame) -> DataFrame:
+    """Zipf-table derivation over a (token, n) frequency frame — shared
+    with the streaming token-frequency maintainer like
+    heavy_hitters_from_freq."""
+    top = heavy_hitters_from_freq(freq)
     w_rank = Window.orderBy(F.desc("n"), "token")
     w_all = Window.partitionBy()
     ranked = top.select(

@@ -30,10 +30,12 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalDriftMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
+    IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
     IncrementalLedgerMaintainer,
     streaming_drift_maintenance,
     streaming_daily_revenue_maintenance,
+    streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
     streaming_ewma_maintenance,
     streaming_ledger_maintenance,
@@ -77,10 +79,12 @@ __all__ = [
     "streaming_rollup_maintenance",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
+    "IncrementalTokenFrequencyMaintainer",
     "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
     "streaming_daily_revenue_maintenance",
+    "streaming_token_frequency_maintenance",
     "streaming_user_spend_maintenance",
     "streaming_ewma_maintenance",
     "streaming_drift_maintenance",

@@ -358,6 +358,47 @@ class IncrementalUserSpendMaintainer:
         return mann_whitney_from_spend(self._spend())
 
 
+class IncrementalTokenFrequencyMaintainer:
+    """Maintains the corpus (token, n) frequency table from a documents
+    stream; ``current_heavy_hitters()`` and ``current_zipf()`` re-derive
+    the driver-oracled heavy_hitter_tokens / zipf_rank_frequency through
+    the same ``*_from_freq`` helpers the batch entries use. Counts are
+    exact BIGINTs, so the maintained table is bit-identical to the batch
+    aggregate under any batch interleaving. State is vocabulary-bounded
+    — sublinear in corpus size (Heaps' law); at extreme scale the same
+    presentations run over a CMS+heap top-K state instead
+    (operators/cms.py), trading the exact tail for fixed memory."""
+
+    _SCHEMA = "token STRING, n BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            token_freq_from_docs,
+        )
+        self.state.guard(batch_id)
+        delta = token_freq_from_docs(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("token")
+                  .agg(F.sum("n").cast("long").alias("n")))
+        self.state.write(batch_id, merged)
+
+    def current_heavy_hitters(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            heavy_hitters_from_freq,
+        )
+        return heavy_hitters_from_freq(self.state.current())
+
+    def current_zipf(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            zipf_from_freq,
+        )
+        return zipf_from_freq(self.state.current())
+
+
 def _maintenance_stream(events: DataFrame, maintainer, checkpoint_dir: str,
                         query_name: str) -> StreamingQuery:
     return (events.writeStream
@@ -402,14 +443,23 @@ def streaming_user_spend_maintenance(
                                "user_spend_maintenance")
 
 
+def streaming_token_frequency_maintenance(
+        docs: DataFrame, maintainer: IncrementalTokenFrequencyMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(docs, maintainer, checkpoint_dir,
+                               "token_frequency_maintenance")
+
+
 __all__ = [
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
+    "IncrementalTokenFrequencyMaintainer",
     "streaming_daily_revenue_maintenance",
     "streaming_ewma_maintenance",
+    "streaming_token_frequency_maintenance",
     "streaming_user_spend_maintenance",
     "streaming_drift_maintenance",
     "streaming_ledger_maintenance",
