@@ -9,6 +9,9 @@ Wires the two multi-presentation maintainers
   per-day cent partials serving the CUSUM change-point and the
   seasonal-naive backtest (the driver-oracled
   ``cusum_changepoint_daily_revenue`` / ``seasonal_naive_backtest``);
+- ``IncrementalTokenFrequencyMaintainer`` over a documents drop-dir —
+  corpus (token, n) counts serving the heavy-hitter and Zipf
+  presentations (``heavy_hitter_tokens`` / ``zipf_rank_frequency``);
 - ``IncrementalUserSpendMaintainer`` over an events drop-dir —
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
@@ -33,8 +36,10 @@ import os
 from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalDailyRevenueMaintainer,
+    IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_daily_revenue_maintenance,
+    streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
 )
 
@@ -47,11 +52,14 @@ def main() -> None:
     ap.add_argument("--events", default=None,
                     help="events parquet drop directory (ts, user_id, "
                          "value); omit to skip the spend side")
+    ap.add_argument("--docs", default=None,
+                    help="documents parquet drop directory (doc_id, "
+                         "text); omit to skip the token-frequency side")
     ap.add_argument("--state-root", default="/tmp/analytics_state")
     ap.add_argument("--checkpoint-root", default="/tmp/ckpt/analytics")
     args = ap.parse_args()
-    if not args.orders and not args.events:
-        ap.error("at least one of --orders / --events is required")
+    if not args.orders and not args.events and not args.docs:
+        ap.error("at least one of --orders / --events / --docs is required")
 
     spark = get_spark("maintain-analytics-job")
     queries = []
@@ -73,6 +81,14 @@ def main() -> None:
         queries.append(streaming_user_spend_maintenance(
             events, spend, os.path.join(args.checkpoint_root,
                                         "user_spend")))
+    if args.docs:
+        docs = (spark.readStream
+                .schema("doc_id BIGINT, text STRING")
+                .parquet(args.docs))
+        freq = IncrementalTokenFrequencyMaintainer(
+            spark, os.path.join(args.state_root, "token_freq"))
+        queries.append(streaming_token_frequency_maintenance(
+            docs, freq, os.path.join(args.checkpoint_root, "token_freq")))
     for q in queries:
         q.awaitTermination()
 
