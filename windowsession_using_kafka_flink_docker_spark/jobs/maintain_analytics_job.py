@@ -2,7 +2,7 @@
 round-7 statistics families fresh from streams, never recomputing from
 the full fact tables.
 
-Wires the two multi-presentation maintainers
+Wires the three multi-presentation maintainers
 (streaming/analytics_twins.py):
 
 - ``IncrementalDailyRevenueMaintainer`` over an orders drop-dir —
@@ -18,7 +18,8 @@ Wires the two multi-presentation maintainers
   (``gini_spend_inequality`` / ``welch_t_spend_ab`` /
   ``mann_whitney_spend_ab``).
 
-Both states are key-space-bounded (calendar days / users), versioned by
+All three states are key-space-bounded (calendar days / users /
+vocabulary), versioned by
 batch id, replay-idempotent, and lifecycle-guarded — the same
 ``_VersionedState`` scheme as the rollup/SCD2/join-view maintainers.
 Run either side (or both) from file drop-dirs:
