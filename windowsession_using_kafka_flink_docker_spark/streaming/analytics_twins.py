@@ -1,6 +1,6 @@
 """Streaming twins for the analytics entries that are incremental by
-construction (VERDICT r6 item 5, extended through round 7): five
-maintainers covering eight driver-oracled batch entries —
+construction (VERDICT r6 item 5, extended through round 7): six
+maintainers covering ten driver-oracled batch entries —
 ``ewma_daily_spend``, ``distribution_drift_report``,
 ``clamped_running_balance`` (whose non-associative clamp needs the
 in-order prefix-scan state documented on IncrementalLedgerMaintainer),
@@ -8,9 +8,12 @@ the daily-revenue pair (``cusum_changepoint_daily_revenue`` +
 ``seasonal_naive_backtest`` on ONE calendar-bounded state), and the
 spend-statistics family (``gini_spend_inequality`` +
 ``welch_t_spend_ab`` + ``mann_whitney_spend_ab`` on ONE user-bounded
-state). Each ``current_*()`` presentation calls the same helper the
+state), and the corpus token frequencies (``heavy_hitter_tokens`` +
+``zipf_rank_frequency`` on ONE vocabulary-bounded state). Each
+``current_*()`` presentation calls the same helper the
 batch entry was refactored onto (``ewma_from_daily``,
-``cusum_from_daily``, ``backtest_from_daily``, ``*_from_spend``), so
+``cusum_from_daily``, ``backtest_from_daily``, ``*_from_spend``,
+``*_from_freq``), so
 stream == batch is one code path, never a parallel implementation.
 
 Every batch entry here reduces the fact stream to key-space-bounded
