@@ -250,3 +250,45 @@ class TestSampleLevelCodecParity:
             want = C._mix_bytes(s, doc_id * 31 + i).tobytes()
             assert frame == want, f"frame {i} bytes diverge"
             off += s
+
+
+class TestAhashPropertySweep:
+    """_ahash_bits vs a naive double-loop reference over random small
+    images — the np.add.at fancy-indexed block accumulation is exactly
+    the kind of vectorization that silently breaks on off-by-one block
+    boundaries, so sweep it."""
+
+    def test_hypothesis_matches_naive(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from windowsession_using_kafka_flink_docker_spark.operators.multimodal import (
+            _ahash_bits,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(w=st.integers(8, 40), h=st.integers(8, 40),
+               seed=st.integers(0, 2**31 - 1))
+        def check(w, h, seed):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got = _ahash_bits(px)
+            # naive reference: per-pixel loop into 8x8 blocks
+            s = [[0] * 8 for _ in range(8)]
+            n = [[0] * 8 for _ in range(8)]
+            total = 0
+            for y in range(h):
+                for x in range(w):
+                    g = int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+                    by, bx = y * 8 // h, x * 8 // w
+                    s[by][bx] += g
+                    n[by][bx] += 1
+                    total += g
+            count = w * h
+            want = "".join(
+                "1" if s[by][bx] * count > total * n[by][bx] else "0"
+                for by in range(8) for bx in range(8))
+            assert got == want, (w, h, seed)
+
+        check()

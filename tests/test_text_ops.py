@@ -72,3 +72,20 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         lo, hi = lo_hi[et]
         for a, l, h in zip(pcts, lo, hi):
             assert l <= a <= h, (et, a, l, h)
+
+
+def test_token_freq_edge_docs(spark):
+    """The shared tokenize+count stage must survive the degenerate docs
+    the verify recipe calls out: empty text, CJK-only (normalizes to
+    nothing under the ascii tokenizer), and a single token — no crash,
+    no phantom empty-string token."""
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+        token_freq_from_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "漢字テキストのみ"), (3, "one"), (4, "a b a")],
+        "doc_id BIGINT, text STRING")
+    freq = {r.token: r.n for r in token_freq_from_docs(docs).collect()}
+    assert "" not in freq
+    assert freq == {"one": 1, "a": 2, "b": 1}
