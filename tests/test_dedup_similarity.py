@@ -478,3 +478,45 @@ class TestCurationAuditConsistency:
             assert r.zipf_expected == n1 // r.rank
             assert r.deviation_e4 == (abs(r.n - r.zipf_expected) * 10000
                                       // r.zipf_expected)
+
+
+class TestSimhashVectorizedSignature:
+    """The Arrow-batched signature (simhash_signature_udf) must equal the
+    pure-expression fold form (simhash_expr) bit for bit — on both hash
+    families (signed xxhash64 64-bit and md5-portable 60-bit), including
+    sign-bit votes and empty token arrays."""
+
+    @pytest.mark.parametrize("portable,bits", [(False, 64), (True, 60)])
+    def test_matches_expression_form_on_corpus(self, spark, sf_dir,
+                                               portable, bits):
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        tok = (D.token_hashes_md5_expr("text") if portable
+               else D.token_hashes_expr("text"))
+        base = docs.select(F.col("doc_id"), tok.alias("_h"))
+        old = base.select(
+            "doc_id", D.simhash_expr(F.col("_h"), bits=bits).alias("old"))
+        new = base.select(
+            "doc_id", D.simhash_signature_udf(bits)(F.col("_h")).alias("new"))
+        diff = (old.join(new, "doc_id")
+                .where(F.col("old") != F.col("new")).count())
+        assert diff == 0
+
+    def test_edge_arrays(self, spark):
+        # empty token array -> all votes tie -> signature 0 (both forms);
+        # single negative hash -> every set bit of its two's complement
+        rows = spark.createDataFrame(
+            [(1, []), (2, [-1]), (3, [-(2**63), 2**63 - 1])],
+            "doc_id BIGINT, _h ARRAY<BIGINT>")
+        both = rows.select(
+            "doc_id",
+            D.simhash_expr(F.col("_h"), bits=64).alias("old"),
+            D.simhash_signature_udf(64)(F.col("_h")).alias("new")).collect()
+        got = {r.doc_id: (r.old, r.new) for r in both}
+        assert got[1] == (0, 0)
+        assert got[2] == (-1, -1)  # all 64 bits vote positive
+        for o, n in got.values():
+            assert o == n

@@ -411,6 +411,44 @@ def simhash_expr(hashes_col: F.Column, bits: int = 64) -> F.Column:
     return sig
 
 
+
+def simhash_signature_udf(bits: int = 64):
+    """Arrow-batched signature computation — bit-for-bit equal to
+    :func:`simhash_expr` (pinned in tests/test_dedup_similarity.py) but
+    one vectorized numpy pass per document instead of 64 interpreted
+    HOF folds over the token array (the fold form measured ~2.5 s of
+    simhash_neardups' 3.8 s at sf0.1; dense per-doc bit math is exactly
+    the sanctioned similarity-scoring shape). Arithmetic notes: hashes
+    are viewed as uint64 so `(h >> b) & 1` reads the same two's-
+    complement bit the JVM's sign-extending shiftright reads, and the
+    final assembly wraps back to a signed long exactly like
+    shiftleft(1, 63)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def _sig(hash_lists):
+        out = np.zeros(len(hash_lists), dtype=np.int64)
+        for i, hl in enumerate(hash_lists):
+            h = np.asarray(hl, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                continue
+            ones = ((h[:, None] >> shifts[None, :])
+                    & np.uint64(1)).sum(axis=0, dtype=np.int64)
+            mask = (2 * ones - h.size) > 0
+            sig = (mask.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    # real class objects (not strings): the module's
+    # `from __future__ import annotations` would otherwise leave
+    # pyspark's type-hint inference with unresolvable 'pd.Series' text
+    _sig.__annotations__ = {"hash_lists": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "long")
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, max_bucket_size: int = 10_000,
                       portable: bool = False) -> DataFrame:
@@ -437,7 +475,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     docs = (
         df.repartition(n_part, F.col(id_col))
         .select(F.col(id_col).alias("_id"), tok_fn(text_col).alias("_h"))
-        .select("_id", simhash_expr(F.col("_h"), bits=bits).alias("_sig"))
+        .select("_id",
+                simhash_signature_udf(bits)(F.col("_h")).alias("_sig"))
     )
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"),
