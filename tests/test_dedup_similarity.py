@@ -520,3 +520,43 @@ class TestSimhashVectorizedSignature:
         assert got[2] == (-1, -1)  # all 64 bits vote positive
         for o, n in got.values():
             assert o == n
+
+
+class TestMinhashVectorizedSignature:
+    """The Arrow-batched MinHash signature (minhash_signature_udf) must
+    equal the array_min/transform expression form bit for bit on both
+    base-hash families."""
+
+    @pytest.mark.parametrize("portable", [False, True])
+    def test_matches_expression_form_on_corpus(self, spark, sf_dir,
+                                               portable):
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh = D.shingle_table(docs)
+        try:
+            base_fn = (D.base_hashes_md5_expr if portable
+                       else D.base_hashes_expr)
+            base = sh.select("_id", base_fn(F.col("_sh")).alias("_b"))
+            old = base.select(
+                "_id", D.minhash_signature(F.col("_b"), 64).alias("old"))
+            new = base.select(
+                "_id", D.minhash_signature_udf(64)(F.col("_b")).alias("new"))
+            diff = (old.join(new, "_id")
+                    .where(F.expr("old IS DISTINCT FROM new")).count())
+            assert diff == 0
+        finally:
+            sh.unpersist()
+
+    def test_empty_base_array_yields_null_mins(self, spark):
+        rows = spark.createDataFrame(
+            [(1, []), (2, [17, 23])], "doc_id BIGINT, _b ARRAY<BIGINT>")
+        got = rows.select(
+            "doc_id",
+            D.minhash_signature(F.col("_b"), 8).alias("old"),
+            D.minhash_signature_udf(8)(F.col("_b")).alias("new")).collect()
+        for r in got:
+            assert list(r.old) == list(r.new)
+        assert all(v is None for v in got[0].old or [None])

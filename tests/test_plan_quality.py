@@ -51,10 +51,12 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
 # Everything else in the catalog must stay native-expression.
 _PANDAS_OK = {"media_features", "media_frame_sample",
               "image_ahash_fingerprints",
-              # vectorized per-doc bit math (64-wide majority vote) —
-              # equality with the pure-expression form is pinned in
-              # test_dedup_similarity.py::TestSimhashVectorizedSignature
+              # vectorized per-doc signature math (64-wide majority vote /
+              # 64-permutation min matrix) — equality with the pure-
+              # expression forms is pinned in test_dedup_similarity.py::
+              # TestSimhashVectorizedSignature / TestMinhashVectorizedSignature
               "simhash_neardups", "simhash_recall_vs_exact",
+              "minhash_lsh_neardups", "minhash_recall_vs_exact",
               "cosine_topk", "ann_cosine_topk", "embedding_neardups",
               "ann_recall_vs_exact", "ivf_recall_vs_exact",
               "ann_multiprobe_topk", "ann_multiprobe_recall_vs_exact",

@@ -178,6 +178,40 @@ def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ).persist()
 
 
+
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+    """Arrow-batched MinHash signature — bit-for-bit equal to
+    :func:`minhash_signature` (pinned in tests/test_dedup_similarity.py)
+    but one vectorized (perms x shingles) numpy matrix per document
+    instead of ``num_hashes`` interpreted array_min/transform folds —
+    the same 2x win the SimHash signature got. No overflow: base hashes
+    and ``a`` live in the Mersenne field (< 2^31), so a*h + b < 2^62
+    fits int64 exactly as the expression form's JVM longs do."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(num_hashes, seed)
+    a = np.array([p_[0] for p_ in params], dtype=np.int64)[:, None]
+    b = np.array([p_[1] for p_ in params], dtype=np.int64)[:, None]
+
+    def _sig(base_lists):
+        out = []
+        for hl in base_lists:
+            h = np.asarray(hl, dtype=np.int64)
+            if h.size == 0:
+                # array_min over empty transform -> NULL per permutation;
+                # mirror the expression form with None entries
+                out.append([None] * num_hashes)
+                continue
+            mins = ((a * h[None, :] + b) % _MERSENNE_P).min(axis=1)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    _sig.__annotations__ = {"base_lists": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "array<long>")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, num_hashes: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.5, unit: str = "word",
@@ -212,7 +246,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     base_fn = base_hashes_md5_expr if portable else base_hashes_expr
     sig_df = (
         docs.select("_id", base_fn(F.col("_sh")).alias("_base"))
-        .select("_id", minhash_signature(F.col("_base"), num_hashes).alias("_sig"))
+        .select("_id",
+                minhash_signature_udf(num_hashes)(F.col("_base"))
+                .alias("_sig"))
     )
 
     def _band_hash(b: int) -> F.Column:
