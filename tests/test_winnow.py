@@ -55,3 +55,59 @@ def test_selection_density(spark, sf_dir):
         .collect()[0]
     )
     assert 0 < agg.f < 0.6 * agg.g
+
+
+class TestVectorizedMinima:
+    """winnow_minima_udf must equal the pure-expression window-minima
+    form on the real corpus and on degenerate gram arrays."""
+
+    def test_matches_expression_form_on_corpus(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            winnow as W,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        fps = W.winnow_fingerprints(docs)  # UDF form
+        # recompute the gram stage and apply the expression form
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        normed = docs.repartition(n_part, F.col("doc_id")).select(
+            "doc_id", W._norm_expr(F.col("text")).alias("_t"))
+        k = W.DEFAULT_K
+        grams = normed.select(
+            "doc_id",
+            F.when(
+                F.length("_t") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_t") - k + 1),
+                    lambda i: F.md5(
+                        F.substr(F.col("_t"), i, F.lit(k)).cast("binary")),
+                ),
+            ).otherwise(F.array().cast("array<string>")).alias("_g"))
+        ref = grams.select(
+            "doc_id", W.winnow_minima_expr(F.col("_g")).alias("fp_ref"))
+        diff = (fps.join(ref, "doc_id")
+                .where(F.expr("fp IS DISTINCT FROM fp_ref")).count())
+        assert diff == 0
+
+    def test_degenerate_gram_arrays(self, spark):
+        from pyspark.sql import functions as F
+
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            winnow as W,
+        )
+
+        rows = spark.createDataFrame(
+            [(1, []), (2, ["bb"]), (3, ["bb", "aa"]),
+             (4, ["dd", "cc", "bb", "aa", "ee", "aa"])],
+            "doc_id BIGINT, _g ARRAY<STRING>")
+        both = rows.select(
+            "doc_id",
+            W.winnow_minima_expr(F.col("_g")).alias("ref"),
+            W.winnow_minima_udf()(F.col("_g")).alias("got")).collect()
+        for r in both:
+            assert list(r.ref) == list(r.got), r.doc_id

@@ -63,18 +63,71 @@ def winnow_fingerprints(docs: DataFrame, k: int = DEFAULT_K, w: int = DEFAULT_W,
     return grams.select(
         id_col,
         F.size("_g").alias("n_grams"),
-        F.when(F.size("_g") == 0, empty)
-        .when(F.size("_g") < w, F.array(F.array_min("_g")))
+        winnow_minima_expr(F.col("_g"), w).alias("fp"),
+    )
+
+
+
+
+def winnow_minima_expr(g: F.Column, w: int = DEFAULT_W) -> F.Column:
+    """Pure-expression window minima (the pre-vectorization form) — kept
+    as the equality reference for winnow_minima_udf and for callers that
+    must stay Python-free."""
+    empty = F.array().cast("array<string>")
+    return (
+        F.when(F.size(g) == 0, empty)
+        .when(F.size(g) < w, F.array(F.array_min(g)))
         .otherwise(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("_g") - w + 1),
-                    lambda j: F.array_min(F.slice("_g", j, w)),
+                    F.sequence(F.lit(1), F.size(g) - w + 1),
+                    lambda j: F.array_min(F.slice(g, j, w)),
                 )
             )
         )
-        .alias("fp"),
     )
+
+
+def winnow_minima_udf(w: int = DEFAULT_W):
+    """Arrow-batched window-minima — equal to the expression form
+    (pinned in tests/test_winnow.py). NOT the production path: measured
+    at sf0.1, shipping the md5 string-gram arrays across the Arrow
+    boundary costs MORE than the interpreted slice/min folds save
+    (1.01 s vs 0.67 s for the fingerprint stage) — unlike the SimHash/
+    MinHash signatures, whose inputs are slim int64 arrays. Kept as the
+    measured counter-example to the vectorization playbook: profile the
+    transfer, not just the compute. Lexicographic min on lowercase-hex
+    numpy unicode arrays orders exactly like SQL string comparison;
+    array_distinct keeps first-occurrence order — mirrored with the
+    seen-set walk."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fp(gram_lists):
+        out = []
+        for gl in gram_lists:
+            n = len(gl)
+            if n == 0:
+                out.append([])
+                continue
+            if n < w:
+                out.append([min(gl)])
+                continue
+            arr = np.asarray(gl)
+            mins = np.lib.stride_tricks.sliding_window_view(arr, w) \
+                .min(axis=1)
+            seen = set()
+            fp = []
+            for m in mins:
+                if m not in seen:
+                    seen.add(m)
+                    fp.append(str(m))
+            out.append(fp)
+        return pd.Series(out)
+
+    _fp.__annotations__ = {"gram_lists": pd.Series, "return": pd.Series}
+    return pandas_udf(_fp, "array<string>")
 
 
 def winnow_pairs(docs: DataFrame, min_shared: int = 2, max_df: int = 50,
