@@ -517,35 +517,45 @@ class TestExperimentStatisticIdentities:
         from hypothesis import given, settings
         from hypothesis import strategies as st
 
+        from fractions import Fraction
+
         @settings(max_examples=200, deadline=None)
         @given(xs=st.lists(st.integers(-10**6, 10**6), min_size=2,
                            max_size=30),
                ys=st.lists(st.integers(-10**6, 10**6), min_size=2,
                            max_size=30))
         def check(xs, ys):
-            def var_def(v):
-                m = sum(v) / len(v)
-                return sum((x - m) ** 2 for x in v) / (len(v) - 1)
+            # Definitional sample variance as an EXACT rational — the
+            # floating-point definitional has its own rounding noise on
+            # near-constant inputs, so the reference must be exact.
+            def var_exact(v):
+                n, s = len(v), sum(v)
+                num = n * sum(x * x for x in v) - s * s  # exact int >= 0
+                return Fraction(num, n * (n - 1))
 
-            # entry's form: (ss - s^2/n)/(n-1) from integer sufficient stats
+            # entry's fixed form: the numerator n*ss - s^2 is exact
+            # integer, cast to double once, then ONE IEEE division —
+            # mirrors the DECIMAL(38,0)/HUGEINT expression both engines
+            # run (cast each side, then divide; not rational division).
             def var_stats(v):
                 n, s, ss = len(v), sum(v), sum(x * x for x in v)
-                return (ss - float(s) * s / n) / (n - 1)
+                return float(n * ss - s * s) / float(n * (n - 1))
 
-            va_d, va_s = var_def(xs), var_stats(xs)
-            vb_d, vb_s = var_def(ys), var_stats(ys)
-            scale = max(1.0, abs(va_d), abs(vb_d))
-            assert abs(va_d - va_s) <= 1e-6 * scale
-            assert abs(vb_d - vb_s) <= 1e-6 * scale
-            if va_d + vb_d == 0:
+            va_e, va_s = var_exact(xs), var_stats(xs)
+            vb_e, vb_s = var_exact(ys), var_stats(ys)
+            # cast-then-divide is within 2 ulp of the true rational
+            scale = max(1.0, float(va_e), float(vb_e))
+            assert abs(float(va_e) - va_s) <= 1e-12 * scale
+            assert abs(float(vb_e) - vb_s) <= 1e-12 * scale
+            if va_e + vb_e == 0:
                 return
             t_def = (abs(sum(xs) / len(xs) - sum(ys) / len(ys))
-                     / math.sqrt(var_def(xs) / len(xs)
-                                 + var_def(ys) / len(ys)))
+                     / math.sqrt(float(va_e) / len(xs)
+                                 + float(vb_e) / len(ys)))
             t_stats = (abs(sum(xs) / len(xs) - sum(ys) / len(ys))
                        / math.sqrt(var_stats(xs) / len(xs)
                                    + var_stats(ys) / len(ys)))
-            assert abs(t_def - t_stats) <= 1e-6 * max(1.0, t_def)
+            assert abs(t_def - t_stats) <= 1e-12 * max(1.0, t_def)
 
         check()
 

@@ -1406,15 +1406,17 @@ wide AS (
          MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
          MAX(CASE WHEN arm = 'A' THEN s END) AS s_a,
          MAX(CASE WHEN arm = 'B' THEN s END) AS s_b,
-         MAX(CASE WHEN arm = 'A' THEN CAST(ss AS DOUBLE) END) AS ss_a,
-         MAX(CASE WHEN arm = 'B' THEN CAST(ss AS DOUBLE) END) AS ss_b
+         MAX(CASE WHEN arm = 'A' THEN ss END) AS ss_a,
+         MAX(CASE WHEN arm = 'B' THEN ss END) AS ss_b
   FROM stats),
 calc AS (
   SELECT n_a, n_b, s_a, s_b,
-         (ss_a - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
-                 / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS va,
-         (ss_b - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
-                 / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS vb
+         CAST(CAST(n_a AS HUGEINT) * ss_a
+              - CAST(s_a AS HUGEINT) * CAST(s_a AS HUGEINT) AS DOUBLE)
+           / CAST(n_a * (n_a - 1) AS DOUBLE) AS va,
+         CAST(CAST(n_b AS HUGEINT) * ss_b
+              - CAST(s_b AS HUGEINT) * CAST(s_b AS HUGEINT) AS DOUBLE)
+           / CAST(n_b * (n_b - 1) AS DOUBLE) AS vb
   FROM wide
   WHERE n_a >= 2 AND n_b >= 2)
 SELECT n_a, n_b, s_a AS sum_a_cents, s_b AS sum_b_cents,
@@ -1442,7 +1444,14 @@ FROM calc
                 "accumulated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) "
                 "because BIGINT cents-squared overflows int64 past ~1e5 "
                 "users at this value scale — the overflow-proof scale "
-                "path the EWMA fix established. The t statistic is one "
+                "path the EWMA fix established. The per-arm variance is "
+                "cancellation-free: the numerator n*ss - s^2 is formed "
+                "EXACTLY in DECIMAL(38,0)/HUGEINT (<= ~1e33 cents^2, "
+                "fits) and cast to double once before a single IEEE "
+                "division by n*(n-1) — the grouped_ols_trend discipline; "
+                "the naive (ss - s^2/n)/(n-1) double-subtraction loses "
+                "up to ~40 bits on near-constant arms and failed its "
+                "hypothesis pin in round 7. The t statistic is one "
                 "identical IEEE expression (each exact stat cast to "
                 "double at the same point on both engines; sqrt is "
                 "correctly rounded IEEE so it cannot diverge), "
@@ -1478,19 +1487,24 @@ def welch_from_spend(spend: DataFrame) -> DataFrame:
         F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
         F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("s_a"),
         F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("s_b"),
-        F.max(F.when(F.col("arm") == "A", F.col("ss").cast("double")))
-        .alias("ss_a"),
-        F.max(F.when(F.col("arm") == "B", F.col("ss").cast("double")))
-        .alias("ss_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("ss"))).alias("ss_b"),
     ).where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
-    va = ((F.col("ss_a")
-           - F.col("s_a").cast("double") * F.col("s_a").cast("double")
-           / F.col("n_a").cast("double"))
-          / (F.col("n_a") - 1).cast("double"))
-    vb = ((F.col("ss_b")
-           - F.col("s_b").cast("double") * F.col("s_b").cast("double")
-           / F.col("n_b").cast("double"))
-          / (F.col("n_b") - 1).cast("double"))
+    # Cancellation-free variance: the numerator n*ss - s^2 is computed
+    # EXACTLY in DECIMAL(38,0) (<= ~1e33 at cents scale, fits), cast to
+    # double once, then one IEEE division — the grouped_ols_trend
+    # discipline. The old (ss - s^2/n)/(n-1) double-subtraction lost up
+    # to ~40 bits when an arm's variance << mean^2 (hypothesis pin in
+    # tests/test_analytics.py caught it with near-constant spends).
+    dec38 = "decimal(38,0)"
+    va = ((F.col("n_a").cast(dec38) * F.col("ss_a")
+           - F.col("s_a").cast(dec38) * F.col("s_a").cast(dec38))
+          .cast("double")
+          / (F.col("n_a") * (F.col("n_a") - 1)).cast("double"))
+    vb = ((F.col("n_b").cast(dec38) * F.col("ss_b")
+           - F.col("s_b").cast(dec38) * F.col("s_b").cast(dec38))
+          .cast("double")
+          / (F.col("n_b") * (F.col("n_b") - 1)).cast("double"))
     calc = wide.select("n_a", "n_b", "s_a", "s_b",
                        va.alias("va"), vb.alias("vb"))
     abs_t = (F.abs(F.col("s_a").cast("double") / F.col("n_a").cast("double")
