@@ -589,3 +589,185 @@ class TestExperimentStatisticIdentities:
             assert u2_entry == u2_ref
 
         check()
+
+
+class TestCancellationSweep:
+    """Adversarial hypothesis pins for every 'one IEEE expression'
+    entry that subtracts large like-magnitude terms — the round-7
+    Welch lesson generalized. Each test mirrors the entry's exact
+    arithmetic form in pure Python (exact ints where the engines use
+    BIGINT/DECIMAL/HUGEINT, a float cast exactly where the engines
+    cast) and compares against an exact-rational definitional. The
+    strategies deliberately generate near-cancelling inputs: values
+    clustered around a huge base so differences are tiny relative to
+    the terms subtracted."""
+
+    # values near a huge base: the difference of any two terms is
+    # ~1e0-1e6 while each term is ~1e12 — a double subtraction of
+    # pre-rounded terms would lose the entire signal.
+    _NEAR = None  # built lazily so hypothesis import stays test-local
+
+    @staticmethod
+    def _near_constant_lists(min_size=2, max_size=30):
+        from hypothesis import strategies as st
+        base = st.integers(10**11, 10**12)
+        return base.flatmap(
+            lambda b: st.lists(
+                st.integers(b - 10**6, b + 10**6),
+                min_size=min_size, max_size=max_size))
+
+    def test_pearson_exact_radicands_near_constant_degrees(self):
+        """knn_degree_assortativity's Pearson form: numerator
+        n*sxy - sx*sy and both radicands formed exactly in integer,
+        one cast each, one division — pinned against Fraction."""
+        import math
+        from fractions import Fraction
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        pair_lists = self._near_constant_lists(min_size=2).flatmap(
+            lambda xs: st.tuples(
+                st.just(xs),
+                st.lists(st.integers(min(xs) - 100, max(xs) + 100),
+                         min_size=len(xs), max_size=len(xs))))
+
+        @settings(max_examples=200, deadline=None)
+        @given(xy=pair_lists)
+        def check(xy):
+            xs, ys = xy
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            num = n * sxy - sx * sy          # exact int (the entry's form)
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx == 0 or dy == 0:
+                return
+            r_entry = float(num) / (math.sqrt(float(dx))
+                                    * math.sqrt(float(dy)))
+            # exact-rational definitional r^2 (sign carried separately)
+            r2_exact = Fraction(num * num, dx * dy)
+            r_exact = math.copysign(math.sqrt(float(r2_exact)), num)
+            assert abs(r_entry - r_exact) <= 1e-12 * max(1.0, abs(r_exact))
+            assert abs(r_entry) <= 1.0 + 1e-12
+
+        check()
+
+    def test_chi2_integer_det_survives_near_cancelling_margins(self):
+        """ab_test_chi2_by_event: det = a*(n_b-b') - (n_a-a)*b' is
+        EXACT BIGINT, so a*d ~ b*c at huge margins cannot cancel —
+        pinned against the exact-rational definitional chi^2."""
+        from fractions import Fraction
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        big = st.integers(10**8, 10**9)
+
+        @settings(max_examples=200, deadline=None)
+        @given(n_a=big, n_b=big, d_a=st.integers(-1000, 1000),
+               frac_e6=st.integers(1, 999999))
+        def check(n_a, n_b, d_a, frac_e6):
+            # conversions tuned so conv_a/n_a ~ conv_b/n_b (det ~ 0
+            # while every margin product is ~1e17)
+            conv_a = n_a * frac_e6 // 10**6 + d_a
+            conv_b = n_b * frac_e6 // 10**6
+            if not (0 < conv_a < n_a and 0 < conv_b < n_b):
+                return
+            n_all, n_conv = n_a + n_b, conv_a + conv_b
+            det = conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+            chi2_entry = (float(n_all) * float(det) * float(det)
+                          / (float(n_a) * float(n_b) * float(n_conv)
+                             * float(n_all - n_conv)))
+            chi2_exact = Fraction(n_all * det * det,
+                                  n_a * n_b * n_conv * (n_all - n_conv))
+            assert (abs(chi2_entry - float(chi2_exact))
+                    <= 1e-9 * max(1.0, float(chi2_exact)))
+
+        check()
+
+    def test_gini_exact_decimal_numerator_near_equal_spends(self):
+        """gini_from_spend's fixed form: 2*s2 - (n+1)*s1 formed
+        exactly (DECIMAL/HUGEINT), one cast, one division — pinned
+        against the exact-rational Gini on near-equal huge spends,
+        where the two terms agree to ~10 significant digits."""
+        from fractions import Fraction
+
+        from hypothesis import given, settings
+
+        @settings(max_examples=200, deadline=None)
+        @given(cents=self._near_constant_lists(min_size=2))
+        def check(cents):
+            xs = sorted(cents)
+            n, s1 = len(xs), sum(xs)
+            if s1 == 0:
+                return
+            s2 = sum((i + 1) * x for i, x in enumerate(xs))
+            num = 2 * s2 - (n + 1) * s1       # exact int (entry's form)
+            gini_entry = float(num) / (float(n) * float(s1)) * 1e6
+            gini_exact = Fraction(num * 10**6, n * s1)
+            assert abs(gini_entry - float(gini_exact)) <= 1e-9 * max(
+                1.0, abs(float(gini_exact)))
+            # the OLD form (double s2, subtract after rounding) must be
+            # demonstrably worse or equal — documents why the fix holds
+            old = (2.0 * float(s2) - (n + 1.0) * float(s1)) / (
+                float(n) * float(s1)) * 1e6
+            assert (abs(old - float(gini_exact))
+                    >= abs(gini_entry - float(gini_exact)) - 1e-12)
+
+        check()
+
+    def test_cusum_scaled_statistic_is_division_free_exact(self):
+        """cusum_from_daily: c_j = n*prefix_j - j*S in BIGINT — the
+        subtraction is exact integer by construction, so the argmax
+        day cannot flip; pinned against Fraction means."""
+        from fractions import Fraction
+
+        from hypothesis import given, settings
+
+        @settings(max_examples=200, deadline=None)
+        @given(cents=self._near_constant_lists(min_size=3))
+        def check(cents):
+            n, s = len(cents), sum(cents)
+            pref, best = 0, None
+            for j, c in enumerate(cents[:-1], start=1):
+                pref += c
+                stat = n * pref - j * s        # exact int (entry's form)
+                key = (abs(stat), -j)
+                if best is None or key > best[0]:
+                    best = (key, j, pref, stat)
+            _, j, pref, stat = best
+            # the scaled statistic equals n*j*(mean_before - mean_all)
+            exact = (Fraction(pref, j) - Fraction(s, n)) * n * j
+            assert stat == exact               # bit-exact, no tolerance
+
+        check()
+
+    def test_mad_lower_median_pure_integer_huge_values(self):
+        """mad_anomalies: lower median via 2*rank >= n, deviations
+        |x - med| in BIGINT, 3x-MAD flag an integer comparison —
+        bit-exact on huge near-constant values by construction."""
+        from hypothesis import given, settings
+
+        @settings(max_examples=200, deadline=None)
+        @given(cents=self._near_constant_lists(min_size=1))
+        def check(cents):
+            xs = sorted(cents)
+            n = len(xs)
+            # entry's rank test: first position with 2*rn >= n
+            med_entry = next(x for rn, x in enumerate(xs, start=1)
+                             if 2 * rn >= n)
+            # definitional lower median
+            med_def = xs[(n - 1) // 2]
+            assert med_entry == med_def
+            devs = sorted(abs(x - med_entry) for x in xs)
+            mad_entry = next(d for rn, d in enumerate(devs, start=1)
+                             if 2 * rn >= n)
+            assert mad_entry == devs[(n - 1) // 2]
+            n_anom = sum(1 for x in xs if abs(x - med_entry) > 3 * mad_entry)
+            assert 0 <= n_anom <= n  # flag is pure-integer, total order
+
+        check()

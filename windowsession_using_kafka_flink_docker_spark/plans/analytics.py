@@ -1602,7 +1602,7 @@ ranked AS (
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(cents) AS BIGINT) AS s1,
-         CAST(SUM(CAST(rn AS HUGEINT) * cents) AS DOUBLE) AS s2
+         SUM(CAST(rn AS HUGEINT) * cents) AS s2
   FROM ranked),
 shares AS (
   SELECT CAST(SUM(CASE WHEN r.rn > t.n - t.n // 10 THEN r.cents ELSE 0 END)
@@ -1611,8 +1611,8 @@ shares AS (
               AS BIGINT) AS bot50_cents
   FROM ranked r, tot t)
 SELECT t.n AS n_users, t.s1 AS total_cents,
-       CAST(floor((2 * t.s2 - (CAST(t.n AS DOUBLE) + 1)
-                              * CAST(t.s1 AS DOUBLE))
+       CAST(floor(CAST(2 * t.s2 - (CAST(t.n AS HUGEINT) + 1) * t.s1
+                       AS DOUBLE)
                   / (CAST(t.n AS DOUBLE) * CAST(t.s1 AS DOUBLE))
                   * 1000000) AS BIGINT) AS gini_e6,
        CAST(floor(s.top10_cents * 1000000.0 / t.s1) AS BIGINT)
@@ -1635,6 +1635,10 @@ FROM tot t, shares s
                 "single-partition window over users -- and sum(rank*x) "
                 "accumulates in DECIMAL(38,0)/HUGEINT (rank*cents "
                 "overflows int64 past ~1e7 users, the Welch discipline). "
+                "The numerator 2*s2-(n+1)*s1 is formed EXACTLY in that "
+                "decimal before a single cast+division (near-equal "
+                "spends make the terms like-magnitude; a double "
+                "subtraction would cancel -- the round-8 Welch lesson). "
                 "The statistic is one identical IEEE expression over "
                 "exact integers, scaled-floor hashed. Second pass for "
                 "the conditional shares joins the 1-row totals broadcast "
@@ -1658,7 +1662,7 @@ def gini_from_spend(spend: DataFrame) -> DataFrame:
     tot = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s1"),
-        F.sum(gdec * F.col("cents")).cast("double").alias("s2"))
+        F.sum(gdec * F.col("cents")).alias("s2"))
     joined = ranked.crossJoin(F.broadcast(tot))
     shares = joined.agg(
         F.max("n").alias("n"), F.max("s1").alias("s1"), F.max("s2").alias("s2"),
@@ -1668,10 +1672,16 @@ def gini_from_spend(spend: DataFrame) -> DataFrame:
         F.sum(F.when(
             F.col("grank") <= F.floor(F.col("n") / 2).cast("long"),
             F.col("cents")).otherwise(0)).cast("long").alias("bot50_cents"))
+    # Cancellation-free Gini numerator (the Welch discipline): s2 stays
+    # DECIMAL(38,0), 2*s2 - (n+1)*s1 is formed EXACTLY, cast to double
+    # once, then one IEEE division — near-equal spends make the two
+    # terms like-magnitude, so a double subtraction would cancel.
+    dec38 = "decimal(38,0)"
+    gnum = (F.lit(2).cast(dec38) * F.col("s2")
+            - (F.col("n").cast(dec38) + 1) * F.col("s1").cast(dec38))
     return shares.select(
         F.col("n").alias("n_users"), F.col("s1").alias("total_cents"),
-        F.floor((2 * F.col("s2")
-                 - (F.col("n").cast("double") + 1) * F.col("s1").cast("double"))
+        F.floor(gnum.cast("double")
                 / (F.col("n").cast("double") * F.col("s1").cast("double"))
                 * 1000000).cast("long").alias("gini_e6"),
         F.floor(F.col("top10_cents") * 1000000.0 / F.col("s1"))

@@ -2126,18 +2126,20 @@ stats AS (
          CAST(SUM(x * y) AS BIGINT) AS sxy,
          CAST(SUM(x * x) AS BIGINT) AS sxx,
          CAST(SUM(y * y) AS BIGINT) AS syy
-  FROM pairs)
+  FROM pairs),
+exact AS (
+  SELECT n, sx, sy, sxy, sxx, syy,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+  FROM stats)
 SELECT n AS n_edges, sx, sy, sxy, sxx, syy,
-       CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
-                 THEN 0
-                 ELSE floor(
-                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                   / (sqrt(CAST(n AS DOUBLE) * sxx
-                           - CAST(sx AS DOUBLE) * sx)
-                      * sqrt(CAST(n AS DOUBLE) * syy
-                             - CAST(sy AS DOUBLE) * sy)) * 1000000)
+       CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+                 ELSE floor(CAST(num AS DOUBLE)
+                            / (sqrt(CAST(dx AS DOUBLE))
+                               * sqrt(CAST(dy AS DOUBLE))) * 1000000)
             END AS BIGINT) AS assortativity_e6
-FROM stats
+FROM exact
 """,
     description="Degree assortativity of the undirected 3-NN cosine "
                 "graph — the Pearson correlation of endpoint degrees "
@@ -2148,11 +2150,14 @@ FROM stats
                 "Same discipline as grouped_ols_trend: the five "
                 "sufficient statistics are EXACT BIGINTs from one "
                 "aggregation over the edge frame (degrees joined in from "
-                "a node-sized count that broadcasts), and the final "
-                "correlation is ONE identical IEEE expression in both "
-                "engines (sqrt is correctly rounded), scaled-floored to "
-                "e6. The oracle replays the shared _KNN3_SQL edge "
-                "derivation, so the graph is bit-identical to the "
+                "a node-sized count that broadcasts), the Pearson "
+                "numerator n*sxy-sx*sy and both sqrt radicands are "
+                "formed EXACTLY in DECIMAL(38,0)/HUGEINT (no "
+                "round-before-subtract even at 1e12 edges), and the "
+                "final correlation is ONE identical IEEE expression in "
+                "both engines (sqrt is correctly rounded), scaled-"
+                "floored to e6. The oracle replays the shared _KNN3_SQL "
+                "edge derivation, so the graph is bit-identical to the "
                 "PageRank/triangle/BFS entries'.",
     tags=("llm", "graph", "aggregate", "quality"),
 )
@@ -2178,16 +2183,26 @@ def knn_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"))
+    # Cancellation-free Pearson (the Welch lesson generalized): the
+    # numerator n*sxy - sx*sy and both sqrt radicands are formed EXACTLY
+    # in DECIMAL(38,0)/HUGEINT before the single cast to double — the
+    # old form did the products in double, exact at 3-NN degree scale
+    # but rounding-before-subtracting at 1e12-edge scale.
+    dec38 = "decimal(38,0)"
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    r = ((n.cast("double") * sxy - sx.cast("double") * sy)
-         / (F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
-            * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)))
-    return stats.select(
-        n.alias("n_edges"), "sx", "sy", "sxy", "sxx", "syy",
-        F.when((vx == 0) | (vy == 0), F.lit(0))
+    nd = n.cast(dec38)
+    num = nd * F.col("sxy").cast(dec38) - sx.cast(dec38) * sy.cast(dec38)
+    dx = nd * F.col("sxx").cast(dec38) - sx.cast(dec38) * sx.cast(dec38)
+    dy = nd * F.col("syy").cast(dec38) - sy.cast(dec38) * sy.cast(dec38)
+    exact = stats.select(
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+        num.alias("num"), dx.alias("dx"), dy.alias("dy"))
+    r = (F.col("num").cast("double")
+         / (F.sqrt(F.col("dx").cast("double"))
+            * F.sqrt(F.col("dy").cast("double"))))
+    return exact.select(
+        F.col("n").alias("n_edges"), "sx", "sy", "sxy", "sxx", "syy",
+        F.when((F.col("dx") == 0) | (F.col("dy") == 0), F.lit(0))
         .otherwise(F.floor(r * 1000000)).cast("long")
         .alias("assortativity_e6"))
 
