@@ -65,15 +65,16 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_lsh_neardups",
-    oracle=None,  # LSH candidate recall is probabilistic-by-design → rows-only
-    description="MinHash(64)+LSH(16 bands) near-dup pairs over word "
-                "3-shingles, exact-Jaccard verified at >= 0.5",
-    bench=True,
-    tags=("llm", "dedup", "minhash"),
-)
 def minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs over word 3-shingles,
+    exact-Jaccard verified at >= 0.5.
+
+    Retired from the catalog (VERDICT r7 item 3 consolidation): the
+    rows-only registration added no signal once ``minhash_recall_vs_exact``
+    hash-pinned a bit-identical DuckDB replay of this same pipeline
+    (portable md5 signature mode) with recall/precision floors. Still
+    benched directly by bench.py (EXTRA_BENCH) and pinned by the
+    planted-pair tests in tests/test_dedup_similarity.py."""
     return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"),
                                shingles=_shingle_stage(spark, sf_dir))
 
@@ -158,16 +159,15 @@ def clear_stage_caches() -> None:
     _NGRAM_PAIRS_CACHE.clear()
 
 
-@register(
-    "simhash_neardups",
-    oracle=None,  # bit-level signature portable in principle, but DuckDB
-                  # lacks xxhash64 — rows-only
-    description="SimHash-64 near-dup pairs, 16-bit chunk blocking, "
-                "Hamming <= 3",
-    bench=True,
-    tags=("llm", "dedup", "simhash"),
-)
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs, 16-bit chunk blocking, Hamming <= 3.
+
+    Retired from the catalog (VERDICT r7 item 3 consolidation): the
+    rows-only registration added no signal once ``simhash_recall_vs_exact``
+    hash-pinned a DuckDB replay of this same pipeline (portable md5
+    signature mode) with a recall floor. Still benched directly by
+    bench.py (EXTRA_BENCH) and pinned by the planted-pair tests in
+    tests/test_dedup_similarity.py."""
     return D.simhash_near_dups(load_table(spark, sf_dir, "documents"))
 
 
@@ -442,19 +442,17 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_index", "frame_bytes")
 
 
-@register(
-    "ivf_ann_topk",
-    oracle=None,  # approximate + iterative (KMeans) -> rows-only
-    description="IVF approximate nearest neighbors: seeded-KMeans coarse "
-                "quantizer (trained ONCE on a bounded sample, cached per "
-                "session+corpus) over unit vectors, nprobe=4 of 16 cells "
-                "probed per query; cell id is the partition key at scale. "
-                "nprobe=n_cells provably equals the exact top-k (pinned by "
-                "pytest).",
-    bench=True,
-    tags=("llm", "similarity", "ann"),
-)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: seeded-KMeans coarse
+    quantizer (trained ONCE on a bounded sample, cached per
+    session+corpus) over unit vectors, nprobe=4 of 16 cells probed per
+    query; cell id is the partition key at scale.
+
+    Retired from the catalog (VERDICT r7 item 3 consolidation): the
+    rows-only registration added no signal once ``ivf_recall_vs_exact``
+    (PINNED into every driver window) hash-pinned the nprobe=n_cells
+    exact-identity over this same index/probe code path. Still benched
+    directly by bench.py (EXTRA_BENCH) and pinned by pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     index = _ivf_index_for(spark, sf_dir, emb)
     return S.ivf_cosine_topk(None, emb.where(F.col("vec_id") < 10), k=10,
@@ -525,22 +523,20 @@ def pq_rerank_all_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pq_ann_topk",
-    oracle=None,  # codebooks are iterative kmeans -> rows-only; quality is
-                  # measured (recall 0.73 vs exact at sf0.01, rerank=50) in
-                  # tools/scale_stress_embeddings.py and pinned by pytest
-                  # on planted copies
-    description="Product-quantization ANN top-10 (8 subspaces x 16 "
-                "centroids = 8-byte codes, 32x compression): ADC scan "
-                "over codes via per-query lookup tables (never touches "
-                "raw vectors), then exact cosine re-rank of the top-50 "
-                "shortlist — the FAISS-style IVF-PQ serving shape and the "
-                "memory-bound scale path at 100 TB",
-    bench=True,
-    tags=("llm", "similarity", "ann", "pq"),
-)
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (8 subspaces x 16 centroids =
+    8-byte codes, 32x compression): ADC scan over codes via per-query
+    lookup tables (never touches raw vectors), then exact cosine
+    re-rank of the top-50 shortlist — the FAISS-style IVF-PQ serving
+    shape and the memory-bound scale path at 100 TB.
+
+    Retired from the catalog (VERDICT r7 item 3 consolidation): the
+    rows-only registration added no signal once ``pq_rerank_all_vs_exact``
+    (PINNED into every driver window) hash-pinned the rerank-all
+    exact-identity over this same encode/ADC/rerank code path; recall
+    0.73 vs exact at sf0.01 (rerank=50) stays measured in
+    tools/scale_stress_embeddings.py and pinned by pytest on planted
+    copies. Still benched directly by bench.py (EXTRA_BENCH)."""
     emb = load_table(spark, sf_dir, "embeddings")
     index = _pq_index_for(spark, sf_dir, emb)
     return S.pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), index,

@@ -203,14 +203,15 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "approx_distinct_users",
-    oracle=None,  # HLL sketch values are engine-specific; rows-only check
-    description="approx_count_distinct (HLL) — the scale path for distinct "
-                "counting; sketch mergeable across partitions",
-    tags=("relational", "aggregate", "approx"),
-)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — the scale path for distinct
+    counting; sketch mergeable across partitions.
+
+    Retired from the catalog (VERDICT r7 item 3 consolidation): the
+    rows-only registration added no signal once ``kmv_distinct_audit``
+    + ``sketch_accuracy_report`` hash-pinned the sketch-distinct
+    quality gates under driver oracles; accuracy stays pinned by
+    tests/test_text_ops.py."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
