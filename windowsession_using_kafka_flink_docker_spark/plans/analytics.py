@@ -1590,6 +1590,83 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    description="TPC-H Q21's shape (suppliers who kept orders waiting): "
+                "for finished orders, count late lineitems whose "
+                "supplier was the ONLY late supplier on a multi-supplier "
+                "order — the classic multi-correlated-subquery semi/anti "
+                "composition (EXISTS another-supplier line, NOT EXISTS "
+                "another-supplier LATE line). The reference schema lacks "
+                "commit/receipt dates, so 'late' is l_shipdate more than "
+                "90 days after o_orderdate. The oracle runs the "
+                "definitional correlated form; the Spark plan runs the "
+                "DECORRELATED rewrite a 100 TB engine wants — ONE "
+                "groupBy(orderkey) computes (distinct suppliers, "
+                "distinct late suppliers) per order, the late lines "
+                "join that slim per-order frame, and the semi/anti "
+                "pair collapses into two integer predicates (n_supp >= "
+                "2, n_late_supp = 1) — so lineitem shuffles once by "
+                "orderkey instead of three times through two "
+                "correlated self-joins; hash equality against the "
+                "EXISTS form is the proof the rewrite is sound. "
+                "Supplier/nation broadcast; deterministic top-100 via "
+                "(numwait DESC, s_name) total order.",
+    bench=True,
+    tags=("relational", "analytics", "join", "decision_support"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    fo = (orders.where(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    lines = (li.join(fo, li.l_orderkey == fo.o_orderkey)
+             .select("l_orderkey", "l_suppkey",
+                     (F.col("l_shipdate")
+                      > F.date_add(F.col("o_orderdate"), 90)).alias("late")))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+        .alias("n_late_supp"))
+    qualifying = (lines.where(F.col("late"))
+                  .join(per_order.where((F.col("n_supp") >= 2)
+                                        & (F.col("n_late_supp") == 1)),
+                        "l_orderkey"))
+    numwait = qualifying.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait"))
+    return (numwait
+            .join(F.broadcast(supplier.select("s_suppkey", "s_name",
+                                              "s_nationkey")),
+                  numwait.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name", "numwait")
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))
+
+
+@register(
     "gini_spend_inequality",
     oracle="""
 WITH spend AS (
