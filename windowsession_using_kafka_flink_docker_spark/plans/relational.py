@@ -3298,3 +3298,184 @@ def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("o_orderpriority")))
             .unionByName(col_stats("o_totalprice_cents", cents,
                                    "o_totalprice_cents")))
+
+
+#: KMV sketch width shared by the batch NDV report and its streaming
+#: maintainer (streaming/analytics_twins.py:IncrementalTableStatsMaintainer).
+KMV_STATS_K = 32
+
+#: Mergeable per-column statistics state: exact counters + typed min/max
+#: (numeric columns in min_num/max_num, string columns in min_str/max_str —
+#: merging numeric minima through a string rendering would compare
+#: lexicographically, "100" < "99") + the k-min set of distinct value
+#: hashes. Union-mergeable in every field: sums, mins/maxes, and
+#: "k smallest of a union = k smallest of the union of k-min sets".
+KMV_STATS_STATE_SCHEMA = (
+    "column_name STRING, n_rows BIGINT, n_nulls BIGINT, "
+    "min_num BIGINT, max_num BIGINT, min_str STRING, max_str STRING, "
+    "kmin ARRAY<DOUBLE>")
+
+#: The profiled orders columns: (name, expression, is_numeric).
+def _kmv_stats_columns() -> list[tuple[str, "F.Column", bool]]:
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return [
+        ("o_custkey", F.col("o_custkey"), True),
+        ("o_orderstatus", F.col("o_orderstatus"), False),
+        ("o_orderpriority", F.col("o_orderpriority"), False),
+        ("o_totalprice_cents", cents, True),
+    ]
+
+
+def _kmv_hash(col: "F.Column") -> "F.Column":
+    """Uniform hash in [0,1) from the md5 prefix of the value's canonical
+    string — bit-identical to DuckDB's ('0x'||substr(md5(v),1,8))::BIGINT
+    / 2^32 (the kmv_distinct_audit hash), and exact in double (a 32-bit
+    integer over 2^32)."""
+    return (F.conv(F.substring(
+        F.md5(col.cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint") / F.lit(4294967296.0))
+
+
+def orders_kmv_state(orders: DataFrame) -> DataFrame:
+    """Reduce an orders frame (full table or one micro-batch) to the
+    mergeable per-column stats state of KMV_STATS_STATE_SCHEMA.
+
+    The scalar counters are one map-side-combinable aggregate per column;
+    the k-min sets rank DISTINCT hashes per column (set semantics, so the
+    streaming union-merge and the batch single-pass agree exactly). The
+    partitioned window is the honest small-data rendering of the k-th
+    order statistic; the maintainer's bounded-array merge IS the
+    per-partition k-min-heap scale path run at merge granularity."""
+    import functools
+
+    cols = _kmv_stats_columns()
+    none_l = F.lit(None).cast("long")
+    none_s = F.lit(None).cast("string")
+    scalars = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [orders.agg(
+            F.lit(name).alias("column_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long")
+            .alias("n_nulls"),
+            (F.min(col).cast("long") if numeric else none_l)
+            .alias("min_num"),
+            (F.max(col).cast("long") if numeric else none_l)
+            .alias("max_num"),
+            (none_s if numeric else F.min(col).cast("string"))
+            .alias("min_str"),
+            (none_s if numeric else F.max(col).cast("string"))
+            .alias("max_str"))
+         for name, col, numeric in cols])
+    longf = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [orders.where(col.isNotNull())
+         .select(F.lit(name).alias("column_name"),
+                 _kmv_hash(col).alias("hv"))
+         for name, col, _ in cols]).distinct()
+    wk = Window.partitionBy("column_name").orderBy("hv")
+    kmin = (longf.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= KMV_STATS_K)
+            .groupBy("column_name")
+            .agg(F.sort_array(F.collect_list("hv")).alias("kmin")))
+    return scalars.join(kmin, "column_name", "left")
+
+
+def ndv_report_from_kmv_state(state: DataFrame) -> DataFrame:
+    """Presentation shared by the batch entry and the maintainer: the
+    long-format column-stats report with the KMV NDV estimate
+    (k-1)/h_(k) — exact count when the k-min set holds everything —
+    floor-scaled to 2 decimals so the one IEEE division hashes stably."""
+    k = KMV_STATS_K
+    kmin = F.coalesce(F.col("kmin"), F.array().cast("array<double>"))
+    nset = F.size(kmin)
+    est = (F.when(nset < k, nset.cast("double"))
+           .otherwise(F.lit(float(k - 1)) / F.get(kmin, k - 1)))
+    return state.select(
+        "column_name", "n_rows", "n_nulls",
+        (F.floor(est * 100) / 100.0).alias("ndv_kmv"),
+        F.coalesce(F.col("min_num").cast("string"), F.col("min_str"))
+        .alias("min_value"),
+        F.coalesce(F.col("max_num").cast("string"), F.col("max_str"))
+        .alias("max_value"))
+
+
+@register(
+    "orders_column_ndv_kmv",
+    oracle="""
+WITH longv AS (
+  SELECT 'o_custkey' AS column_name, CAST(o_custkey AS VARCHAR) AS v
+  FROM orders WHERE o_custkey IS NOT NULL
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  UNION ALL
+  SELECT 'o_totalprice_cents',
+         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+  FROM orders WHERE o_totalprice IS NOT NULL),
+hv AS (
+  SELECT DISTINCT column_name,
+         ('0x' || substr(md5(v), 1, 8))::BIGINT / 4294967296.0 AS hv
+  FROM longv),
+ranked AS (
+  SELECT column_name, hv,
+         row_number() OVER (PARTITION BY column_name ORDER BY hv) AS rn
+  FROM hv),
+kagg AS (
+  SELECT column_name, COUNT(*) AS n_distinct_hv,
+         MAX(CASE WHEN rn = 32 THEN hv END) AS kth
+  FROM ranked GROUP BY column_name),
+est AS (
+  SELECT column_name,
+         CASE WHEN n_distinct_hv < 32 THEN CAST(n_distinct_hv AS DOUBLE)
+              ELSE 31 / kth END AS raw_est
+  FROM kagg),
+stats AS (
+  SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(o_custkey) AS n_nulls,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice_cents', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+         CAST(MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR),
+         CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS VARCHAR)
+  FROM orders)
+SELECT s.column_name, s.n_rows, s.n_nulls,
+       CAST(floor(e.raw_est * 100) AS BIGINT) / 100.0 AS ndv_kmv,
+       s.min_value, s.max_value
+FROM stats s JOIN est e USING (column_name)
+""",
+    description="The SKETCHED rendering of table_stats_report — per-column "
+                "row/null counters, typed min/max, and a KMV (k=32) NDV "
+                "ESTIMATE over md5-prefix hashes of the canonical value "
+                "strings, replayed bit-identically in DuckDB "
+                "(kmv_distinct_audit's hash; estimate = (k-1)/h_(k) on "
+                "DISTINCT hashes, exact-count fallback while the k-min "
+                "set holds everything; one IEEE division, floor-scaled). "
+                "This is the stats shape a 100 TB ANALYZE actually ships: "
+                "the exact-NDV report needs a full distinct per column, "
+                "while every field here — counters, typed min/max, and "
+                "the k-min set itself — is a bounded mergeable partial, "
+                "which is what makes the streaming maintainer "
+                "(IncrementalTableStatsMaintainer, one code path through "
+                "orders_kmv_state/ndv_report_from_kmv_state) possible at "
+                "all. Numeric and string columns keep separate typed "
+                "min/max state because a string-rendered numeric min "
+                "merges lexicographically ('100' < '99').",
+    tags=("relational", "sketch", "approx", "quality", "audit"),
+)
+def orders_column_ndv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return ndv_report_from_kmv_state(orders_kmv_state(orders))

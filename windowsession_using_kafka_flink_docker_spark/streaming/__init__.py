@@ -30,11 +30,13 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalDriftMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
+    IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
     IncrementalLedgerMaintainer,
     streaming_drift_maintenance,
     streaming_daily_revenue_maintenance,
+    streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
     streaming_ewma_maintenance,
@@ -79,11 +81,13 @@ __all__ = [
     "streaming_rollup_maintenance",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
+    "IncrementalTableStatsMaintainer",
     "IncrementalTokenFrequencyMaintainer",
     "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
     "streaming_daily_revenue_maintenance",
+    "streaming_table_stats_maintenance",
     "streaming_token_frequency_maintenance",
     "streaming_user_spend_maintenance",
     "streaming_ewma_maintenance",

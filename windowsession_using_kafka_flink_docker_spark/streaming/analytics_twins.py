@@ -402,6 +402,57 @@ class IncrementalTokenFrequencyMaintainer:
         return zipf_from_freq(self.state.current())
 
 
+class IncrementalTableStatsMaintainer:
+    """Streaming twin of ``orders_column_ndv_kmv`` — maintainer #10, the
+    ANALYZE-TABLE state: per-column exact row/null counters, typed
+    min/max, and the k-min set of distinct value hashes (KMV). Every
+    field is a bounded mergeable partial — counters sum, typed min/max
+    fold, and the k smallest hashes of a union are the k smallest of the
+    k-min sets' union — so state is 4 rows x (7 scalars + a <=32-double
+    array) REGARDLESS of order volume: this is exactly why the catalog
+    entry sketches NDV instead of counting it (an exact streaming NDV
+    would need per-column distinct-value state, unbounded). Both the
+    per-batch reduction and the presentation are the batch entry's own
+    ``orders_kmv_state`` / ``ndv_report_from_kmv_state``, so stream ==
+    batch is one code path; hashes are md5-prefix values replayed
+    bit-identically by the DuckDB oracle, and set semantics on distinct
+    hashes make the merged k-min set equal the batch single-pass set
+    exactly under any batch interleaving."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            KMV_STATS_STATE_SCHEMA,
+        )
+        self.state = _VersionedState(spark, state_dir,
+                                     KMV_STATS_STATE_SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            KMV_STATS_K,
+            orders_kmv_state,
+        )
+        self.state.guard(batch_id)
+        delta = orders_kmv_state(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = merged.groupBy("column_name").agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_nulls").cast("long").alias("n_nulls"),
+            F.min("min_num").alias("min_num"),
+            F.max("max_num").alias("max_num"),
+            F.min("min_str").alias("min_str"),
+            F.max("max_str").alias("max_str"),
+            F.slice(F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("kmin")))), 1, KMV_STATS_K).alias("kmin"))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            ndv_report_from_kmv_state,
+        )
+        return ndv_report_from_kmv_state(self.state.current())
+
+
 def _maintenance_stream(events: DataFrame, maintainer, checkpoint_dir: str,
                         query_name: str) -> StreamingQuery:
     return (events.writeStream
@@ -453,14 +504,23 @@ def streaming_token_frequency_maintenance(
                                "token_frequency_maintenance")
 
 
+def streaming_table_stats_maintenance(
+        orders: DataFrame, maintainer: IncrementalTableStatsMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "table_stats_maintenance")
+
+
 __all__ = [
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
+    "IncrementalTableStatsMaintainer",
     "IncrementalTokenFrequencyMaintainer",
     "streaming_daily_revenue_maintenance",
+    "streaming_table_stats_maintenance",
     "streaming_ewma_maintenance",
     "streaming_token_frequency_maintenance",
     "streaming_user_spend_maintenance",
