@@ -771,3 +771,102 @@ class TestCancellationSweep:
             assert 0 <= n_anom <= n  # flag is pure-integer, total order
 
         check()
+
+
+class TestCramersV:
+    """cramers_v_status_priority: every emitted cell of the contingency
+    report re-derived definitionally in Python from the raw parquet —
+    counts, exact-integer expected values, floor-quantized per-cell
+    chi-square contributions, the exact-BIGINT total, and Cramer's V."""
+
+    def test_matches_python_recomputation(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            cramers_v_status_priority,
+        )
+
+        raw = [(r.o_orderstatus, r.o_orderpriority)
+               for r in load_table(spark, sf_dir, "orders")
+               .select("o_orderstatus", "o_orderpriority").collect()]
+        n_total = len(raw)
+        cellc = Counter(raw)
+        rowc = Counter(s for s, _ in raw)
+        colc = Counter(p for _, p in raw)
+        rows = cramers_v_status_priority(spark, sf_dir).collect()
+        # one row per (distinct status) x (distinct priority), zeros kept
+        assert len(rows) == len(rowc) * len(colc)
+        contribs = {}
+        for r in rows:
+            rt, ct = rowc[r.o_orderstatus], colc[r.o_orderpriority]
+            n = cellc.get((r.o_orderstatus, r.o_orderpriority), 0)
+            assert r.n == n
+            assert r.row_total == rt and r.col_total == ct
+            assert r.expected_e4 == (10000 * rt * ct) // n_total
+            diff = n * n_total - rt * ct
+            contrib = math.floor(
+                float(diff) * float(diff)
+                / float(n_total * rt * ct) * 1_000_000)
+            assert r.contrib_e6 == contrib
+            contribs[(r.o_orderstatus, r.o_orderpriority)] = contrib
+        chi2_e6 = sum(contribs.values())
+        mindim = min(len(rowc) - 1, len(colc) - 1)
+        v_e4 = math.floor(
+            math.sqrt(chi2_e6 / 1_000_000.0 / (float(n_total)
+                                               * float(mindim))) * 10000)
+        for r in rows:
+            assert r.chi2_e6 == chi2_e6
+            assert r.v_e4 == v_e4
+        # V is a correlation-like magnitude
+        assert 0 <= v_e4 <= 10000
+
+    def test_cancellation_free_on_adversarial_margins(self, spark):
+        """The Welch lesson applied to the contingency numerator: with a
+        near-independent table of HUGE like-magnitude counts, n*N and
+        r*c agree to ~9 significant digits; a double-first subtraction
+        loses the low bits, the exact DECIMAL subtraction does not.
+        Chosen so (n*N - r*c) is small relative to both products AND
+        the true contribution is large enough that e6 quantization
+        exposes any lost bits."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        # 2x2 table with counts ~1e8 and a tiny dependence epsilon:
+        # products n*N and r*c are ~4e16 (past 2^53), differences ~5e9.
+        cells = [("A", "X", 100_000_019), ("A", "Y", 99_999_983),
+                 ("B", "X", 99_999_991), ("B", "Y", 100_000_009)]
+        df = spark.createDataFrame(cells, "s STRING, p STRING, n BIGINT")
+        rt = df.groupBy("s").agg(F.sum("n").alias("row_total"))
+        ct = df.groupBy("p").agg(F.sum("n").alias("col_total"))
+        tot = df.agg(F.sum("n").alias("total_n"))
+
+        def dec(c):
+            return c.cast("decimal(38,0)")
+
+        full = (df.join(rt, "s").join(ct, "p").crossJoin(tot))
+        diff = (dec(F.col("n")) * dec(F.col("total_n"))
+                - dec(F.col("row_total")) * dec(F.col("col_total")))
+        den = (dec(F.col("total_n")) * dec(F.col("row_total"))
+               * dec(F.col("col_total")))
+        d = diff.cast("double")
+        got = {(r.s, r.p): r.c for r in full.select(
+            "s", "p",
+            F.floor(d * d / den.cast("double") * F.lit(1_000_000))
+            .cast("long").alias("c")).collect()}
+        n_total = sum(n for _, _, n in cells)
+        rowc = {"A": 200_000_002, "B": 200_000_000}
+        colc = {"X": 200_000_010, "Y": 199_999_992}
+        for s, p, n in cells:
+            diff_i = n * n_total - rowc[s] * colc[p]  # exact int
+            want = math.floor(float(diff_i) * float(diff_i)
+                              / float(n_total * rowc[s] * colc[p])
+                              * 1_000_000)
+            assert got[(s, p)] == want, (s, p)
+            # the case is genuinely adversarial: subtracting the
+            # products AFTER rounding each to double yields a
+            # different difference (the lost low bits), so the exact
+            # DECIMAL-first subtraction is load-bearing
+            rounded_first = float(n * n_total) - float(rowc[s] * colc[p])
+            assert rounded_first != float(diff_i), (s, p)

@@ -2131,3 +2131,137 @@ def backtest_from_daily(daily: DataFrame) -> DataFrame:
                  .cast("long").alias("mae_cents"),
                  F.floor(F.sum(pct) * 1.0 / F.count(F.lit(1)))
                  .cast("long").alias("mape_e4")))
+
+
+@register(
+    "cramers_v_status_priority",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+rt AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS row_total
+  FROM orders GROUP BY 1),
+ct AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS col_total
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_n,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priority
+  FROM orders),
+grid AS (
+  SELECT rt.o_orderstatus, ct.o_orderpriority, rt.row_total, ct.col_total
+  FROM rt CROSS JOIN ct),
+full_cells AS (
+  SELECT g.o_orderstatus, g.o_orderpriority,
+         COALESCE(c.n, 0) AS n, g.row_total, g.col_total,
+         t.total_n, t.n_status, t.n_priority
+  FROM grid g
+  LEFT JOIN cells c USING (o_orderstatus, o_orderpriority), tot t),
+staged AS (
+  SELECT o_orderstatus, o_orderpriority, n, row_total, col_total,
+         total_n, n_status, n_priority,
+         CAST((10000 * CAST(row_total AS HUGEINT) * col_total)
+              // total_n AS BIGINT) AS expected_e4,
+         CAST(floor(
+           CAST(CAST(n AS HUGEINT) * total_n
+                - CAST(row_total AS HUGEINT) * col_total AS DOUBLE)
+           * CAST(CAST(n AS HUGEINT) * total_n
+                  - CAST(row_total AS HUGEINT) * col_total AS DOUBLE)
+           / CAST(CAST(total_n AS HUGEINT) * row_total * col_total
+                  AS DOUBLE)
+           * 1000000) AS BIGINT) AS contrib_e6
+  FROM full_cells),
+chi AS (SELECT CAST(SUM(contrib_e6) AS BIGINT) AS chi2_e6 FROM staged)
+SELECT s.o_orderstatus, s.o_orderpriority, s.n, s.row_total, s.col_total,
+       s.expected_e4, s.contrib_e6, chi.chi2_e6,
+       CASE WHEN LEAST(s.n_status - 1, s.n_priority - 1) > 0 THEN
+         CAST(floor(sqrt(CAST(chi.chi2_e6 AS DOUBLE) / 1000000.0
+                         / (CAST(s.total_n AS DOUBLE)
+                            * CAST(LEAST(s.n_status - 1,
+                                         s.n_priority - 1) AS DOUBLE)))
+                    * 10000) AS BIGINT)
+       END AS v_e4
+FROM staged s, chi
+""",
+    description="R x C categorical association — the full contingency "
+                "table of o_orderstatus x o_orderpriority with Pearson "
+                "chi-square and Cramer's V, generalizing the 2x2 "
+                "closed-form of ab_test_chi2_by_event to arbitrary "
+                "cardinalities. The R x C statistic has no single-"
+                "expression form, so the Welch lesson is applied "
+                "differently: each cell's contribution (n*N - r*c)^2 / "
+                "(N*r*c) keeps its numerator EXACT (DECIMAL(38,0) / "
+                "HUGEINT products, subtracted before the one double "
+                "cast — the grouped_ols discipline, no cancellation) "
+                "and is floor-quantized to an e6 INTEGER, so the "
+                "cross-cell total is an exact BIGINT sum — "
+                "deterministic under any aggregation order, where a "
+                "double sum over cells would hash-diverge — within "
+                "|cells|*1e-6 of true chi-square. Zero cells enter "
+                "through the distinct-status x distinct-priority grid "
+                "(their e_ij contributes; omitting them biases the "
+                "statistic low). Expected counts are exact integer "
+                "e4 divisions (div//HUGEINT — double division floors "
+                "can disagree past 2^53). V = sqrt(chi2/(N*min(R-1,"
+                "C-1))) is one IEEE expression on the quantized total. "
+                "Scale shape: three map-side-combinable aggregates "
+                "over one scan, a <=15-row broadcast grid, and 1-row "
+                "broadcast totals — nothing fact-sized shuffles twice.",
+    tags=("relational", "analytics", "experiment", "aggregate"),
+)
+def cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (orders.groupBy("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    rt = (orders.groupBy("o_orderstatus")
+          .agg(F.count(F.lit(1)).cast("long").alias("row_total")))
+    ct = (orders.groupBy("o_orderpriority")
+          .agg(F.count(F.lit(1)).cast("long").alias("col_total")))
+    tot = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("total_n"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
+        F.countDistinct("o_orderpriority").cast("long")
+        .alias("n_priority"))
+    grid = (rt.select("o_orderstatus")
+            .crossJoin(F.broadcast(ct.select("o_orderpriority"))))
+    full = (grid
+            .join(cells, ["o_orderstatus", "o_orderpriority"], "left")
+            .join(F.broadcast(rt), "o_orderstatus")
+            .join(F.broadcast(ct), "o_orderpriority")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("n", F.coalesce(F.col("n"),
+                                        F.lit(0).cast("long"))))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    diff = (dec(F.col("n")) * dec(F.col("total_n"))
+            - dec(F.col("row_total")) * dec(F.col("col_total")))
+    den = (dec(F.col("total_n")) * dec(F.col("row_total"))
+           * dec(F.col("col_total")))
+    d = diff.cast("double")
+    contrib = F.floor(d * d / den.cast("double") * F.lit(1000000)) \
+        .cast("long")
+    expected = F.expr(
+        "CAST((CAST(10000 AS DECIMAL(38,0))"
+        " * CAST(row_total AS DECIMAL(38,0))"
+        " * CAST(col_total AS DECIMAL(38,0)))"
+        " div CAST(total_n AS DECIMAL(38,0)) AS BIGINT)")
+    staged = full.select(
+        "o_orderstatus", "o_orderpriority", "n", "row_total", "col_total",
+        "total_n", "n_status", "n_priority",
+        expected.alias("expected_e4"), contrib.alias("contrib_e6"))
+    chi = staged.agg(F.sum("contrib_e6").cast("long").alias("chi2_e6"))
+    mindim = F.least(F.col("n_status") - 1, F.col("n_priority") - 1)
+    v = F.when(
+        mindim > 0,
+        F.floor(F.sqrt(F.col("chi2_e6").cast("double") / F.lit(1000000.0)
+                       / (F.col("total_n").cast("double")
+                          * mindim.cast("double"))) * 10000)
+        .cast("long"))
+    return (staged.crossJoin(F.broadcast(chi))
+            .select("o_orderstatus", "o_orderpriority", "n", "row_total",
+                    "col_total", "expected_e4", "contrib_e6", "chi2_e6",
+                    v.alias("v_e4")))
