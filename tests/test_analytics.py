@@ -870,3 +870,123 @@ class TestCramersV:
             # DECIMAL-first subtraction is load-bearing
             rounded_first = float(n * n_total) - float(rowc[s] * colc[p])
             assert rounded_first != float(diff_i), (s, p)
+
+
+class TestSpearman:
+    """spearman_qty_price: the doubled-average-rank closed form
+    re-derived definitionally — once against the raw parquet, once as a
+    hypothesis sweep against exact-rational Pearson on true average
+    ranks (the tie-invariance and cancellation claims, pinned)."""
+
+    @staticmethod
+    def _doubled_ranks(vs):
+        """2*average-rank per element: min_rank + max_rank of the tie
+        group in the 1-based sorted order — always an exact integer."""
+        order = sorted(range(len(vs)), key=lambda i: vs[i])
+        first, r2 = {}, [0] * len(vs)
+        last = {}
+        for pos, i in enumerate(order, start=1):
+            first.setdefault(vs[i], pos)
+            last[vs[i]] = pos
+        for i, v in enumerate(vs):
+            r2[i] = first[v] + last[v]
+        return r2
+
+    @classmethod
+    def _rho_e6(cls, xs, ys):
+        """The entry's integer path: exact int sufficient stats over the
+        doubled ranks, exact int num/dx/dy, one IEEE expression,
+        floored to e6 (None when either margin is constant)."""
+        import math
+
+        rx, ry = cls._doubled_ranks(xs), cls._doubled_ranks(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if dx == 0 or dy == 0:
+            return None
+        raw = math.floor(float(num)
+                         / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+                         * 1_000_000)
+        # the entry clamps: at exact rho = +/-1 the IEEE quotient can
+        # round one ulp past +/-1 and the floor would leave the range
+        return max(-1_000_000, min(1_000_000, raw))
+
+    def test_matches_python_recomputation(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            spearman_qty_price,
+        )
+
+        raw = [(int(r.l_quantity), int(round(float(r.l_extendedprice)
+                                             * 100)))
+               for r in load_table(spark, sf_dir, "lineitem")
+               .select("l_quantity", "l_extendedprice").collect()]
+        xs = [q for q, _ in raw]
+        ys = [p for _, p in raw]
+        got = spearman_qty_price(spark, sf_dir).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.n_rows == len(raw)
+        assert r.n_distinct_qty == len(set(xs))
+        assert r.n_distinct_price == len(set(ys))
+        assert r.spearman_e6 == self._rho_e6(xs, ys)
+
+    def test_doubled_rank_form_equals_exact_rational(self):
+        """Hypothesis sweep: the integer doubled-rank Pearson equals
+        exact-rational Pearson on true average ranks to 1e-9 — including
+        near-constant lists, the cancellation regime where the old
+        double-first subtraction loses ~40 bits (the Welch lesson)."""
+        import math
+        from fractions import Fraction
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 5),
+                                  st.integers(10**6, 10**6 + 9)),
+                        min_size=2, max_size=40))
+        def check(pairs):
+            xs = [a for a, _ in pairs]
+            ys = [b for _, b in pairs]
+            got = self._rho_e6(xs, ys)
+
+            # exact-rational reference on TRUE average ranks
+            def avg_ranks(vs):
+                order = sorted(range(len(vs)), key=lambda i: vs[i])
+                first, last = {}, {}
+                for pos, i in enumerate(order, start=1):
+                    first.setdefault(vs[i], pos)
+                    last[vs[i]] = pos
+                return [Fraction(first[v] + last[v], 2) for v in vs]
+
+            rx, ry = avg_ranks(xs), avg_ranks(ys)
+            n = len(xs)
+            mx = sum(rx) / n
+            my = sum(ry) / n
+            num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+            dx = sum((a - mx) ** 2 for a in rx)
+            dy = sum((b - my) ** 2 for b in ry)
+            if dx == 0 or dy == 0:
+                assert got is None
+                return
+            rho = float(num) / math.sqrt(float(dx) * float(dy))
+            assert got is not None
+            assert abs(got / 1_000_000 - rho) <= 2e-6
+            assert -1_000_000 <= got <= 1_000_000
+
+        check()
+
+    def test_rank_scaling_invariance(self):
+        """Doubling both margins' values (a monotone map) cannot change
+        the statistic — the defining property of a rank correlation."""
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+        ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8]
+        base = self._rho_e6(xs, ys)
+        assert self._rho_e6([x * 2 for x in xs],
+                            [y * 1000 + 7 for y in ys]) == base

@@ -1975,6 +1975,140 @@ def mann_whitney_from_spend(spend: DataFrame) -> DataFrame:
 
 
 @register(
+    "spearman_qty_price",
+    oracle="""
+WITH f AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+rq AS (
+  SELECT q, CAST(MIN(rn) + MAX(rn) AS BIGINT) AS r2x
+  FROM (SELECT q, ROW_NUMBER()
+                    OVER (ORDER BY q, l_orderkey, l_linenumber) AS rn
+        FROM f) GROUP BY q),
+rp AS (
+  SELECT p, CAST(MIN(rn) + MAX(rn) AS BIGINT) AS r2y
+  FROM (SELECT p, ROW_NUMBER()
+                    OVER (ORDER BY p, l_orderkey, l_linenumber) AS rn
+        FROM f) GROUP BY p),
+j AS (
+  SELECT rq.r2x, rp.r2y
+  FROM f JOIN rq USING (q) JOIN rp USING (p)),
+stats AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(r2x AS HUGEINT)) AS sx,
+         SUM(CAST(r2y AS HUGEINT)) AS sy,
+         SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+         SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+         SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+  FROM j),
+exact AS (
+  SELECT n, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dx,
+         n * syy - sy * sy AS dy
+  FROM stats)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rq) AS n_distinct_qty,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rp) AS n_distinct_price,
+       CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+                 ELSE LEAST(1000000, GREATEST(-1000000,
+                        floor(CAST(num AS DOUBLE)
+                              / (sqrt(CAST(dx AS DOUBLE))
+                                 * sqrt(CAST(dy AS DOUBLE))) * 1000000)))
+            END AS BIGINT) AS spearman_e6
+FROM exact
+""",
+    description="Spearman rank correlation between line quantity and "
+                "extended price — the RANK-correlation member of the "
+                "experiment family (grouped_ols is Pearson on values, "
+                "cramers_v is categorical, mann_whitney is rank "
+                "location; monotone association was the missing cell): "
+                "heavy tails or any monotone re-scaling of price cannot "
+                "distort it. Ties (l_quantity has only 50 distinct "
+                "values) get AVERAGE ranks carried as the doubled "
+                "integer 2*avg = min_rank + max_rank per tie group — "
+                "the mann_whitney doubling trick, so nothing is ever "
+                ".5 — taken from global_rank_ranged's total order "
+                "(range partition + local row_number, no single-"
+                "partition fact window) with (orderkey, linenumber) as "
+                "the unique tiebreaker; average ranks make the result "
+                "invariant to the tiebreak, which is what makes the "
+                "statistic well-defined. Spearman = Pearson on the "
+                "doubled ranks: the five sufficient statistics are "
+                "exact DECIMAL(38,0)/HUGEINT sums, the numerator "
+                "n*sxy - sx*sy and both radicands are formed EXACTLY "
+                "before the single double cast (the Welch/grouped_ols "
+                "cancellation discipline — ranks are near-uniform so "
+                "n*sxy and sx*sy agree to ~4 digits, exactly the "
+                "round-before-subtract trap), then ONE identical IEEE "
+                "expression, scaled-floored to e6 and clamped to "
+                "[-1e6, 1e6] (at EXACT rho = +/-1 the quotient can "
+                "round one ulp past +/-1 — hypothesis-found). "
+                "n*sxy <= 4n^4 fits "
+                "DECIMAL(38,0) to n ~ 1e9 rows; past that, pre-center "
+                "ranks by their known exact mean n+1 per the documented "
+                "fallback. Scale shape: two ranged exchanges of the "
+                "slim 4-column projection, a <=50-row broadcast for the "
+                "quantity ranks, one value-domain join for price ranks, "
+                "one map-side-combinable aggregate.",
+    tags=("relational", "analytics", "experiment", "rank"),
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
+        "l_orderkey", "l_linenumber")
+    rq = (global_rank_ranged(li, ["q", "l_orderkey", "l_linenumber"])
+          .groupBy("q")
+          .agg((F.min("grank") + F.max("grank")).cast("long").alias("r2x")))
+    rp = (global_rank_ranged(li, ["p", "l_orderkey", "l_linenumber"])
+          .groupBy("p")
+          .agg((F.min("grank") + F.max("grank")).cast("long").alias("r2y")))
+    dec38 = "decimal(38,0)"
+    joined = li.join(F.broadcast(rq), "q").join(rp, "p")
+    stats = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast(dec38).alias("nd"),
+        F.sum(F.col("r2x").cast(dec38)).alias("sx"),
+        F.sum(F.col("r2y").cast(dec38)).alias("sy"),
+        F.sum(F.col("r2x").cast(dec38) * F.col("r2y").cast(dec38))
+        .alias("sxy"),
+        F.sum(F.col("r2x").cast(dec38) * F.col("r2x").cast(dec38))
+        .alias("sxx"),
+        F.sum(F.col("r2y").cast(dec38) * F.col("r2y").cast(dec38))
+        .alias("syy"))
+    # Cancellation-free Pearson-on-ranks: numerator and radicands are
+    # exact DECIMAL(38,0) before the one cast to double each.
+    num = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    exact = stats.select("n", num.alias("num"), dx.alias("dx"),
+                         dy.alias("dy"))
+    rho = (F.col("num").cast("double")
+           / (F.sqrt(F.col("dx").cast("double"))
+              * F.sqrt(F.col("dy").cast("double"))))
+    nq = rq.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_qty"))
+    np_ = rp.agg(F.count(F.lit(1)).cast("long").alias("n_distinct_price"))
+    return (exact
+            .crossJoin(F.broadcast(nq))
+            .crossJoin(F.broadcast(np_))
+            .select(F.col("n").alias("n_rows"),
+                    "n_distinct_qty", "n_distinct_price",
+                    F.when((F.col("dx") == 0) | (F.col("dy") == 0),
+                           F.lit(0))
+                    # clamp: at EXACT rho = +/-1 the IEEE quotient can
+                    # round one ulp past +/-1, and the e6 floor would
+                    # emit -1000001 (hypothesis-found edge)
+                    .otherwise(F.least(
+                        F.lit(1000000),
+                        F.greatest(F.lit(-1000000),
+                                   F.floor(rho * 1000000))))
+                    .cast("long")
+                    .alias("spearman_e6")))
+
+
+@register(
     "price_volume_decomposition",
     oracle="""
 WITH j AS (
