@@ -318,3 +318,37 @@ def test_ranged_rank_entries_have_no_fact_scale_single_partition_sort(
     for name in ("gini_spend_inequality", "mann_whitney_spend_ab"):
         plan = _plan(spark, name, sf_dir, "formatted")
         assert "rangepartitioning" in plan.lower(), (name, plan)
+
+
+def test_q21_top_k_and_dimension_broadcasts(spark, sf_dir):
+    """Q21's decorrelated shape: the final ORDER BY numwait LIMIT 100
+    must plan as TakeOrderedAndProject (per-partition top-k, never a
+    global sort of the supplier aggregate), and the supplier/nation
+    dimensions must broadcast — the fact side shuffles only for the
+    per-order and per-supplier aggregates."""
+    plan = _plan(spark, "q21_waiting_suppliers", sf_dir, "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cramers_v_margins_broadcast_no_fact_self_join(spark, sf_dir):
+    """The R x C contingency is assembled from the cell/row/column/total
+    aggregates of ONE fact table — the margin frames and the zero-fill
+    grid must come back as broadcasts (domain-sized), never as a
+    sort-merge join that would re-shuffle anything fact-sized."""
+    plan = _plan(spark, "cramers_v_status_priority", sf_dir, "formatted")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_spearman_uses_ranged_ranks_and_broadcast_qty_map(spark, sf_dir):
+    """spearman_qty_price promises the ranged-rank construction for BOTH
+    margins (range exchange present; the only single-partition windows
+    are the 16-row offset prefixes) and a broadcast join for the <=50-row
+    quantity rank map."""
+    plan = _plan(spark, "spearman_qty_price", sf_dir, "formatted")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the tie-group windows run inside the range partitions, never a
+    # single global Sort of the fact projection
+    assert "ntile" not in plan.lower(), plan
