@@ -990,3 +990,52 @@ class TestSpearman:
         base = self._rho_e6(xs, ys)
         assert self._rho_e6([x * 2 for x in xs],
                             [y * 1000 + 7 for y in ys]) == base
+
+
+class TestQ21WaitingSuppliers:
+    """q21_waiting_suppliers: the decorrelated aggregate composition
+    re-derived definitionally — the literal EXISTS / NOT-EXISTS
+    double-subquery over the raw parquet, one Python pass per late
+    line, exactly the correlated form the entry claims to replace."""
+
+    def test_matches_correlated_definition(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            q21_waiting_suppliers,
+        )
+
+        forders = {r.o_orderkey: r.o_orderdate
+                   for r in load_table(spark, sf_dir, "orders")
+                   .where("o_orderstatus = 'F'")
+                   .select("o_orderkey", "o_orderdate").collect()}
+        lines = [(r.l_orderkey, r.l_suppkey, r.l_shipdate)
+                 for r in load_table(spark, sf_dir, "lineitem")
+                 .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+                 if r.l_orderkey in forders]
+        per_order = defaultdict(list)
+        for okey, supp, ship in lines:
+            days_late = (ship - forders[okey]).days
+            per_order[okey].append((supp, days_late > 90))
+        numwait = defaultdict(int)
+        for okey, rows in per_order.items():
+            supps = {s for s, _ in rows}
+            late_supps = {s for s, late in rows if late}
+            for supp, late in rows:
+                # the correlated form: this line is late, EXISTS another
+                # supplier on the order, NOT EXISTS another LATE supplier
+                if (late and len(supps) >= 2
+                        and late_supps == {supp}):
+                    numwait[supp] += 1
+        sup = {r.s_suppkey: (r.s_name, r.s_nationkey)
+               for r in load_table(spark, sf_dir, "supplier")
+               .select("s_suppkey", "s_name", "s_nationkey").collect()}
+        nat = {r.n_nationkey: r.n_name
+               for r in load_table(spark, sf_dir, "nation")
+               .select("n_nationkey", "n_name").collect()}
+        want = sorted(((sup[s][0], nat[sup[s][1]], n)
+                       for s, n in numwait.items()),
+                      key=lambda t: (-t[2], t[0]))[:100]
+        got = [(r.s_name, r.n_name, r.numwait)
+               for r in q21_waiting_suppliers(spark, sf_dir).collect()]
+        assert got == want

@@ -560,3 +560,55 @@ class TestMinhashVectorizedSignature:
         for r in got:
             assert list(r.old) == list(r.new)
         assert all(v is None for v in got[0].old or [None])
+
+
+class TestContainmentCanonicalSurvivors:
+    """containment_canonical_survivors: the survivor argmax recomputed
+    definitionally — union-find over the entry's own (oracled)
+    containment pair stage, then keep the longest doc per cluster with
+    doc_id as the tiebreak."""
+
+    def test_matches_union_find_argmax(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            _containment_pairs,
+            containment_canonical_survivors,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+
+        pairs = [(r.contained_id, r.container_id)
+                 for r in _containment_pairs(spark, sf_dir)
+                 .select("contained_id", "container_id").collect()]
+        chars = {r.doc_id: r.n_chars
+                 for r in load_table(spark, sf_dir, "documents")
+                 .select("doc_id", "n_chars").collect()}
+
+        parent = {d: d for d in chars}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        clusters = {}
+        for d in chars:
+            clusters.setdefault(find(d), []).append(d)
+        want = {}
+        for root, members in clusters.items():
+            # canonical cluster id = min member (the operator's labeling)
+            cid = min(members)
+            # survivor: longest doc, ties by ascending doc_id
+            surv = min(members, key=lambda d: (-chars[d], d))
+            want[cid] = (surv, chars[surv], len(members), len(members) - 1)
+
+        got = {r.cluster_id: (r.doc_id, r.n_chars, r.cluster_size,
+                              r.n_dropped)
+               for r in containment_canonical_survivors(spark, sf_dir)
+               .collect()}
+        assert got == want
