@@ -1908,3 +1908,77 @@ class TestStreamingTableStatsMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(first, 0)
+
+
+class TestStreamingContingencyMaintenance:
+    """R x C contingency state (streaming/analytics_twins.py
+    IncrementalContingencyMaintainer): the maintained per-cell counts
+    must reproduce the driver-oracled cramers_v_status_priority report
+    exactly after custkey-sliced micro-batch arrival of the orders
+    stream — counts are exact integers that sum under merge, so the
+    cell frame (and every margin/total/chi-square derived from it
+    through the shared cramers_report_from_cells helper) is
+    bit-identical to the batch aggregate under any interleaving — and
+    stay idempotent under replay behind the coupled-lifecycle guard."""
+
+    _COLS = ("o_custkey", "o_orderstatus", "o_orderpriority")
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalContingencyMaintainer,
+            streaming_contingency_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("contingency_orders"))
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            orders.where(F.pmod(F.col("o_custkey"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalContingencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("contingency_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema=("o_custkey BIGINT, o_orderstatus STRING, "
+                    "o_orderpriority STRING"),
+            max_files_per_trigger=1)
+        q = streaming_contingency_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("contingency_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["cramers_v_status_priority"]
+                     .spark(spark, sf_dir), exclude_sentinel=False)
+        assert got == want
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalContingencyMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        first = orders.where(F.pmod(F.col("o_custkey"), F.lit(2)) == 0)
+        second = orders.where(F.pmod(F.col("o_custkey"), F.lit(2)) == 1)
+        maint = IncrementalContingencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("contingency_replay")))
+        maint.merge_batch(first, 0)
+        maint.merge_batch(second, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(second, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(first, 0)

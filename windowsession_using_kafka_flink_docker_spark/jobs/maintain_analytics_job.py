@@ -1,14 +1,19 @@
 """Continuous analytics-maintenance job: one process keeping the
-round-7 statistics families fresh from streams, never recomputing from
+statistics families fresh from streams, never recomputing from
 the full fact tables.
 
-Wires the three multi-presentation maintainers
-(streaming/analytics_twins.py):
+Wires five maintainers (streaming/analytics_twins.py):
 
 - ``IncrementalDailyRevenueMaintainer`` over an orders drop-dir —
   per-day cent partials serving the CUSUM change-point and the
   seasonal-naive backtest (the driver-oracled
   ``cusum_changepoint_daily_revenue`` / ``seasonal_naive_backtest``);
+- ``IncrementalTableStatsMaintainer`` (#10) on the same orders stream —
+  per-column counters/min-max/KMV distinct sketch serving the
+  ANALYZE-TABLE report (``orders_column_ndv_kmv``);
+- ``IncrementalContingencyMaintainer`` (#11) on the same orders stream —
+  R x C cell counts serving the chi-square / Cramér's V report
+  (``cramers_v_status_priority``);
 - ``IncrementalTokenFrequencyMaintainer`` over a documents drop-dir —
   corpus (token, n) counts serving the heavy-hitter and Zipf
   presentations (``heavy_hitter_tokens`` / ``zipf_rank_frequency``);
@@ -18,8 +23,8 @@ Wires the three multi-presentation maintainers
   (``gini_spend_inequality`` / ``welch_t_spend_ab`` /
   ``mann_whitney_spend_ab``).
 
-All three states are key-space-bounded (calendar days / users /
-vocabulary), versioned by
+All states are key-space-bounded (calendar days / column domain /
+category grid / users / vocabulary), versioned by
 batch id, replay-idempotent, and lifecycle-guarded — the same
 ``_VersionedState`` scheme as the rollup/SCD2/join-view maintainers.
 Run either side (or both) from file drop-dirs:
@@ -36,10 +41,14 @@ import os
 
 from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
+    IncrementalContingencyMaintainer,
     IncrementalDailyRevenueMaintainer,
+    IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
+    streaming_contingency_maintenance,
     streaming_daily_revenue_maintenance,
+    streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
 )
@@ -66,13 +75,27 @@ def main() -> None:
     queries = []
     if args.orders:
         orders = (spark.readStream
-                  .schema("o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+                  .schema("o_orderdate TIMESTAMP, o_totalprice DOUBLE, "
+                          "o_custkey BIGINT, o_orderstatus STRING, "
+                          "o_orderpriority STRING")
                   .parquet(args.orders))
         rev = IncrementalDailyRevenueMaintainer(
             spark, os.path.join(args.state_root, "daily_revenue"))
         queries.append(streaming_daily_revenue_maintenance(
             orders, rev, os.path.join(args.checkpoint_root,
                                       "daily_revenue")))
+        # maintainers #10/#11 share the orders stream: ANALYZE-TABLE
+        # column statistics and the status x priority contingency state
+        stats = IncrementalTableStatsMaintainer(
+            spark, os.path.join(args.state_root, "table_stats"))
+        queries.append(streaming_table_stats_maintenance(
+            orders, stats, os.path.join(args.checkpoint_root,
+                                        "table_stats")))
+        cont = IncrementalContingencyMaintainer(
+            spark, os.path.join(args.state_root, "contingency"))
+        queries.append(streaming_contingency_maintenance(
+            orders, cont, os.path.join(args.checkpoint_root,
+                                       "contingency")))
     if args.events:
         events = (spark.readStream
                   .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")

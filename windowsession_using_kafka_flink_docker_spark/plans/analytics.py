@@ -2340,21 +2340,38 @@ FROM staged s, chi
                 "e4 divisions (div//HUGEINT — double division floors "
                 "can disagree past 2^53). V = sqrt(chi2/(N*min(R-1,"
                 "C-1))) is one IEEE expression on the quantized total. "
-                "Scale shape: three map-side-combinable aggregates "
-                "over one scan, a <=15-row broadcast grid, and 1-row "
-                "broadcast totals — nothing fact-sized shuffles twice.",
+                "Scale shape: ONE map-side-combinable fact aggregation "
+                "to the cell frame; margins, totals, the <=15-row "
+                "broadcast grid, and the distinct counts all derive "
+                "from the cells (cramers_report_from_cells — shared "
+                "with streaming maintainer #11, so stream == batch is "
+                "one code path) — nothing fact-sized shuffles twice.",
     tags=("relational", "analytics", "experiment", "aggregate"),
 )
 def cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cells = (orders.groupBy("o_orderstatus", "o_orderpriority")
              .agg(F.count(F.lit(1)).cast("long").alias("n")))
-    rt = (orders.groupBy("o_orderstatus")
-          .agg(F.count(F.lit(1)).cast("long").alias("row_total")))
-    ct = (orders.groupBy("o_orderpriority")
-          .agg(F.count(F.lit(1)).cast("long").alias("col_total")))
-    tot = orders.agg(
-        F.count(F.lit(1)).cast("long").alias("total_n"),
+    return cramers_report_from_cells(cells)
+
+
+def cramers_report_from_cells(cells: DataFrame) -> DataFrame:
+    """Cramér's V report from a (o_orderstatus, o_orderpriority, n) cell
+    frame — shared by the batch entry and the streaming contingency
+    maintainer (#11), so stream == batch is one code path. Margins,
+    totals, and distinct counts all derive EXACTLY from the cell counts
+    (row_total = sum of the row's cells, etc.), so deriving from cells
+    instead of facts changes no output bit — and improves the batch
+    plan: ONE fact-sized aggregation pass, everything downstream is
+    cell-domain-sized. Cells must carry n >= 1 (a zero row would
+    distort the distinct-value counts); enforced with a filter."""
+    cells = cells.where(F.col("n") > 0)
+    rt = (cells.groupBy("o_orderstatus")
+          .agg(F.sum("n").cast("long").alias("row_total")))
+    ct = (cells.groupBy("o_orderpriority")
+          .agg(F.sum("n").cast("long").alias("col_total")))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("total_n"),
         F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
         F.countDistinct("o_orderpriority").cast("long")
         .alias("n_priority"))

@@ -27,6 +27,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.joinview import (
     streaming_join_view_maintenance,
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+    IncrementalContingencyMaintainer,
     IncrementalDriftMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
@@ -34,6 +35,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
     IncrementalLedgerMaintainer,
+    streaming_contingency_maintenance,
     streaming_drift_maintenance,
     streaming_daily_revenue_maintenance,
     streaming_table_stats_maintenance,
@@ -79,6 +81,7 @@ __all__ = [
     "streaming_capped_sessionize",
     "IncrementalRollupMaintainer",
     "streaming_rollup_maintenance",
+    "IncrementalContingencyMaintainer",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalTableStatsMaintainer",
@@ -86,6 +89,7 @@ __all__ = [
     "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
+    "streaming_contingency_maintenance",
     "streaming_daily_revenue_maintenance",
     "streaming_table_stats_maintenance",
     "streaming_token_frequency_maintenance",

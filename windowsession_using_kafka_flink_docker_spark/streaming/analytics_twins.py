@@ -1,19 +1,23 @@
 """Streaming twins for the analytics entries that are incremental by
-construction (VERDICT r6 item 5, extended through round 7): six
-maintainers covering ten driver-oracled batch entries —
+construction (VERDICT r6 item 5, extended through rounds 7-8): eight
+maintainers covering twelve driver-oracled batch entries —
 ``ewma_daily_spend``, ``distribution_drift_report``,
 ``clamped_running_balance`` (whose non-associative clamp needs the
 in-order prefix-scan state documented on IncrementalLedgerMaintainer),
 the daily-revenue pair (``cusum_changepoint_daily_revenue`` +
-``seasonal_naive_backtest`` on ONE calendar-bounded state), and the
+``seasonal_naive_backtest`` on ONE calendar-bounded state), the
 spend-statistics family (``gini_spend_inequality`` +
 ``welch_t_spend_ab`` + ``mann_whitney_spend_ab`` on ONE user-bounded
-state), and the corpus token frequencies (``heavy_hitter_tokens`` +
-``zipf_rank_frequency`` on ONE vocabulary-bounded state). Each
+state), the corpus token frequencies (``heavy_hitter_tokens`` +
+``zipf_rank_frequency`` on ONE vocabulary-bounded state), the
+ANALYZE-TABLE column statistics (``orders_column_ndv_kmv`` on a
+4-row column-domain state, #10), and the R x C contingency
+(``cramers_v_status_priority`` on a category-grid state, #11). Each
 ``current_*()`` presentation calls the same helper the
 batch entry was refactored onto (``ewma_from_daily``,
 ``cusum_from_daily``, ``backtest_from_daily``, ``*_from_spend``,
-``*_from_freq``), so
+``*_from_freq``, ``ndv_report_from_kmv_state``,
+``cramers_report_from_cells``), so
 stream == batch is one code path, never a parallel implementation.
 
 Every batch entry here reduces the fact stream to key-space-bounded
@@ -511,7 +515,52 @@ def streaming_table_stats_maintenance(
                                "table_stats_maintenance")
 
 
+class IncrementalContingencyMaintainer:
+    """Streaming twin of ``cramers_v_status_priority`` — maintainer #11,
+    the R x C contingency state: one exact BIGINT count per observed
+    (o_orderstatus, o_orderpriority) cell, so state is bounded by the
+    CATEGORY DOMAIN (<= 3 x 5 rows here, |R|·|C| in general) regardless
+    of order volume — the textbook mergeable sufficient statistic for
+    every margin/total/chi-square the report needs. Counts sum under
+    merge and are exact integers, so the maintained cell frame is
+    bit-identical to the batch aggregate under any batch interleaving;
+    ``current()`` re-derives the full driver-oracled report through the
+    batch entry's own ``cramers_report_from_cells`` helper — stream ==
+    batch is one code path, never a parallel implementation."""
+
+    _SCHEMA = "o_orderstatus STRING, o_orderpriority STRING, n BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.state.guard(batch_id)
+        delta = (batch_df
+                 .groupBy("o_orderstatus", "o_orderpriority")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("o_orderstatus", "o_orderpriority")
+                  .agg(F.sum("n").cast("long").alias("n")))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            cramers_report_from_cells,
+        )
+        return cramers_report_from_cells(self.state.current())
+
+
+def streaming_contingency_maintenance(
+        orders: DataFrame, maintainer: IncrementalContingencyMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "contingency_maintenance")
+
+
 __all__ = [
+    "IncrementalContingencyMaintainer",
+    "streaming_contingency_maintenance",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalUserSpendMaintainer",
