@@ -1982,3 +1982,81 @@ class TestStreamingContingencyMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(first, 0)
+
+
+class TestStreamingHhiMaintenance:
+    """Supplier-concentration state (streaming/analytics_twins.py
+    IncrementalHhiMaintainer): the maintained per-(type, supplier)
+    quantity partials must reproduce the driver-oracled
+    supplier_hhi_by_parttype report exactly after orderkey-sliced
+    micro-batch arrival of the lineitem stream — the maintainer joins
+    each micro-batch to the broadcast STATIC part dimension before
+    reducing (stream-static enrichment composed with the partial-merge
+    scheme), and integer quantities sum under merge — and stay
+    idempotent under replay behind the coupled-lifecycle guard."""
+
+    _COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalHhiMaintainer,
+            streaming_hhi_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("hhi_lineitem"))
+        li = load_table(spark, sf_dir, "lineitem").select(*self._COLS)
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_type")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalHhiMaintainer(
+            spark, str(tmp_path_factory.mktemp("hhi_state")), part)
+        stream = file_events_source(
+            spark, flat,
+            schema=("l_orderkey BIGINT, l_partkey BIGINT, "
+                    "l_suppkey BIGINT, l_quantity DOUBLE"),
+            max_files_per_trigger=1)
+        q = streaming_hhi_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("hhi_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["supplier_hhi_by_parttype"]
+                     .spark(spark, sf_dir), exclude_sentinel=False)
+        assert got == want
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalHhiMaintainer,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(*self._COLS)
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_type")
+        first = li.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 0)
+        second = li.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 1)
+        maint = IncrementalHhiMaintainer(
+            spark, str(tmp_path_factory.mktemp("hhi_replay")), part)
+        maint.merge_batch(first, 0)
+        maint.merge_batch(second, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(second, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(first, 0)

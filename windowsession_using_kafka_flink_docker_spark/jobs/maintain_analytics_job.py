@@ -2,7 +2,7 @@
 statistics families fresh from streams, never recomputing from
 the full fact tables.
 
-Wires five maintainers (streaming/analytics_twins.py):
+Wires six maintainers (streaming/analytics_twins.py):
 
 - ``IncrementalDailyRevenueMaintainer`` over an orders drop-dir —
   per-day cent partials serving the CUSUM change-point and the
@@ -14,6 +14,10 @@ Wires five maintainers (streaming/analytics_twins.py):
 - ``IncrementalContingencyMaintainer`` (#11) on the same orders stream —
   R x C cell counts serving the chi-square / Cramér's V report
   (``cramers_v_status_priority``);
+- ``IncrementalHhiMaintainer`` (#12) over a lineitem drop-dir with the
+  static part dimension broadcast into each micro-batch merge —
+  per-(type, supplier) quantity partials serving the concentration
+  report (``supplier_hhi_by_parttype``);
 - ``IncrementalTokenFrequencyMaintainer`` over a documents drop-dir —
   corpus (token, n) counts serving the heavy-hitter and Zipf
   presentations (``heavy_hitter_tokens`` / ``zipf_rank_frequency``);
@@ -24,7 +28,7 @@ Wires five maintainers (streaming/analytics_twins.py):
   ``mann_whitney_spend_ab``).
 
 All states are key-space-bounded (calendar days / column domain /
-category grid / users / vocabulary), versioned by
+category grid / type x supplier / users / vocabulary), versioned by
 batch id, replay-idempotent, and lifecycle-guarded — the same
 ``_VersionedState`` scheme as the rollup/SCD2/join-view maintainers.
 Run either side (or both) from file drop-dirs:
@@ -43,11 +47,13 @@ from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalContingencyMaintainer,
     IncrementalDailyRevenueMaintainer,
+    IncrementalHhiMaintainer,
     IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_contingency_maintenance,
     streaming_daily_revenue_maintenance,
+    streaming_hhi_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
@@ -65,11 +71,22 @@ def main() -> None:
     ap.add_argument("--docs", default=None,
                     help="documents parquet drop directory (doc_id, "
                          "text); omit to skip the token-frequency side")
+    ap.add_argument("--lineitem", default=None,
+                    help="lineitem parquet drop directory (l_partkey, "
+                         "l_suppkey, l_quantity); omit to skip the "
+                         "concentration side")
+    ap.add_argument("--part", default=None,
+                    help="static part dimension parquet (p_partkey, "
+                         "p_type); required with --lineitem")
     ap.add_argument("--state-root", default="/tmp/analytics_state")
     ap.add_argument("--checkpoint-root", default="/tmp/ckpt/analytics")
     args = ap.parse_args()
-    if not args.orders and not args.events and not args.docs:
-        ap.error("at least one of --orders / --events / --docs is required")
+    if not args.orders and not args.events and not args.docs \
+            and not args.lineitem:
+        ap.error("at least one of --orders / --events / --docs / "
+                 "--lineitem is required")
+    if args.lineitem and not args.part:
+        ap.error("--lineitem requires --part (the static dimension)")
 
     spark = get_spark("maintain-analytics-job")
     queries = []
@@ -113,6 +130,16 @@ def main() -> None:
             spark, os.path.join(args.state_root, "token_freq"))
         queries.append(streaming_token_frequency_maintenance(
             docs, freq, os.path.join(args.checkpoint_root, "token_freq")))
+    if args.lineitem:
+        li = (spark.readStream
+              .schema("l_partkey BIGINT, l_suppkey BIGINT, "
+                      "l_quantity DOUBLE")
+              .parquet(args.lineitem))
+        part = spark.read.parquet(args.part)
+        hhi = IncrementalHhiMaintainer(
+            spark, os.path.join(args.state_root, "hhi"), part)
+        queries.append(streaming_hhi_maintenance(
+            li, hhi, os.path.join(args.checkpoint_root, "hhi")))
     for q in queries:
         q.awaitTermination()
 

@@ -3220,10 +3220,28 @@ FROM tot
 def supplier_hhi_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    qty = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-           .groupBy("p_type", "l_suppkey")
-           .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
-                .alias("q")))
+    return hhi_report_from_qty(hhi_qty_partials(li, part))
+
+
+def hhi_qty_partials(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Reduce a lineitem frame (full table or one micro-batch) to the
+    per-(p_type, l_suppkey) exact integer quantity partials — the
+    mergeable sufficient statistic of the HHI report (partials sum;
+    the part dimension broadcasts into the fact scan)."""
+    return (lineitem
+            .join(F.broadcast(part),
+                  lineitem.l_partkey == part.p_partkey)
+            .groupBy("p_type", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                 .alias("q")))
+
+
+def hhi_report_from_qty(qty: DataFrame) -> DataFrame:
+    """HHI concentration report from a (p_type, l_suppkey, q) partials
+    frame — shared by the batch entry and streaming maintainer #12, so
+    stream == batch is one code path. All inputs are exact BIGINTs, so
+    the derivation is bit-deterministic under any partial merge
+    order."""
     tot = qty.groupBy("p_type").agg(
         F.sum("q").cast("long").alias("t"),
         F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),

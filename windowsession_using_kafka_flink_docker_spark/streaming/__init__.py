@@ -29,6 +29,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.joinview import (
 from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
     IncrementalContingencyMaintainer,
     IncrementalDriftMaintainer,
+    IncrementalHhiMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
     IncrementalTableStatsMaintainer,
@@ -37,6 +38,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalLedgerMaintainer,
     streaming_contingency_maintenance,
     streaming_drift_maintenance,
+    streaming_hhi_maintenance,
     streaming_daily_revenue_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
@@ -83,6 +85,7 @@ __all__ = [
     "streaming_rollup_maintenance",
     "IncrementalContingencyMaintainer",
     "IncrementalDailyRevenueMaintainer",
+    "IncrementalHhiMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalTableStatsMaintainer",
     "IncrementalTokenFrequencyMaintainer",
@@ -91,6 +94,7 @@ __all__ = [
     "IncrementalLedgerMaintainer",
     "streaming_contingency_maintenance",
     "streaming_daily_revenue_maintenance",
+    "streaming_hhi_maintenance",
     "streaming_table_stats_maintenance",
     "streaming_token_frequency_maintenance",
     "streaming_user_spend_maintenance",

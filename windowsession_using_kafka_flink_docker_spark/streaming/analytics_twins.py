@@ -1,6 +1,6 @@
 """Streaming twins for the analytics entries that are incremental by
-construction (VERDICT r6 item 5, extended through rounds 7-8): eight
-maintainers covering twelve driver-oracled batch entries —
+construction (VERDICT r6 item 5, extended through rounds 7-8): nine
+maintainers covering thirteen driver-oracled batch entries —
 ``ewma_daily_spend``, ``distribution_drift_report``,
 ``clamped_running_balance`` (whose non-associative clamp needs the
 in-order prefix-scan state documented on IncrementalLedgerMaintainer),
@@ -11,13 +11,16 @@ spend-statistics family (``gini_spend_inequality`` +
 state), the corpus token frequencies (``heavy_hitter_tokens`` +
 ``zipf_rank_frequency`` on ONE vocabulary-bounded state), the
 ANALYZE-TABLE column statistics (``orders_column_ndv_kmv`` on a
-4-row column-domain state, #10), and the R x C contingency
-(``cramers_v_status_priority`` on a category-grid state, #11). Each
+4-row column-domain state, #10), the R x C contingency
+(``cramers_v_status_priority`` on a category-grid state, #11), and the
+supplier-concentration partials (``supplier_hhi_by_parttype`` on a
+|types| x |suppliers| state with stream-static dimension enrichment
+inside the merge, #12). Each
 ``current_*()`` presentation calls the same helper the
 batch entry was refactored onto (``ewma_from_daily``,
 ``cusum_from_daily``, ``backtest_from_daily``, ``*_from_spend``,
 ``*_from_freq``, ``ndv_report_from_kmv_state``,
-``cramers_report_from_cells``), so
+``cramers_report_from_cells``, ``hhi_report_from_qty``), so
 stream == batch is one code path, never a parallel implementation.
 
 Every batch entry here reduces the fact stream to key-space-bounded
@@ -558,9 +561,58 @@ def streaming_contingency_maintenance(
                                "contingency_maintenance")
 
 
+class IncrementalHhiMaintainer:
+    """Streaming twin of ``supplier_hhi_by_parttype`` — maintainer #12,
+    the market-concentration state: one exact BIGINT quantity partial
+    per (p_type, l_suppkey) pair, so state is bounded by |types| x
+    |suppliers| regardless of lineitem volume. This maintainer composes
+    the STREAM-STATIC ENRICHMENT pattern with the partial-merge scheme:
+    each micro-batch of lineitem facts is joined to the broadcast part
+    dimension (held by the maintainer — the dimension is static, the
+    fact stream is not) before reducing, through the batch entry's own
+    ``hhi_qty_partials``; quantities are integers that sum under merge,
+    so the maintained partials — and the HHI/total/supplier-count report
+    ``current()`` derives through the shared ``hhi_report_from_qty`` —
+    are bit-identical to the batch aggregate under any interleaving."""
+
+    _SCHEMA = "p_type STRING, l_suppkey BIGINT, q BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 part: DataFrame):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+        self.part = part.select("p_partkey", "p_type")
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            hhi_qty_partials,
+        )
+        self.state.guard(batch_id)
+        delta = hhi_qty_partials(batch_df, self.part)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("p_type", "l_suppkey")
+                  .agg(F.sum("q").cast("long").alias("q")))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            hhi_report_from_qty,
+        )
+        return hhi_report_from_qty(self.state.current())
+
+
+def streaming_hhi_maintenance(
+        lineitem: DataFrame, maintainer: IncrementalHhiMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(lineitem, maintainer, checkpoint_dir,
+                               "hhi_maintenance")
+
+
 __all__ = [
     "IncrementalContingencyMaintainer",
+    "IncrementalHhiMaintainer",
     "streaming_contingency_maintenance",
+    "streaming_hhi_maintenance",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalUserSpendMaintainer",
