@@ -1620,17 +1620,21 @@ LIMIT 100
                 "commit/receipt dates, so 'late' is l_shipdate more than "
                 "90 days after o_orderdate. The oracle runs the "
                 "definitional correlated form; the Spark plan runs the "
-                "DECORRELATED rewrite a 100 TB engine wants — ONE "
-                "groupBy(orderkey) computes (distinct suppliers, "
-                "distinct late suppliers) per order, the late lines "
-                "join that slim per-order frame, and the semi/anti "
-                "pair collapses into two integer predicates (n_supp >= "
-                "2, n_late_supp = 1) — so lineitem shuffles once by "
-                "orderkey instead of three times through two "
-                "correlated self-joins; hash equality against the "
-                "EXISTS form is the proof the rewrite is sound. "
-                "Supplier/nation broadcast; deterministic top-100 via "
-                "(numwait DESC, s_name) total order.",
+                "DECORRELATED rewrite a 100 TB engine wants — a "
+                "(orderkey, suppkey) pair-level combine (late_any flag "
+                "+ late-line count), then a per-order aggregate over "
+                "the PAIR frame, and the semi/anti pair collapses into "
+                "two integer predicates (n_supp >= 2, n_late_supp = 1) "
+                "— so lineitem reduces once and never re-joins at line "
+                "grain; the pair-level form replaced the original "
+                "double-countDistinct after measurement (countDistinct "
+                "x2 plans an Expand that duplicates every fact row "
+                "through the aggregate — 1.45 -> 1.18 s interleaved "
+                "medians at sf0.1, and strictly less shuffle data at "
+                "any scale); hash equality against the EXISTS form is "
+                "the proof the rewrite is sound. Supplier/nation "
+                "broadcast; deterministic top-100 via (numwait DESC, "
+                "s_name) total order.",
     bench=True,
     tags=("relational", "analytics", "join", "decision_support"),
 )
@@ -1645,16 +1649,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("l_orderkey", "l_suppkey",
                      (F.col("l_shipdate")
                       > F.date_add(F.col("o_orderdate"), 90)).alias("late")))
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
-        .alias("n_late_supp"))
-    qualifying = (lines.where(F.col("late"))
+    # pair-level combine: ONE (orderkey, suppkey) aggregate replaces both
+    # countDistincts (whose 2-distinct form plans an Expand duplicating
+    # every line through the shuffle) and carries the late-line counts
+    pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("late_any"),
+        F.sum(F.col("late").cast("long")).alias("n_late_lines"))
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+        F.sum("late_any").cast("long").alias("n_late_supp"))
+    qualifying = (pair.where(F.col("late_any") == 1)
                   .join(per_order.where((F.col("n_supp") >= 2)
                                         & (F.col("n_late_supp") == 1)),
                         "l_orderkey"))
     numwait = qualifying.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("long").alias("numwait"))
+        F.sum("n_late_lines").cast("long").alias("numwait"))
     return (numwait
             .join(F.broadcast(supplier.select("s_suppkey", "s_name",
                                               "s_nationkey")),
