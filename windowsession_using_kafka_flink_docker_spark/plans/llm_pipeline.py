@@ -1722,12 +1722,15 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppos = probe.select(
         "o_custkey",
         F.explode(positions(F.col("o_custkey"))).alias("pos"))
+    # positions() is array_distinct per customer, so (custkey, pos) rows
+    # are already unique — plain counts equal the distinct counts and
+    # avoid the Expand a 2-countDistinct aggregate would plan
     hits = (ppos.join(F.broadcast(bpos.withColumn("hit", F.lit(1))),
                       "pos", "left")
             .groupBy("o_custkey")
-            .agg(F.countDistinct("pos").alias("n_pos"),
-                 F.countDistinct(F.when(F.col("hit").isNotNull(),
-                                        F.col("pos"))).alias("n_hit")))
+            .agg(F.count("pos").alias("n_pos"),
+                 F.count(F.when(F.col("hit").isNotNull(),
+                                F.col("pos"))).alias("n_hit")))
     truth = build.withColumn("truth", F.lit(1))
     verdict = hits.join(F.broadcast(truth), "o_custkey", "left") \
         .withColumn("truth", F.coalesce("truth", F.lit(0)))
