@@ -2060,3 +2060,78 @@ class TestStreamingHhiMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(first, 0)
+
+
+class TestStreamingSourceMixMaintenance:
+    """Domain-mix state (streaming/analytics_twins.py
+    IncrementalSourceMixMaintainer): the maintained per-(source, lang)
+    doc/token counts must reproduce the driver-oracled
+    source_mix_report exactly after doc-sliced micro-batch arrival of
+    the documents stream — counts are exact integers that sum under
+    merge, so the partials (and the share division the presentation
+    runs on them through the shared source_mix_from_partials helper)
+    are bit-identical to the batch aggregate under any interleaving —
+    and stay idempotent under replay behind the coupled-lifecycle
+    guard."""
+
+    _COLS = ("doc_id", "text", "source", "lang")
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalSourceMixMaintainer,
+            streaming_source_mix_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("mix_docs"))
+        docs = load_table(spark, sf_dir, "documents").select(*self._COLS)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalSourceMixMaintainer(
+            spark, str(tmp_path_factory.mktemp("mix_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema=("doc_id BIGINT, text STRING, source STRING, "
+                    "lang STRING"),
+            max_files_per_trigger=1)
+        q = streaming_source_mix_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("mix_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["source_mix_report"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        assert got == want
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalSourceMixMaintainer,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(*self._COLS)
+        first = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        second = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        maint = IncrementalSourceMixMaintainer(
+            spark, str(tmp_path_factory.mktemp("mix_replay")))
+        maint.merge_batch(first, 0)
+        maint.merge_batch(second, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(second, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(first, 0)

@@ -2,7 +2,7 @@
 statistics families fresh from streams, never recomputing from
 the full fact tables.
 
-Wires six maintainers (streaming/analytics_twins.py):
+Wires seven maintainers (streaming/analytics_twins.py):
 
 - ``IncrementalDailyRevenueMaintainer`` over an orders drop-dir —
   per-day cent partials serving the CUSUM change-point and the
@@ -21,6 +21,9 @@ Wires six maintainers (streaming/analytics_twins.py):
 - ``IncrementalTokenFrequencyMaintainer`` over a documents drop-dir —
   corpus (token, n) counts serving the heavy-hitter and Zipf
   presentations (``heavy_hitter_tokens`` / ``zipf_rank_frequency``);
+- ``IncrementalSourceMixMaintainer`` (#13) on the same documents stream —
+  per-(source, lang) doc/token counts serving the domain-mix report
+  (``source_mix_report``);
 - ``IncrementalUserSpendMaintainer`` over an events drop-dir —
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
@@ -28,7 +31,8 @@ Wires six maintainers (streaming/analytics_twins.py):
   ``mann_whitney_spend_ab``).
 
 All states are key-space-bounded (calendar days / column domain /
-category grid / type x supplier / users / vocabulary), versioned by
+category grid / type x supplier / source x lang / users /
+vocabulary), versioned by
 batch id, replay-idempotent, and lifecycle-guarded — the same
 ``_VersionedState`` scheme as the rollup/SCD2/join-view maintainers.
 Run either side (or both) from file drop-dirs:
@@ -48,12 +52,14 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalContingencyMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalHhiMaintainer,
+    IncrementalSourceMixMaintainer,
     IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_contingency_maintenance,
     streaming_daily_revenue_maintenance,
     streaming_hhi_maintenance,
+    streaming_source_mix_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
@@ -124,12 +130,18 @@ def main() -> None:
                                         "user_spend")))
     if args.docs:
         docs = (spark.readStream
-                .schema("doc_id BIGINT, text STRING")
+                .schema("doc_id BIGINT, text STRING, source STRING, "
+                        "lang STRING")
                 .parquet(args.docs))
         freq = IncrementalTokenFrequencyMaintainer(
             spark, os.path.join(args.state_root, "token_freq"))
         queries.append(streaming_token_frequency_maintenance(
             docs, freq, os.path.join(args.checkpoint_root, "token_freq")))
+        # maintainer #13 shares the documents stream: domain-mix state
+        mix = IncrementalSourceMixMaintainer(
+            spark, os.path.join(args.state_root, "source_mix"))
+        queries.append(streaming_source_mix_maintenance(
+            docs, mix, os.path.join(args.checkpoint_root, "source_mix")))
     if args.lineitem:
         li = (spark.readStream
               .schema("l_partkey BIGINT, l_suppkey BIGINT, "

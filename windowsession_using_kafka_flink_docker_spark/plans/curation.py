@@ -761,16 +761,37 @@ FROM per_source
     tags=("llm", "curation", "provenance"),
 )
 def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_doc = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mix_from_partials(source_mix_partials(docs))
+
+
+def source_mix_partials(docs: DataFrame) -> DataFrame:
+    """Reduce a documents frame (full corpus or one micro-batch) to the
+    per-(source, lang) doc/token counts — the mergeable sufficient
+    statistic of the mix report (counts sum; state is bounded by
+    |sources| x |langs|, not corpus size)."""
+    per_doc = docs.select(
         "source", "lang",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
-    )
-    per_source = per_doc.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count_distinct("lang").alias("n_langs"),
-    )
-    corpus_tokens = per_doc.agg(F.sum("n_tokens").alias("_ct"))
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"))
+
+
+def source_mix_from_partials(partials: DataFrame) -> DataFrame:
+    """Mix report from the (source, lang, n_docs, n_tokens) partials —
+    shared by the batch entry and streaming maintainer #13, so stream ==
+    batch is one code path. Doc/token counts and the language spread
+    derive exactly from the partials (a (source, lang) row exists iff
+    that source has >= 1 doc in that lang, so the distinct-language
+    count is a row count); the share division happens on the same
+    exact BIGINTs the fact-level derivation produces."""
+    per_source = partials.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"))
+    corpus_tokens = partials.agg(F.sum("n_tokens").alias("_ct"))
     return (
         per_source.crossJoin(F.broadcast(corpus_tokens))
         .select(

@@ -30,6 +30,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalContingencyMaintainer,
     IncrementalDriftMaintainer,
     IncrementalHhiMaintainer,
+    IncrementalSourceMixMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
     IncrementalTableStatsMaintainer,
@@ -39,6 +40,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     streaming_contingency_maintenance,
     streaming_drift_maintenance,
     streaming_hhi_maintenance,
+    streaming_source_mix_maintenance,
     streaming_daily_revenue_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
@@ -86,6 +88,7 @@ __all__ = [
     "IncrementalContingencyMaintainer",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalHhiMaintainer",
+    "IncrementalSourceMixMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalTableStatsMaintainer",
     "IncrementalTokenFrequencyMaintainer",
@@ -95,6 +98,7 @@ __all__ = [
     "streaming_contingency_maintenance",
     "streaming_daily_revenue_maintenance",
     "streaming_hhi_maintenance",
+    "streaming_source_mix_maintenance",
     "streaming_table_stats_maintenance",
     "streaming_token_frequency_maintenance",
     "streaming_user_spend_maintenance",

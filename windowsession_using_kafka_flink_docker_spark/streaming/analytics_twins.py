@@ -1,6 +1,6 @@
 """Streaming twins for the analytics entries that are incremental by
-construction (VERDICT r6 item 5, extended through rounds 7-8): nine
-maintainers covering thirteen driver-oracled batch entries —
+construction (VERDICT r6 item 5, extended through rounds 7-8): ten
+maintainers covering fourteen driver-oracled batch entries —
 ``ewma_daily_spend``, ``distribution_drift_report``,
 ``clamped_running_balance`` (whose non-associative clamp needs the
 in-order prefix-scan state documented on IncrementalLedgerMaintainer),
@@ -15,12 +15,14 @@ ANALYZE-TABLE column statistics (``orders_column_ndv_kmv`` on a
 (``cramers_v_status_priority`` on a category-grid state, #11), and the
 supplier-concentration partials (``supplier_hhi_by_parttype`` on a
 |types| x |suppliers| state with stream-static dimension enrichment
-inside the merge, #12). Each
+inside the merge, #12), and the domain-mix accounting
+(``source_mix_report`` on a |sources| x |langs| state, #13). Each
 ``current_*()`` presentation calls the same helper the
 batch entry was refactored onto (``ewma_from_daily``,
 ``cusum_from_daily``, ``backtest_from_daily``, ``*_from_spend``,
 ``*_from_freq``, ``ndv_report_from_kmv_state``,
-``cramers_report_from_cells``, ``hhi_report_from_qty``), so
+``cramers_report_from_cells``, ``hhi_report_from_qty``,
+``source_mix_from_partials``), so
 stream == batch is one code path, never a parallel implementation.
 
 Every batch entry here reduces the fact stream to key-space-bounded
@@ -608,11 +610,58 @@ def streaming_hhi_maintenance(
                                "hhi_maintenance")
 
 
+class IncrementalSourceMixMaintainer:
+    """Streaming twin of ``source_mix_report`` — maintainer #13, the
+    RefinedWeb-style domain-mix state: per-(source, lang) doc and token
+    counts, so state is bounded by |sources| x |langs| regardless of
+    corpus size — the accounting every training-data pipeline watches
+    to catch a silently shifting input mix. Counts are exact BIGINTs
+    that sum under merge, so the maintained partials — and the doc
+    count / token count / language spread / token share report
+    ``current()`` derives through the batch entry's own
+    ``source_mix_from_partials`` — are bit-identical to the batch
+    aggregate under any batch interleaving (the share division runs on
+    the same exact integers either way)."""
+
+    _SCHEMA = "source STRING, lang STRING, n_docs BIGINT, n_tokens BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            source_mix_partials,
+        )
+        self.state.guard(batch_id)
+        delta = source_mix_partials(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("source", "lang")
+                  .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                       F.sum("n_tokens").cast("long").alias("n_tokens")))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            source_mix_from_partials,
+        )
+        return source_mix_from_partials(self.state.current())
+
+
+def streaming_source_mix_maintenance(
+        docs: DataFrame, maintainer: IncrementalSourceMixMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(docs, maintainer, checkpoint_dir,
+                               "source_mix_maintenance")
+
+
 __all__ = [
     "IncrementalContingencyMaintainer",
     "IncrementalHhiMaintainer",
+    "IncrementalSourceMixMaintainer",
     "streaming_contingency_maintenance",
     "streaming_hhi_maintenance",
+    "streaming_source_mix_maintenance",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalEwmaMaintainer",
     "IncrementalUserSpendMaintainer",
