@@ -76,7 +76,8 @@ def main() -> None:
                          "value); omit to skip the spend side")
     ap.add_argument("--docs", default=None,
                     help="documents parquet drop directory (doc_id, "
-                         "text); omit to skip the token-frequency side")
+                         "text, source, lang); omit to skip the "
+                         "token-frequency and domain-mix sides")
     ap.add_argument("--lineitem", default=None,
                     help="lineitem parquet drop directory (l_partkey, "
                          "l_suppkey, l_quantity); omit to skip the "
