@@ -2135,3 +2135,128 @@ class TestStreamingSourceMixMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(first, 0)
+
+
+class TestBoundedTokenFrequencyMaintenance:
+    """Fixed-memory heavy hitters (streaming/analytics_twins.py
+    BoundedTokenFrequencyMaintainer): the CMS sketch is LINEAR, so the
+    merged sketch must equal the single-pass sketch bit-for-bit; every
+    candidate estimate carries the one-sided CMS guarantee
+    (estimate >= true count); the true heavy hitters must be recalled
+    both on the real corpus and on a planted 2000-token Zipf corpus
+    whose vocabulary exceeds the candidate bound (real eviction); and
+    state stays at depth*width + K rows regardless of vocabulary."""
+
+    def test_sketch_merge_equals_single_pass_and_one_sided(
+            self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.operators.cms import (
+            cms_build,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+            normalized_text,
+        )
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            heavy_hitters_from_freq,
+            token_freq_from_docs,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            BoundedTokenFrequencyMaintainer,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        maint = BoundedTokenFrequencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("btf_state")))
+        for i in range(3):
+            maint.merge_batch(
+                docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i), i)
+
+        # CMS linearity: merged sketch == single-pass sketch, bit-for-bit
+        toks = (docs.select(
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"))
+            .where(F.col("token") != ""))
+        single = {(r.r, r.bucket): r.n for r in cms_build(
+            toks, depth=maint.depth, width=maint.width).collect()}
+        merged = {(r.r, r.bucket): r.n
+                  for r in maint.sketch.current().collect()}
+        assert merged == single
+
+        # one-sided guarantee + full recall of the true heavy hitters
+        truth = {r.token: r.n for r in token_freq_from_docs(docs).collect()}
+        cand = {r.token: r.n for r in maint.cand.current().collect()}
+        assert all(cand[t] >= truth.get(t, 0) for t in cand)
+        true_top = [r.token for r in heavy_hitters_from_freq(
+            token_freq_from_docs(docs)).collect()]
+        got_top = [r.token for r in maint.current_heavy_hitters().collect()]
+        assert set(true_top) <= set(got_top) | set(cand)
+        recall = len(set(true_top) & set(got_top)) / len(true_top)
+        assert recall >= 0.9
+        # bounded state
+        assert maint.sketch.current().count() <= maint.depth * maint.width
+        assert len(cand) <= maint.k
+
+    def test_planted_zipf_vocabulary_larger_than_pool(
+            self, spark, tmp_path_factory):
+        """2000 distinct tokens vs a 400-token pool: eviction is real,
+        and the planted top-50 (counts 6000/j) must still surface with
+        one-sided estimates."""
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            BoundedTokenFrequencyMaintainer,
+        )
+
+        rows = []
+        doc_id = 0
+        for j in range(1, 2001):
+            cnt = 6000 // j
+            if cnt == 0:
+                continue
+            per = max(1, cnt // 3)
+            left = cnt
+            for s in range(3):
+                take = per if s < 2 else left
+                if take <= 0:
+                    break
+                rows.append((doc_id, " ".join([f"tok{j:04d}"] * take)))
+                doc_id += 1
+                left -= take
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        maint = BoundedTokenFrequencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("btf_zipf")))
+        for i in range(3):
+            maint.merge_batch(
+                docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i), i)
+        cand = {r.token: r.n for r in maint.cand.current().collect()}
+        assert len(cand) == maint.k  # pool saturated: eviction happened
+        top50 = {r.token for r in maint.current_heavy_hitters().collect()}
+        planted = {f"tok{j:04d}" for j in range(1, 51)}
+        # every planted hitter must be in the pool; at least 45/50 in
+        # the top-50 by estimate (collision mass can promote a few
+        # lighter tokens past the tail of the true top-50)
+        assert planted <= set(cand)
+        assert len(planted & top50) >= 45
+        for j in range(1, 51):
+            assert cand[f"tok{j:04d}"] >= 6000 // j  # one-sided
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            BoundedTokenFrequencyMaintainer,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        first = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        second = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        maint = BoundedTokenFrequencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("btf_replay")))
+        maint.merge_batch(first, 0)
+        maint.merge_batch(second, 1)
+        once_sketch = _rows(maint.sketch.current(), exclude_sentinel=False)
+        once_cand = _rows(maint.cand.current(), exclude_sentinel=False)
+        maint.merge_batch(second, 1)  # crash-replay of batch 1
+        assert _rows(maint.sketch.current(),
+                     exclude_sentinel=False) == once_sketch
+        assert _rows(maint.cand.current(),
+                     exclude_sentinel=False) == once_cand
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(first, 0)

@@ -2,7 +2,8 @@
 statistics families fresh from streams, never recomputing from
 the full fact tables.
 
-Wires seven maintainers (streaming/analytics_twins.py):
+Wires seven maintainers (streaming/analytics_twins.py) — eight
+selectable, see ``--bounded-tokens``:
 
 - ``IncrementalDailyRevenueMaintainer`` over an orders drop-dir —
   per-day cent partials serving the CUSUM change-point and the
@@ -49,6 +50,7 @@ import os
 
 from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
+    BoundedTokenFrequencyMaintainer,
     IncrementalContingencyMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalHhiMaintainer,
@@ -56,6 +58,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
+    streaming_bounded_token_frequency_maintenance,
     streaming_contingency_maintenance,
     streaming_daily_revenue_maintenance,
     streaming_hhi_maintenance,
@@ -85,6 +88,11 @@ def main() -> None:
     ap.add_argument("--part", default=None,
                     help="static part dimension parquet (p_partkey, "
                          "p_type); required with --lineitem")
+    ap.add_argument("--bounded-tokens", action="store_true",
+                    help="use the fixed-memory CMS+pool token state "
+                         "(maintainer #14) instead of the exact "
+                         "vocabulary-bounded one — the extreme-scale "
+                         "drop-in where even Heaps-law state is too big")
     ap.add_argument("--state-root", default="/tmp/analytics_state")
     ap.add_argument("--checkpoint-root", default="/tmp/ckpt/analytics")
     args = ap.parse_args()
@@ -134,10 +142,18 @@ def main() -> None:
                 .schema("doc_id BIGINT, text STRING, source STRING, "
                         "lang STRING")
                 .parquet(args.docs))
-        freq = IncrementalTokenFrequencyMaintainer(
-            spark, os.path.join(args.state_root, "token_freq"))
-        queries.append(streaming_token_frequency_maintenance(
-            docs, freq, os.path.join(args.checkpoint_root, "token_freq")))
+        if args.bounded_tokens:
+            bfreq = BoundedTokenFrequencyMaintainer(
+                spark, os.path.join(args.state_root, "token_freq_bounded"))
+            queries.append(streaming_bounded_token_frequency_maintenance(
+                docs, bfreq, os.path.join(args.checkpoint_root,
+                                          "token_freq_bounded")))
+        else:
+            freq = IncrementalTokenFrequencyMaintainer(
+                spark, os.path.join(args.state_root, "token_freq"))
+            queries.append(streaming_token_frequency_maintenance(
+                docs, freq,
+                os.path.join(args.checkpoint_root, "token_freq")))
         # maintainer #13 shares the documents stream: domain-mix state
         mix = IncrementalSourceMixMaintainer(
             spark, os.path.join(args.state_root, "source_mix"))

@@ -27,6 +27,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.joinview import (
     streaming_join_view_maintenance,
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+    BoundedTokenFrequencyMaintainer,
     IncrementalContingencyMaintainer,
     IncrementalDriftMaintainer,
     IncrementalHhiMaintainer,
@@ -37,6 +38,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
     IncrementalLedgerMaintainer,
+    streaming_bounded_token_frequency_maintenance,
     streaming_contingency_maintenance,
     streaming_drift_maintenance,
     streaming_hhi_maintenance,
@@ -85,6 +87,7 @@ __all__ = [
     "streaming_capped_sessionize",
     "IncrementalRollupMaintainer",
     "streaming_rollup_maintenance",
+    "BoundedTokenFrequencyMaintainer",
     "IncrementalContingencyMaintainer",
     "IncrementalDailyRevenueMaintainer",
     "IncrementalHhiMaintainer",
@@ -95,6 +98,7 @@ __all__ = [
     "IncrementalUserSpendMaintainer",
     "IncrementalDriftMaintainer",
     "IncrementalLedgerMaintainer",
+    "streaming_bounded_token_frequency_maintenance",
     "streaming_contingency_maintenance",
     "streaming_daily_revenue_maintenance",
     "streaming_hhi_maintenance",

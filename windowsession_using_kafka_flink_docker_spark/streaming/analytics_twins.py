@@ -1,6 +1,6 @@
 """Streaming twins for the analytics entries that are incremental by
-construction (VERDICT r6 item 5, extended through rounds 7-8): ten
-maintainers covering fourteen driver-oracled batch entries —
+construction (VERDICT r6 item 5, extended through rounds 7-8):
+eleven maintainers covering fourteen driver-oracled batch entries —
 ``ewma_daily_spend``, ``distribution_drift_report``,
 ``clamped_running_balance`` (whose non-associative clamp needs the
 in-order prefix-scan state documented on IncrementalLedgerMaintainer),
@@ -16,7 +16,11 @@ ANALYZE-TABLE column statistics (``orders_column_ndv_kmv`` on a
 supplier-concentration partials (``supplier_hhi_by_parttype`` on a
 |types| x |suppliers| state with stream-static dimension enrichment
 inside the merge, #12), and the domain-mix accounting
-(``source_mix_report`` on a |sources| x |langs| state, #13). Each
+(``source_mix_report`` on a |sources| x |langs| state, #13) — plus
+the one APPROXIMATE member, #14: the fixed-memory CMS+candidate-pool
+heavy-hitter state (``BoundedTokenFrequencyMaintainer``), the
+extreme-scale drop-in for the exact token state with a one-sided
+error guarantee and recall pinned in tests. Each
 ``current_*()`` presentation calls the same helper the
 batch entry was refactored onto (``ewma_from_daily``,
 ``cusum_from_daily``, ``backtest_from_daily``, ``*_from_spend``,
@@ -655,10 +659,101 @@ def streaming_source_mix_maintenance(
                                "source_mix_maintenance")
 
 
+class BoundedTokenFrequencyMaintainer:
+    """Maintainer #14 — the FIXED-MEMORY heavy-hitter state the exact
+    token-frequency maintainer's docstring promises as its extreme-scale
+    fallback: where even Heaps-law vocabulary state is too big, keep a
+    Count-Min sketch (depth x width exact BIGINT cell counts) plus a
+    K-token candidate pool, and nothing else — state is d*w + K rows at
+    ANY corpus size, with the one-sided CMS guarantee (estimate >= true
+    count, excess <= collision mass ~ (e/width)*N w.h.p.).
+
+    Merge semantics: CMS is LINEAR — cell counts sum — so the merged
+    sketch is BIT-IDENTICAL to the single-pass sketch under any batch
+    interleaving (pinned in tests); the candidate pool is the union of
+    the previous pool and the batch's top-M tokens, re-scored against
+    the merged sketch and pruned to K under the deterministic
+    (estimate DESC, token) order. A true heavy hitter is always a
+    heavy hitter of SOME batch prefix, so it enters the pool and, once
+    in the top-K by estimate, cannot be evicted by lighter tokens
+    (estimates only grow). ``current_heavy_hitters()`` presents the
+    top-50 through the exact maintainer's own ``heavy_hitters_from_freq``
+    shape, with the CMS estimate standing in for the exact count —
+    recall vs the driver-oracled exact top-50 is floor-pinned in tests,
+    the same audit discipline as the MinHash/SimHash recall entries."""
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 depth: int = 4, width: int = 4096,
+                 k_candidates: int = 400, m_batch: int = 400):
+        self.depth, self.width = depth, width
+        self.k, self.m = k_candidates, m_batch
+        self.sketch = _VersionedState(
+            spark, os.path.join(state_dir, "sketch"),
+            "r INT, bucket BIGINT, n BIGINT")
+        self.cand = _VersionedState(
+            spark, os.path.join(state_dir, "candidates"),
+            "token STRING, n BIGINT")
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.operators.cms import (
+            cms_build,
+            cms_estimate,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+            normalized_text,
+        )
+        self.sketch.guard(batch_id)
+        self.cand.guard(batch_id)
+        toks = (batch_df.select(
+            F.explode(F.split(normalized_text("text"), " "))
+            .alias("token"))
+            .where(F.col("token") != ""))
+        delta = (cms_build(toks, depth=self.depth, width=self.width)
+                 .select(F.col("r").cast("int").alias("r"),
+                         F.col("bucket").cast("long").alias("bucket"),
+                         F.col("n").cast("long").alias("n")))
+        prev = self.sketch.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("r", "bucket")
+                  .agg(F.sum("n").cast("long").alias("n")))
+        # materialize the merged sketch before the estimate joins below
+        # read it back (the estimate must score against THIS version)
+        self.sketch.write(batch_id, merged)
+        sketch_now = self.sketch.read(batch_id)
+
+        batch_top = (toks.groupBy("token")
+                     .agg(F.count(F.lit(1)).alias("_bn"))
+                     .orderBy(F.desc("_bn"), "token").limit(self.m)
+                     .select("token"))
+        prev_cand = self.cand.latest_before(batch_id)
+        pool = batch_top if prev_cand is None else (
+            prev_cand.select("token").unionByName(batch_top).distinct())
+        scored = cms_estimate(pool, sketch_now, depth=self.depth,
+                              width=self.width, out_col="n")
+        pruned = (scored.select("token", F.col("n").cast("long").alias("n"))
+                  .orderBy(F.desc("n"), "token").limit(self.k))
+        self.cand.write(batch_id, pruned)
+
+    def current_heavy_hitters(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            heavy_hitters_from_freq,
+        )
+        return heavy_hitters_from_freq(self.cand.current())
+
+
+def streaming_bounded_token_frequency_maintenance(
+        docs: DataFrame, maintainer: BoundedTokenFrequencyMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(docs, maintainer, checkpoint_dir,
+                               "bounded_token_frequency_maintenance")
+
+
 __all__ = [
+    "BoundedTokenFrequencyMaintainer",
     "IncrementalContingencyMaintainer",
     "IncrementalHhiMaintainer",
     "IncrementalSourceMixMaintainer",
+    "streaming_bounded_token_frequency_maintenance",
     "streaming_contingency_maintenance",
     "streaming_hhi_maintenance",
     "streaming_source_mix_maintenance",
