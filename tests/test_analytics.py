@@ -1039,3 +1039,40 @@ class TestQ21WaitingSuppliers:
         got = [(r.s_name, r.n_name, r.numwait)
                for r in q21_waiting_suppliers(spark, sf_dir).collect()]
         assert got == want
+
+
+class TestHhiIdentity:
+    """supplier_hhi_by_parttype's scaled index, swept in pure Python with
+    the same exact-integer-division arithmetic: bounded by
+    [1e6/n (floored), 1e6], EXACTLY 1e6 at any monopoly (the
+    double-multiply form this replaced rounded sq*1e6 past 2^53 and
+    emitted 999999 for monopolies with t >= ~760k — hypothesis-found),
+    and within 1 of the exact rational everywhere."""
+
+    def test_hypothesis_sweep(self):
+        import math
+        from fractions import Fraction
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(st.integers(1, 10**9), min_size=1, max_size=25))
+        def check(qs):
+            t = sum(qs)
+            sq = sum(q * q for q in qs)
+            n = len(qs)
+            hhi = (sq * 1_000_000) // (t * t)  # the entry's exact form
+            assert hhi <= 1_000_000
+            assert hhi >= 1_000_000 // n - 1  # floor slack on the bound
+            exact = Fraction(sq * 1_000_000, t * t)
+            assert 0 <= float(exact) - hhi < 1  # true floor, no drift
+            if n == 1:
+                assert hhi == 1_000_000  # monopoly is exact
+            # the replaced double form CAN disagree; when it does, the
+            # exact form is the correct floor
+            dbl = math.floor(sq * 1_000_000.0 / (t * t))
+            if dbl != hhi:
+                assert abs(dbl - hhi) == 1
+
+        check()

@@ -3201,7 +3201,8 @@ tot AS (
          CAST(COUNT(*) AS BIGINT) AS n_suppliers
   FROM qty GROUP BY p_type)
 SELECT p_type, n_suppliers, t AS total_qty,
-       CAST(floor(sq * 1000000.0 / (t * t)) AS BIGINT) AS hhi_e6
+       CAST((CAST(sq AS HUGEINT) * 1000000)
+            // (CAST(t AS HUGEINT) * t) AS BIGINT) AS hhi_e6
 FROM tot
 """,
     description="Herfindahl-Hirschman supplier-concentration index per "
@@ -3209,9 +3210,12 @@ FROM tot
                 "(sum of squared quantity shares, 1e6-scaled: 1/n for "
                 "perfect competition up to 1.0 for a monopoly supplier). "
                 "Quantities are integer-valued, so per-supplier sums and "
-                "their squares are exact BIGINTs, and the index is ONE "
-                "double division of exact integers (sum-of-squares over "
-                "total-squared) before the scaled floor — never a sum of "
+                "their squares are exact BIGINTs, and the scaled index "
+                "is ONE EXACT integer division (sq*1e6 div t^2 in "
+                "DECIMAL(38,0)/HUGEINT — the seasonal_naive_backtest "
+                "discipline; the earlier double-multiply form rounded "
+                "sq*1e6 past 2^53 and emitted 999999 for a monopoly "
+                "with t >= ~760k, hypothesis-found) — never a sum of "
                 "pre-divided float shares, whose order could drift. Two "
                 "map-side-combinable aggregates with the part dimension "
                 "broadcast into the fact scan.",
@@ -3246,10 +3250,15 @@ def hhi_report_from_qty(qty: DataFrame) -> DataFrame:
         F.sum("q").cast("long").alias("t"),
         F.sum(F.col("q") * F.col("q")).cast("long").alias("sq"),
         F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    # exact integer division: the double-multiply form rounds sq*1e6
+    # past 2^53 and can floor one short (999999 at exact monopoly)
+    hhi = F.expr(
+        "CAST((CAST(sq AS DECIMAL(38,0)) * 1000000)"
+        " div (CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))"
+        " AS BIGINT)")
     return tot.select(
         "p_type", "n_suppliers", F.col("t").alias("total_qty"),
-        F.floor(F.col("sq") * 1000000.0 / (F.col("t") * F.col("t")))
-        .cast("long").alias("hhi_e6"))
+        hhi.alias("hhi_e6"))
 
 
 @register(
