@@ -809,9 +809,9 @@ counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
 tot AS (SELECT SUM(n) AS t FROM counts)
 SELECT digit,
        CAST(n AS BIGINT) AS n_orders,
-       CAST(floor(n * 10000.0 / t) AS BIGINT) AS observed_e4,
+       CAST((n * 10000) // t AS BIGINT) AS observed_e4,
        CAST(""" + _BENFORD_CASE_SQL + """ AS BIGINT) AS benford_e4,
-       CAST(ABS(floor(n * 10000.0 / t) - (""" + _BENFORD_CASE_SQL + """))
+       CAST(ABS((n * 10000) // t - (""" + _BENFORD_CASE_SQL + """))
             AS BIGINT) AS deviation_e4
 FROM counts CROSS JOIN tot
 """,
@@ -841,7 +841,9 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(*[x for d, v in _BENFORD_E4.items()
                        for x in (F.lit(d), F.lit(v))]),
         F.col("digit").cast("int"))
-    obs = F.floor(F.col("n") * 10000.0 / F.col("t"))
+    # exact integer division (the double-multiply form rounds n*1e4
+    # past 2^53 once n exceeds ~9e11 rows — the HHI lesson)
+    obs = F.expr("(n * 10000) div t")
     return counts.crossJoin(F.broadcast(tot)).select(
         "digit",
         F.col("n").cast("long").alias("n_orders"),

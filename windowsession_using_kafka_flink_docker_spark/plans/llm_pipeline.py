@@ -2586,10 +2586,10 @@ top AS (
   FROM freq ORDER BY n DESC, token LIMIT 50),
 expect AS (
   SELECT rank, token, n,
-         CAST(floor(MAX(n) OVER () * 1.0 / rank) AS BIGINT) AS zipf_expected
+         CAST(MAX(n) OVER () // rank AS BIGINT) AS zipf_expected
   FROM top)
 SELECT CAST(rank AS BIGINT) AS rank, token, n, zipf_expected,
-       CAST(floor(ABS(n - zipf_expected) * 10000.0 / zipf_expected)
+       CAST((ABS(n - zipf_expected) * 10000) // zipf_expected
             AS BIGINT) AS deviation_e4
 FROM expect
 """,
@@ -2622,15 +2622,19 @@ def zipf_from_freq(freq: DataFrame) -> DataFrame:
     top = heavy_hitters_from_freq(freq)
     w_rank = Window.orderBy(F.desc("n"), "token")
     w_all = Window.partitionBy()
+    # exact integer divisions (the HHI lesson): the double forms round
+    # max(n) quotients and |n-e|*1e4 past 2^53 at ~1e12-token corpora
     ranked = top.select(
         F.row_number().over(w_rank).cast("long").alias("rank"),
         "token", "n",
-        F.floor(F.max("n").over(w_all) * 1.0 / F.row_number().over(w_rank))
-        .cast("long").alias("zipf_expected"))
+        (F.max("n").over(w_all).cast("long")
+         .alias("_mx")))
+    ranked = ranked.select(
+        "rank", "token", "n",
+        F.expr("_mx div rank").cast("long").alias("zipf_expected"))
     return ranked.select(
         "rank", "token", "n", "zipf_expected",
-        F.floor(F.abs(F.col("n") - F.col("zipf_expected")) * 10000.0
-                / F.col("zipf_expected"))
+        F.expr("(abs(n - zipf_expected) * 10000) div zipf_expected")
         .cast("long").alias("deviation_e4"))
 
 

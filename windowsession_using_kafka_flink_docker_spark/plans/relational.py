@@ -1985,9 +1985,9 @@ counted AS (
   GROUP BY 1, 2
 )
 SELECT from_type, to_type, n_transitions,
-       CAST(floor(n_transitions /
-                  SUM(n_transitions) OVER (PARTITION BY from_type)
-                  * 10000) AS BIGINT) / 10000.0 AS p
+       CAST((n_transitions * 10000) //
+            SUM(n_transitions) OVER (PARTITION BY from_type)
+            AS BIGINT) / 10000.0 AS p
 FROM counted
 """,
     description="Markov transition-matrix estimation over session-scoped "
@@ -2030,10 +2030,14 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("from_type", "to_type")
                .agg(F.count(F.lit(1)).alias("n_transitions")))
     total = F.sum("n_transitions").over(Window.partitionBy("from_type"))
-    return counted.select(
+    # exact integer division of the scaled count (the HHI lesson): the
+    # divide-first double quotient can floor one off at representable
+    # boundaries; (n*1e4) div total cannot
+    staged = counted.select("from_type", "to_type", "n_transitions",
+                            total.cast("long").alias("_t"))
+    return staged.select(
         "from_type", "to_type", "n_transitions",
-        (F.floor(F.col("n_transitions") / total * 10000) / 10000.0)
-        .alias("p"))
+        (F.expr("(n_transitions * 10000) div _t") / 10000.0).alias("p"))
 
 
 @register(
@@ -3146,8 +3150,8 @@ SELECT tier,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_bounces,
-       CAST(floor(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
-                  * 10000.0 / COUNT(*)) AS BIGINT) AS bounce_e4
+       CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             * 10000) // COUNT(*) AS BIGINT) AS bounce_e4
 FROM tiered GROUP BY tier
 """,
     description="Bounce rate per reference user tier: share of 30s-gap "
@@ -3179,10 +3183,14 @@ def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.coalesce("tier", F.lit("default")).alias("tier"),
                       "event_count"))
     bounces = F.sum(F.when(F.col("event_count") == 1, 1).otherwise(0))
-    return tiered.groupBy("tier").agg(
+    agg = tiered.groupBy("tier").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
-        bounces.cast("long").alias("n_bounces"),
-        F.floor(bounces * 10000.0 / F.count(F.lit(1))).cast("long")
+        bounces.cast("long").alias("n_bounces"))
+    # exact integer division (the HHI lesson: bounces*1e4 in a double
+    # rounds past 2^53 at ~9e11 sessions)
+    return agg.select(
+        "tier", "n_sessions", "n_bounces",
+        F.expr("(n_bounces * 10000) div n_sessions").cast("long")
         .alias("bounce_e4"))
 
 
