@@ -354,6 +354,21 @@ def test_spearman_uses_ranged_ranks_and_broadcast_qty_map(spark, sf_dir):
     assert "ntile" not in plan.lower(), plan
 
 
+def test_ndv_kmv_two_stage_kmin_and_two_scans(spark, sf_dir):
+    """orders_column_ndv_kmv promises the scale-honest ANALYZE plan:
+    the k-min selection is two-stage (per-partition collect_set partials
+    merged by the maintainer's bounded-array merge) — NEVER a window
+    that funnels a fact column's full distinct-hash set into one task —
+    and the entry reads orders exactly twice (one all-columns scalar
+    aggregate, one (column, hash) explode), not once per column per
+    statistic."""
+    plan = _plan(spark, "orders_column_ndv_kmv", sf_dir, "formatted")
+    assert "Window" not in plan, plan
+    n_scans = sum(1 for ln in plan.splitlines()
+                  if ln.lstrip().startswith("(") and "Scan parquet" in ln)
+    assert n_scans <= 2, (n_scans, plan)
+
+
 def test_no_expand_in_benched_plans(spark, sf_dir):
     """No headline-bench entry may plan an Expand: the two-countDistinct
     form q21 originally used duplicates every fact row through the

@@ -7,7 +7,7 @@ JSON line out (grep -a STRESSRESULT).
     python tools/stress_entries.py --runs 5 --sfs sf0.01,sf0.1 <names...>
 
 Timings are only comparable when nothing else runs a Spark JVM on the
-box (see .claude/skills/verify/SKILL.md).
+box.
 """
 
 from __future__ import annotations

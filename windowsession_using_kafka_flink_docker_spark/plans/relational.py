@@ -3371,48 +3371,71 @@ def _kmv_hash(col: "F.Column") -> "F.Column":
         16, 10).cast("bigint") / F.lit(4294967296.0))
 
 
+def kmin_merge_agg() -> "F.Column":
+    """The bounded k-min merge aggregate shared by the streaming
+    maintainer and the batch plan's second stage: k smallest of a union
+    of k-min sets = k smallest of the union (set semantics on exact
+    doubles — every hash is a 32-bit integer over 2^32, so equality and
+    ordering are exact). Input column ``kmin`` holds <=k-element sorted
+    arrays; output is one <=k-element sorted array."""
+    return F.slice(F.array_sort(F.array_distinct(F.flatten(
+        F.collect_list("kmin")))), 1, KMV_STATS_K).alias("kmin")
+
+
 def orders_kmv_state(orders: DataFrame) -> DataFrame:
     """Reduce an orders frame (full table or one micro-batch) to the
-    mergeable per-column stats state of KMV_STATS_STATE_SCHEMA.
+    mergeable per-column stats state of KMV_STATS_STATE_SCHEMA, in
+    exactly TWO scans of the input:
 
-    The scalar counters are one map-side-combinable aggregate per column;
-    the k-min sets rank DISTINCT hashes per column (set semantics, so the
-    streaming union-merge and the batch single-pass agree exactly). The
-    partitioned window is the honest small-data rendering of the k-th
-    order statistic; the maintainer's bounded-array merge IS the
-    per-partition k-min-heap scale path run at merge granularity."""
-    import functools
+    1. ONE scalar aggregate computes every column's counters and typed
+       min/max in a single pass (each column's counters packed into a
+       struct, exploded back to long format from the 1-row result) —
+       all partial-aggregated map-side, nothing fact-sized shuffles.
+    2. ONE projection explodes an array of (column_name, hv) pairs into
+       the long hash frame (NULL values hash to NULL md5 and are
+       filtered), and the k-min selection is TWO-STAGE: per physical
+       partition, ``slice(sort_array(collect_set(hv)), 1, k)`` reduces
+       that partition's distinct hashes to a <=k partial (each group is
+       confined to one input partition, so the hash aggregate completes
+       map-side and the exchange ships only k-sized arrays); the
+       partials then merge through the same ``kmin_merge_agg`` the
+       streaming maintainer uses. No column's full distinct-hash set
+       ever funnels into a single task — at 100 TB a fact column's NDV
+       is ~1e10, and a single-partition rank over it is exactly the
+       shape ``global_rank_ranged`` exists to avoid.
 
+    The result is grouping-invariant (k smallest of a union does not
+    depend on how elements were grouped; cross-partition duplicate
+    hashes drop in the merge's array_distinct), so the physical
+    partition id never leaks into the answer — pinned by the
+    partition-invariance suite."""
     cols = _kmv_stats_columns()
     none_l = F.lit(None).cast("long")
     none_s = F.lit(None).cast("string")
-    scalars = functools.reduce(
-        lambda a, b: a.unionByName(b),
-        [orders.agg(
-            F.lit(name).alias("column_name"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).cast("long")
-            .alias("n_nulls"),
-            (F.min(col).cast("long") if numeric else none_l)
-            .alias("min_num"),
-            (F.max(col).cast("long") if numeric else none_l)
-            .alias("max_num"),
-            (none_s if numeric else F.min(col).cast("string"))
-            .alias("min_str"),
-            (none_s if numeric else F.max(col).cast("string"))
-            .alias("max_str"))
-         for name, col, numeric in cols])
-    longf = functools.reduce(
-        lambda a, b: a.unionByName(b),
-        [orders.where(col.isNotNull())
-         .select(F.lit(name).alias("column_name"),
-                 _kmv_hash(col).alias("hv"))
-         for name, col, _ in cols]).distinct()
-    wk = Window.partitionBy("column_name").orderBy("hv")
-    kmin = (longf.withColumn("rn", F.row_number().over(wk))
-            .where(F.col("rn") <= KMV_STATS_K)
-            .groupBy("column_name")
-            .agg(F.sort_array(F.collect_list("hv")).alias("kmin")))
+    per_col = [F.struct(
+        F.lit(name).alias("column_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_nulls"),
+        (F.min(col).cast("long") if numeric else none_l).alias("min_num"),
+        (F.max(col).cast("long") if numeric else none_l).alias("max_num"),
+        (none_s if numeric else F.min(col).cast("string")).alias("min_str"),
+        (none_s if numeric else F.max(col).cast("string")).alias("max_str"),
+    ).alias(name) for name, col, numeric in cols]
+    scalars = (orders.agg(*per_col)
+               .select(F.explode(F.array(*[F.col(name) for name, _, _
+                                           in cols])).alias("s"))
+               .select("s.*"))
+    pairs = F.array(*[F.struct(F.lit(name).alias("column_name"),
+                               _kmv_hash(col).alias("hv"))
+                      for name, col, _ in cols])
+    longf = (orders.select(F.explode(pairs).alias("p"))
+             .select("p.*")
+             .where(F.col("hv").isNotNull()))
+    partials = (longf.withColumn("pid", F.spark_partition_id())
+                .groupBy("column_name", "pid")
+                .agg(F.slice(F.sort_array(F.collect_set("hv")),
+                             1, KMV_STATS_K).alias("kmin")))
+    kmin = partials.groupBy("column_name").agg(kmin_merge_agg())
     return scalars.join(kmin, "column_name", "left")
 
 

@@ -441,7 +441,7 @@ class IncrementalTableStatsMaintainer:
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from windowsession_using_kafka_flink_docker_spark.plans.relational import (
-            KMV_STATS_K,
+            kmin_merge_agg,
             orders_kmv_state,
         )
         self.state.guard(batch_id)
@@ -455,8 +455,7 @@ class IncrementalTableStatsMaintainer:
             F.max("max_num").alias("max_num"),
             F.min("min_str").alias("min_str"),
             F.max("max_str").alias("max_str"),
-            F.slice(F.array_sort(F.array_distinct(F.flatten(
-                F.collect_list("kmin")))), 1, KMV_STATS_K).alias("kmin"))
+            kmin_merge_agg())
         self.state.write(batch_id, merged)
 
     def current(self) -> DataFrame:
