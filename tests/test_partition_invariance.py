@@ -48,6 +48,11 @@ SENSITIVE = [
     # lag-7 self-join must not depend on row placement either
     "eval_ngram_novelty",
     "seasonal_naive_backtest",
+    # round 10: the rewritten two-stage k-min ANALYZE plan groups by
+    # spark_partition_id() — the canonical partition-sensitive
+    # construct; see also test_ndv_kmv_invariant_to_input_split below,
+    # because shuffle.partitions alone never moves READ-side pids
+    "orders_column_ndv_kmv",
 ]
 
 
@@ -67,3 +72,26 @@ def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert low == high, f"{name}: result depends on shuffle partition count"
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 17])
+def test_ndv_kmv_invariant_to_input_split(spark, sf_dir, n_parts):
+    """The rewritten ANALYZE plan's per-partition k-min stage groups by
+    ``spark_partition_id()`` of the SCAN — so the invariance that
+    matters is to the INPUT split, which ``shuffle.partitions`` never
+    varies. Re-derive the report from orders deliberately repartitioned
+    to 1 / 3 / 17 input partitions and pin row-for-row equality against
+    the catalog entry (k smallest of a union is grouping-invariant;
+    cross-split duplicate hashes drop in the merge's array_distinct)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        ndv_report_from_kmv_state,
+        orders_kmv_state,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    want = _rows(CATALOG["orders_column_ndv_kmv"].spark(spark, sf_dir))
+    orders = load_table(spark, sf_dir, "orders").repartition(n_parts)
+    got = _rows(ndv_report_from_kmv_state(orders_kmv_state(orders)))
+    assert got == want, (
+        f"orders_column_ndv_kmv: result depends on the input split "
+        f"(repartition({n_parts}))")

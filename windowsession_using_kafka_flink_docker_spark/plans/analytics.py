@@ -1415,10 +1415,10 @@ calc AS (
   SELECT n_a, n_b, s_a, s_b,
          CAST(CAST(n_a AS HUGEINT) * ss_a
               - CAST(s_a AS HUGEINT) * CAST(s_a AS HUGEINT) AS DOUBLE)
-           / CAST(n_a * (n_a - 1) AS DOUBLE) AS va,
+           / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) AS va,
          CAST(CAST(n_b AS HUGEINT) * ss_b
               - CAST(s_b AS HUGEINT) * CAST(s_b AS HUGEINT) AS DOUBLE)
-           / CAST(n_b * (n_b - 1) AS DOUBLE) AS vb
+           / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) AS vb
   FROM wide
   WHERE n_a >= 2 AND n_b >= 2)
 SELECT n_a, n_b, s_a AS sum_a_cents, s_b AS sum_b_cents,
@@ -1450,7 +1450,11 @@ FROM calc
                 "cancellation-free: the numerator n*ss - s^2 is formed "
                 "EXACTLY in DECIMAL(38,0)/HUGEINT (<= ~1e33 cents^2, "
                 "fits) and cast to double once before a single IEEE "
-                "division by n*(n-1) — the grouped_ols_trend discipline; "
+                "division by n*(n-1), the denominator itself multiplied "
+                "in DOUBLE (an int64 product wraps in Spark / raises in "
+                "DuckDB past n ~ 3.04e9 per arm; the double product is "
+                "correctly rounded and bit-identical below 2^53) — the "
+                "grouped_ols_trend discipline; "
                 "the naive (ss - s^2/n)/(n-1) double-subtraction loses "
                 "up to ~40 bits on near-constant arms and failed its "
                 "hypothesis pin in round 7. The t statistic is one "
@@ -1498,15 +1502,22 @@ def welch_from_spend(spend: DataFrame) -> DataFrame:
     # discipline. The old (ss - s^2/n)/(n-1) double-subtraction lost up
     # to ~40 bits when an arm's variance << mean^2 (hypothesis pin in
     # tests/test_analytics.py caught it with near-constant spends).
+    # The n*(n-1) denominator multiplies in DOUBLE, not int64: the
+    # int64 product wraps (Spark) / raises (DuckDB) past n ~ 3.04e9
+    # per arm, and both engines wrapped identically so the oracle hash
+    # could never catch it. Double*double of exact ints is correctly
+    # rounded — identical to the exact product below 2^53.
     dec38 = "decimal(38,0)"
     va = ((F.col("n_a").cast(dec38) * F.col("ss_a")
            - F.col("s_a").cast(dec38) * F.col("s_a").cast(dec38))
           .cast("double")
-          / (F.col("n_a") * (F.col("n_a") - 1)).cast("double"))
+          / (F.col("n_a").cast("double")
+             * (F.col("n_a") - 1).cast("double")))
     vb = ((F.col("n_b").cast(dec38) * F.col("ss_b")
            - F.col("s_b").cast(dec38) * F.col("s_b").cast(dec38))
           .cast("double")
-          / (F.col("n_b") * (F.col("n_b") - 1)).cast("double"))
+          / (F.col("n_b").cast("double")
+             * (F.col("n_b") - 1).cast("double")))
     calc = wide.select("n_a", "n_b", "s_a", "s_b",
                        va.alias("va"), vb.alias("vb"))
     abs_t = (F.abs(F.col("s_a").cast("double") / F.col("n_a").cast("double")

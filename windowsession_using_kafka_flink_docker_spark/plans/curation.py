@@ -785,12 +785,14 @@ def source_mix_from_partials(partials: DataFrame) -> DataFrame:
     batch is one code path. Doc/token counts and the language spread
     derive exactly from the partials (a (source, lang) row exists iff
     that source has >= 1 doc in that lang, so the distinct-language
-    count is a row count); the share division happens on the same
-    exact BIGINTs the fact-level derivation produces."""
+    count is the count of NON-NULL lang rows — ``F.count("lang")``
+    skips a NULL-lang partial row exactly like the oracle's
+    ``COUNT(DISTINCT lang)`` does); the share division happens on the
+    same exact BIGINTs the fact-level derivation produces."""
     per_source = partials.groupBy("source").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_langs"))
+        F.count("lang").cast("long").alias("n_langs"))
     corpus_tokens = partials.agg(F.sum("n_tokens").alias("_ct"))
     return (
         per_source.crossJoin(F.broadcast(corpus_tokens))

@@ -2589,8 +2589,9 @@ expect AS (
          CAST(MAX(n) OVER () // rank AS BIGINT) AS zipf_expected
   FROM top)
 SELECT CAST(rank AS BIGINT) AS rank, token, n, zipf_expected,
-       CAST((ABS(n - zipf_expected) * 10000) // zipf_expected
-            AS BIGINT) AS deviation_e4
+       CAST(CASE WHEN zipf_expected > 0
+                 THEN (ABS(n - zipf_expected) * 10000) // zipf_expected
+            END AS BIGINT) AS deviation_e4
 FROM expect
 """,
     description="Zipf's-law corpus audit: the top-50 rank-frequency table "
@@ -2604,7 +2605,11 @@ FROM expect
                 "PURE INTEGER arithmetic (row_number over the "
                 "deterministic count-then-token order, floor of the "
                 "max-count/rank quotient) so every cell is hash-exact — "
-                "no logs, no float summation. Scale shape: explode -> "
+                "no logs, no float summation; the deviation guards "
+                "zipf_expected = 0 (possible on degenerate corpora where "
+                "rank > max(n)) identically on both engines because an "
+                "unguarded x/0 NULLs in Spark but raises in DuckDB. "
+                "Scale shape: explode -> "
                 "map-side partial count -> one agg shuffle -> "
                 "TakeOrderedAndProject; the windows run on the 50-row "
                 "post-limit frame only (provably tiny domain, same "
@@ -2632,9 +2637,15 @@ def zipf_from_freq(freq: DataFrame) -> DataFrame:
     ranked = ranked.select(
         "rank", "token", "n",
         F.expr("_mx div rank").cast("long").alias("zipf_expected"))
+    # zipf_expected floors to 0 once rank > max(n) (degenerate/tiny
+    # corpora — exactly where the streaming maintainer serves this
+    # presentation early in a stream). An unguarded division then NULLs
+    # in Spark but RAISES in DuckDB; the explicit guard keeps the two
+    # engines in lockstep (both emit NULL).
     return ranked.select(
         "rank", "token", "n", "zipf_expected",
-        F.expr("(abs(n - zipf_expected) * 10000) div zipf_expected")
+        F.expr("CASE WHEN zipf_expected > 0 THEN "
+               "(abs(n - zipf_expected) * 10000) div zipf_expected END")
         .cast("long").alias("deviation_e4"))
 
 

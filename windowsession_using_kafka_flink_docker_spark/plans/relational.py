@@ -3395,20 +3395,28 @@ def orders_kmv_state(orders: DataFrame) -> DataFrame:
        the long hash frame (NULL values hash to NULL md5 and are
        filtered), and the k-min selection is TWO-STAGE: per physical
        partition, ``slice(sort_array(collect_set(hv)), 1, k)`` reduces
-       that partition's distinct hashes to a <=k partial (each group is
-       confined to one input partition, so the hash aggregate completes
-       map-side and the exchange ships only k-sized arrays); the
-       partials then merge through the same ``kmin_merge_agg`` the
-       streaming maintainer uses. No column's full distinct-hash set
-       ever funnels into a single task — at 100 TB a fact column's NDV
-       is ~1e10, and a single-partition rank over it is exactly the
-       shape ``global_rank_ranged`` exists to avoid.
+       that partition's distinct hashes to a <=k partial (each
+       (column, pid) group is confined to one input partition, so the
+       map-side partial-aggregate buffer already holds the group's
+       complete distinct-hash set; the slice itself evaluates as the
+       final-aggregate result expression, so the exchange ships those
+       per-partition distinct-hash sets — bounded by each PARTITION's
+       NDV, never the table's); the <=k partials then merge through
+       the same ``kmin_merge_agg`` the streaming maintainer uses. No
+       column's full distinct-hash set ever funnels into a single
+       task — at 100 TB a fact column's NDV is ~1e10, and a
+       single-partition rank over it is exactly the shape
+       ``global_rank_ranged`` exists to avoid.
 
     The result is grouping-invariant (k smallest of a union does not
     depend on how elements were grouped; cross-partition duplicate
     hashes drop in the merge's array_distinct), so the physical
-    partition id never leaks into the answer — pinned by the
-    partition-invariance suite."""
+    partition id never leaks into the answer — pinned by
+    ``tests/test_partition_invariance.py``, which for this entry varies
+    the INPUT split (a pre-repartition of orders), not just
+    ``spark.sql.shuffle.partitions``, because ``spark_partition_id()``
+    here is read-side and shuffle-partition changes alone never move
+    it."""
     cols = _kmv_stats_columns()
     none_l = F.lit(None).cast("long")
     none_s = F.lit(None).cast("string")

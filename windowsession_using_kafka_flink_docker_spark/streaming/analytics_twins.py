@@ -673,9 +673,13 @@ class BoundedTokenFrequencyMaintainer:
     the previous pool and the batch's top-M tokens, re-scored against
     the merged sketch and pruned to K under the deterministic
     (estimate DESC, token) order. A true heavy hitter is always a
-    heavy hitter of SOME batch prefix, so it enters the pool and, once
-    in the top-K by estimate, cannot be evicted by lighter tokens
-    (estimates only grow). ``current_heavy_hitters()`` presents the
+    heavy hitter of SOME batch prefix, so it enters the pool; retention
+    is strong but NOT absolute — CMS estimates are one-sided inflated,
+    so a lighter token whose cells collide with heavy mass can out-score
+    and evict a true heavy hitter when the pool is tight. What the tests
+    pin is therefore the empirical guarantee: a recall floor vs the
+    driver-oracled exact top-50, not zero-miss retention.
+    ``current_heavy_hitters()`` presents the
     top-50 through the exact maintainer's own ``heavy_hitters_from_freq``
     shape, with the CMS estimate standing in for the exact count —
     recall vs the driver-oracled exact top-50 is floor-pinned in tests,
