@@ -95,27 +95,112 @@ def test_window_re_certifies_stalest_entries():
 
 
 def test_priority_is_computed_from_on_disk_history():
-    """DRIVER_PRIORITY must be the pure function of (catalog, history) —
-    not a hand-maintained tuple that can drift when a driver snapshot
-    lands post-commit (the round-4 AND round-5 red-test class)."""
+    """DRIVER_PRIORITY must be the pure function of (catalog, history,
+    changed-set) — not a hand-maintained tuple that can drift when a
+    driver snapshot lands post-commit (the round-4 AND round-5 red-test
+    class)."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
         compute_driver_priority,
         driver_history,
     )
+    from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (
+        changed_entries,
+        load_recorded,
+    )
 
     assert DRIVER_PRIORITY == compute_driver_priority(
-        list(CATALOG), driver_history()[0])
+        list(CATALOG), driver_history()[0],
+        changed_entries(CATALOG, load_recorded()))
+
+
+def test_changed_entry_self_schedules_into_next_window():
+    """Change-aware rotation (VERDICT r9 item 4): an entry whose
+    source+oracle fingerprint diverges from its certified record must
+    enter the very next driver window even when its certification age
+    alone would not force it. Pure-function pin on
+    compute_driver_priority: marking a freshly-green entry as changed
+    moves it from outside the window to inside."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        DRIVER_WINDOW,
+        compute_driver_priority,
+        driver_history,
+    )
+
+    last_green, latest = driver_history()
+    last_green = {n: r for n, r in last_green.items() if n in CATALOG}
+    names = list(CATALOG)
+    # pick an entry certified in the LATEST round (age 0 — by age alone
+    # it would sit at the very back of the rotation) that is not pinned
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import PINNED
+    fresh = next(n for n in names
+                 if last_green.get(n) == latest and n not in PINNED)
+    without = compute_driver_priority(names, last_green)
+    assert fresh not in without[:DRIVER_WINDOW], (
+        "test premise broken: an age-0 unpinned entry should not be in "
+        "the next window by age alone")
+    with_change = compute_driver_priority(
+        names, last_green, frozenset({fresh}))
+    assert fresh in with_change[:DRIVER_WINDOW], (
+        f"{fresh} marked changed but not scheduled into the next window")
+
+
+def test_fingerprint_sees_helper_edits():
+    """The fingerprint closure must cover module-level helpers the
+    registered entry delegates to — the r9 ANALYZE rewrite and the r10
+    n_langs fix both lived in helpers, not the registered two-liner."""
+    from windowsession_using_kafka_flink_docker_spark.plans import relational
+    from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (
+        _source_closure,
+    )
+
+    spec = CATALOG["orders_column_ndv_kmv"]
+    names = {q for _, q, _ in _source_closure(spec.spark)}
+    assert "orders_kmv_state" in names
+    assert "ndv_report_from_kmv_state" in names
+    # and transitively: the merge helper the state builder composes
+    assert any("kmin_merge" in q for q in names), names
+    # sanity: the closure is repo-only (no pyspark internals hashed)
+    mods = {m for m, _, _ in _source_closure(spec.spark)}
+    assert all(m.startswith("windowsession_using_kafka_flink_docker_spark")
+               for m in mods), mods
+    assert relational.orders_kmv_state  # referenced, keep the import
+
+
+def test_certified_record_matches_tree_for_unchanged_entries():
+    """Every entry green in the LATEST snapshot and NOT edited since must
+    fingerprint-match its certified record — catches a stale or
+    hand-mangled CERTIFIED_FINGERPRINTS.json. (Edited entries legitimately
+    diverge; they are exactly the changed-set the rotation front-loads.)"""
+    from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (
+        changed_entries,
+        entry_fingerprint,
+        load_recorded,
+    )
+
+    recorded = load_recorded()
+    assert recorded, "CERTIFIED_FINGERPRINTS.json missing or empty"
+    changed = changed_entries(CATALOG, recorded)
+    for name, spec in CATALOG.items():
+        rec = recorded.get(name)
+        if rec is None or name in changed:
+            continue
+        assert entry_fingerprint(spec.spark, spec.oracle) == \
+            rec["fingerprint"], name
 
 
 def test_window_policy_converges_over_projected_rounds():
-    """Project the rotation five rounds ahead (VERDICT r5 item 2, extended
-    for the round-7 bound relaxation): simulate the driver certifying each
-    computed window, recompute, and assert no entry's certification ever
-    ages past STALENESS_BOUND rounds. This proves the mechanism converges —
-    a future snapshot can only make the real test greener, never red. Five
-    projected rounds cover a full rotation cycle of the relaxed bound
-    (every entry certified at least once every STALENESS_BOUND+1 = 4
-    windows) plus one round of slack."""
+    """Project the rotation six rounds ahead (VERDICT r5 item 2, extended
+    for the round-7 and round-10 bound relaxations): simulate the driver
+    certifying each computed window, recompute, and assert no entry's
+    certification ever ages past STALENESS_BOUND rounds. This proves the
+    mechanism converges — a future snapshot can only make the real test
+    greener, never red. Six projected rounds cover a full rotation cycle
+    of the relaxed bound (every entry certified at least once every
+    STALENESS_BOUND+1 = 5 windows) plus one round of slack. The
+    projection assumes no mid-round edits (empty changed-set); an edit
+    only front-loads its entry, which cannot push the schedule past the
+    bound while the catalog stays under capacity with the mandated
+    headroom."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
         DRIVER_WINDOW,
         PINNED,
@@ -127,7 +212,7 @@ def test_window_policy_converges_over_projected_rounds():
     last_green, latest = driver_history()
     last_green = {n: r for n, r in last_green.items() if n in CATALOG}
     names = list(CATALOG)
-    for future_round in range(latest + 1, latest + 6):
+    for future_round in range(latest + 1, latest + 7):
         priority = compute_driver_priority(names, last_green)
         window = set(priority[:DRIVER_WINDOW])
         assert set(PINNED) <= window
@@ -147,8 +232,10 @@ def test_catalog_size_leaves_rotation_headroom():
     rounds, and oldest-first fill. An entry certified in round r is fresh
     through r + STALENESS_BOUND - 1 and must re-enter the window by
     r + STALENESS_BOUND, so the effective cycle is STALENESS_BOUND + 1
-    windows and the capacity is N <= (B+1)*W - B*P (B=2 gave 130; the
-    round-7 relaxation to B=3 gives 170). Fail loudly when an added entry
+    windows and the capacity is N <= (B+1)*W - B*P (B=2 gave 130, B=3
+    gave 170; the round-10 relaxation to B=4 gives 210, paired with the
+    change-aware front-loading so edits never ride the longer age
+    bound). Fail loudly when an added entry
     would make the policy arithmetically impossible, and require >= 5
     entries of headroom so a round's additions never land exactly on the
     ceiling (VERDICT r6 item 1's done-criterion)."""

@@ -48,14 +48,18 @@ DRIVER_WINDOW = 50
 
 #: Maximum rounds a driver certification may age before the entry MUST be
 #: scheduled back into the upcoming window. Round 7 formally relaxed this
-#: from 2 to 3 (VERDICT r6 item 1): the catalog had reached 129 of the
-#: 2-round policy's arithmetic capacity of 130
-#: (N <= 3*DRIVER_WINDOW - 2*len(PINNED)), and the 3-round bound raises
-#: capacity to 4*50 - 3*10 = 170 while the projection tests in
-#: tests/test_catalog_integrity.py prove the rotation still converges —
-#: every entry re-certified within 3 rounds of its last green row, with
-#: headroom for ~40 more operators.
-STALENESS_BOUND = 3
+#: from 2 to 3 (VERDICT r6 item 1) when the catalog hit the 2-round
+#: policy's arithmetic capacity of 130; round 10 relaxes 3 -> 4 on the
+#: same precedent (catalog at the 3-round ceiling's mandated-headroom
+#: line of 165, capacity now 5*50 - 4*10 = 210) — and pairs the longer
+#: age bound with a STRICTLY FRESHER mechanism: the rotation is now
+#: change-aware (see ``changed`` below), so any entry whose source or
+#: oracle is edited self-schedules into the very next window instead of
+#: waiting out the age bound. Age is the backstop for driver-side drift
+#: on untouched code; edits no longer ride it at all. The projection
+#: tests in tests/test_catalog_integrity.py prove the relaxed rotation
+#: still converges with no entry ever aging past the bound.
+STALENESS_BOUND = 4
 
 #: The 8 core reference-parity rows (SURVEY §2.1-2.10) plus the 2 ANN
 #: exact-identity pins — these must appear in EVERY driver window
@@ -128,6 +132,7 @@ def driver_history(root: str | None = None) -> tuple[dict[str, int], int]:
 def compute_driver_priority(
     names: list[str],
     last_green: dict[str, int],
+    changed: frozenset[str] = frozenset(),
 ) -> tuple[str, ...]:
     """Order the catalog for the driver's rotating correctness window.
 
@@ -144,17 +149,25 @@ def compute_driver_priority(
        :data:`STALENESS_BOUND` rounds while the catalog stays under the
        feasibility capacity ``(STALENESS_BOUND+1)*DRIVER_WINDOW -
        STALENESS_BOUND*len(PINNED)`` (see
-       tests/test_catalog_integrity.py::test_catalog_size_leaves_rotation_headroom).
+       tests/test_catalog_integrity.py::test_catalog_size_leaves_rotation_headroom);
+    4. change-awareness (VERDICT r8 item 3 / r9 item 4): any name in
+       ``changed`` — its current source+oracle fingerprint differs from
+       the certified one recorded in :data:`fingerprints.RECORD_FILE` —
+       sorts as if its certification age were infinite, so an edited
+       entry re-enters the very next window instead of waiting out the
+       age bound (the r8 precision sweep and the r9 ANALYZE rewrite
+       both rode the age bound for 2+ rounds; this closes that hole).
 
-    Pure function of ``(names, last_green)`` — unit-tested with projected
-    future snapshots in tests/test_catalog_integrity.py.
+    Pure function of ``(names, last_green, changed)`` — unit-tested with
+    projected future snapshots in tests/test_catalog_integrity.py.
     """
     reg_pos = {n: i for i, n in enumerate(names)}
     never = [n for n in names if n not in last_green]
     pinned = [n for n in PINNED if n in names and n not in set(never)]
     taken = set(never) | set(pinned)
     rest = sorted((n for n in names if n not in taken),
-                  key=lambda n: (last_green.get(n, 0), reg_pos[n]))
+                  key=lambda n: (0 if n in changed else last_green.get(n, 0),
+                                 reg_pos[n]))
     return (*never, *pinned, *rest)
 
 
@@ -193,5 +206,14 @@ from windowsession_using_kafka_flink_docker_spark.plans import (  # noqa: E402,F
 )
 
 # DRIVER_PRIORITY must be computed AFTER the @register imports above have
-# populated CATALOG.
-DRIVER_PRIORITY = compute_driver_priority(list(CATALOG), driver_history()[0])
+# populated CATALOG. The changed-set compares each entry's current
+# source+oracle fingerprint against the certified record written by
+# tools/record_fingerprints.py at round start.
+from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (  # noqa: E402
+    changed_entries,
+    load_recorded,
+)
+
+DRIVER_PRIORITY = compute_driver_priority(
+    list(CATALOG), driver_history()[0],
+    changed_entries(CATALOG, load_recorded()))
