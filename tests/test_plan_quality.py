@@ -380,3 +380,16 @@ def test_no_expand_in_benched_plans(spark, sf_dir):
                        if s.bench and n not in _EAGER):
         plan = _plan(spark, name, sf_dir, "simple")
         assert "Expand" not in plan, f"{name} plans an Expand:\n{plan}"
+
+
+def test_q20_single_fact_scan_and_windowed_totals(spark, sf_dir):
+    """q20_dominant_supplier_parts promises ONE lineitem scan: the
+    per-part totals come from a window over the already-aggregated
+    (part, supplier) frame, because the aggregate-joined-back form plans
+    a second fact scan when exchange reuse does not fire. Four scans
+    total (lineitem, part, supplier, nation), dimensions broadcast."""
+    plan = _plan(spark, "q20_dominant_supplier_parts", sf_dir, "formatted")
+    n_scans = sum(1 for ln in plan.splitlines()
+                  if ln.lstrip().startswith("(") and "Scan parquet" in ln)
+    assert n_scans <= 4, (n_scans, plan)
+    assert "BroadcastHashJoin" in plan, plan

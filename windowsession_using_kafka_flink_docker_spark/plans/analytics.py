@@ -2438,3 +2438,84 @@ def cramers_report_from_cells(cells: DataFrame) -> DataFrame:
             .select("o_orderstatus", "o_orderpriority", "n", "row_total",
                     "col_total", "expected_e4", "contrib_e6", "chi2_e6",
                     v.alias("v_e4")))
+
+
+@register(
+    "q20_dominant_supplier_parts",
+    oracle="""
+WITH red AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+pair AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+  FROM lineitem l
+  JOIN red ON red.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2),
+tot AS (
+  SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS part_qty
+  FROM pair GROUP BY 1),
+dom AS (
+  SELECT p.l_suppkey, p.l_partkey, p.pair_qty
+  FROM pair p JOIN tot USING (l_partkey)
+  WHERE 2 * p.pair_qty > tot.part_qty)
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_dominated,
+       CAST(SUM(d.pair_qty) AS BIGINT) AS dominated_qty
+FROM dom d
+JOIN supplier s ON s.s_suppkey = d.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2, 3
+""",
+    description="TPC-H Q20-style excess/dominant-stock shape — the last "
+                "classic correlated pattern next to Q17/Q21/Q22: the "
+                "nested correlated IN ('suppliers having a part for which "
+                "their shipped volume exceeds half that part's total') "
+                "decorrelated into a per-(part,supplier) threshold "
+                "aggregate compared against the per-part total, then a "
+                "semi-style join up to the supplier dimension. Here it "
+                "reads as a single-source-risk audit: for 'red' parts "
+                "shipped in 1996, the suppliers that moved >50% of a "
+                "part's annual volume. Scale shape: the part filter "
+                "broadcasts into the date-pruned lineitem scan; the "
+                "per-part totals derive from the ALREADY-AGGREGATED "
+                "(part,supplier) frame via a sum window partitioned by "
+                "part (group size = suppliers-per-part, bounded by the "
+                "supplier count — no funnel), NOT a second aggregate "
+                "joined back, because the self-join form plans a second "
+                "lineitem scan when exchange reuse does not fire — the "
+                "fact table is scanned ONCE (plan-asserted), "
+                "and the threshold comparison 2*pair_qty > part_qty is "
+                "exact integer cross-multiplication (quantities are "
+                "integer-valued, sums exact BIGINT) so both engines agree "
+                "bit-for-bit; supplier and nation dimensions broadcast "
+                "into the dominant-pair frame, which is at most one row "
+                "per part. Cf. reference flink_stream_task3.py:54-62 for "
+                "the per-key threshold-compare idiom this generalizes.",
+    tags=("relational", "subquery", "join", "sql"),
+)
+def q20_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    red = (load_table(spark, sf_dir, "part")
+           .where(F.col("p_name").like("%red%"))
+           .select("p_partkey"))
+    pair = (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+             .alias("pair_qty")))
+    part_qty = (F.sum("pair_qty")
+                .over(Window.partitionBy("l_partkey")).cast("long"))
+    dom = (pair.withColumn("part_qty", part_qty)
+           .where(2 * F.col("pair_qty") > F.col("part_qty")))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        dom.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"),
+             F.sum("pair_qty").cast("long").alias("dominated_qty")))
