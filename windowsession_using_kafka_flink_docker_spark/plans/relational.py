@@ -3545,3 +3545,159 @@ FROM stats s JOIN est e USING (column_name)
 def orders_column_ndv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return ndv_report_from_kmv_state(orders_kmv_state(orders))
+
+
+@register(
+    "kmv_set_difference_audit",
+    # Completes the KMV set algebra begun by kmv_set_operations_audit
+    # (union, intersection) with DIFFERENCE and SYMMETRIC DIFFERENCE:
+    # |A \ B| estimated by the same Beyer et al. rho-scaling — the share
+    # of the union's k-min set belonging to A only, times the union
+    # estimate. One k=256 sketch answers all four set expressions
+    # (k raised from the union entry's 64 because the difference regions
+    # are ~17% of the union — rho needs enough k-min mass for a usable
+    # relative error; measured 67% -> 11% realized at sf0.01).
+    oracle="""
+WITH membership AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'
+              THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 1 ELSE 0 END) AS in_b
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+  HAVING MAX(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'
+              THEN 1 ELSE 0 END) = 1
+      OR MAX(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 1 ELSE 0 END) = 1),
+h AS (
+  SELECT o_custkey, in_a, in_b,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS hv
+  FROM membership),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY hv) AS rn, COUNT(*) OVER () AS n
+  FROM h),
+kmin AS (SELECT * FROM ranked WHERE rn <= 256),
+agg AS (
+  SELECT MAX(n) AS n_union,
+         MAX(CASE WHEN rn = 256 THEN hv END) AS kth,
+         SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+           AS rho_a_only,
+         SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+           AS rho_b_only,
+         COUNT(*) AS k_used
+  FROM kmin),
+exacts AS (
+  SELECT SUM(in_a) AS exact_a, SUM(in_b) AS exact_b,
+         SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+           AS exact_a_only,
+         SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+           AS exact_b_only,
+         COUNT(*) AS exact_union
+  FROM membership),
+est AS (
+  SELECT *,
+         CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+              ELSE 255 / kth END AS raw_union
+  FROM agg)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_a_only AS BIGINT) AS exact_a_only,
+       CAST(exact_b_only AS BIGINT) AS exact_b_only,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(floor(raw_union * rho_a_only / k_used * 100) AS BIGINT)
+         AS est_a_only_e2,
+       CAST(floor(raw_union * rho_b_only / k_used * 100) AS BIGINT)
+         AS est_b_only_e2,
+       CAST(floor(raw_union * (rho_a_only + rho_b_only) / k_used * 100)
+            AS BIGINT) AS est_symdiff_e2,
+       CAST(CASE WHEN exact_a_only > 0 THEN
+              floor(abs(raw_union * rho_a_only / k_used - exact_a_only)
+                    / exact_a_only * 10000) END AS BIGINT)
+         AS a_only_rel_err_e4
+FROM est CROSS JOIN exacts
+""",
+    description="KMV sketch set DIFFERENCE with a full value-hash oracle "
+                "— the algebra member kmv_set_operations_audit left open: "
+                "customers ordering in 1996 (A) vs 1997 (B), with "
+                "|A \\ B| (churned), |B \\ A| (acquired) and the "
+                "symmetric difference all estimated from ONE k=256 "
+                "k-minimum-values sketch of the union via Beyer et al. "
+                "rho-scaling: the share of the union's k-min set "
+                "belonging to each region, times the (k-1)/h_(k) union "
+                "estimate. Because every k-min element carries its exact "
+                "membership bits, any boolean set expression over the "
+                "two sides prices from the same bounded sketch — no "
+                "rescan, and the sketch stays mergeable per partition. "
+                "Exact counts ride along showing the realized error, "
+                "guarded NULL when the exact difference is empty "
+                "(degenerate epoch — both engines agree by CASE, not by "
+                "divide-by-zero behavior, the zipf_rank_frequency "
+                "lesson). Every estimate is hash-checked: md5, the order "
+                "statistic, and the IEEE divisions replay bit-identically "
+                "in DuckDB.",
+    tags=("relational", "sketch", "approx", "setop", "audit"),
+)
+def kmv_set_difference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 256
+    od = load_table(spark, sf_dir, "orders")
+    in_1996 = ((F.col("o_orderdate") >= "1996-01-01")
+               & (F.col("o_orderdate") < "1997-01-01"))
+    in_1997 = ((F.col("o_orderdate") >= "1997-01-01")
+               & (F.col("o_orderdate") < "1998-01-01"))
+    membership = (
+        od.where((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.max(F.when(in_1996, 1).otherwise(0)).alias("in_a"),
+             F.max(F.when(in_1997, 1).otherwise(0)).alias("in_b"))
+        .where((F.col("in_a") == 1) | (F.col("in_b") == 1)))
+    hv = (F.conv(F.substring(
+        F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint") / F.lit(4294967296.0))
+    h = membership.withColumn("hv", hv)
+    wall = Window.partitionBy()
+    ranked = h.select(
+        "*", F.row_number().over(Window.orderBy("hv")).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"))
+    kmin = ranked.where(F.col("rn") <= k)
+    a_only = (F.col("in_a") == 1) & (F.col("in_b") == 0)
+    b_only = (F.col("in_a") == 0) & (F.col("in_b") == 1)
+    agg = kmin.agg(
+        F.max("n").alias("n_union"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+        F.sum(F.when(a_only, 1).otherwise(0)).alias("rho_a_only"),
+        F.sum(F.when(b_only, 1).otherwise(0)).alias("rho_b_only"),
+        F.count(F.lit(1)).alias("k_used"))
+    exacts = membership.agg(
+        F.sum("in_a").alias("exact_a"), F.sum("in_b").alias("exact_b"),
+        F.sum(F.when(a_only, 1).otherwise(0)).alias("exact_a_only"),
+        F.sum(F.when(b_only, 1).otherwise(0)).alias("exact_b_only"),
+        F.count(F.lit(1)).alias("exact_union"))
+    raw_union = F.when(F.col("n_union") < k,
+                       F.col("n_union").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.col("kth"))
+    raw_a_only = raw_union * F.col("rho_a_only") / F.col("k_used")
+    return agg.crossJoin(exacts).select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_a_only").cast("long").alias("exact_a_only"),
+        F.col("exact_b_only").cast("long").alias("exact_b_only"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.floor(raw_a_only * 100).cast("long").alias("est_a_only_e2"),
+        F.floor(raw_union * F.col("rho_b_only") / F.col("k_used") * 100)
+        .cast("long").alias("est_b_only_e2"),
+        F.floor(raw_union * (F.col("rho_a_only") + F.col("rho_b_only"))
+                / F.col("k_used") * 100).cast("long")
+        .alias("est_symdiff_e2"),
+        F.when(F.col("exact_a_only") > 0,
+               F.floor(F.abs(raw_a_only - F.col("exact_a_only"))
+                       / F.col("exact_a_only") * 10000)).cast("long")
+        .alias("a_only_rel_err_e4"))
