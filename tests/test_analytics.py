@@ -1076,3 +1076,72 @@ class TestHhiIdentity:
                 assert abs(dbl - hhi) == 1
 
         check()
+
+
+class TestBenjaminiHochberg:
+    """bh_fdr_segment_spend's real-data report is all-accept under H0
+    (the md5 arms are random), so these pins exercise the REJECTION path
+    and the step-up semantics on synthetic effects."""
+
+    def _run(self, spark, rows):
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics \
+            import bh_fdr_from_armed
+        df = spark.createDataFrame(
+            rows, "seg string, cents long, o_orderkey long, arm string")
+        return {r["seg"]: r for r in bh_fdr_from_armed(df).collect()}
+
+    def test_strong_effect_rejected_null_segment_not(self, spark):
+        # segment X: arm A spends 100x arm B (n=60 per arm) -> huge z;
+        # segment Y: identical distributions -> p = 1
+        rows = []
+        key = 0
+        for i in range(60):
+            rows.append(("X", 1_000_000 + i, (key := key + 1), "A"))
+            rows.append(("X", 100 + i, (key := key + 1), "B"))
+            rows.append(("Y", 500 + (i % 7), (key := key + 1), "A"))
+            rows.append(("Y", 500 + (i % 7), (key := key + 1), "B"))
+        out = self._run(spark, rows)
+        assert out["X"]["rejected"] is True
+        assert out["Y"]["rejected"] is False
+        assert out["X"]["bh_rank"] == 1
+        assert out["Y"]["p_cheb_e6"] == 1_000_000
+        # Chebyshev p for a clean separation of n=60 vs 60:
+        # 2U = 2*n_a*n_b, z = n_a*n_b / (2 sqrt(V)); check vs brute force
+        import math
+        n_a = n_b = 60
+        n = n_a + n_b
+        # no ties across arms in X by construction (values disjoint,
+        # within-arm values distinct) -> tie_sum = 0
+        z = (n_a * n_b) / (2 * math.sqrt(n_a * n_b / 12 * (n + 1)))
+        assert out["X"]["abs_z_e6"] == math.floor(z * 1e6)
+        assert out["X"]["p_cheb_e6"] == math.floor(1e6 / (z * z))
+
+    def test_step_up_rejects_everything_below_largest_k(self, spark):
+        """BH is a STEP-UP: if p_(k) clears its threshold, every smaller
+        rank is rejected even when its own comparison would fail. Build
+        three effect segments with increasing effect so the largest k
+        clears, and verify all three reject."""
+        rows = []
+        key = 0
+        for seg, hi_n in (("S1", 25), ("S2", 35), ("S3", 60)):
+            for i in range(hi_n):
+                rows.append((seg, 1_000_000 + i, (key := key + 1), "A"))
+                rows.append((seg, 100 + i, (key := key + 1), "B"))
+        out = self._run(spark, rows)
+        assert [out[s]["rejected"] for s in ("S1", "S2", "S3")] \
+            == [True, True, True]
+        # ranks follow effect size: biggest n -> biggest z -> smallest p
+        assert out["S3"]["bh_rank"] == 1
+        assert out["S1"]["bh_rank"] == 3
+
+    def test_m_counts_only_qualifying_segments(self, spark):
+        """A segment with a one-row arm (n_a < 2) is excluded from the
+        tests AND from m — BH's m is the number of tests actually run."""
+        rows = [("Z", 100, 1, "A"), ("Z", 200, 2, "B")]  # n_a = n_b = 1
+        key = 10
+        for i in range(30):
+            rows.append(("W", 1_000 + i, (key := key + 1), "A"))
+            rows.append(("W", 10 + i, (key := key + 1), "B"))
+        out = self._run(spark, rows)
+        assert "Z" not in out
+        assert out["W"]["m_tests"] == 1

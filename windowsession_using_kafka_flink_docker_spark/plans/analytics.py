@@ -2519,3 +2519,172 @@ def q20_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"),
              F.sum("pair_qty").cast("long").alias("dominated_qty")))
+
+
+@register(
+    "bh_fdr_segment_spend",
+    oracle="""
+WITH f AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o.o_orderkey,
+         CASE WHEN substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                               ORDER BY cents, o_orderkey) AS rn
+  FROM f),
+grp AS (
+  SELECT seg, cents, CAST(MIN(rn) + MAX(rn) AS HUGEINT) AS r2,
+         CAST(COUNT(*) AS HUGEINT) AS t
+  FROM ranked GROUP BY 1, 2),
+stats AS (
+  SELECT r.seg,
+         CAST(SUM(CASE WHEN r.arm = 'A' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN r.arm = 'B' THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n_b,
+         SUM(CASE WHEN r.arm = 'A' THEN g.r2 ELSE 0 END) AS r2_a
+  FROM ranked r JOIN grp g ON g.seg = r.seg AND g.cents = r.cents
+  GROUP BY 1),
+ties AS (
+  SELECT seg, SUM(t * t * t - t) AS tie_sum FROM grp GROUP BY 1),
+calc AS (
+  SELECT s.seg, n_a, n_b, n_a + n_b AS n,
+         r2_a - n_a * (n_a + 1) AS u2_a, tie_sum
+  FROM stats s JOIN ties USING (seg)
+  WHERE n_a >= 2 AND n_b >= 2),
+z AS (
+  SELECT seg, n_a, n_b,
+         ABS(CAST(u2_a - n_a * n_b AS DOUBLE))
+           / (2 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                       * (CAST(n + 1 AS DOUBLE)
+                          - CAST(tie_sum AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * CAST(n - 1 AS DOUBLE))))) AS abs_z
+  FROM calc),
+p AS (
+  SELECT *,
+         CASE WHEN abs_z * abs_z > 1.0 THEN 1.0 / (abs_z * abs_z)
+              ELSE 1.0 END AS p_cheb,
+         COUNT(*) OVER () AS m
+  FROM z),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_cheb, seg) AS bh_rank FROM p)
+SELECT seg AS c_mktsegment,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(floor(abs_z * 1000000) AS BIGINT) AS abs_z_e6,
+       CAST(floor(p_cheb * 1000000) AS BIGINT) AS p_cheb_e6,
+       CAST(m AS BIGINT) AS m_tests,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       MAX(CASE WHEN p_cheb * m <= bh_rank * 0.05 THEN 1 ELSE 0 END)
+         OVER (ORDER BY bh_rank
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) = 1
+         AS rejected
+FROM r
+""",
+    description="Benjamini-Hochberg FDR report over the experiment family: "
+                "one Mann-Whitney rank test of order spend between the md5 "
+                "arms PER market segment, then the BH step-up (reject the "
+                "bh_rank-smallest p-values through the largest k with "
+                "p_(k) <= k*alpha/m, alpha=0.05) across the m segment "
+                "tests. p-values are CHEBYSHEV bounds p = min(1, 1/z^2) — "
+                "a valid conservative FDR input that needs NO normal CDF, "
+                "so the whole report stays inside the engine-agreeing "
+                "arithmetic set (+,-,*,/,sqrt are IEEE correctly-rounded "
+                "in both engines; erf is in neither): rank sums, tie "
+                "corrections, and counts are exact HUGEINT/DECIMAL(38,0) "
+                "integers, z is the same one IEEE expression the "
+                "mann_whitney entry pins, and the BH comparison "
+                "p*m <= k*alpha and the p-ascending sort operate on "
+                "bit-identical doubles. Scale shape: ONE ranged global "
+                "rank over (segment, cents, orderkey) — within-segment "
+                "ranks are the global ranks minus a broadcast 5-row "
+                "per-segment offset, so no per-segment sort funnel; every "
+                "window after the per-segment aggregate runs on the "
+                "m<=|segments| frame. The step-up suffix-max renders "
+                "'reject all i <= k' without a driver loop.",
+    tags=("relational", "analytics", "experiment", "rank"),
+)
+def bh_fdr_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    arm = F.when(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                    1, 1).isin(*"01234567"), "A").otherwise("B")
+    f = (od.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+         .select(F.col("c_mktsegment").alias("seg"),
+                 _cents("o_totalprice").alias("cents"),
+                 "o_orderkey", arm.alias("arm")))
+    return bh_fdr_from_armed(f).withColumnRenamed("seg", "c_mktsegment")
+
+
+def bh_fdr_from_armed(f: DataFrame) -> DataFrame:
+    """BH step-up over per-segment Mann-Whitney Chebyshev p-values, from
+    a (seg, cents, o_orderkey, arm) frame — split out so tests can feed
+    a synthetic arm effect and pin the REJECTION path (the real-data
+    report is all-null under H0, which exercises only the accept path)."""
+    ranked = global_rank_ranged(f, ["seg", "cents", "o_orderkey"])
+    dec38 = "decimal(38,0)"
+    # within-segment doubled tie-group ranks from the ONE global rank:
+    # wr = grank - goff + 1 with goff = min(grank) per segment, so
+    # r2 = min(wr) + max(wr) = min(grank) + max(grank) - 2*goff + 2
+    offs = ranked.groupBy("seg").agg(F.min("grank").alias("goff"))
+    grp = ranked.groupBy("seg", "cents").agg(
+        (F.min("grank") + F.max("grank")).cast(dec38).alias("gmm"),
+        F.count(F.lit(1)).cast(dec38).alias("t"))
+    grp = (grp.join(F.broadcast(offs), "seg")
+           .select("seg", "cents", "t",
+                   (F.col("gmm") - 2 * F.col("goff") + 2).cast(dec38)
+                   .alias("r2")))
+    stats = (ranked.join(grp, ["seg", "cents"])
+             .groupBy("seg")
+             .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                  .cast(dec38).alias("n_a"),
+                  F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                  .cast(dec38).alias("n_b"),
+                  F.sum(F.when(F.col("arm") == "A", F.col("r2"))
+                        .otherwise(F.lit(0).cast(dec38))).alias("r2_a")))
+    ties = grp.groupBy("seg").agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie_sum"))
+    calc = (stats.join(ties, "seg")
+            .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+            .select("seg", "n_a", "n_b", "tie_sum",
+                    (F.col("n_a") + F.col("n_b")).alias("n"),
+                    (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+                    .alias("u2_a")))
+    abs_z = (F.abs((F.col("u2_a") - F.col("n_a") * F.col("n_b"))
+                   .cast("double"))
+             / (2 * F.sqrt(F.col("n_a").cast("double")
+                           * F.col("n_b").cast("double") / 12.0
+                           * ((F.col("n") + 1).cast("double")
+                              - F.col("tie_sum").cast("double")
+                              / (F.col("n").cast("double")
+                                 * (F.col("n") - 1).cast("double"))))))
+    z = calc.select("seg", "n_a", "n_b", abs_z.alias("abs_z"))
+    z2 = F.col("abs_z") * F.col("abs_z")
+    p = z.select(
+        "*",
+        F.when(z2 > 1.0, F.lit(1.0) / z2).otherwise(F.lit(1.0))
+        .alias("p_cheb"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"))
+    r = p.withColumn(
+        "bh_rank", F.row_number().over(Window.orderBy("p_cheb", "seg")))
+    crit = F.when(
+        F.col("p_cheb") * F.col("m") <= F.col("bh_rank") * F.lit(0.05),
+        1).otherwise(0)
+    wsuf = (Window.orderBy("bh_rank")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return r.select(
+        "seg",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(F.col("abs_z") * 1000000).cast("long").alias("abs_z_e6"),
+        F.floor(F.col("p_cheb") * 1000000).cast("long").alias("p_cheb_e6"),
+        F.col("m").cast("long").alias("m_tests"),
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        (F.max(crit).over(wsuf) == 1).alias("rejected"))
