@@ -2260,3 +2260,104 @@ class TestBoundedTokenFrequencyMaintenance:
                      exclude_sentinel=False) == once_cand
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(first, 0)
+
+
+class TestStreamingQuantileMaintenance:
+    """Mergeable quantile state (streaming/analytics_twins.py
+    BoundedQuantileMaintainer, maintainer #15): the maintained
+    per-priority bottom-k-by-hash sample must reproduce the sample half
+    of the driver-oracled sampled_median_audit exactly after
+    custkey-sliced micro-batch arrival of the orders stream — the k
+    smallest (hash, cents, okey) triples of a union of bottom-k sets
+    are the k smallest of the union, so the merged sample (hence the
+    sample median) is bit-identical to the batch single-pass state
+    under any interleaving — and stay idempotent under replay behind
+    the coupled-lifecycle guard, with the state array bounded at k."""
+
+    _COLS = ("o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            median_report_from_price_sample_state,
+            orders_price_sample_state,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            BoundedQuantileMaintainer,
+            streaming_quantile_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("quantile_orders"))
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            orders.where(F.pmod(F.col("o_custkey"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = BoundedQuantileMaintainer(
+            spark, str(tmp_path_factory.mktemp("quantile_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema=("o_custkey BIGINT, o_orderkey BIGINT, "
+                    "o_orderpriority STRING, o_totalprice DOUBLE"),
+            max_files_per_trigger=1)
+        q = streaming_quantile_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("quantile_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(median_report_from_price_sample_state(
+            orders_price_sample_state(orders)), exclude_sentinel=False)
+        assert got == want
+        # and the presentation IS the sample half of the driver-oracled
+        # audit entry (same helpers — one code path)
+        audit = {r["o_orderpriority"]:
+                 (r["n_orders"], r["sample_median_cents"])
+                 for r in CATALOG["sampled_median_audit"]
+                 .spark(spark, sf_dir).collect()}
+        assert {r["o_orderpriority"]:
+                (r["n_orders"], r["sample_median_cents"])
+                for r in maint.current().collect()} == audit
+        # state bound: the sample array never exceeds k
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            PRICE_SAMPLE_K,
+        )
+        sizes = (maint.state.current()
+                 .select(F.size("sample").alias("s")).collect())
+        assert all(r["s"] <= PRICE_SAMPLE_K for r in sizes)
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            BoundedQuantileMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        first = orders.where(F.pmod(F.col("o_custkey"), F.lit(2)) == 0)
+        second = orders.where(F.pmod(F.col("o_custkey"), F.lit(2)) == 1)
+        maint = BoundedQuantileMaintainer(
+            spark, str(tmp_path_factory.mktemp("quantile_replay")))
+        maint.merge_batch(first, 0)
+        maint.merge_batch(second, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(second, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(first, 0)

@@ -3701,3 +3701,168 @@ def kmv_set_difference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.floor(F.abs(raw_a_only - F.col("exact_a_only"))
                        / F.col("exact_a_only") * 10000)).cast("long")
         .alias("a_only_rel_err_e4"))
+
+
+#: Bottom-k sample size for the mergeable quantile state. 101 keeps the
+#: median estimator's expected relative rank error ~ 1/sqrt(k) ~ 10%
+#: while the per-key state stays a fixed ~2.4 KB array.
+PRICE_SAMPLE_K = 101
+
+#: Per-priority mergeable quantile state: exact row counter + the k
+#: lexicographically-smallest (hv, cents, okey) triples, where hv is a
+#: 60-bit md5 prefix of the order key — a deterministic uniform sample
+#: whose bottom-k by hash is mergeable exactly like a KMV sketch.
+PRICE_SAMPLE_STATE_SCHEMA = (
+    "o_orderpriority string, n_orders long, "
+    "sample array<struct<hv:long,cents:long,okey:long>>")
+
+
+def price_sample_merge_agg() -> "F.Column":
+    """Bounded bottom-k merge for the quantile sample state: the k
+    smallest (hv, cents, okey) triples of a union of bottom-k sets are
+    the k smallest of the union (struct arrays sort lexicographically
+    by field order, and the triple is unique per order row, so the
+    merge needs no dedup). Mirrors ``kmin_merge_agg``; shared by the
+    batch entry's second stage and streaming maintainer #15."""
+    return F.slice(F.array_sort(F.flatten(F.collect_list("sample"))),
+                   1, PRICE_SAMPLE_K).alias("sample")
+
+
+def orders_price_sample_state(orders: DataFrame) -> DataFrame:
+    """Reduce an orders frame (full table or one micro-batch) to the
+    per-priority mergeable quantile state: exact n_orders plus the
+    bottom-PRICE_SAMPLE_K sample by md5 hash. TWO-STAGE like
+    ``orders_kmv_state``: per (priority, input-partition) the sort/slice
+    runs on that partition's rows only, then the <=k partials merge
+    through ``price_sample_merge_agg`` — no priority's full row set ever
+    funnels into a single task, and the exchange ships <=k-element
+    arrays plus a counter per (priority, partition)."""
+    hv = F.conv(F.substring(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rows = orders.select(
+        "o_orderpriority",
+        F.struct(hv.alias("hv"), cents.alias("cents"),
+                 F.col("o_orderkey").cast("long").alias("okey"))
+        .alias("trip"),
+        F.spark_partition_id().alias("_pid"))
+    partials = rows.groupBy("o_orderpriority", "_pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.slice(F.array_sort(F.collect_list("trip")), 1, PRICE_SAMPLE_K)
+        .alias("sample"))
+    return partials.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        price_sample_merge_agg())
+
+
+def median_report_from_price_sample_state(state: DataFrame) -> DataFrame:
+    """Present the sample state as (priority, n_orders,
+    sample_median_cents): the lower median (position ceil(s/2)) of the
+    sampled cents — a uniform-sample median whose rank error is the
+    classic ~ n/sqrt(k)."""
+    sorted_cents = F.array_sort(F.expr("transform(sample, x -> x.cents)"))
+    med = F.element_at(
+        sorted_cents,
+        F.expr("cast((size(sample) + 1) div 2 as int)"))
+    return state.select(
+        "o_orderpriority", "n_orders",
+        med.cast("long").alias("sample_median_cents"))
+
+
+@register(
+    "sampled_median_audit",
+    oracle="""
+WITH f AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM orders),
+s AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY hv, cents, o_orderkey) AS srn
+  FROM f),
+sm AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents) AS crn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS sn
+  FROM s WHERE srn <= 101),
+sample_med AS (
+  SELECT o_orderpriority,
+         CAST(MIN(CASE WHEN 2 * crn >= sn THEN cents END) AS BIGINT)
+           AS sample_median_cents
+  FROM sm GROUP BY 1),
+em AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM f),
+exact_med AS (
+  SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+         CAST(MIN(CASE WHEN 2 * rn >= n THEN cents END) AS BIGINT)
+           AS exact_median_cents
+  FROM em GROUP BY 1)
+SELECT e.o_orderpriority, e.n_orders, e.exact_median_cents,
+       s.sample_median_cents,
+       CAST(CASE WHEN e.exact_median_cents > 0 THEN
+              floor(abs(s.sample_median_cents - e.exact_median_cents)
+                    / CAST(e.exact_median_cents AS DOUBLE) * 10000) END
+            AS BIGINT) AS rel_err_e4
+FROM exact_med e JOIN sample_med s USING (o_orderpriority)
+""",
+    description="Mergeable-quantile audit — the bounded-memory answer to "
+                "the exact-median entries (weighted_median_price, "
+                "mad_anomalies) and the batch twin of streaming "
+                "maintainer #15: per order priority, the EXACT lower "
+                "median of order price (derived from (priority, cents) "
+                "counts + a cumulative window over the value domain — "
+                "never a per-key row window) rides next to the median of "
+                "a k=101 bottom-k-by-md5-hash sample, the same "
+                "KMV-style mergeable order statistic the streaming "
+                "maintainer keeps at fixed ~2.4 KB per key: the k "
+                "smallest (hash, cents, okey) triples of a batch union "
+                "are the k smallest of the merged bottom-k sets, so "
+                "stream state == one batch pass exactly, under any "
+                "interleaving. The realized rank error is reported as a "
+                "guarded scaled-floor ratio. Every column is hash-exact: "
+                "md5 replays bit-identically, sample membership is a "
+                "deterministic lexicographic order statistic, and both "
+                "medians are exact integers. Scale shape: TWO-STAGE "
+                "bottom-k (per-input-partition slice, then the bounded "
+                "array merge — the orders_kmv_state discipline), and the "
+                "exact median's only ordered window runs per priority "
+                "over the DISTINCT-cents domain, bounded by the price "
+                "grid, not the row count.",
+    tags=("relational", "sketch", "approx", "quantile", "audit"),
+)
+def sampled_median_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sample_report = median_report_from_price_sample_state(
+        orders_price_sample_state(orders))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cnt = (orders.select("o_orderpriority", cents.alias("cents"))
+           .groupBy("o_orderpriority", "cents")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wp = Window.partitionBy("o_orderpriority")
+    wcum = (wp.orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = cnt.select(
+        "o_orderpriority", "cents",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wp).alias("n"))
+    exact = (staged.where(2 * F.col("cum") >= F.col("n"))
+             .groupBy("o_orderpriority")
+             .agg(F.min("cents").cast("long").alias("exact_median_cents")))
+    rel_err = F.when(
+        F.col("exact_median_cents") > 0,
+        F.floor(F.abs(F.col("sample_median_cents")
+                      - F.col("exact_median_cents"))
+                / F.col("exact_median_cents").cast("double") * 10000))
+    return (sample_report.join(exact, "o_orderpriority")
+            .select("o_orderpriority", "n_orders", "exact_median_cents",
+                    "sample_median_cents",
+                    rel_err.cast("long").alias("rel_err_e4")))

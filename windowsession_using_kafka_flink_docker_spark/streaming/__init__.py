@@ -34,6 +34,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     IncrementalSourceMixMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalEwmaMaintainer,
+    BoundedQuantileMaintainer,
     IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
     IncrementalUserSpendMaintainer,
@@ -44,6 +45,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins impo
     streaming_hhi_maintenance,
     streaming_source_mix_maintenance,
     streaming_daily_revenue_maintenance,
+    streaming_quantile_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
@@ -93,6 +95,7 @@ __all__ = [
     "IncrementalHhiMaintainer",
     "IncrementalSourceMixMaintainer",
     "IncrementalEwmaMaintainer",
+    "BoundedQuantileMaintainer",
     "IncrementalTableStatsMaintainer",
     "IncrementalTokenFrequencyMaintainer",
     "IncrementalUserSpendMaintainer",
@@ -103,6 +106,7 @@ __all__ = [
     "streaming_daily_revenue_maintenance",
     "streaming_hhi_maintenance",
     "streaming_source_mix_maintenance",
+    "streaming_quantile_maintenance",
     "streaming_table_stats_maintenance",
     "streaming_token_frequency_maintenance",
     "streaming_user_spend_maintenance",

@@ -751,12 +751,69 @@ def streaming_bounded_token_frequency_maintenance(
                                "bounded_token_frequency_maintenance")
 
 
+class BoundedQuantileMaintainer:
+    """Streaming maintainer #15 — mergeable quantile state, the
+    bounded-memory sibling of the exact-median entries and the streaming
+    half of the driver-oracled ``sampled_median_audit``: per order
+    priority, an exact row counter plus the PRICE_SAMPLE_K
+    lexicographically-smallest (md5-hash, cents, okey) triples — a
+    deterministic uniform sample whose bottom-k by hash merges exactly
+    like a KMV sketch (k smallest of a union of bottom-k sets = k
+    smallest of the union; the triple is unique per order row, so no
+    dedup is needed). State is |priorities| x (1 counter + a <=k struct
+    array) REGARDLESS of order volume — this is exactly why the audit
+    entry samples the median instead of maintaining it exactly (an exact
+    streaming median needs the full per-key value multiset, unbounded).
+    Both the per-batch reduction and the presentation are the batch
+    entry's own ``orders_price_sample_state`` /
+    ``median_report_from_price_sample_state``, so stream == batch is one
+    code path and the maintained sample — hence the sample median — is
+    bit-identical to the batch single-pass state under any
+    interleaving."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            PRICE_SAMPLE_STATE_SCHEMA,
+        )
+        self.state = _VersionedState(spark, state_dir,
+                                     PRICE_SAMPLE_STATE_SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            orders_price_sample_state,
+            price_sample_merge_agg,
+        )
+        self.state.guard(batch_id)
+        delta = orders_price_sample_state(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = merged.groupBy("o_orderpriority").agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            price_sample_merge_agg())
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            median_report_from_price_sample_state,
+        )
+        return median_report_from_price_sample_state(self.state.current())
+
+
+def streaming_quantile_maintenance(
+        orders: DataFrame, maintainer: BoundedQuantileMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "quantile_maintenance")
+
+
 __all__ = [
+    "BoundedQuantileMaintainer",
     "BoundedTokenFrequencyMaintainer",
     "IncrementalContingencyMaintainer",
     "IncrementalHhiMaintainer",
     "IncrementalSourceMixMaintainer",
     "streaming_bounded_token_frequency_maintenance",
+    "streaming_quantile_maintenance",
     "streaming_contingency_maintenance",
     "streaming_hhi_maintenance",
     "streaming_source_mix_maintenance",
