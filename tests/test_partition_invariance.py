@@ -53,6 +53,9 @@ SENSITIVE = [
     # construct; see also test_ndv_kmv_invariant_to_input_split below,
     # because shuffle.partitions alone never moves READ-side pids
     "orders_column_ndv_kmv",
+    # same pid-dependence in the two-stage bottom-k quantile sample —
+    # pinned against input splits below as well
+    "sampled_median_audit",
 ]
 
 
@@ -94,4 +97,29 @@ def test_ndv_kmv_invariant_to_input_split(spark, sf_dir, n_parts):
     got = _rows(ndv_report_from_kmv_state(orders_kmv_state(orders)))
     assert got == want, (
         f"orders_column_ndv_kmv: result depends on the input split "
+        f"(repartition({n_parts}))")
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 17])
+def test_sampled_median_invariant_to_input_split(spark, sf_dir, n_parts):
+    """sampled_median_audit's bottom-k sample stage groups by
+    ``spark_partition_id()`` of the SCAN exactly like the ANALYZE plan —
+    pin the same input-split invariance: the k smallest (hash, cents,
+    okey) triples of a union of per-split bottom-k sets are the k
+    smallest of the union (triples unique per row, no dedup needed), so
+    the sample — hence the sample median — cannot depend on where the
+    split boundaries land."""
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        median_report_from_price_sample_state,
+        orders_price_sample_state,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    base = load_table(spark, sf_dir, "orders")
+    want = _rows(median_report_from_price_sample_state(
+        orders_price_sample_state(base)))
+    got = _rows(median_report_from_price_sample_state(
+        orders_price_sample_state(base.repartition(n_parts))))
+    assert got == want, (
+        f"sampled_median_audit: sample depends on the input split "
         f"(repartition({n_parts}))")

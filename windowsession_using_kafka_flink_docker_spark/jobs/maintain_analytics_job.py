@@ -12,6 +12,9 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalTableStatsMaintainer`` (#10) on the same orders stream —
   per-column counters/min-max/KMV distinct sketch serving the
   ANALYZE-TABLE report (``orders_column_ndv_kmv``);
+- ``BoundedQuantileMaintainer`` (#15) on the same orders stream — the
+  bounded bottom-k-by-hash price sample presenting the per-priority
+  sample median at fixed state.
 - ``IncrementalContingencyMaintainer`` (#11) on the same orders stream —
   R x C cell counts serving the chi-square / Cramér's V report
   (``cramers_v_status_priority``);
@@ -50,6 +53,7 @@ import os
 
 from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
+    BoundedQuantileMaintainer,
     BoundedTokenFrequencyMaintainer,
     IncrementalContingencyMaintainer,
     IncrementalDailyRevenueMaintainer,
@@ -63,6 +67,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_daily_revenue_maintenance,
     streaming_hhi_maintenance,
     streaming_source_mix_maintenance,
+    streaming_quantile_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
@@ -108,8 +113,8 @@ def main() -> None:
     if args.orders:
         orders = (spark.readStream
                   .schema("o_orderdate TIMESTAMP, o_totalprice DOUBLE, "
-                          "o_custkey BIGINT, o_orderstatus STRING, "
-                          "o_orderpriority STRING")
+                          "o_custkey BIGINT, o_orderkey BIGINT, "
+                          "o_orderstatus STRING, o_orderpriority STRING")
                   .parquet(args.orders))
         rev = IncrementalDailyRevenueMaintainer(
             spark, os.path.join(args.state_root, "daily_revenue"))
@@ -128,6 +133,12 @@ def main() -> None:
         queries.append(streaming_contingency_maintenance(
             orders, cont, os.path.join(args.checkpoint_root,
                                        "contingency")))
+        # maintainer #15: the bounded per-priority quantile sample
+        quant = BoundedQuantileMaintainer(
+            spark, os.path.join(args.state_root, "quantile"))
+        queries.append(streaming_quantile_maintenance(
+            orders, quant, os.path.join(args.checkpoint_root,
+                                        "quantile")))
     if args.events:
         events = (spark.readStream
                   .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
