@@ -393,3 +393,18 @@ def test_q20_single_fact_scan_and_windowed_totals(spark, sf_dir):
                   if ln.lstrip().startswith("(") and "Scan parquet" in ln)
     assert n_scans <= 4, (n_scans, plan)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q15_stages_revenue_once_and_broadcasts_winners(spark, sf_dir):
+    """q15_top_supplier_revenue promises the staged decorrelation: the
+    per-supplier revenue frame materializes ONCE (localCheckpoint — the
+    planner does not reuse the aggregate exchange across the scalar-max
+    and probe consumers; measured two lineitem scans without it), so the
+    final stage reads at most two parquet scans (supplier, nation) plus
+    the checkpointed RDD, and every join is a broadcast."""
+    plan = _plan(spark, "q15_top_supplier_revenue", sf_dir, "formatted")
+    n_scans = sum(1 for ln in plan.splitlines()
+                  if ln.lstrip().startswith("(") and "Scan parquet" in ln)
+    assert n_scans <= 2, (n_scans, plan)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

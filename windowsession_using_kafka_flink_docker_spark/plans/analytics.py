@@ -2688,3 +2688,70 @@ def bh_fdr_from_armed(f: DataFrame) -> DataFrame:
         F.col("m").cast("long").alias("m_tests"),
         F.col("bh_rank").cast("long").alias("bh_rank"),
         (F.max(crit).over(wsuf) == 1).alias("rejected"))
+
+
+@register(
+    "q15_top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+              AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1),
+mx AS (SELECT MAX(total_rev_e4) AS max_rev FROM rev)
+SELECT s.s_suppkey, s.s_name, n.n_name, r.total_rev_e4
+FROM rev r
+CROSS JOIN mx
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.total_rev_e4 = mx.max_rev
+""",
+    description="TPC-H Q15-style top supplier: the 'revenue view + "
+                "correlated scalar max' pattern — WHERE total_revenue = "
+                "(SELECT MAX(total_revenue) FROM revenue) — the "
+                "max-of-aggregates classic next to Q17's avg-threshold, "
+                "Q20's share-threshold, and Q21/Q22's EXISTS shapes. "
+                "Decorrelated Spark-first: the quarter's per-supplier "
+                "revenue aggregates once (date filter pushed into the "
+                "scan, exact BIGINT e-4 revenue so max-equality cannot "
+                "drift on float summation), then the 1-row global max "
+                "broadcasts back over the supplier-bounded revenue frame "
+                "— an equality filter, not a rank, so ALL tied maxima "
+                "surface exactly as Q15 requires. The at-most-|ties| "
+                "winner frame is the BROADCAST side of the supplier "
+                "join (the supplier dimension is fact-scale at 100 TB); "
+                "nation broadcasts as usual. "
+                "Scale shape: one fact scan, one supplier-keyed exchange "
+                "for the aggregate, a 1-row broadcast, zero sorts.",
+    tags=("relational", "subquery", "join", "sql"),
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents("l_extendedprice")
+                   * F.round((1 - F.col("l_discount")) * 100, 0)
+                   .cast("long")).cast("long").alias("total_rev_e4")))
+    # rev feeds BOTH the scalar max and the equality probe; the planner
+    # does not reuse the aggregate exchange across the two consumers
+    # (measured: two lineitem scans in the AQE final plan), so stage the
+    # supplier-bounded frame once — the llm_pipeline localCheckpoint
+    # discipline; |suppliers| rows, dimension-scale at any SF
+    rev = rev.localCheckpoint(eager=True)
+    mx = rev.agg(F.max("total_rev_e4").alias("max_rev"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    top = (rev.crossJoin(F.broadcast(mx))
+           .where(F.col("total_rev_e4") == F.col("max_rev")))
+    # the at-most-|ties| winners are the broadcast side — the supplier
+    # DIMENSION is fact-scale at 100 TB and must never ship to every task
+    return (
+        sup.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "total_rev_e4"))
