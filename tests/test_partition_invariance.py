@@ -56,6 +56,10 @@ SENSITIVE = [
     # same pid-dependence in the two-stage bottom-k quantile sample —
     # pinned against input splits below as well
     "sampled_median_audit",
+    # round 10: the BH report consumes ranged ranks (like gini /
+    # mann_whitney) AND sorts by a derived double — both must be
+    # partition-count-proof
+    "bh_fdr_segment_spend",
 ]
 
 
