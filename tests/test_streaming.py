@@ -2361,3 +2361,97 @@ class TestStreamingQuantileMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(first, 0)
+
+
+class TestStreamingSetMembershipMaintenance:
+    """Epoch set-membership state (streaming/analytics_twins.py
+    IncrementalSetMembershipMaintainer, maintainer #16): the maintained
+    per-customer (in_a, in_b) bits must reproduce the driver-oracled
+    kmv_set_difference_audit exactly after custkey-sliced micro-batch
+    arrival of the orders stream — bits OR under merge (max is
+    idempotent and commutative), so the membership frame and every
+    sketch estimate / exact count derived from it through the shared
+    set_difference_report_from_membership are bit-identical to the
+    batch aggregate under any interleaving — and stay idempotent under
+    replay behind the coupled-lifecycle guard."""
+
+    _COLS = ("o_custkey", "o_orderdate")
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalSetMembershipMaintainer,
+            streaming_set_membership_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("setmember_orders"))
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            orders.where(F.pmod(F.col("o_custkey"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalSetMembershipMaintainer(
+            spark, str(tmp_path_factory.mktemp("setmember_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema="o_custkey BIGINT, o_orderdate TIMESTAMP",
+            max_files_per_trigger=1)
+        q = streaming_set_membership_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("setmember_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["kmv_set_difference_audit"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        assert got == want
+
+    def test_bits_or_under_epoch_straddling_batches(self, spark, sf_dir,
+                                                    tmp_path_factory):
+        """The interleaving the bit-OR exists for: a customer whose 1996
+        orders arrive in one batch and whose 1997 orders arrive in
+        another must end (1,1) — plus replay idempotence and the
+        lifecycle guard."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalSetMembershipMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        y96 = orders.where((F.col("o_orderdate") >= "1996-01-01")
+                           & (F.col("o_orderdate") < "1997-01-01"))
+        rest = orders.where((F.col("o_orderdate") < "1996-01-01")
+                            | (F.col("o_orderdate") >= "1997-01-01"))
+        maint = IncrementalSetMembershipMaintainer(
+            spark, str(tmp_path_factory.mktemp("setmember_straddle")))
+        maint.merge_batch(y96, 0)   # every state row is (1, 0) now
+        state0 = maint.state.current()
+        assert state0.where(F.col("in_b") == 1).count() == 0
+        maint.merge_batch(rest, 1)  # 1997 arrivals must OR into (1, 1)
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            order_epoch_membership,
+        )
+        want = _rows(order_epoch_membership(orders), exclude_sentinel=False)
+        got = _rows(maint.state.current(), exclude_sentinel=False)
+        assert got == want
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(rest, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(y96, 0)

@@ -12,6 +12,9 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalTableStatsMaintainer`` (#10) on the same orders stream —
   per-column counters/min-max/KMV distinct sketch serving the
   ANALYZE-TABLE report (``orders_column_ndv_kmv``);
+- ``IncrementalSetMembershipMaintainer`` (#16) on the same orders
+  stream — per-customer epoch bits serving the KMV set-difference
+  audit.
 - ``BoundedQuantileMaintainer`` (#15) on the same orders stream — the
   bounded bottom-k-by-hash price sample presenting the per-priority
   sample median at fixed state.
@@ -55,6 +58,7 @@ from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
     BoundedQuantileMaintainer,
     BoundedTokenFrequencyMaintainer,
+    IncrementalSetMembershipMaintainer,
     IncrementalContingencyMaintainer,
     IncrementalDailyRevenueMaintainer,
     IncrementalHhiMaintainer,
@@ -68,6 +72,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_hhi_maintenance,
     streaming_source_mix_maintenance,
     streaming_quantile_maintenance,
+    streaming_set_membership_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_user_spend_maintenance,
@@ -139,6 +144,12 @@ def main() -> None:
         queries.append(streaming_quantile_maintenance(
             orders, quant, os.path.join(args.checkpoint_root,
                                         "quantile")))
+        # maintainer #16: per-customer epoch membership bits
+        member = IncrementalSetMembershipMaintainer(
+            spark, os.path.join(args.state_root, "set_membership"))
+        queries.append(streaming_set_membership_maintenance(
+            orders, member, os.path.join(args.checkpoint_root,
+                                         "set_membership")))
     if args.events:
         events = (spark.readStream
                   .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")

@@ -3646,19 +3646,38 @@ FROM est CROSS JOIN exacts
     tags=("relational", "sketch", "approx", "setop", "audit"),
 )
 def kmv_set_difference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = 256
     od = load_table(spark, sf_dir, "orders")
+    return set_difference_report_from_membership(
+        order_epoch_membership(od))
+
+
+def order_epoch_membership(orders: DataFrame) -> DataFrame:
+    """Reduce an orders frame (full table or one micro-batch) to the
+    per-customer epoch-membership bits (in_a = ordered in 1996, in_b =
+    ordered in 1997) — the mergeable sufficient statistic of the set
+    algebra: bits OR (max) under merge, state bounded by the CUSTOMER
+    key space regardless of order volume (the user-spend-maintainer
+    precedent). Shared by the batch entry and streaming maintainer #16."""
     in_1996 = ((F.col("o_orderdate") >= "1996-01-01")
                & (F.col("o_orderdate") < "1997-01-01"))
     in_1997 = ((F.col("o_orderdate") >= "1997-01-01")
                & (F.col("o_orderdate") < "1998-01-01"))
-    membership = (
-        od.where((F.col("o_orderdate") >= "1996-01-01")
-                 & (F.col("o_orderdate") < "1998-01-01"))
+    return (
+        orders.where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1998-01-01"))
         .groupBy("o_custkey")
         .agg(F.max(F.when(in_1996, 1).otherwise(0)).alias("in_a"),
              F.max(F.when(in_1997, 1).otherwise(0)).alias("in_b"))
         .where((F.col("in_a") == 1) | (F.col("in_b") == 1)))
+
+
+def set_difference_report_from_membership(
+        membership: DataFrame) -> DataFrame:
+    """Derive the full difference/symmetric-difference audit (sketch
+    estimates + exact counts + guarded realized error) from the
+    membership bits — the presentation half shared by the batch entry
+    and streaming maintainer #16."""
+    k = 256
     hv = (F.conv(F.substring(
         F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 8),
         16, 10).cast("bigint") / F.lit(4294967296.0))

@@ -806,14 +806,69 @@ def streaming_quantile_maintenance(
                                "quantile_maintenance")
 
 
+class IncrementalSetMembershipMaintainer:
+    """Streaming maintainer #16 — the epoch set-membership state behind
+    the driver-oracled ``kmv_set_difference_audit``: one (in_a, in_b)
+    bit-pair per customer that has ordered in either epoch. Bits OR
+    (max) under merge and a customer row exists iff the customer is in
+    the union, so state is bounded by the CUSTOMER key space regardless
+    of order volume — the user-spend / source-mix precedent of
+    maintaining the key-space-bounded sufficient statistic. The
+    maintained frame is bit-identical to the batch
+    ``order_epoch_membership`` aggregate under any batch interleaving
+    (max is idempotent/commutative on bits), so ``current()`` re-derives
+    the FULL audit — k=256 union KMV, rho-scaled difference estimates,
+    exact counts, guarded realized error — through the batch entry's own
+    ``set_difference_report_from_membership``: one code path. For
+    extreme scale where even per-customer bits are too big, the k-min
+    sketch itself is maintainable at fixed memory (k smallest customer
+    hashes never change as bits flip, and member bits OR under merge) —
+    the #14-style drop-in — but it cannot present the audit's exact
+    counts, so the key-space-bounded state is the one that serves this
+    entry."""
+
+    _SCHEMA = "o_custkey BIGINT, in_a INT, in_b INT"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            order_epoch_membership,
+        )
+        self.state.guard(batch_id)
+        delta = order_epoch_membership(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = merged.groupBy("o_custkey").agg(
+            F.max("in_a").cast("int").alias("in_a"),
+            F.max("in_b").cast("int").alias("in_b"))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            set_difference_report_from_membership,
+        )
+        return set_difference_report_from_membership(self.state.current())
+
+
+def streaming_set_membership_maintenance(
+        orders: DataFrame, maintainer: IncrementalSetMembershipMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "set_membership_maintenance")
+
+
 __all__ = [
     "BoundedQuantileMaintainer",
     "BoundedTokenFrequencyMaintainer",
     "IncrementalContingencyMaintainer",
     "IncrementalHhiMaintainer",
+    "IncrementalSetMembershipMaintainer",
     "IncrementalSourceMixMaintainer",
     "streaming_bounded_token_frequency_maintenance",
     "streaming_quantile_maintenance",
+    "streaming_set_membership_maintenance",
     "streaming_contingency_maintenance",
     "streaming_hhi_maintenance",
     "streaming_source_mix_maintenance",
