@@ -1145,3 +1145,34 @@ class TestBenjaminiHochberg:
         out = self._run(spark, rows)
         assert "Z" not in out
         assert out["W"]["m_tests"] == 1
+
+    def test_rejected_matches_textbook_definition_from_output(self, spark):
+        """Definitional pin: for every output row, rejected must equal
+        the literal BH step-up 'exists j >= bh_rank with
+        p_(j) * m <= j * alpha' recomputed in Python from the report's
+        own p-values — so the suffix-max window rendering can never
+        drift from the textbook procedure."""
+        rows = []
+        key = 0
+        # a mix: one huge effect, one moderate, one null, one tiny-n
+        for seg, hi_n, sep in (("A", 50, True), ("B", 12, True),
+                               ("C", 40, False), ("D", 3, True)):
+            for i in range(hi_n):
+                hi = (1_000_000 + i) if sep else (500 + (i % 5))
+                rows.append((seg, hi, (key := key + 1), "A"))
+                rows.append((seg, 500 + (i % 5), (key := key + 1), "B"))
+        out = sorted(self._run(spark, rows).values(),
+                     key=lambda r: r["bh_rank"])
+        m = out[0]["m_tests"]
+        assert m == len(out)
+        ps = [r["p_cheb_e6"] / 1e6 for r in out]  # floor(p*1e6) proxy
+        for i, r in enumerate(out, start=1):
+            # use the scaled-floor p for the recompute: floor can only
+            # shrink p, so compare against the same floored values the
+            # report exposes, with the threshold slack of one e-6 ulp
+            textbook = any(ps[j - 1] * m <= j * 0.05 + 1e-6
+                           for j in range(i, m + 1))
+            lo = any(ps[j - 1] * m <= j * 0.05 - 1e-6
+                     for j in range(i, m + 1))
+            if textbook == lo:  # recompute is decisive outside the ulp band
+                assert r["rejected"] == textbook, (r, ps)
