@@ -2455,3 +2455,73 @@ class TestStreamingSetMembershipMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(y96, 0)
+
+
+class TestBottomKMergeAlgebra:
+    """Pure-model hypothesis pins for the two new mergeable states: the
+    Spark-side equivalences are pinned on real data by the input-split
+    and stream==batch tests; these sweep the ALGEBRA itself over random
+    partitionings and merge orders."""
+
+    def test_bottom_k_merge_invariant_to_partitioning_and_order(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        K = 7
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 9),
+                                  st.integers(0, 10**6)),
+                        max_size=60, unique=True),
+               st.lists(st.integers(0, 4), max_size=60),
+               st.randoms())
+        def check(triples, splits, rnd):
+            want = sorted(triples)[:K]
+            parts: dict[int, list] = {}
+            for i, t in enumerate(triples):
+                parts.setdefault(splits[i] if i < len(splits) else 0,
+                                 []).append(t)
+            partials = [sorted(p)[:K] for p in parts.values()]
+            rnd.shuffle(partials)  # merge order must not matter
+            merged: list = []
+            for p in partials:  # pairwise left fold, arbitrary order
+                merged = sorted(merged + p)[:K]
+            assert merged == want, (triples, splits)
+
+        check()
+
+    def test_membership_bit_or_invariant_to_batching(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 9), st.booleans(),
+                                  st.booleans()), max_size=60),
+               st.lists(st.integers(0, 4), max_size=60))
+        def check(events, splits):
+            # single pass: per-key OR over all events
+            want: dict[int, tuple[bool, bool]] = {}
+            for k, a, b in events:
+                pa, pb = want.get(k, (False, False))
+                want[k] = (pa or a, pb or b)
+            want = {k: v for k, v in want.items() if v[0] or v[1]}
+            # batched: reduce each batch, then OR-merge states
+            batches: dict[int, list] = {}
+            for i, e in enumerate(events):
+                batches.setdefault(splits[i] if i < len(splits) else 0,
+                                   []).append(e)
+            state: dict[int, tuple[bool, bool]] = {}
+            for batch in batches.values():
+                delta: dict[int, tuple[bool, bool]] = {}
+                for k, a, b in batch:
+                    pa, pb = delta.get(k, (False, False))
+                    delta[k] = (pa or a, pb or b)
+                for k, (a, b) in delta.items():
+                    if not (a or b):
+                        continue
+                    pa, pb = state.get(k, (False, False))
+                    state[k] = (pa or a, pb or b)
+            state = {k: v for k, v in state.items() if v[0] or v[1]}
+            assert state == want, (events, splits)
+
+        check()
