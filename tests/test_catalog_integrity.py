@@ -144,6 +144,45 @@ def test_changed_entry_self_schedules_into_next_window():
         f"{fresh} marked changed but not scheduled into the next window")
 
 
+def test_changed_burst_cannot_displace_at_bound_entries():
+    """r10 ADVICE: a round with a large edit burst must not consume
+    window slots ahead of entries already at the staleness bound — the
+    bound is the hard invariant (a displaced at-bound entry goes red;
+    a displaced changed entry just re-front-loads next round, its
+    fingerprint still differing). Synthetic worst case: a full-window
+    burst of fresh edits on top of the real history."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        DRIVER_WINDOW,
+        PINNED,
+        STALENESS_BOUND,
+        compute_driver_priority,
+        driver_history,
+    )
+
+    last_green, latest = driver_history()
+    last_green = {n: r for n, r in last_green.items() if n in CATALOG}
+    names = list(CATALOG)
+    at_bound = {n for n in names
+                if n in last_green
+                and last_green[n] <= latest - STALENESS_BOUND}
+    # synthesize the burst: every age-0 unpinned entry edited at once
+    burst = frozenset(n for n in names
+                      if last_green.get(n) == latest and n not in PINNED)
+    assert len(burst) + len(PINNED) >= DRIVER_WINDOW - len(at_bound), \
+        "test premise: the burst must be big enough to overflow the window"
+    window = set(compute_driver_priority(names, last_green, burst)
+                 [:DRIVER_WINDOW])
+    displaced = at_bound - window
+    assert not displaced, (
+        f"edit burst displaced at-bound entries past STALENESS_BOUND: "
+        f"{sorted(displaced)}")
+    # and if the history has real at-bound entries today, they must be
+    # scheduled even with no burst at all
+    plain_window = set(compute_driver_priority(names, last_green)
+                       [:DRIVER_WINDOW])
+    assert at_bound <= plain_window, sorted(at_bound - plain_window)
+
+
 def test_fingerprint_sees_helper_edits():
     """The fingerprint closure must cover module-level helpers the
     registered entry delegates to — the r9 ANALYZE rewrite and the r10
@@ -154,38 +193,110 @@ def test_fingerprint_sees_helper_edits():
     )
 
     spec = CATALOG["orders_column_ndv_kmv"]
-    names = {q for _, q, _ in _source_closure(spec.spark)}
+    sources, _ = _source_closure(spec.spark)
+    names = {q for _, q, _ in sources}
     assert "orders_kmv_state" in names
     assert "ndv_report_from_kmv_state" in names
     # and transitively: the merge helper the state builder composes
     assert any("kmin_merge" in q for q in names), names
     # sanity: the closure is repo-only (no pyspark internals hashed)
-    mods = {m for m, _, _ in _source_closure(spec.spark)}
+    mods = {m for m, _, _ in sources}
     assert all(m.startswith("windowsession_using_kafka_flink_docker_spark")
                for m in mods), mods
     assert relational.orders_kmv_state  # referenced, keep the import
 
 
-def test_certified_record_matches_tree_for_unchanged_entries():
-    """Every entry green in the LATEST snapshot and NOT edited since must
-    fingerprint-match its certified record — catches a stale or
-    hand-mangled CERTIFIED_FINGERPRINTS.json. (Edited entries legitimately
-    diverge; they are exactly the changed-set the rotation front-loads.)"""
+def test_fingerprint_sees_module_constants():
+    """Module-level constants referenced by the closure must be part of
+    the fingerprint (r10 ADVICE: editing PRICE_SAMPLE_K changed
+    sampled_median_audit's behavior invisibly). Also pins the repr
+    discipline: hash-seed-dependent set ordering is normalized and
+    address-bearing reprs are refused rather than hashed."""
     from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (
-        changed_entries,
+        _const_repr,
+        _source_closure,
         entry_fingerprint,
+    )
+
+    spec = CATALOG["sampled_median_audit"]
+    _, consts = _source_closure(spec.spark)
+    const_names = {n for _, n, _ in consts}
+    assert "PRICE_SAMPLE_K" in const_names, const_names
+    # changing a constant's value must change the fingerprint
+    from windowsession_using_kafka_flink_docker_spark.plans import relational
+    before = entry_fingerprint(spec.spark, spec.oracle)
+    orig = relational.PRICE_SAMPLE_K
+    try:
+        relational.PRICE_SAMPLE_K = orig + 1
+        assert entry_fingerprint(spec.spark, spec.oracle) != before
+    finally:
+        relational.PRICE_SAMPLE_K = orig
+    assert entry_fingerprint(spec.spark, spec.oracle) == before
+    # repr discipline
+    assert _const_repr({"a", "b", "c"}) == _const_repr({"c", "a", "b"})
+    assert _const_repr(object()) is None  # address-bearing repr refused
+    assert _const_repr((1, "x", 2.5)) == _const_repr((1, "x", 2.5))
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([StructField("cents", LongType())])
+    assert _const_repr(schema) == _const_repr(
+        StructType([StructField("cents", LongType())]))
+
+
+def test_certified_record_is_structurally_sound():
+    """CERTIFIED_FINGERPRINTS.json must be internally consistent —
+    catches a missing, truncated, or hand-mangled record file with
+    assertions independent of changed_entries() (the r9 version skipped
+    exactly the mismatching names, so it could never fail — r10 ADVICE).
+    A mangled FINGERPRINT is self-healing (it reads as changed and
+    re-certifies next round), so what must hold structurally: every
+    recorded name is a live catalog entry, every round is a real
+    snapshot round, every fingerprint is well-formed sha256 hex, and the
+    record's newest round R covers every entry green in snapshot R (the
+    record script stamps all of round R's green set when run)."""
+    import re
+
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        RENAMED_ENTRIES,
+        driver_history,
+    )
+    from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (
         load_recorded,
     )
 
     recorded = load_recorded()
     assert recorded, "CERTIFIED_FINGERPRINTS.json missing or empty"
-    changed = changed_entries(CATALOG, recorded)
-    for name, spec in CATALOG.items():
-        rec = recorded.get(name)
-        if rec is None or name in changed:
-            continue
-        assert entry_fingerprint(spec.spark, spec.oracle) == \
-            rec["fingerprint"], name
+    last_green, latest = driver_history()
+    hex64 = re.compile(r"^[0-9a-f]{64}$")
+    for name, rec in recorded.items():
+        assert name in CATALOG, f"record for unknown entry {name}"
+        assert set(rec) == {"round", "fingerprint"}, name
+        assert isinstance(rec["round"], int) and 1 <= rec["round"] <= latest, \
+            (name, rec["round"])
+        assert hex64.match(rec["fingerprint"]), name
+    rec_latest = max(rec["round"] for rec in recorded.values())
+    # every entry green in snapshot rec_latest must carry that round's
+    # stamp (record_fingerprints.py writes the whole green set at once)
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snap_path = os.path.join(root, f"CORRECTNESS_r{rec_latest:02d}.json")
+    if not os.path.exists(snap_path):
+        snap_path = os.path.join(root, f"CORRECTNESS_r{rec_latest}.json")
+    with open(snap_path) as f:
+        snap = json.load(f)
+    for name, row in snap.items():
+        name = RENAMED_ENTRIES.get(name, name)
+        ok = bool(row.get("hash_match")) or (
+            row.get("err") == "no_oracle"
+            and row.get("spark_rows") is not None)
+        if ok and name in CATALOG:
+            assert name in recorded, (
+                f"{name} green in r{rec_latest} but absent from the "
+                "certified record — record_fingerprints.py not run?")
+            assert recorded[name]["round"] == rec_latest, name
+    assert glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
 
 
 def test_window_policy_converges_over_projected_rounds():

@@ -153,21 +153,37 @@ def compute_driver_priority(
     4. change-awareness (VERDICT r8 item 3 / r9 item 4): any name in
        ``changed`` — its current source+oracle fingerprint differs from
        the certified one recorded in :data:`fingerprints.RECORD_FILE` —
-       sorts as if its certification age were infinite, so an edited
-       entry re-enters the very next window instead of waiting out the
-       age bound (the r8 precision sweep and the r9 ANALYZE rewrite
-       both rode the age bound for 2+ rounds; this closes that hole).
+       sorts ahead of every merely-aging entry, so an edited entry
+       re-enters the very next window instead of waiting out the age
+       bound (the r8 precision sweep and the r9 ANALYZE rewrite both
+       rode the age bound for 2+ rounds; this closes that hole);
+    5. the age bound outranks the changed-set (r10 ADVICE): entries
+       already AT the staleness bound (their certification goes red if
+       they miss the next window) sort ahead of changed-but-not-at-bound
+       entries, so a large edit burst can never displace an at-bound
+       entry past STALENESS_BOUND. A displaced changed entry loses
+       nothing permanent — its fingerprint still differs from the
+       record, so it re-front-loads every round until certified —
+       whereas a displaced at-bound entry breaks the hard invariant.
+       The bound round is inferred as ``max(last_green) + 1`` (the next
+       driver window always follows the newest on-disk snapshot).
 
     Pure function of ``(names, last_green, changed)`` — unit-tested with
-    projected future snapshots in tests/test_catalog_integrity.py.
+    projected future snapshots (including a changed-set burst) in
+    tests/test_catalog_integrity.py.
     """
     reg_pos = {n: i for i, n in enumerate(names)}
     never = [n for n in names if n not in last_green]
     pinned = [n for n in PINNED if n in names and n not in set(never)]
     taken = set(never) | set(pinned)
-    rest = sorted((n for n in names if n not in taken),
-                  key=lambda n: (0 if n in changed else last_green.get(n, 0),
-                                 reg_pos[n]))
+    next_round = max(last_green.values(), default=0) + 1
+
+    def _key(n: str):
+        at_bound = last_green.get(n, 0) <= next_round - STALENESS_BOUND - 1
+        klass = 0 if at_bound else (1 if n in changed else 2)
+        return (klass, last_green.get(n, 0), reg_pos[n])
+
+    rest = sorted((n for n in names if n not in taken), key=_key)
     return (*never, *pinned, *rest)
 
 

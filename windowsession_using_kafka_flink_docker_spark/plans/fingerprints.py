@@ -21,9 +21,14 @@ function's module globals; resolved functions and classes whose
 recursed into. This catches the common pattern where the registered
 entry is a two-line composition over module-level helpers (e.g.
 ``orders_column_ndv_kmv`` -> ``orders_kmv_state`` ->
-``kmin_merge_agg``). It deliberately does NOT hash third-party modules
-or data files; the age bound remains the backstop for anything the
-closure cannot see.
+``kmin_merge_agg``). Referenced module-level CONSTANTS (ints, strings,
+tuples, pyspark schema objects, ...) are hashed too, by deterministic
+repr — editing e.g. a sample-size ``K`` or a state ``StructType``
+changes the entry's behavior without touching any function body, and
+must flag the entry as changed (r10 ADVICE). Blind spots that remain:
+third-party modules, data files, and constants whose type has no
+deterministic repr (skipped, listed in :data:`_CONST_TYPES`); the age
+bound is the backstop for those.
 """
 
 from __future__ import annotations
@@ -55,11 +60,62 @@ def _is_repo_defined(obj) -> bool:
     return bool(mod) and (mod == _PACKAGE or mod.startswith(_PACKAGE + "."))
 
 
-def _source_closure(fn) -> list[tuple[str, str, str]]:
-    """Deterministic list of ``(module, qualname, source)`` for ``fn``
-    and every repo-defined function/class transitively reachable from it
-    through global-name references."""
+#: Scalar constant types with process-independent reprs. set/frozenset
+#: are handled separately (element order depends on PYTHONHASHSEED for
+#: strings, so their reprs are re-sorted); containers recurse.
+_CONST_TYPES = (type(None), bool, int, float, complex, str, bytes)
+
+
+def _const_repr(value, _depth: int = 0) -> str | None:
+    """Deterministic repr for a module-level constant, or None when the
+    value's type has no process-independent repr (objects repr with
+    memory addresses; modules/arrays are out of scope). Covers the
+    constant shapes the plans actually use: scalars, tuples/lists/dicts
+    of them, sets (sorted), and pyspark DataType trees (StructType repr
+    is pure field text)."""
+    if _depth > 6:
+        return None
+    if isinstance(value, _CONST_TYPES):
+        return repr(value)
+    if isinstance(value, (tuple, list)):
+        parts = [_const_repr(v, _depth + 1) for v in value]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(value).__name__}[{', '.join(parts)}]"
+    if isinstance(value, dict):
+        parts = []
+        for k, v in value.items():
+            kr = _const_repr(k, _depth + 1)
+            vr = _const_repr(v, _depth + 1)
+            if kr is None or vr is None:
+                return None
+            parts.append(f"{kr}: {vr}")
+        return "dict{%s}" % ", ".join(parts)
+    if isinstance(value, (set, frozenset)):
+        parts = [_const_repr(v, _depth + 1) for v in value]
+        if any(p is None for p in parts):
+            return None
+        return f"{type(value).__name__}{{{', '.join(sorted(parts))}}}"
+    try:  # pyspark schema constants (StructType/StructField/DataType)
+        from pyspark.sql.types import DataType
+        if isinstance(value, DataType):
+            return repr(value)
+    except ImportError:  # pragma: no cover
+        pass
+    return None
+
+
+def _source_closure(fn) -> tuple[list[tuple[str, str, str]],
+                                 list[tuple[str, str, str]]]:
+    """Deterministic ``(sources, constants)`` for ``fn`` and every
+    repo-defined function/class transitively reachable from it through
+    global-name references. ``sources`` is ``(module, qualname,
+    source)``; ``constants`` is ``(module, name, repr)`` for every
+    referenced module-level non-callable with a deterministic repr —
+    behavior-bearing values like sample sizes and state schemas live
+    there (r10 ADVICE)."""
     seen: dict[tuple[str, str], str] = {}
+    consts: dict[tuple[str, str], str] = {}
     stack = [fn]
     visited_ids: set[int] = set()
     while stack:
@@ -88,25 +144,42 @@ def _source_closure(fn) -> list[tuple[str, str, str]]:
                     codes.append(member_fn.__code__)
         else:
             continue
+        module = obj.__module__
         for code in codes:
             for name in _iter_code_names(code):
                 target = globalns.get(name)
-                if target is not None and (inspect.isfunction(target)
-                                           or inspect.isclass(target)):
+                if target is None:
+                    continue
+                if inspect.isfunction(target) or inspect.isclass(target):
                     stack.append(target)
-    return [(m, q, seen[(m, q)]) for m, q in sorted(seen)]
+                elif not callable(target) and not inspect.ismodule(target):
+                    r = _const_repr(target)
+                    if r is not None:
+                        consts[(module, name)] = r
+    return ([(m, q, seen[(m, q)]) for m, q in sorted(seen)],
+            [(m, n, consts[(m, n)]) for m, n in sorted(consts)])
 
 
 def entry_fingerprint(spark_fn, oracle: str | None) -> str:
-    """sha256 over the entry's transitive repo source closure + oracle
-    SQL. Stable across processes (pure text, sorted order)."""
+    """sha256 over the entry's transitive repo source closure, the
+    referenced module-level constants, and the oracle SQL. Stable across
+    processes (pure text, sorted order, hash-seed-independent reprs)."""
+    sources, constants = _source_closure(spark_fn)
     h = hashlib.sha256()
-    for module, qualname, src in _source_closure(spark_fn):
+    for module, qualname, src in sources:
         h.update(module.encode())
         h.update(b"\x00")
         h.update(qualname.encode())
         h.update(b"\x00")
         h.update(src.encode())
+        h.update(b"\x00")
+    h.update(b"--constants--\x00")
+    for module, name, rep in constants:
+        h.update(module.encode())
+        h.update(b"\x00")
+        h.update(name.encode())
+        h.update(b"\x00")
+        h.update(rep.encode())
         h.update(b"\x00")
     h.update(b"--oracle--\x00")
     h.update((oracle or "").encode())
