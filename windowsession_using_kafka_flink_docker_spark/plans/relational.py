@@ -2945,7 +2945,11 @@ h AS (
            / 4294967296.0 AS hv
   FROM membership),
 ranked AS (
-  SELECT *, row_number() OVER (ORDER BY hv) AS rn, COUNT(*) OVER () AS n
+  -- (hv, user_id) is a TOTAL order: hv is a 32-bit hash, so ties are
+  -- expected at scale (birthday ~2^16) and a tie straddling rank k with
+  -- different membership bits would make rho engine-dependent.
+  SELECT *, row_number() OVER (ORDER BY hv, user_id) AS rn,
+         COUNT(*) OVER () AS n
   FROM h),
 kmin AS (SELECT * FROM ranked WHERE rn <= 64),
 agg AS (
@@ -3007,8 +3011,10 @@ def kmv_set_operations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, 10).cast("bigint") / F.lit(4294967296.0))
     h = membership.withColumn("hv", hv)
     wall = Window.partitionBy()
+    # total order (hv, user_id): 32-bit hash ties straddling rank k with
+    # different membership bits would otherwise make rho nondeterministic
     ranked = h.select(
-        "*", F.row_number().over(Window.orderBy("hv")).alias("rn"),
+        "*", F.row_number().over(Window.orderBy("hv", "user_id")).alias("rn"),
         F.count(F.lit(1)).over(wall).alias("n"))
     kmin = ranked.where(F.col("rn") <= k)
     agg = kmin.agg(
@@ -3582,7 +3588,12 @@ h AS (
            / 4294967296.0 AS hv
   FROM membership),
 ranked AS (
-  SELECT *, row_number() OVER (ORDER BY hv) AS rn, COUNT(*) OVER () AS n
+  -- (hv, o_custkey) is a TOTAL order: hv is a 32-bit hash, ties are
+  -- expected at customer-scale unions (birthday ~2^16) and a tie
+  -- straddling rank k with different membership bits would make the
+  -- rho counts engine-dependent (r10 ADVICE).
+  SELECT *, row_number() OVER (ORDER BY hv, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
   FROM h),
 kmin AS (SELECT * FROM ranked WHERE rn <= 256),
 agg AS (
@@ -3683,8 +3694,10 @@ def set_difference_report_from_membership(
         16, 10).cast("bigint") / F.lit(4294967296.0))
     h = membership.withColumn("hv", hv)
     wall = Window.partitionBy()
+    # total order (hv, o_custkey) — see the oracle's ranked CTE comment
     ranked = h.select(
-        "*", F.row_number().over(Window.orderBy("hv")).alias("rn"),
+        "*",
+        F.row_number().over(Window.orderBy("hv", "o_custkey")).alias("rn"),
         F.count(F.lit(1)).over(wall).alias("n"))
     kmin = ranked.where(F.col("rn") <= k)
     a_only = (F.col("in_a") == 1) & (F.col("in_b") == 0)
