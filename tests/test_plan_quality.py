@@ -408,3 +408,38 @@ def test_q15_stages_revenue_once_and_broadcasts_winners(spark, sf_dir):
     assert n_scans <= 2, (n_scans, plan)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q2_single_fact_scan_windowed_correlated_min(spark, sf_dir):
+    """q2_min_cost_supplier promises: both dimension filters broadcast
+    INTO one lineitem scan before the pair aggregate, the correlated min
+    is a window over the aggregated pair frame (no join-back second fact
+    scan), and the top-100 is TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "q2_min_cost_supplier", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_q11_stages_part_values_once(spark, sf_dir):
+    """q11_important_part_value promises the staged decorrelation: the
+    per-part value frame materializes ONCE (localCheckpoint — measured 2
+    lineitem scans without it, same planner behavior q15 measured), so
+    the final plan reads ZERO parquet fact scans; the 1-row total joins
+    back as a broadcast nested-loop, never a shuffle."""
+    plan = _plan(spark, "q11_important_part_value", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q18_single_fact_scan_broadcast_semijoin(spark, sf_dir):
+    """q18_large_volume_customers promises: ONE lineitem scan feeds the
+    by-order aggregate, the surviving big-order list broadcasts into
+    orders and the matches broadcast into customer (both fact-scale at
+    100 TB), and the top-100 is TakeOrderedAndProject."""
+    plan = _plan(spark, "q18_large_volume_customers", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

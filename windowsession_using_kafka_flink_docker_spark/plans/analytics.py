@@ -2755,3 +2755,230 @@ def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "total_rev_e4"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    # TPC-H Q2's shape — correlated min-over-join with multi-dimension
+    # pruning — re-expressed without a partsupp table: lineitem is the
+    # part-supplier fact, and a (part, supplier) pair's "supply cost" is
+    # the minimum realized unit price (cents / quantity) across its
+    # line items. The correlated `ps_supplycost = (SELECT min(...))`
+    # becomes a min-window over the ALREADY-AGGREGATED pair frame (the
+    # q20 discipline: group size bounded by suppliers-per-part, no
+    # second fact scan from a join-back).
+    oracle="""
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+pf AS (
+  SELECT p_partkey, p_brand, p_size FROM part
+  WHERE p_type = 'LARGE' AND p_size <= 10),
+pairs AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round(l_extendedprice * 100, 0) AS DOUBLE)
+             / l_quantity) AS unit
+  FROM lineitem
+  JOIN pf ON p_partkey = l_partkey
+  JOIN eu ON s_suppkey = l_suppkey
+  GROUP BY 1, 2),
+best AS (
+  SELECT *, MIN(unit) OVER (PARTITION BY l_partkey) AS best_unit
+  FROM pairs)
+SELECT CAST(round(s_acctbal * 100, 0) AS BIGINT) AS s_acctbal_c,
+       s_name, n_name, p_partkey, p_brand, p_size,
+       CAST(floor(unit * 100) AS BIGINT) AS min_unit_e4
+FROM best
+JOIN eu ON eu.s_suppkey = best.l_suppkey
+JOIN pf ON pf.p_partkey = best.l_partkey
+WHERE unit = best_unit
+ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    description="TPC-H Q2-shape minimum-cost supplier: for every LARGE "
+                "part of size <= 10, the EUROPE supplier(s) achieving the "
+                "minimum realized unit price, ties surfacing exactly as "
+                "Q2's correlated-min semantics require. Adapted to the "
+                "star schema at hand (no partsupp table): lineitem is the "
+                "part-supplier fact and the pair cost is MIN over its "
+                "line items of round(extendedprice*100)/quantity — one "
+                "IEEE division per row, and MIN is comparison-based, so "
+                "unlike a sum it cannot drift on aggregation order and "
+                "the min-equality predicate is bit-identical in both "
+                "engines. Scale shape: BOTH dimension filters (the "
+                "region-pruned supplier list and the type/size-pruned "
+                "part list) broadcast INTO the single fact scan before "
+                "the pair aggregate, so the shuffle carries only "
+                "surviving pairs; the correlated min is a window over "
+                "the aggregated pair frame (group size = "
+                "suppliers-per-part, the q20 discipline — a join-back "
+                "form plans a second fact scan); the final ORDER BY "
+                "... LIMIT 100 is TakeOrderedAndProject (per-partition "
+                "top-k, 100-row driver merge, no global sort).",
+    tags=("relational", "subquery", "join", "topk", "sql"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    eu = (sup.join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+          .join(reg.where(F.col("r_name") == "EUROPE"),
+                F.col("r_regionkey") == F.col("n_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    pf = (load_table(spark, sf_dir, "part")
+          .where((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+          .select("p_partkey", "p_brand", "p_size"))
+    unit = (_cents("l_extendedprice").cast("double") / F.col("l_quantity"))
+    pairs = (
+        li.join(F.broadcast(pf.select("p_partkey")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu.select("s_suppkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit")))
+    best_unit = F.min("unit").over(Window.partitionBy("l_partkey"))
+    winners = (pairs.withColumn("best_unit", best_unit)
+               .where(F.col("unit") == F.col("best_unit")))
+    return (
+        winners.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .select(_cents("s_acctbal").alias("s_acctbal_c"),
+                "s_name", "n_name", "p_partkey", "p_brand", "p_size",
+                F.floor(F.col("unit") * 100).cast("long")
+                .alias("min_unit_e4"))
+        .orderBy(F.col("s_acctbal_c").desc(), "n_name", "s_name",
+                 "p_partkey")
+        .limit(100))
+
+
+@register(
+    "q11_important_part_value",
+    # TPC-H Q11's shape — HAVING against a global scalar share — without
+    # a partsupp table: per-part value supplied by one nation's
+    # suppliers, keeping parts whose value exceeds 1/1000 of the
+    # nation's total. The comparison value*1000 > total is exact integer
+    # cross-multiplication in DECIMAL(38,0)/HUGEINT (a 100 TB value_e4
+    # times 1000 can overflow int64 — the welch_t precedent).
+    oracle="""
+WITH ns AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_19'),
+v AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+           AS value_e4
+  FROM lineitem JOIN ns ON s_suppkey = l_suppkey
+  GROUP BY 1),
+t AS (SELECT SUM(value_e4) AS total_e4 FROM v)
+SELECT l_partkey, CAST(value_e4 AS BIGINT) AS value_e4,
+       CAST(total_e4 AS BIGINT) AS total_e4
+FROM v CROSS JOIN t
+WHERE CAST(value_e4 AS HUGEINT) * 1000 > CAST(total_e4 AS HUGEINT)
+""",
+    description="TPC-H Q11-shape important-part value: per-part revenue "
+                "supplied by NATION_19's suppliers, keeping parts whose "
+                "value exceeds 0.1% of the nation's total — the classic "
+                "HAVING-against-a-global-scalar pattern. Value is the "
+                "exact BIGINT e-4 product-of-rounds revenue (Q3 "
+                "discipline), the global total derives from the per-part "
+                "frame (NOT a second fact scan), and the share test is "
+                "exact DECIMAL(38,0)/HUGEINT cross-multiplication — "
+                "value_e4*1000 at 100 TB overflows int64, and a double "
+                "multiply-then-compare can flip at the boundary (the r8 "
+                "HHI lesson). Scale shape: the nation's supplier list "
+                "broadcasts into the single fact scan; the per-part "
+                "aggregate (dimension-scale) is staged once with "
+                "localCheckpoint because it feeds BOTH the 1-row total "
+                "and the filter (the q15-measured double-scan "
+                "otherwise); the 1-row total broadcasts back.",
+    tags=("relational", "subquery", "sql"),
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    ns = (sup.join(nat.where(F.col("n_name") == "NATION_19"),
+                   F.col("n_nationkey") == F.col("s_nationkey"))
+          .select("s_suppkey"))
+    v = (li.join(F.broadcast(ns), F.col("s_suppkey") == F.col("l_suppkey"))
+         .groupBy("l_partkey")
+         .agg(F.sum(_cents("l_extendedprice")
+                    * F.round((1 - F.col("l_discount")) * 100, 0)
+                    .cast("long")).cast("long").alias("value_e4")))
+    # v feeds both the global total and the share filter; the planner
+    # re-plans the aggregate (second fact scan) without staging — the
+    # q15-measured pattern, |parts| rows, dimension-scale at any SF
+    v = v.localCheckpoint(eager=True)
+    t = v.agg(F.sum("value_e4").cast("long").alias("total_e4"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.col("value_e4").cast("decimal(38,0)") * 1000
+               > F.col("total_e4").cast("decimal(38,0)"))
+        .select("l_partkey", "value_e4", "total_e4"))
+
+
+@register(
+    "q18_large_volume_customers",
+    # TPC-H Q18's shape: the IN-aggregate semi-join (orders whose total
+    # line quantity exceeds a threshold) rendered as aggregate ->
+    # threshold filter -> broadcast semi-join, never a correlated
+    # subquery per order.
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 280)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS o_totalprice_c,
+       big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice_c DESC, o.o_orderkey
+LIMIT 100
+""",
+    description="TPC-H Q18-shape large-volume customers: orders whose "
+                "summed line quantity exceeds 280 units, with customer "
+                "attribution, top-100 by order value. The IN-aggregate "
+                "semi-join is rendered as ONE lineitem scan aggregated "
+                "by order key, the HAVING threshold on the exact BIGINT "
+                "quantity sum (quantities are integer-valued doubles; "
+                "both engines cast the same exact values), and the "
+                "surviving order list — a tiny fraction of orders at "
+                "any scale — BROADCASTS into the orders scan, then the "
+                "matched rows broadcast again into the customer "
+                "dimension (the q15 discipline: orders and customer are "
+                "fact-scale at 100 TB and must never ship to every "
+                "task; the winners frame is bounded by the threshold "
+                "selectivity). ORDER BY ... LIMIT 100 plans as "
+                "TakeOrderedAndProject — per-partition top-k, a 100-row "
+                "driver merge, no global sort.",
+    tags=("relational", "subquery", "join", "topk", "sql"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("total_qty"))
+           .where(F.col("total_qty") > 280))
+    matched = od.join(F.broadcast(big),
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        cust.join(F.broadcast(matched),
+                  F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                _cents("o_totalprice").alias("o_totalprice_c"),
+                "total_qty")
+        .orderBy(F.col("o_totalprice_c").desc(), "o_orderkey")
+        .limit(100))
