@@ -99,7 +99,7 @@ def main() -> None:
     spread = {n: round(max(v) / statistics.median(v), 2)
               for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -107,7 +107,35 @@ def main() -> None:
         "runs_per_query": RUNS,
         "spread_max_over_median": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    print(json.dumps(result))
+    _persist_full_result(result, sf)
+
+
+def _persist_full_result(result: dict, sf: str) -> None:
+    """Write the COMPLETE result to BENCH_LOCAL_r{N}.json at the repo
+    root (VERDICT r10 "what's wrong" item 2: the driver's BENCH_r{N}
+    artifact keeps only a 2,000-char tail, truncating the first ~25
+    per-query medians out of the record). N = latest on-disk
+    CORRECTNESS round + 1 (the round in progress); only driver-scale
+    (sf0.1) runs persist, so a quick sf0.01 iteration never overwrites
+    the round's evidence. Override the round with
+    SPARK_GRAFT_BENCH_ROUND."""
+    if sf != "0.1" and "SPARK_GRAFT_BENCH_ROUND" not in os.environ:
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if rnd is None:
+        import glob
+        rounds = [int(os.path.basename(p).split("_r")[1].split(".")[0])
+                  for p in glob.glob(os.path.join(root,
+                                                  "CORRECTNESS_r*.json"))]
+        rnd = f"{(max(rounds) if rounds else 0) + 1:02d}"
+    out = os.path.join(root, f"BENCH_LOCAL_r{rnd}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"full per-query result -> {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -2457,6 +2457,112 @@ class TestStreamingSetMembershipMaintenance:
             maint.merge_batch(y96, 0)
 
 
+class TestStreamingRankTestMaintenance:
+    """Rank-test counts state (streaming/analytics_twins.py
+    IncrementalRankTestMaintainer, maintainer #17): per-(segment, arm,
+    cents) exact order counts — the value-domain-bounded sufficient
+    statistic of the Mann-Whitney/BH-FDR family — must reproduce the
+    driver-oracled bh_fdr_segment_spend exactly after custkey-sliced
+    micro-batch arrival of the orders stream. Counts ADD under merge,
+    so the maintained frame and the full report derived through the
+    shared bh_fdr_report_from_counts are bit-identical to the batch
+    aggregate under any interleaving; replay stays idempotent behind
+    the coupled-lifecycle guard, and state stays bounded by
+    |segments| x 2 x |price grid|."""
+
+    _COLS = ("o_custkey", "o_orderkey", "o_totalprice")
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalRankTestMaintainer,
+            streaming_rank_test_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("ranktest_orders"))
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            orders.where(F.pmod(F.col("o_custkey"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        customer = load_table(spark, sf_dir, "customer")
+        maint = IncrementalRankTestMaintainer(
+            spark, str(tmp_path_factory.mktemp("ranktest_state")), customer)
+        stream = file_events_source(
+            spark, flat,
+            schema="o_custkey BIGINT, o_orderkey BIGINT, "
+                   "o_totalprice DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_rank_test_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("ranktest_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["bh_fdr_segment_spend"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        assert got == want
+        # state bound: |segments| x 2 arms x |distinct cents|
+        state = maint.state.current()
+        n_seg = state.select("seg").distinct().count()
+        n_cents = state.select("cents").distinct().count()
+        assert state.count() <= n_seg * 2 * n_cents
+
+    def test_counts_add_across_batches_replay_and_guard(
+            self, spark, sf_dir, tmp_path_factory):
+        """The interleaving the additive counts exist for: orders with
+        the SAME (segment, cents) cell arriving in different batches
+        must sum into one cell — plus replay idempotence and the
+        lifecycle guard."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            armed_rank_counts,
+            armed_segment_spend,
+        )
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalRankTestMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        customer = load_table(spark, sf_dir, "customer")
+        even = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)
+        odd = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)
+        maint = IncrementalRankTestMaintainer(
+            spark, str(tmp_path_factory.mktemp("ranktest_split")), customer)
+        maint.merge_batch(even, 0)
+        maint.merge_batch(odd, 1)
+        want_state = _rows(
+            armed_rank_counts(armed_segment_spend(orders, customer)),
+            exclude_sentinel=False)
+        got_state = _rows(maint.state.current(), exclude_sentinel=False)
+        assert got_state == want_state
+        want = _rows(CATALOG["bh_fdr_segment_spend"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        assert once == want
+        maint.merge_batch(odd, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(even, 0)
+
+
 class TestBottomKMergeAlgebra:
     """Pure-model hypothesis pins for the two new mergeable states: the
     Spark-side equivalences are pinned on real data by the input-split

@@ -12,6 +12,10 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalTableStatsMaintainer`` (#10) on the same orders stream —
   per-column counters/min-max/KMV distinct sketch serving the
   ANALYZE-TABLE report (``orders_column_ndv_kmv``);
+- ``IncrementalRankTestMaintainer`` (#17) on the same orders stream
+  (with ``--customer`` as the static dimension) — per-(segment, arm,
+  cents) exact counts re-deriving the BH-FDR rank-test report
+  (``bh_fdr_segment_spend``);
 - ``IncrementalSetMembershipMaintainer`` (#16) on the same orders
   stream — per-customer epoch bits serving the KMV set-difference
   audit.
@@ -58,6 +62,7 @@ from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
     BoundedQuantileMaintainer,
     BoundedTokenFrequencyMaintainer,
+    IncrementalRankTestMaintainer,
     IncrementalSetMembershipMaintainer,
     IncrementalContingencyMaintainer,
     IncrementalDailyRevenueMaintainer,
@@ -72,6 +77,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_hhi_maintenance,
     streaming_source_mix_maintenance,
     streaming_quantile_maintenance,
+    streaming_rank_test_maintenance,
     streaming_set_membership_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
@@ -98,6 +104,10 @@ def main() -> None:
     ap.add_argument("--part", default=None,
                     help="static part dimension parquet (p_partkey, "
                          "p_type); required with --lineitem")
+    ap.add_argument("--customer", default=None,
+                    help="customer dimension parquet (c_custkey, "
+                         "c_mktsegment); enables maintainer #17 (the "
+                         "rank-test counts state) on the orders stream")
     ap.add_argument("--bounded-tokens", action="store_true",
                     help="use the fixed-memory CMS+pool token state "
                          "(maintainer #14) instead of the exact "
@@ -144,6 +154,16 @@ def main() -> None:
         queries.append(streaming_quantile_maintenance(
             orders, quant, os.path.join(args.checkpoint_root,
                                         "quantile")))
+        # maintainer #17: per-(segment, arm, cents) rank-test counts
+        # (needs the customer dimension for the segment enrichment)
+        if args.customer:
+            customer = spark.read.parquet(args.customer)
+            rank = IncrementalRankTestMaintainer(
+                spark, os.path.join(args.state_root, "rank_test"),
+                customer)
+            queries.append(streaming_rank_test_maintenance(
+                orders, rank, os.path.join(args.checkpoint_root,
+                                           "rank_test")))
         # maintainer #16: per-customer epoch membership bits
         member = IncrementalSetMembershipMaintainer(
             spark, os.path.join(args.state_root, "set_membership"))

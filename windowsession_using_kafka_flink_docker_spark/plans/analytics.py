@@ -2599,60 +2599,93 @@ FROM r
                 "integers, z is the same one IEEE expression the "
                 "mann_whitney entry pins, and the BH comparison "
                 "p*m <= k*alpha and the p-ascending sort operate on "
-                "bit-identical doubles. Scale shape: ONE ranged global "
-                "rank over (segment, cents, orderkey) — within-segment "
-                "ranks are the global ranks minus a broadcast 5-row "
-                "per-segment offset, so no per-segment sort funnel; every "
-                "window after the per-segment aggregate runs on the "
+                "bit-identical doubles. Scale shape (r11 counts rewrite): "
+                "the fact stream reduces FIRST to per-(segment, arm, "
+                "cents) exact counts — |segments| x 2 x |price grid| rows "
+                "at any volume, the mergeable state streaming maintainer "
+                "#17 holds — then doubled tie-group ranks r2 = 2c + t + 1 "
+                "come from ONE cumulative-count window over the DISTINCT "
+                "cents value domain per segment (group size <= price "
+                "grid; never a per-row rank or sort funnel); every window "
+                "after the per-segment aggregate runs on the "
                 "m<=|segments| frame. The step-up suffix-max renders "
                 "'reject all i <= k' without a driver loop.",
     tags=("relational", "analytics", "experiment", "rank"),
 )
 def bh_fdr_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer") \
-        .select("c_custkey", "c_mktsegment")
+    cust = load_table(spark, sf_dir, "customer")
+    return bh_fdr_from_armed(armed_segment_spend(od, cust)) \
+        .withColumnRenamed("seg", "c_mktsegment")
+
+
+def armed_segment_spend(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The (seg, cents, o_orderkey, arm) armed spend frame behind
+    ``bh_fdr_segment_spend`` — split out so streaming maintainer #17
+    builds its per-batch delta through the SAME enrichment (customer is
+    the stream-static dimension joined inside the merge, the maintainer
+    #12 precedent)."""
     arm = F.when(
         F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")),
                     1, 1).isin(*"01234567"), "A").otherwise("B")
-    f = (od.join(cust, F.col("c_custkey") == F.col("o_custkey"))
-         .select(F.col("c_mktsegment").alias("seg"),
-                 _cents("o_totalprice").alias("cents"),
-                 "o_orderkey", arm.alias("arm")))
-    return bh_fdr_from_armed(f).withColumnRenamed("seg", "c_mktsegment")
+    return (orders.join(customer.select("c_custkey", "c_mktsegment"),
+                        F.col("c_custkey") == F.col("o_custkey"))
+            .select(F.col("c_mktsegment").alias("seg"),
+                    _cents("o_totalprice").alias("cents"),
+                    "o_orderkey", arm.alias("arm")))
+
+
+def armed_rank_counts(f: DataFrame) -> DataFrame:
+    """Reduce an armed spend frame to per-(seg, arm, cents) exact
+    counts — the value-domain-bounded sufficient statistic of the whole
+    rank-test family (|segments| x 2 x |price grid| rows at ANY order
+    volume; counts ADD under merge). Shared by the batch derivation and
+    streaming maintainer #17's per-batch delta."""
+    return (f.groupBy("seg", "arm", "cents")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
 
 def bh_fdr_from_armed(f: DataFrame) -> DataFrame:
     """BH step-up over per-segment Mann-Whitney Chebyshev p-values, from
-    a (seg, cents, o_orderkey, arm) frame — split out so tests can feed
-    a synthetic arm effect and pin the REJECTION path (the real-data
-    report is all-null under H0, which exercises only the accept path)."""
-    ranked = global_rank_ranged(f, ["seg", "cents", "o_orderkey"])
+    a (seg, cents, o_orderkey, arm) frame — kept as the row-level entry
+    point so tests can feed a synthetic arm effect and pin the REJECTION
+    path (the real-data report is all-null under H0, which exercises
+    only the accept path). Reduces to per-(seg, arm, cents) counts and
+    derives through ``bh_fdr_report_from_counts`` — the ONE code path
+    streaming maintainer #17 presents through."""
+    return bh_fdr_report_from_counts(armed_rank_counts(f))
+
+
+def bh_fdr_report_from_counts(counts: DataFrame) -> DataFrame:
+    """The full BH-FDR report from per-(seg, arm, cents) exact counts.
+
+    Rank algebra on the value domain: within a segment, a tie group at
+    value v with t members and c rows of strictly smaller value spans
+    ranks c+1..c+t, so its DOUBLED average rank is r2 = 2c + t + 1 —
+    c comes from ONE cumulative-sum window over the DISTINCT cents
+    values partitioned by segment (group size <= the price grid, never
+    a per-row rank; the sampled_median_audit exact-half discipline, and
+    strictly cheaper than the previous ranged global rank over rows).
+    Rank sums, tie corrections, and counts stay exact
+    DECIMAL(38,0)/HUGEINT integers; z and the BH step-up are the same
+    IEEE tail as before."""
     dec38 = "decimal(38,0)"
-    # within-segment doubled tie-group ranks from the ONE global rank:
-    # wr = grank - goff + 1 with goff = min(grank) per segment, so
-    # r2 = min(wr) + max(wr) = min(grank) + max(grank) - 2*goff + 2
-    offs = ranked.groupBy("seg").agg(F.min("grank").alias("goff"))
-    grp = ranked.groupBy("seg", "cents").agg(
-        (F.min("grank") + F.max("grank")).cast(dec38).alias("gmm"),
-        F.count(F.lit(1)).cast(dec38).alias("t"))
-    grp = (grp.join(F.broadcast(offs), "seg")
-           .select("seg", "cents", "t",
-                   (F.col("gmm") - 2 * F.col("goff") + 2).cast(dec38)
-                   .alias("r2")))
-    stats = (ranked.join(grp, ["seg", "cents"])
-             .groupBy("seg")
-             .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
-                  .cast(dec38).alias("n_a"),
-                  F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
-                  .cast(dec38).alias("n_b"),
-                  F.sum(F.when(F.col("arm") == "A", F.col("r2"))
-                        .otherwise(F.lit(0).cast(dec38))).alias("r2_a")))
-    ties = grp.groupBy("seg").agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .alias("tie_sum"))
-    calc = (stats.join(ties, "seg")
-            .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    grp = (counts.groupBy("seg", "cents")
+           .agg(F.sum(F.when(F.col("arm") == "A", F.col("cnt"))
+                      .otherwise(0)).cast(dec38).alias("c_a"),
+                F.sum("cnt").cast(dec38).alias("t")))
+    wcum = (Window.partitionBy("seg").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grp = grp.withColumn(
+        "r2", (2 * (F.sum("t").over(wcum) - F.col("t"))
+               + F.col("t") + 1).cast(dec38))
+    stats = (grp.groupBy("seg")
+             .agg(F.sum("c_a").cast(dec38).alias("n_a"),
+                  F.sum(F.col("t") - F.col("c_a")).cast(dec38).alias("n_b"),
+                  F.sum(F.col("c_a") * F.col("r2")).alias("r2_a"),
+                  F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                  .alias("tie_sum")))
+    calc = (stats.where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
             .select("seg", "n_a", "n_b", "tie_sum",
                     (F.col("n_a") + F.col("n_b")).alias("n"),
                     (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))

@@ -859,7 +859,66 @@ def streaming_set_membership_maintenance(
                                "set_membership_maintenance")
 
 
+class IncrementalRankTestMaintainer:
+    """Streaming maintainer #17 — the rank-test family's state behind
+    the driver-oracled ``bh_fdr_segment_spend``: per-(segment, arm,
+    cents) exact order counts. A rank test naively needs the full spend
+    multiset, but every statistic the Mann-Whitney/BH derivation uses
+    (doubled tie-group ranks r2 = 2c + t + 1, rank sums, tie
+    corrections, arm counts) is a pure function of exact counts on the
+    VALUE DOMAIN, so state is |segments| x 2 x |price grid| rows at ANY
+    order volume — the value-domain-bounded argument
+    ``sampled_median_audit``'s exact half established. Counts ADD under
+    merge (associative/commutative), so the maintained frame — and the
+    full BH-FDR report ``current()`` re-derives through the batch
+    entry's own ``bh_fdr_report_from_counts`` — is bit-identical to the
+    batch aggregate under any batch interleaving: one code path, never
+    a parallel implementation. The per-batch delta enriches the order
+    stream with the stream-static customer dimension through the same
+    ``armed_segment_spend`` helper the batch entry uses (the maintainer
+    #12 precedent). The per-segment Mann-Whitney z/p columns of the
+    report ARE the rank-test family; the per-user-spend MW entry keeps
+    its own user-bounded state in IncrementalUserSpendMaintainer."""
+
+    _SCHEMA = "seg STRING, arm STRING, cents BIGINT, cnt BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 customer: DataFrame):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+        self.customer = customer
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            armed_rank_counts,
+            armed_segment_spend,
+        )
+        self.state.guard(batch_id)
+        delta = armed_rank_counts(
+            armed_segment_spend(batch_df, self.customer))
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = merged.groupBy("seg", "arm", "cents").agg(
+            F.sum("cnt").cast("long").alias("cnt"))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            bh_fdr_report_from_counts,
+        )
+        return (bh_fdr_report_from_counts(self.state.current())
+                .withColumnRenamed("seg", "c_mktsegment"))
+
+
+def streaming_rank_test_maintenance(
+        orders: DataFrame, maintainer: IncrementalRankTestMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "rank_test_maintenance")
+
+
 __all__ = [
+    "IncrementalRankTestMaintainer",
+    "streaming_rank_test_maintenance",
     "BoundedQuantileMaintainer",
     "BoundedTokenFrequencyMaintainer",
     "IncrementalContingencyMaintainer",
