@@ -443,3 +443,41 @@ def test_q18_single_fact_scan_broadcast_semijoin(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q5_region_prune_before_fact_shuffles(spark, sf_dir):
+    """q5_local_supplier_volume promises: ONE lineitem scan, the ASIA
+    nation list broadcast into the customer and supplier scans before
+    any fact shuffle, and no forced broadcast of fact-scale tables —
+    the fact-fact joins are AQE's choice (broadcast at test scale,
+    co-partitioned shuffle at 100 TB). No Cartesian anywhere."""
+    plan = _plan(spark, "q5_local_supplier_volume", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q10_filters_prune_both_fact_scans(spark, sf_dir):
+    """q10_returned_item_losses promises: the quarter filter and the
+    returnflag filter reach their scans (pushed filters), ONE scan per
+    fact table, and the top-20 is TakeOrderedAndProject."""
+    plan = _plan(spark, "q10_returned_item_losses", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # pushdown evidence: returnflag filter in the lineitem scan's
+    # PushedFilters, orderdate bounds in the orders scan's
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", ""), plan
+    assert "o_orderdate" in plan.split("orders.parquet")[0] \
+        or "GreaterThanOrEqual(o_orderdate" in plan.replace(" ", ""), plan
+
+
+def test_q14_single_scan_unforced_dimension_join(spark, sf_dir):
+    """q14_promo_revenue_share promises: one date-pruned lineitem scan,
+    a 2-column part projection (ReadSchema prunes to p_partkey, p_type),
+    and no Cartesian; the dimension join is AQE's choice, not forced."""
+    plan = _plan(spark, "q14_promo_revenue_share", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "p_type" in plan, plan

@@ -3015,3 +3015,209 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_qty")
         .orderBy(F.col("o_totalprice_c").desc(), "o_orderkey")
         .limit(100))
+
+
+@register(
+    "q5_local_supplier_volume",
+    # TPC-H Q5's shape: the multi-fact join chain with an equality
+    # CORRELATION between two dimension keys (customer and supplier in
+    # the SAME nation) — the classic join-ordering exercise. Unlike the
+    # broadcast-everything entries, customer/supplier/orders/lineitem
+    # are all fact-scale at 100 TB, so the honest plan is shuffle joins
+    # co-partitioned on the join keys with map-side-combined final
+    # aggregation; only nation/region (grid-sized) broadcast.
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    description="TPC-H Q5-shape local supplier volume: 1996 revenue from "
+                "line items where the ordering customer and the supplier "
+                "sit in the SAME ASIA nation, grouped by nation — the "
+                "multi-fact join chain with a key-equality correlation "
+                "(c_nationkey = s_nationkey) that makes join ORDER "
+                "matter. Scale shape: the ASIA nation list (grid-sized) "
+                "broadcasts into BOTH the customer and supplier scans as "
+                "a semi-filter, cutting each fact-scale dimension to the "
+                "region before any shuffle; orders carries the pushed "
+                "date filter; the orders-customer and lineitem-orders "
+                "joins shuffle co-partitioned on their keys (these "
+                "tables are fact-scale at 100 TB — broadcasting them is "
+                "the anti-pattern; bucketed layouts remove these "
+                "exchanges at ingest, the session_fixed_gap_bucketed "
+                "precedent); the supplier join carries the "
+                "nation-equality as a join-side predicate so mismatched "
+                "pairs die in the join, not in a post-filter. Revenue is "
+                "the exact BIGINT e-4 product-of-rounds.",
+    tags=("relational", "join", "sql"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    asia = (nat.join(F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+                     F.col("r_regionkey") == F.col("n_regionkey"))
+            .select("n_nationkey", "n_name"))
+    c = (cust.join(F.broadcast(asia.select("n_nationkey")),
+                   F.col("n_nationkey") == F.col("c_nationkey"))
+         .select("c_custkey", "c_nationkey"))
+    s = (sup.join(F.broadcast(asia),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+         .select("s_suppkey", "s_nationkey", "n_name"))
+    o = (od.where((F.col("o_orderdate") >= "1996-01-01")
+                  & (F.col("o_orderdate") < "1997-01-01"))
+         .select("o_orderkey", "o_custkey"))
+    rev = _cents("l_extendedprice") \
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("s_suppkey") == F.col("l_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"),
+             F.count(F.lit(1)).cast("long").alias("n_lineitems")))
+
+
+@register(
+    "q10_returned_item_losses",
+    # TPC-H Q10's shape: revenue lost to returns per customer in one
+    # quarter, top-20 — the returned-item reporting classic.
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l.l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS lost_revenue_e4,
+       CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS c_acctbal_c,
+       n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+GROUP BY 1, 2, 4, 5
+ORDER BY lost_revenue_e4 DESC, c_custkey
+LIMIT 20
+""",
+    description="TPC-H Q10-shape returned-item losses: per-customer "
+                "revenue on 'R'-flagged line items of one quarter's "
+                "orders, top-20 by lost revenue with nation attribution. "
+                "Scale shape: the quarter filter prunes the orders scan "
+                "and the returnflag filter prunes the lineitem scan "
+                "BEFORE their co-partitioned orderkey shuffle join; the "
+                "per-customer aggregate shuffles once on custkey and "
+                "joins the customer dimension co-partitioned (fact-scale "
+                "at 100 TB — never broadcast); nation broadcasts for the "
+                "name; the top-20 is TakeOrderedAndProject (per-partition "
+                "top-k, 20-row driver merge). Exact BIGINT e-4 revenue, "
+                "acctbal as exact cents.",
+    tags=("relational", "join", "topk", "sql"),
+)
+def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = _cents("l_extendedprice") \
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    o = (od.where((F.col("o_orderdate") >= "1996-07-01")
+                  & (F.col("o_orderdate") < "1996-10-01"))
+         .select("o_orderkey", "o_custkey"))
+    l = (li.where(F.col("l_returnflag") == "R")
+         .select("l_orderkey", rev.alias("rev_e4")))
+    per_cust = (o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_custkey")
+                .agg(F.sum("rev_e4").cast("long")
+                     .alias("lost_revenue_e4")))
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("c_custkey", "c_name", "lost_revenue_e4",
+                _cents("c_acctbal").alias("c_acctbal_c"), "n_name")
+        .orderBy(F.col("lost_revenue_e4").desc(), "c_custkey")
+        .limit(20))
+
+
+@register(
+    "q14_promo_revenue_share",
+    # TPC-H Q14's shape: a global conditional-aggregate ratio. The share
+    # is EXACT integer division (promo_e4 * 1e6 DIV total_e4) in
+    # DECIMAL(38,0)/HUGEINT on both engines — the seasonal_naive lesson
+    # (a double multiply-then-floor breaks past 2^53) at 100 TB revenue
+    # magnitudes.
+    oracle="""
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+         * CAST(round((1 - l_discount) * 100, 0) AS HUGEINT) AS rev_e4,
+         p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+            AS BIGINT) AS promo_revenue_e4,
+       CAST(SUM(rev_e4) AS BIGINT) AS total_revenue_e4,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+            * 1000000 // SUM(rev_e4) AS BIGINT) AS promo_share_e6
+FROM f
+""",
+    description="TPC-H Q14-shape promo revenue share: the fraction of "
+                "one month's revenue earned by PROMO-type parts — the "
+                "global conditional-aggregate ratio classic. Scale "
+                "shape: the date filter prunes the single lineitem scan; "
+                "the part-type join carries only a 2-column projection "
+                "and is left UNFORCED — AQE broadcasts it while it fits "
+                "and falls back to a co-partitioned join at 100 TB part "
+                "cardinalities (or the type is denormalized at ingest; "
+                "the conditional aggregate itself is ONE "
+                "map-side-combined pass either way); the "
+                "ratio is computed on the 1-row aggregate. The share is "
+                "exact DECIMAL(38,0)/HUGEINT integer division scaled to "
+                "e-6 — numerator and denominator are exact e-4 "
+                "product-of-rounds BIGINTs whose product with 1e6 "
+                "overflows int64 at warehouse scale, so both engines "
+                "divide the same exact integers and agree bit-for-bit.",
+    tags=("relational", "analytics", "sql"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (_cents("l_extendedprice")
+           * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")) \
+        .cast("decimal(38,0)")
+    # no forced broadcast: the part dimension is fact-scale at 100 TB;
+    # AQE broadcasts the 2-column projection when it fits and falls back
+    # to a co-partitioned join when it does not
+    f = (li.where((F.col("l_shipdate") >= "1996-03-01")
+                  & (F.col("l_shipdate") < "1996-04-01"))
+         .join(part, F.col("p_partkey") == F.col("l_partkey"))
+         .select(rev.alias("rev_e4"), "p_type"))
+    agg = f.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4"))
+              .otherwise(F.lit(0).cast("decimal(38,0)")))
+        .alias("promo"),
+        F.sum("rev_e4").alias("total"))
+    return agg.select(
+        F.col("promo").cast("long").alias("promo_revenue_e4"),
+        F.col("total").cast("long").alias("total_revenue_e4"),
+        F.expr("CAST((promo * 1000000) DIV total AS BIGINT)")
+        .alias("promo_share_e6"))
