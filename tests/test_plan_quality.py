@@ -481,3 +481,61 @@ def test_q14_single_scan_unforced_dimension_join(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "p_type" in plan, plan
+
+
+def test_q6_pure_scan_aggregate(spark, sf_dir):
+    """q6_forecast_revenue_change promises: NO join of any kind, the
+    discount/quantity predicates pushed to the parquet reader, a
+    4-column ReadSchema, and one map-side-combined aggregate. (The
+    shipdate range applies post-scan because load_table rebuilds
+    nanosecond timestamps — the repo-wide property.)"""
+    plan = _plan(spark, "q6_forecast_revenue_change", sf_dir, "formatted")
+    assert "Join" not in plan, plan
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_discount,0.05)" in flat, plan
+    assert "LessThan(l_quantity,24.0)" in flat, plan
+    assert flat.count("l_orderkey") == 0, plan  # column pruning
+    assert "HashAggregate" in plan, plan
+
+
+def test_q7_pair_predicate_without_cartesian(spark, sf_dir):
+    """q7_nation_pair_volume promises: the symmetric-OR nation-pair
+    predicate never plans a Cartesian — each side is a broadcast
+    semi-filter into its fact-scale dimension, the OR evaluates on the
+    joined frame; one lineitem scan."""
+    plan = _plan(spark, "q7_nation_pair_volume", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q8_one_aggregate_no_expand(spark, sf_dir):
+    """q8_market_share promises: ONE aggregate computes both the
+    conditional numerator and the market denominator per year — no
+    Expand, no second fact scan, no self-join."""
+    plan = _plan(spark, "q8_market_share", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q13_outer_join_double_aggregate(spark, sf_dir):
+    """q13_customer_order_distribution promises: a genuine outer join
+    (zero-order customers must survive) feeding two aggregates, no
+    Expand, no Cartesian."""
+    plan = _plan(spark, "q13_customer_order_distribution", sf_dir,
+                 "formatted")
+    assert "Outer" in plan or "LeftOuter" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q16_anti_join_single_distinct(spark, sf_dir):
+    """q16_supplier_part_counts promises: the NOT-IN exclusion is a
+    broadcast LEFT ANTI join (never a correlated per-row NOT IN) and
+    the single COUNT(DISTINCT) plans without an Expand (the q21
+    two-distinct lesson in reverse)."""
+    plan = _plan(spark, "q16_supplier_part_counts", sf_dir, "formatted")
+    assert "LeftAnti" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

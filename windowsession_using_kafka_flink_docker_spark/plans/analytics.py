@@ -3221,3 +3221,290 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("total_revenue_e4"),
         F.expr("CAST((promo * 1000000) DIV total AS BIGINT)")
         .alias("promo_share_e6"))
+
+
+@register(
+    "q6_forecast_revenue_change",
+    # TPC-H Q6's shape: the pure scan-filter-aggregate — no join at all.
+    # The simplest classic is also the purest pushdown test: every
+    # predicate must reach the parquet reader and the aggregate must be
+    # a single map-side-combined pass.
+    oracle="""
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS discounted_revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    description="TPC-H Q6-shape forecast revenue change: the canonical "
+                "no-join scan-filter-aggregate — revenue that would have "
+                "been earned had 1996's 5-7% discounts on small "
+                "quantities been rescinded. Every predicate (date range, "
+                "discount band, quantity cap) reaches the parquet reader "
+                "as a pushed filter and the scan reads only the four "
+                "referenced columns (plan-asserted); the aggregate is "
+                "one map-side-combined pass producing a 1-row result — "
+                "at 100 TB this query is pure scan bandwidth, exactly as "
+                "it should be. Revenue is the exact e-4 product of "
+                "rounds (cents x discount percent); the discount-band "
+                "comparison operates on the identical stored doubles in "
+                "both engines.",
+    tags=("relational", "scan", "sql"),
+)
+def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _cents("l_extendedprice") \
+        * F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")
+                 & (F.col("l_discount") >= 0.05)
+                 & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.sum(rev).cast("long").alias("discounted_revenue_e4"),
+             F.count(F.lit(1)).cast("long").alias("n_rows")))
+
+
+@register(
+    "q7_nation_pair_volume",
+    # TPC-H Q7's shape: shipping volume between a nation PAIR in both
+    # directions, by year — the symmetric-OR join condition that tempts
+    # a cross join. Rendered as two dimension semi-filters + the pair
+    # predicate on the joined frame, never a Cartesian.
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
+   OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+GROUP BY 1, 2, 3
+""",
+    description="TPC-H Q7-shape nation-pair volume: line-item revenue "
+                "shipped between NATION_19 and NATION_3 in BOTH "
+                "directions, by ship year — the symmetric-OR predicate "
+                "classic. Scale shape: each side of the pair reduces to "
+                "a 2-nation broadcast semi-filter pushed into the "
+                "supplier and customer scans (the fact tables never see "
+                "rows outside the pair), the fact-fact joins "
+                "co-partition under AQE, and the OR evaluates on the "
+                "already-joined 2x2-nation frame — no cross join, no "
+                "union-of-two-queries double scan. Year extraction is "
+                "engine-agreeing integer arithmetic on the timestamp; "
+                "revenue is the exact e-4 product of rounds.",
+    tags=("relational", "join", "sql"),
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pair = nat.where(F.col("n_name").isin("NATION_19", "NATION_3"))
+    s = (sup.join(F.broadcast(pair.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"))),
+            F.col("sn_key") == F.col("s_nationkey"))
+         .select("s_suppkey", "supp_nation"))
+    c = (cust.join(F.broadcast(pair.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"))),
+            F.col("cn_key") == F.col("c_nationkey"))
+         .select("c_custkey", "cust_nation"))
+    rev = _cents("l_extendedprice") \
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    joined = (
+        li.join(od.select("o_orderkey", "o_custkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .where(((F.col("supp_nation") == "NATION_19")
+                & (F.col("cust_nation") == "NATION_3"))
+               | ((F.col("supp_nation") == "NATION_3")
+                  & (F.col("cust_nation") == "NATION_19"))))
+    return (joined
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.sum(rev).cast("long").alias("revenue_e4")))
+
+
+@register(
+    "q8_market_share",
+    # TPC-H Q8's shape: one nation's share of a part-type market per
+    # year — conditional sum over group sum, exact integer division.
+    oracle="""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+         * CAST(round((1 - l_discount) * 100, 0) AS HUGEINT) AS rev_e4,
+         n.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n ON n.n_nationkey = s_nationkey
+  WHERE p_type = 'ECONOMY')
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_19' THEN rev_e4
+                ELSE 0 END) AS BIGINT) AS nation_revenue_e4,
+       CAST(SUM(rev_e4) AS BIGINT) AS market_revenue_e4,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_19' THEN rev_e4
+                ELSE 0 END) * 1000000 // SUM(rev_e4) AS BIGINT)
+         AS market_share_e6
+FROM vol
+GROUP BY o_year
+""",
+    description="TPC-H Q8-shape market share: NATION_19 suppliers' share "
+                "of the ECONOMY-part market per order year — the "
+                "conditional-sum-over-group-sum classic. Scale shape: "
+                "the type filter prunes through the part join before the "
+                "fact-fact orderkey join (AQE chooses broadcast vs "
+                "co-partitioned per side); nation broadcasts onto the "
+                "supplier key; ONE aggregate computes both the "
+                "conditional numerator and the market denominator per "
+                "year (no second scan, no self-join); the share is exact "
+                "DECIMAL(38,0)/HUGEINT integer division scaled e-6 — the "
+                "q14 discipline, safe past 2^53 at warehouse revenue "
+                "magnitudes.",
+    tags=("relational", "analytics", "join", "sql"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    od = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    s = (sup.join(F.broadcast(nat.select("n_nationkey", "n_name")),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    rev = (_cents("l_extendedprice")
+           * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")) \
+        .cast("decimal(38,0)")
+    vol = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(od.select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                rev.alias("rev_e4"), "supp_nation"))
+    agg = (vol.groupBy("o_year")
+           .agg(F.sum(F.when(F.col("supp_nation") == "NATION_19",
+                             F.col("rev_e4"))
+                      .otherwise(F.lit(0).cast("decimal(38,0)")))
+                .alias("nation"),
+                F.sum("rev_e4").alias("market")))
+    return agg.select(
+        "o_year",
+        F.col("nation").cast("long").alias("nation_revenue_e4"),
+        F.col("market").cast("long").alias("market_revenue_e4"),
+        F.expr("CAST((nation * 1000000) DIV market AS BIGINT)")
+        .alias("market_share_e6"))
+
+
+@register(
+    "q13_customer_order_distribution",
+    # TPC-H Q13's shape: the LEFT OUTER join + double aggregation —
+    # customers grouped by how many orders they placed, INCLUDING the
+    # zero-order customers only an outer join can surface.
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+    description="TPC-H Q13-shape customer order distribution: the count "
+                "of customers per order count, zero-order customers "
+                "included — the LEFT OUTER join + double aggregation "
+                "classic (COUNT(o_orderkey) counts only matched rows, so "
+                "an unmatched customer lands in the c_count=0 bucket "
+                "exactly as the outer join semantics require). Scale "
+                "shape: both sides co-partition on custkey under AQE "
+                "(customer and orders are fact-scale — no broadcast); "
+                "the first aggregate collapses to |customers| rows "
+                "map-side-combined, the second to the tiny distinct "
+                "count-of-counts domain. A production variant pre-"
+                "aggregates orders by custkey BEFORE the outer join so "
+                "the join carries one row per customer per side; at test "
+                "scale the planner's pick is equivalent.",
+    tags=("relational", "join", "outer", "sql"),
+)
+def q13_customer_order_distribution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_custkey",
+                                                    "o_orderkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        cust.join(od, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist")))
+
+
+@register(
+    "q16_supplier_part_counts",
+    # TPC-H Q16's shape: count DISTINCT suppliers per part attribute
+    # group, with a NOT-IN supplier exclusion — rendered as distinct
+    # pair reconstruction + broadcast anti-join, never a correlated
+    # NOT IN per row.
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+GROUP BY 1, 2, 3
+""",
+    description="TPC-H Q16-shape supplier-part counts: how many distinct "
+                "suppliers ship each (brand, type, size) slice of the "
+                "catalog, excluding suppliers in deficit — the "
+                "count-distinct + NOT-IN classic, with lineitem standing "
+                "in for partsupp (distinct (partkey, suppkey) pairs are "
+                "the observed supply relation; the q2 adaptation). Scale "
+                "shape: the pair reconstruction is ONE distinct over the "
+                "2-column fact projection (map-side-combined shuffle on "
+                "the pair); the size-filtered part dimension broadcasts; "
+                "the exclusion list (a tiny predicate slice of supplier) "
+                "broadcasts as a LEFT ANTI join — never a correlated NOT "
+                "IN per row; the single COUNT(DISTINCT) plans without an "
+                "Expand (one distinct aggregate, the q21 lesson). All "
+                "outputs exact integers.",
+    tags=("relational", "join", "distinct", "sql"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_size").isin(1, 5, 10, 15, 20))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    excluded = (load_table(spark, sf_dir, "supplier")
+                .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part),
+                   F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(excluded),
+              F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long")
+                 .alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long")
+             .alias("supplier_cnt")))
