@@ -2563,6 +2563,111 @@ class TestStreamingRankTestMaintenance:
             maint.merge_batch(even, 0)
 
 
+class TestStreamingOrderCountMaintenance:
+    """Per-customer order-count state (streaming/analytics_twins.py
+    IncrementalOrderCountMaintainer, maintainer #18): exact counts ADD
+    under merge, so after custkey-sliced micro-batch arrival the
+    maintained counts — and the Q13 distribution derived through the
+    shared order_distribution_from_counts, INCLUDING the zero-order
+    bucket the static customer left-join restores — must equal the
+    driver-oracled q13_customer_order_distribution; replay idempotent
+    behind the lifecycle guard; state bounded by the customer key
+    space."""
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalOrderCountMaintainer,
+            streaming_order_count_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("ocount_orders"))
+        orders = load_table(spark, sf_dir, "orders") \
+            .select("o_custkey", "o_orderkey")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            orders.where(F.pmod(F.col("o_custkey"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        customer = load_table(spark, sf_dir, "customer")
+        maint = IncrementalOrderCountMaintainer(
+            spark, str(tmp_path_factory.mktemp("ocount_state")), customer)
+        stream = file_events_source(
+            spark, flat,
+            schema="o_custkey BIGINT, o_orderkey BIGINT",
+            max_files_per_trigger=1)
+        q = streaming_order_count_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("ocount_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(
+            CATALOG["q13_customer_order_distribution"].spark(spark, sf_dir),
+            exclude_sentinel=False)
+        assert got == want
+        # state bounded by customers that have ordered
+        assert maint.state.current().count() <= customer.count()
+
+    def test_same_customer_across_batches_replay_and_guard(
+            self, spark, sf_dir, tmp_path_factory):
+        """The interleaving additive counts exist for: a customer whose
+        orders arrive in different batches must end with the SUMMED
+        count (and move buckets in the distribution) — plus replay
+        idempotence and the lifecycle guard."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            order_counts_per_customer,
+        )
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalOrderCountMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders") \
+            .select("o_custkey", "o_orderkey")
+        customer = load_table(spark, sf_dir, "customer")
+        even = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)
+        odd = orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)
+        maint = IncrementalOrderCountMaintainer(
+            spark, str(tmp_path_factory.mktemp("ocount_split")), customer)
+        maint.merge_batch(even, 0)
+        partial = dict(maint.state.current().collect())
+        maint.merge_batch(odd, 1)
+        want_state = _rows(order_counts_per_customer(orders),
+                           exclude_sentinel=False)
+        got_state = _rows(maint.state.current(), exclude_sentinel=False)
+        assert got_state == want_state
+        # at least one customer's count actually grew across the batches
+        final = dict(maint.state.current().collect())
+        assert any(final[k] > v for k, v in partial.items()
+                   if k in final)
+        want = _rows(
+            CATALOG["q13_customer_order_distribution"].spark(spark, sf_dir),
+            exclude_sentinel=False)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        assert once == want
+        maint.merge_batch(odd, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(even, 0)
+
+
 class TestBottomKMergeAlgebra:
     """Pure-model hypothesis pins for the two new mergeable states: the
     Spark-side equivalences are pinned on real data by the input-split

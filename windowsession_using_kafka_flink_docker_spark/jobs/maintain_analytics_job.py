@@ -12,6 +12,9 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalTableStatsMaintainer`` (#10) on the same orders stream —
   per-column counters/min-max/KMV distinct sketch serving the
   ANALYZE-TABLE report (``orders_column_ndv_kmv``);
+- ``IncrementalOrderCountMaintainer`` (#18) on the same orders stream
+  (with ``--customer``) — per-customer exact order counts re-deriving
+  the Q13 order-count distribution (``q13_customer_order_distribution``);
 - ``IncrementalRankTestMaintainer`` (#17) on the same orders stream
   (with ``--customer`` as the static dimension) — per-(segment, arm,
   cents) exact counts re-deriving the BH-FDR rank-test report
@@ -62,6 +65,7 @@ from windowsession_using_kafka_flink_docker_spark import get_spark
 from windowsession_using_kafka_flink_docker_spark.streaming import (
     BoundedQuantileMaintainer,
     BoundedTokenFrequencyMaintainer,
+    IncrementalOrderCountMaintainer,
     IncrementalRankTestMaintainer,
     IncrementalSetMembershipMaintainer,
     IncrementalContingencyMaintainer,
@@ -77,6 +81,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_hhi_maintenance,
     streaming_source_mix_maintenance,
     streaming_quantile_maintenance,
+    streaming_order_count_maintenance,
     streaming_rank_test_maintenance,
     streaming_set_membership_maintenance,
     streaming_table_stats_maintenance,
@@ -164,6 +169,16 @@ def main() -> None:
             queries.append(streaming_rank_test_maintenance(
                 orders, rank, os.path.join(args.checkpoint_root,
                                            "rank_test")))
+        # maintainer #18: per-customer exact order counts (the Q13
+        # distribution; shares the --customer static dimension)
+        if args.customer:
+            customer18 = spark.read.parquet(args.customer)
+            ocount = IncrementalOrderCountMaintainer(
+                spark, os.path.join(args.state_root, "order_count"),
+                customer18)
+            queries.append(streaming_order_count_maintenance(
+                orders, ocount, os.path.join(args.checkpoint_root,
+                                             "order_count")))
         # maintainer #16: per-customer epoch membership bits
         member = IncrementalSetMembershipMaintainer(
             spark, os.path.join(args.state_root, "set_membership"))

@@ -3445,13 +3445,34 @@ GROUP BY c_count
 )
 def q13_customer_order_distribution(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders").select("o_custkey",
-                                                    "o_orderkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return order_distribution_from_counts(cust,
+                                          order_counts_per_customer(od))
+
+
+def order_counts_per_customer(orders: DataFrame) -> DataFrame:
+    """Reduce an orders frame (full table or one micro-batch) to exact
+    per-customer order counts — the mergeable sufficient statistic of
+    the order-count distribution (counts ADD under merge; state bounded
+    by the CUSTOMER key space at any order volume). Shared by the batch
+    entry and streaming maintainer #18."""
+    return (orders.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+
+
+def order_distribution_from_counts(customer: DataFrame,
+                                   counts: DataFrame) -> DataFrame:
+    """Customers per order count from the per-customer counts — the
+    LEFT OUTER join against the customer dimension restores the
+    zero-order bucket the counts alone cannot see (a customer with no
+    orders has no counts row). The presentation half shared by the
+    batch entry and streaming maintainer #18."""
     per_cust = (
-        cust.join(od, F.col("o_custkey") == F.col("c_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+        customer.select("c_custkey")
+        .join(counts, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).cast("long")
+                .alias("c_count")))
     return (per_cust.groupBy("c_count")
             .agg(F.count(F.lit(1)).cast("long").alias("custdist")))
 

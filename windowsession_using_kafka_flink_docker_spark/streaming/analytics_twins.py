@@ -916,7 +916,59 @@ def streaming_rank_test_maintenance(
                                "rank_test_maintenance")
 
 
+class IncrementalOrderCountMaintainer:
+    """Streaming maintainer #18 — the per-customer order-count state
+    behind the driver-oracled ``q13_customer_order_distribution`` (the
+    LEFT-OUTER double-aggregation classic): one exact BIGINT order
+    count per customer that has ordered, bounded by the CUSTOMER key
+    space at any order volume. Counts ADD under merge (associative/
+    commutative), so the maintained frame — and the full distribution
+    ``current()`` re-derives through the batch entry's own
+    ``order_distribution_from_counts`` — is bit-identical to the batch
+    aggregate under any batch interleaving: one code path. The
+    zero-order bucket that makes Q13 an OUTER-join shape lives in the
+    presentation, not the state: a customer with no orders has no state
+    row, and the shared helper's left join against the stream-static
+    customer dimension (passed at construction, the #12/#17 precedent)
+    restores it exactly."""
+
+    _SCHEMA = "o_custkey BIGINT, n_orders BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 customer: DataFrame):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+        self.customer = customer
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            order_counts_per_customer,
+        )
+        self.state.guard(batch_id)
+        delta = order_counts_per_customer(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = merged.groupBy("o_custkey").agg(
+            F.sum("n_orders").cast("long").alias("n_orders"))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            order_distribution_from_counts,
+        )
+        return order_distribution_from_counts(self.customer,
+                                              self.state.current())
+
+
+def streaming_order_count_maintenance(
+        orders: DataFrame, maintainer: IncrementalOrderCountMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "order_count_maintenance")
+
+
 __all__ = [
+    "IncrementalOrderCountMaintainer",
+    "streaming_order_count_maintenance",
     "IncrementalRankTestMaintainer",
     "streaming_rank_test_maintenance",
     "BoundedQuantileMaintainer",
