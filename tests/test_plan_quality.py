@@ -539,3 +539,39 @@ def test_q16_anti_join_single_distinct(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "Expand" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q4_exists_as_semi_join(spark, sf_dir):
+    """q4_priority_late_shipments promises: the correlated EXISTS is ONE
+    left-semi join (multi-line matches deduplicate inside the join,
+    never a distinct over an inner-join blowup), the quarter filter
+    prunes the orders scan, no Cartesian."""
+    plan = _plan(spark, "q4_priority_late_shipments", sf_dir, "formatted")
+    assert "LeftSemi" in plan, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q9_part_filter_before_fact_join(spark, sf_dir):
+    """q9_product_type_profit promises: the name filter prunes the part
+    side before the fact join, ONE lineitem scan, one (nation, year)
+    aggregate, no Expand, no Cartesian."""
+    plan = _plan(spark, "q9_product_type_profit", sf_dir, "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    flat = plan.replace(" ", "")
+    assert "p_name" in flat, plan  # filter present on the part scan side
+
+
+def test_q12_one_aggregate_both_counts(spark, sf_dir):
+    """q12_returnflag_priority_classes promises: one date-pruned
+    lineitem scan, a co-partitioned orderkey join, and ONE aggregate
+    computing both conditional counts — no Expand, no second scan."""
+    plan = _plan(spark, "q12_returnflag_priority_classes", sf_dir,
+                 "formatted")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

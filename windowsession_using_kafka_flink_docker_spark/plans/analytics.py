@@ -3529,3 +3529,165 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("p_size"))
         .agg(F.countDistinct("l_suppkey").cast("long")
              .alias("supplier_cnt")))
+
+
+@register(
+    "q4_priority_late_shipments",
+    # TPC-H Q4's shape: EXISTS semi-join with a cross-table date
+    # predicate, grouped by order priority. The schema has no
+    # commit/receipt dates, so "problem order" is adapted to: at least
+    # one line item shipped more than 60 days after the order date —
+    # the same correlated-EXISTS form with the same decorrelation.
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4-shape priority checking: how many of one "
+                "quarter's orders, per priority class, had at least one "
+                "line item shipped more than 60 days after ordering — "
+                "the correlated-EXISTS classic (adapted: the schema has "
+                "no commit/receipt dates, so lateness is ship-vs-order "
+                "date; the decorrelation is identical). Scale shape: the "
+                "quarter filter prunes the orders scan; the EXISTS "
+                "renders as ONE left-semi join on orderkey whose "
+                "cross-table date predicate rides the join condition — "
+                "the semi-join deduplicates multi-line matches inside "
+                "the join (never a distinct over an inner-join blowup) — "
+                "and the per-priority count is a 5-row aggregate. Both "
+                "engines evaluate the same exact timestamp arithmetic "
+                "(+60 days on microsecond timestamps).",
+    tags=("relational", "subquery", "join", "sql"),
+)
+def q4_priority_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = od.where((F.col("o_orderdate") >= "1996-07-01")
+                 & (F.col("o_orderdate") < "1996-10-01"))
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    return (o.join(li.select("l_orderkey", "l_shipdate"), late,
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count")))
+
+
+@register(
+    "q9_product_type_profit",
+    # TPC-H Q9's shape: profit (revenue minus cost) by supplier nation
+    # and order year over a part-name slice. No partsupp supplycost in
+    # the schema, so unit cost is the part's retail price — the
+    # mixed-table money expression and the nation x year rollup are the
+    # shape being exercised.
+    oracle="""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+                - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 100) AS BIGINT)
+         AS profit_e4
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    description="TPC-H Q9-shape product-type profit: per supplier nation "
+                "and order year, the margin earned on 'red' parts — "
+                "discounted revenue minus quantity times the part's "
+                "retail price (the schema's stand-in for supplycost; the "
+                "mixed-two-table money expression is the shape). Every "
+                "term is exact BIGINT e-4 (cents x percent for revenue; "
+                "retail cents x integer quantity x 100 for cost), so the "
+                "signed profit sums exactly — a negative-margin nation "
+                "cannot drift on float order. Scale shape: the name "
+                "filter prunes the part side BEFORE the fact join (AQE "
+                "broadcast at test scale, co-partitioned at 100 TB); "
+                "supplier/nation attach to the already-part-filtered "
+                "frame; orders joins co-partitioned on orderkey for the "
+                "year; ONE aggregate on (nation, year) — grid-sized "
+                "output.",
+    tags=("relational", "join", "analytics", "sql"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (load_table(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"))
+    sup = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    od = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate")
+    profit = (_cents("l_extendedprice")
+              * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+              - _cents("p_retailprice")
+              * F.col("l_quantity").cast("long") * 100)
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name",
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_e4")))
+
+
+@register(
+    "q12_returnflag_priority_classes",
+    # TPC-H Q12's shape: two conditional counts per line-attribute
+    # class after a fact-fact join. No l_shipmode in the schema, so the
+    # class attribute is l_returnflag — the two-way CASE counting over
+    # the joined frame is the shape.
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+    description="TPC-H Q12-shape priority class counts: per return-flag "
+                "class of 1996's shipments, how many line items belong "
+                "to urgent/high-priority orders vs everything else — the "
+                "two-way conditional-count classic (adapted: the schema "
+                "has no ship mode, so the class attribute is "
+                "l_returnflag; the CASE-counting over a fact-fact join "
+                "is the shape). Scale shape: the date filter prunes the "
+                "lineitem scan to the year; the orderkey join "
+                "co-partitions under AQE (both sides fact-scale); ONE "
+                "aggregate computes both conditional counts "
+                "map-side-combined into a 3-row result — no Expand, no "
+                "second scan, no per-class filtering pass.",
+    tags=("relational", "join", "sql"),
+)
+def q12_returnflag_priority_classes(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_orderkey", "l_returnflag")
+        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+             .alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+             .alias("low_line_count")))
