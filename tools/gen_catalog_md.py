@@ -28,15 +28,25 @@ engine-specific by design — reason in the description).
 |---|---|---|---|---|---|"""
 
 
-def main() -> None:
-    print(HEADER)
+def render() -> str:
+    """Full CATALOG.md text — also compared verbatim by
+    tests/test_catalog_integrity.py::test_catalog_md_in_sync so the
+    committed file can never drift from the registry again (r11 shipped
+    3 entries with a 181-row CATALOG.md)."""
+    lines = [HEADER]
     for i, (name, spec) in enumerate(CATALOG.items(), 1):
         mod = spec.spark.__module__.rsplit("windowsession_using_kafka_flink_docker_spark.", 1)[-1]
         impl = mod.replace(".", "/") + ".py"
         check = "oracle" if spec.oracle is not None else "rows-only"
         bench = "yes" if spec.bench else ""
         desc = " ".join(spec.description.split())
-        print(f"| {i} | `{name}` | {check} | {bench} | `{impl}` | {desc} |")
+        lines.append(
+            f"| {i} | `{name}` | {check} | {bench} | `{impl}` | {desc} |")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    print(render(), end="")
 
 
 if __name__ == "__main__":
