@@ -131,7 +131,19 @@ def _persist_full_result(result: dict, sf: str) -> None:
                   for p in glob.glob(os.path.join(root,
                                                   "CORRECTNESS_r*.json"))]
         rnd = f"{(max(rounds) if rounds else 0) + 1:02d}"
+    else:
+        # r12 ADVICE: an unpadded env value ("5") would split one round's
+        # evidence across BENCH_LOCAL_r5 / BENCH_LOCAL_r05 — normalize to
+        # the same :02d format the computed path uses.
+        rnd = f"{int(rnd):02d}" if rnd.isdigit() else rnd
     out = os.path.join(root, f"BENCH_LOCAL_r{rnd}.json")
+    if os.path.exists(out):
+        # r12 ADVICE: a second sf0.1 run in the same round silently
+        # replaced the sealed evidence. Keep the newest run (it reflects
+        # the code being committed) but say so loudly.
+        print(f"WARNING: overwriting existing {out} "
+              "(prior round evidence replaced by this run)",
+              file=sys.stderr)
     with open(out, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -159,15 +159,18 @@ def test_changed_burst_cannot_displace_at_bound_entries():
         driver_history,
     )
 
-    last_green, latest = driver_history()
-    last_green = {n: r for n, r in last_green.items() if n in CATALOG}
+    # Fully synthetic history (r11 ADVICE: deriving the burst from the
+    # live snapshots made the premise assertion fail whenever a future
+    # round lands a small age-0 cohort): DRIVER_WINDOW - len(PINNED)
+    # entries at the bound, everything else freshly green and edited.
     names = list(CATALOG)
-    at_bound = {n for n in names
-                if n in last_green
-                and last_green[n] <= latest - STALENESS_BOUND}
-    # synthesize the burst: every age-0 unpinned entry edited at once
-    burst = frozenset(n for n in names
-                      if last_green.get(n) == latest and n not in PINNED)
+    latest = 20
+    n_at_bound = DRIVER_WINDOW - len(PINNED)
+    unpinned = [n for n in names if n not in PINNED]
+    at_bound = set(unpinned[:n_at_bound])
+    last_green = {n: latest - STALENESS_BOUND if n in at_bound else latest
+                  for n in names}
+    burst = frozenset(n for n in unpinned if n not in at_bound)
     assert len(burst) + len(PINNED) >= DRIVER_WINDOW - len(at_bound), \
         "test premise: the burst must be big enough to overflow the window"
     window = set(compute_driver_priority(names, last_green, burst)
@@ -176,11 +179,59 @@ def test_changed_burst_cannot_displace_at_bound_entries():
     assert not displaced, (
         f"edit burst displaced at-bound entries past STALENESS_BOUND: "
         f"{sorted(displaced)}")
-    # and if the history has real at-bound entries today, they must be
     # scheduled even with no burst at all
     plain_window = set(compute_driver_priority(names, last_green)
                        [:DRIVER_WINDOW])
     assert at_bound <= plain_window, sorted(at_bound - plain_window)
+    # and the real on-disk history's at-bound entries (if any) must be in
+    # the real next window — the live-state companion assertion
+    real_green, real_latest = driver_history()
+    real_green = {n: r for n, r in real_green.items() if n in CATALOG}
+    real_at_bound = {n for n in names
+                     if n in real_green
+                     and real_green[n] <= real_latest - STALENESS_BOUND}
+    real_window = set(compute_driver_priority(names, real_green)
+                      [:DRIVER_WINDOW])
+    assert real_at_bound <= real_window, sorted(real_at_bound - real_window)
+
+
+def test_registration_burst_cannot_displace_at_bound_entries():
+    """r11 ADVICE: never-checked entries used to sort ahead of
+    everything, so a large batch of newly registered entries plus the
+    pins could displace at-bound entries past STALENESS_BOUND despite
+    the changed-burst protection. At-bound now outranks the never
+    bucket too (a bumped never entry stays never and re-front-loads;
+    a bumped at-bound entry goes red). Synthetic worst case: a
+    window-sized registration burst on top of an at-bound cohort."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        DRIVER_WINDOW,
+        PINNED,
+        STALENESS_BOUND,
+        compute_driver_priority,
+    )
+
+    names = list(CATALOG)
+    latest = 20
+    n_at_bound = DRIVER_WINDOW - len(PINNED)
+    unpinned = [n for n in names if n not in PINNED]
+    at_bound = set(unpinned[:n_at_bound])
+    # everything unpinned and not at-bound is brand new (no history row)
+    last_green = {n: latest for n in names
+                  if n in PINNED or n in at_bound}
+    for n in at_bound:
+        last_green[n] = latest - STALENESS_BOUND
+    n_never = len(names) - len(last_green)
+    assert n_never + len(PINNED) > DRIVER_WINDOW - len(at_bound), \
+        "test premise: the registration burst must overflow the window"
+    window = set(compute_driver_priority(names, last_green)
+                 [:DRIVER_WINDOW])
+    displaced = at_bound - window
+    assert not displaced, (
+        f"registration burst displaced at-bound entries: "
+        f"{sorted(displaced)}")
+    # pins survive too: at_bound <= W - P under feasible history, so
+    # (at_bound, pinned) always fits ahead of the never bucket
+    assert set(PINNED) & set(names) <= window
 
 
 def test_fingerprint_sees_helper_edits():

@@ -140,10 +140,22 @@ def compute_driver_priority(
     hand-maintained tuple, so a freshly landed driver snapshot can never
     leave the window out of sync with the rotation policy):
 
-    1. entries never driver-checked in ANY snapshot go first (a new
-       operator must be certified the round it lands);
-    2. the :data:`PINNED` core-parity + ANN-identity rows follow, so they
-       sit inside every window;
+    0. entries already AT the staleness bound go absolutely first —
+       ahead even of never-checked entries (r11 ADVICE: a large batch of
+       newly registered entries plus the pins could otherwise displace
+       at-bound entries past the bound). Displacement is asymmetric:
+       a bumped never/changed entry re-front-loads every round until
+       certified and loses nothing permanent; a bumped at-bound entry
+       goes red on the hard invariant. Feasible history bounds the
+       at-bound cohort by ``DRIVER_WINDOW - len(PINNED)`` (at-bound
+       entries were certified together in one window ``STALENESS_BOUND``
+       rounds ago, minus the always-re-certified pins), so at-bound +
+       pinned always fits in one window;
+    1. the :data:`PINNED` core-parity + ANN-identity rows follow —
+       ahead of the never bucket, so the pins-always-in-window invariant
+       (VERDICT r4 item 6) is as unconditional as the age bound;
+    2. entries never driver-checked in ANY snapshot follow (a new
+       operator is certified the round it lands whenever slots allow);
     3. everything else is ordered oldest-last-green-first (ties broken by
        registration order), so no entry's certification ages past
        :data:`STALENESS_BOUND` rounds while the catalog stays under the
@@ -157,34 +169,32 @@ def compute_driver_priority(
        re-enters the very next window instead of waiting out the age
        bound (the r8 precision sweep and the r9 ANALYZE rewrite both
        rode the age bound for 2+ rounds; this closes that hole);
-    5. the age bound outranks the changed-set (r10 ADVICE): entries
-       already AT the staleness bound (their certification goes red if
-       they miss the next window) sort ahead of changed-but-not-at-bound
-       entries, so a large edit burst can never displace an at-bound
-       entry past STALENESS_BOUND. A displaced changed entry loses
-       nothing permanent — its fingerprint still differs from the
-       record, so it re-front-loads every round until certified —
-       whereas a displaced at-bound entry breaks the hard invariant.
-       The bound round is inferred as ``max(last_green) + 1`` (the next
-       driver window always follows the newest on-disk snapshot).
+    5. the age bound outranks the changed-set (r10 ADVICE) AND the
+       never-checked bucket (r11 ADVICE) — see point 0. The bound round
+       is inferred as ``max(last_green) + 1`` (the next driver window
+       always follows the newest on-disk snapshot).
 
     Pure function of ``(names, last_green, changed)`` — unit-tested with
     projected future snapshots (including a changed-set burst) in
     tests/test_catalog_integrity.py.
     """
     reg_pos = {n: i for i, n in enumerate(names)}
-    never = [n for n in names if n not in last_green]
-    pinned = [n for n in PINNED if n in names and n not in set(never)]
-    taken = set(never) | set(pinned)
     next_round = max(last_green.values(), default=0) + 1
+    at_bound = [n for n in names
+                if n in last_green
+                and last_green[n] <= next_round - STALENESS_BOUND - 1]
+    at_bound.sort(key=lambda n: (last_green[n], reg_pos[n]))
+    never = [n for n in names if n not in last_green]
+    pinned = [n for n in PINNED
+              if n in names and n not in set(never) | set(at_bound)]
+    taken = set(never) | set(pinned) | set(at_bound)
 
     def _key(n: str):
-        at_bound = last_green.get(n, 0) <= next_round - STALENESS_BOUND - 1
-        klass = 0 if at_bound else (1 if n in changed else 2)
+        klass = 0 if n in changed else 1
         return (klass, last_green.get(n, 0), reg_pos[n])
 
     rest = sorted((n for n in names if n not in taken), key=_key)
-    return (*never, *pinned, *rest)
+    return (*at_bound, *pinned, *never, *rest)
 
 
 #: Computed at import time (after the @register modules load, at the

@@ -48,7 +48,19 @@ RECORD_FILE = "CERTIFIED_FINGERPRINTS.json"
 
 def _iter_code_names(code):
     """All global names referenced by a code object, including names
-    used inside nested code objects (lambdas, comprehensions)."""
+    used inside nested code objects (lambdas, comprehensions).
+
+    Deliberate over-approximation (r11 ADVICE): ``co_names`` also holds
+    ATTRIBUTE names (``x.foo`` puts ``foo`` here), so an attribute that
+    happens to share its name with a module-level constant makes that
+    constant hash into the closure even when never read as a global.
+    The failure direction is safe — an edit to the colliding constant
+    spuriously marks the entry changed and over-schedules it into the
+    next window; a real dependency is never missed. Walking only
+    LOAD_GLOBAL via ``dis`` would be exact but couples the fingerprint
+    to bytecode details that shift across CPython minors; a fingerprint
+    that silently changes on interpreter upgrade would mass-invalidate
+    the certified record, which is worse than the rare extra re-check."""
     yield from code.co_names
     for const in code.co_consts:
         if inspect.iscode(const):
