@@ -36,6 +36,18 @@ EXTRA_BENCH = {
     "pq_ann_topk": pq_ann_topk,
 }
 
+
+def _tpch_names() -> list[str]:
+    """All 22 TPC-H shapes, in query-number order. Benched as their own
+    anchored group (VERDICT r11 item 3): the family completed in r11 but
+    only the 6 headline members had sealed per-query numbers. Reported
+    under a separate "tpch" key so the 45-query headline total stays
+    query-for-query comparable with the r8 BASELINE anchor."""
+    import re
+
+    return sorted((n for n in CATALOG if re.match(r"q\d+_", n)),
+                  key=lambda n: int(n[1:].split("_")[0]))
+
 #: Repetitions per query. The r3→r4 driver comparison showed 1.3-1.4×
 #: swings on 1-2 s queries from single-shot timing in a shared warm JVM
 #: (GC / codegen-cache state left by whichever heavy query ran before).
@@ -52,6 +64,10 @@ def main() -> None:
 
     fns = {n: s.spark for n, s in CATALOG.items() if s.bench}
     fns.update(EXTRA_BENCH)
+    headline = list(fns)
+    tpch = _tpch_names()
+    for n in tpch:  # the non-headline family members ride the same passes
+        fns.setdefault(n, CATALOG[n].spark)
     names = list(fns)
 
     samples: dict[str, list[float]] = {n: [] for n in names}
@@ -95,15 +111,19 @@ def main() -> None:
     # statistics.median averages the middle pair for even N — the naive
     # sorted(v)[len(v)//2] is the upper-middle element, biasing even-N
     # figures upward (SPARK_GRAFT_BENCH_RUNS allows any N).
-    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    timings = {n: medians[n] for n in headline}
     spread = {n: round(max(v) / statistics.median(v), 2)
               for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
+    tpch_timings = {n: medians[n] for n in tpch}
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tpch": tpch_timings,
+        "tpch_total": round(sum(tpch_timings.values()), 3),
         "runs_per_query": RUNS,
         "spread_max_over_median": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
