@@ -2668,6 +2668,128 @@ class TestStreamingOrderCountMaintenance:
             maint.merge_batch(even, 0)
 
 
+class TestStreamingProfitMaintenance:
+    """Q9-profit state (streaming/analytics_twins.py
+    IncrementalProfitMaintainer, maintainer #19): exact BIGINT e-4
+    profit partials per (supplier nation, order year) ADD under merge,
+    so after orderkey-sliced micro-batch arrival the maintained frame —
+    computed batch-by-batch through the batch entry's own
+    q9_profit_partials with the part/supplier/nation/orders statics —
+    must equal the driver-oracled q9_product_type_profit bit-for-bit;
+    replay idempotent behind the lifecycle guard; state bounded by the
+    nation x year grid."""
+
+    _LI_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"]
+
+    def _statics(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        return (load_table(spark, sf_dir, "part"),
+                load_table(spark, sf_dir, "supplier"),
+                load_table(spark, sf_dir, "nation"),
+                load_table(spark, sf_dir, "orders"))
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalProfitMaintainer,
+            streaming_profit_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("profit_li"))
+        li = load_table(spark, sf_dir, "lineitem").select(*self._LI_COLS)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"s{i}")
+            li.where(F.pmod(F.col("l_orderkey"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        part, sup, nat, od = self._statics(spark, sf_dir)
+        maint = IncrementalProfitMaintainer(
+            spark, str(tmp_path_factory.mktemp("profit_state")),
+            part, sup, nat, od)
+        stream = file_events_source(
+            spark, flat,
+            schema="l_orderkey BIGINT, l_partkey BIGINT, "
+                   "l_suppkey BIGINT, l_quantity DOUBLE, "
+                   "l_extendedprice DOUBLE, l_discount DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_profit_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("profit_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(
+            CATALOG["q9_product_type_profit"].spark(spark, sf_dir),
+            exclude_sentinel=False)
+        assert got == want
+        # state bounded by the nation x year grid
+        nyears = maint.state.current()
+        assert nyears.count() <= nat.count() * \
+            od.select(F.year("o_orderdate")).distinct().count()
+
+    def test_cross_batch_growth_replay_and_guard(
+            self, spark, sf_dir, tmp_path_factory):
+        """A (nation, year) cell whose line items arrive in different
+        batches must end with the SUMMED profit — plus replay
+        idempotence and the lifecycle guard."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            q9_profit_partials,
+        )
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import (
+            load_table,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalProfitMaintainer,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(*self._LI_COLS)
+        part, sup, nat, od = self._statics(spark, sf_dir)
+        even = li.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 0)
+        odd = li.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 1)
+        maint = IncrementalProfitMaintainer(
+            spark, str(tmp_path_factory.mktemp("profit_split")),
+            part, sup, nat, od)
+        maint.merge_batch(even, 0)
+        partial = {(r["n_name"], r["o_year"]): r["profit_e4"]
+                   for r in maint.state.current().collect()}
+        maint.merge_batch(odd, 1)
+        want_state = _rows(q9_profit_partials(li, part, sup, nat, od),
+                           exclude_sentinel=False)
+        got_state = _rows(maint.state.current(), exclude_sentinel=False)
+        assert got_state == want_state
+        # at least one cell's partial actually changed across batches
+        final = {(r["n_name"], r["o_year"]): r["profit_e4"]
+                 for r in maint.state.current().collect()}
+        assert any(final[k] != v for k, v in partial.items()
+                   if k in final)
+        want = _rows(
+            CATALOG["q9_product_type_profit"].spark(spark, sf_dir),
+            exclude_sentinel=False)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        assert once == want
+        maint.merge_batch(odd, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(even, 0)
+
+
 class TestBottomKMergeAlgebra:
     """Pure-model hypothesis pins for the two new mergeable states: the
     Spark-side equivalences are pinned on real data by the input-split

@@ -32,6 +32,10 @@ selectable, see ``--bounded-tokens``:
   static part dimension broadcast into each micro-batch merge —
   per-(type, supplier) quantity partials serving the concentration
   report (``supplier_hhi_by_parttype``);
+- ``IncrementalProfitMaintainer`` (#19) on the same lineitem stream
+  (with ``--supplier``/``--nation``/``--orders-dim`` as static
+  frames) — per-(nation, year) exact e-4 Q9-profit partials
+  re-deriving the driver-oracled ``q9_product_type_profit``;
 - ``IncrementalTokenFrequencyMaintainer`` over a documents drop-dir —
   corpus (token, n) counts serving the heavy-hitter and Zipf
   presentations (``heavy_hitter_tokens`` / ``zipf_rank_frequency``);
@@ -66,6 +70,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     BoundedQuantileMaintainer,
     BoundedTokenFrequencyMaintainer,
     IncrementalOrderCountMaintainer,
+    IncrementalProfitMaintainer,
     IncrementalRankTestMaintainer,
     IncrementalSetMembershipMaintainer,
     IncrementalContingencyMaintainer,
@@ -82,6 +87,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_source_mix_maintenance,
     streaming_quantile_maintenance,
     streaming_order_count_maintenance,
+    streaming_profit_maintenance,
     streaming_rank_test_maintenance,
     streaming_set_membership_maintenance,
     streaming_table_stats_maintenance,
@@ -113,6 +119,19 @@ def main() -> None:
                     help="customer dimension parquet (c_custkey, "
                          "c_mktsegment); enables maintainer #17 (the "
                          "rank-test counts state) on the orders stream")
+    ap.add_argument("--supplier", default=None,
+                    help="static supplier dimension parquet (s_suppkey, "
+                         "s_nationkey); with --nation and --orders-dim "
+                         "enables maintainer #19 (the Q9-profit state) "
+                         "on the lineitem stream")
+    ap.add_argument("--nation", default=None,
+                    help="static nation dimension parquet (n_nationkey, "
+                         "n_name); see --supplier")
+    ap.add_argument("--orders-dim", default=None,
+                    help="orders parquet read as a STATIC frame "
+                         "(o_orderkey, o_orderdate) for the order-year "
+                         "enrichment of maintainer #19; distinct from "
+                         "the --orders drop-dir stream")
     ap.add_argument("--bounded-tokens", action="store_true",
                     help="use the fixed-memory CMS+pool token state "
                          "(maintainer #14) instead of the exact "
@@ -219,13 +238,26 @@ def main() -> None:
     if args.lineitem:
         li = (spark.readStream
               .schema("l_partkey BIGINT, l_suppkey BIGINT, "
-                      "l_quantity DOUBLE")
+                      "l_quantity DOUBLE, l_orderkey BIGINT, "
+                      "l_extendedprice DOUBLE, l_discount DOUBLE")
               .parquet(args.lineitem))
         part = spark.read.parquet(args.part)
         hhi = IncrementalHhiMaintainer(
             spark, os.path.join(args.state_root, "hhi"), part)
         queries.append(streaming_hhi_maintenance(
             li, hhi, os.path.join(args.checkpoint_root, "hhi")))
+        # maintainer #19: per-(nation, year) exact Q9-profit partials
+        # (needs the supplier/nation dimensions and the orders frame
+        # for the order year; part is already required)
+        if args.supplier and args.nation and args.orders_dim:
+            profit = IncrementalProfitMaintainer(
+                spark, os.path.join(args.state_root, "profit"),
+                part, spark.read.parquet(args.supplier),
+                spark.read.parquet(args.nation),
+                spark.read.parquet(args.orders_dim))
+            queries.append(streaming_profit_maintenance(
+                li, profit, os.path.join(args.checkpoint_root,
+                                         "profit")))
     for q in queries:
         q.awaitTermination()
 

@@ -3578,6 +3578,37 @@ def q4_priority_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("order_count")))
 
 
+def q9_profit_partials(li: DataFrame, part: DataFrame, sup: DataFrame,
+                       nat: DataFrame, od: DataFrame) -> DataFrame:
+    """Exact per-(nation, order-year) profit partials on 'red' parts —
+    the Q9 state, shared by the batch entry and streaming maintainer
+    #19 (streaming/analytics_twins.py IncrementalProfitMaintainer): one
+    code path, never a parallel implementation. Every term is BIGINT
+    e-4 (cents x percent revenue; retail-cents x quantity x 100 cost),
+    so ``profit_e4`` ADDs exactly under merge — partials over any
+    lineitem split sum to the full-table aggregate bit-for-bit — and
+    the key space is |nations| x |years| regardless of fact volume.
+    The part/supplier/nation dimensions prune-then-broadcast into the
+    single fact scan; orders joins co-partitioned on orderkey."""
+    profit = (_cents("l_extendedprice")
+              * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+              - _cents("p_retailprice")
+              * F.col("l_quantity").cast("long") * 100)
+    red = (part.where(F.col("p_name").like("%red%"))
+           .select("p_partkey", "p_retailprice"))
+    return (
+        li.join(red, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(od.select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name",
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_e4")))
+
+
 @register(
     "q9_product_type_profit",
     # TPC-H Q9's shape: profit (revenue minus cost) by supplier nation
@@ -3618,29 +3649,12 @@ GROUP BY 1, 2
     tags=("relational", "join", "analytics", "sql"),
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = (load_table(spark, sf_dir, "part")
-            .where(F.col("p_name").like("%red%"))
-            .select("p_partkey", "p_retailprice"))
-    sup = load_table(spark, sf_dir, "supplier") \
-        .select("s_suppkey", "s_nationkey")
-    nat = load_table(spark, sf_dir, "nation") \
-        .select("n_nationkey", "n_name")
-    od = load_table(spark, sf_dir, "orders") \
-        .select("o_orderkey", "o_orderdate")
-    profit = (_cents("l_extendedprice")
-              * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
-              - _cents("p_retailprice")
-              * F.col("l_quantity").cast("long") * 100)
-    return (
-        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nat),
-              F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("n_name",
-                 F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.sum(profit).cast("long").alias("profit_e4")))
+    return q9_profit_partials(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"))
 
 
 @register(

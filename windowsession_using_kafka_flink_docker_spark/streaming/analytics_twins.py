@@ -966,7 +966,61 @@ def streaming_order_count_maintenance(
                                "order_count_maintenance")
 
 
+class IncrementalProfitMaintainer:
+    """Streaming maintainer #19 — the Q9-profit state behind the
+    driver-oracled ``q9_product_type_profit``: per-(supplier nation,
+    order year) exact e-4 profit partials, bounded by |nations| x
+    |years| at ANY line-item volume. Every term of the profit
+    expression is BIGINT e-4 (cents x percent revenue minus
+    retail-cents x quantity x 100 cost), so the partial sums ADD under
+    merge (associative/commutative) and the maintained frame IS the
+    batch aggregate bit-for-bit under any batch interleaving — the
+    per-batch delta is computed by the batch entry's own
+    ``q9_profit_partials`` helper (one code path, never a parallel
+    implementation; the #12/#17/#18 stream-static precedent). The
+    part/supplier/nation dimensions and the orders frame (for the
+    order year) are passed at construction and enrich each delta in
+    the merge; part/supplier/nation prune-then-broadcast, orders joins
+    co-partitioned on orderkey."""
+
+    _SCHEMA = "n_name STRING, o_year BIGINT, profit_e4 BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                 orders: DataFrame):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+        self.part = part
+        self.supplier = supplier
+        self.nation = nation
+        self.orders = orders
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            q9_profit_partials,
+        )
+        self.state.guard(batch_id)
+        delta = q9_profit_partials(batch_df, self.part, self.supplier,
+                                   self.nation, self.orders)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = merged.groupBy("n_name", "o_year").agg(
+            F.sum("profit_e4").cast("long").alias("profit_e4"))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        return self.state.current()
+
+
+def streaming_profit_maintenance(
+        lineitem: DataFrame, maintainer: IncrementalProfitMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(lineitem, maintainer, checkpoint_dir,
+                               "profit_maintenance")
+
+
 __all__ = [
+    "IncrementalProfitMaintainer",
+    "streaming_profit_maintenance",
     "IncrementalOrderCountMaintainer",
     "streaming_order_count_maintenance",
     "IncrementalRankTestMaintainer",
