@@ -56,6 +56,9 @@ SENSITIVE = [
     # same pid-dependence in the two-stage bottom-k quantile sample —
     # pinned against input splits below as well
     "sampled_median_audit",
+    # round 12: the ordered-set aggregates walk the same value-domain
+    # cumulative ranks — disc/cont must not depend on row placement
+    "ordered_set_percentiles",
     # round 10: the BH report consumes ranged ranks (like gini /
     # mann_whitney) AND sorts by a derived double — both must be
     # partition-count-proof

@@ -575,3 +575,18 @@ def test_q12_one_aggregate_both_counts(spark, sf_dir):
     assert plan.count("orders.parquet") == 1, plan
     assert "Expand" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ordered_set_percentiles_value_domain_plan(spark, sf_dir):
+    """ordered_set_percentiles promises: one orders scan collapsed to
+    the per-priority distinct price grid, the only sort a value-domain
+    window, ONE final aggregate for all six statistics — no Expand, no
+    Cartesian, no global sort of the fact rows."""
+    plan = _plan(spark, "ordered_set_percentiles", sf_dir, "formatted")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the window runs AFTER the fact rows collapse to the value grid:
+    # exactly one HashAggregate pair below the window (partial+final
+    # distinct-cents counts), never a Sort over the raw scan
+    assert "Window" in plan, plan

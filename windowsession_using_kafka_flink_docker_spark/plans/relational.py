@@ -3802,6 +3802,26 @@ def median_report_from_price_sample_state(state: DataFrame) -> DataFrame:
         med.cast("long").alias("sample_median_cents"))
 
 
+def priority_cents_cumulative(orders: DataFrame) -> DataFrame:
+    """(o_orderpriority, cents, cum, n): per-priority cumulative counts
+    over the DISTINCT price-cents value domain — the shared base of the
+    exact order statistics (``sampled_median_audit``'s exact half and
+    the ``ordered_set_percentiles`` family). The only ordered window
+    runs per priority over the distinct-cents domain, bounded by the
+    price grid, never the row count."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cnt = (orders.select("o_orderpriority", cents.alias("cents"))
+           .groupBy("o_orderpriority", "cents")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wp = Window.partitionBy("o_orderpriority")
+    wcum = (wp.orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return cnt.select(
+        "o_orderpriority", "cents",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wp).alias("n"))
+
+
 @register(
     "sampled_median_audit",
     oracle="""
@@ -3875,17 +3895,7 @@ def sampled_median_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     sample_report = median_report_from_price_sample_state(
         orders_price_sample_state(orders))
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    cnt = (orders.select("o_orderpriority", cents.alias("cents"))
-           .groupBy("o_orderpriority", "cents")
-           .agg(F.count(F.lit(1)).cast("long").alias("c")))
-    wp = Window.partitionBy("o_orderpriority")
-    wcum = (wp.orderBy("cents")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    staged = cnt.select(
-        "o_orderpriority", "cents",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wp).alias("n"))
+    staged = priority_cents_cumulative(orders)
     exact = (staged.where(2 * F.col("cum") >= F.col("n"))
              .groupBy("o_orderpriority")
              .agg(F.min("cents").cast("long").alias("exact_median_cents")))
@@ -3898,3 +3908,84 @@ def sampled_median_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderpriority", "n_orders", "exact_median_cents",
                     "sample_median_cents",
                     rel_err.cast("long").alias("rel_err_e4")))
+
+
+@register(
+    "ordered_set_percentiles",
+    oracle="""
+WITH f AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS disc25_cents,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS disc50_cents,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+            AS BIGINT) AS disc75_cents,
+       CAST(floor(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)
+                  * 10000) AS BIGINT) AS cont25_e4,
+       CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)
+                  * 10000) AS BIGINT) AS cont50_e4,
+       CAST(floor(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)
+                  * 10000) AS BIGINT) AS cont75_e4
+FROM f GROUP BY 1
+""",
+    description="Ordered-set-aggregate family: SQL-standard "
+                "percentile_disc and percentile_cont at p = .25/.5/.75 "
+                "per order priority, derived from the shared "
+                "value-domain cumulative frame (priority_cents_"
+                "cumulative — the sampled_median_audit exact half), "
+                "never a per-row sort: disc(p) is the smallest cents "
+                "with 4*cum >= 4p*n (exact integer cross-"
+                "multiplication, the SQL-standard first-value-with-"
+                "CDF>=p), and cont(p) interpolates the two bracketing "
+                "rank values lo/hi at 0-indexed rank (n-1)p via the "
+                "ALL-INTEGER form lo*1e4 + ((n-1)*4p mod 4)*(hi-lo)*"
+                "2500 — p is dyadic, so the interpolant is an exact "
+                "quarter-cent and DuckDB's native double "
+                "percentile_cont scales to the identical integer "
+                "(non-dyadic p would break this; .25/.5/.75 are chosen "
+                "for it). Scale shape: one groupBy collapses facts to "
+                "the per-priority DISTINCT price grid, the only ordered "
+                "window runs over that value domain (bounded by the "
+                "grid, not row count), and ONE final aggregate emits "
+                "all six statistics — no per-percentile passes, no "
+                "global sort, no Expand.",
+    tags=("relational", "quantile", "window", "sql"),
+)
+def ordered_set_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = priority_cents_cumulative(load_table(spark, sf_dir, "orders"))
+
+    def disc(p4: int):
+        return (F.min(F.when(4 * F.col("cum") >= p4 * F.col("n"),
+                             F.col("cents")))
+                .cast("long").alias(f"disc{p4 * 25}_cents"))
+
+    def rank_val(offset_expr, name: str):
+        # smallest cents whose cumulative count reaches the 1-indexed
+        # rank; n is constant within a priority group, so the rank
+        # expression is row-valid inside the aggregate
+        return F.min(F.when(F.col("cum") >= offset_expr, F.col("cents"))) \
+            .alias(name)
+
+    aggs = [F.max("n").cast("long").alias("n_orders")]
+    for p4 in (1, 2, 3):
+        k0 = ((F.col("n") - F.lit(1)) * p4) / F.lit(4)
+        k0 = F.floor(k0).cast("long")
+        aggs.append(disc(p4))
+        aggs.append(rank_val(k0 + 1, f"_lo{p4}"))
+        aggs.append(rank_val(k0 + 2, f"_hi{p4}"))
+    agg = staged.groupBy("o_orderpriority").agg(*aggs)
+    cols = ["o_orderpriority", "n_orders",
+            "disc25_cents", "disc50_cents", "disc75_cents"]
+    out = agg
+    for p4 in (1, 2, 3):
+        m = ((F.col("n_orders") - F.lit(1)) * p4) % F.lit(4)
+        lo, hi = F.col(f"_lo{p4}"), F.col(f"_hi{p4}")
+        cont = lo * 10000 + m * (F.coalesce(hi, lo) - lo) * 2500
+        out = out.withColumn(f"cont{p4 * 25}_e4", cont.cast("long"))
+        cols.append(f"cont{p4 * 25}_e4")
+    return out.select(*cols)
