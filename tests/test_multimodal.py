@@ -292,3 +292,123 @@ class TestAhashPropertySweep:
             assert got == want, (w, h, seed)
 
         check()
+
+
+class TestJpegCodec:
+    """Baseline JPEG (round-12 stretch): the encoder writes real
+    entropy-coded bytes and the decoder must invert it bit-exactly at the
+    quantized-coefficient level — not just on the block-flat fixture but
+    on arbitrary images exercising the AC run-length/ZRL/EOB paths."""
+
+    def test_header_parse_and_marker_walk(self):
+        data = C.build_jpeg_flat_blocks(seed=7, quality=50)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        w, h, q00 = C.parse_jpeg_header(data)
+        assert (w, h, q00) == (64, 64, 16)
+        # quality scaling puts the DC quantizer at {32, 16, 8}
+        for quality, want in ((25, 32), (50, 16), (75, 8)):
+            d = C.build_jpeg_flat_blocks(seed=1, quality=quality)
+            assert C.parse_jpeg_header(d)[2] == want
+
+    def test_flat_fixture_decodes_to_closed_form(self):
+        for seed in (0, 3, 11):
+            for quality in (25, 50, 75):
+                data = C.build_jpeg_flat_blocks(seed, quality)
+                _, _, dec = C.decode_jpeg_gray(data)
+                q00 = int(C.jpeg_scaled_quant(quality)[0, 0])
+                vals = C._mix_bytes(64, seed).reshape(8, 8).astype(np.int64)
+                t = (vals - 128) * 8
+                mag = (2 * np.abs(t) + q00) // (2 * q00)
+                recon = np.sign(t) * mag * q00
+                want = np.clip(recon // 8 + 128, 0, 255).astype(np.uint8)
+                want_img = np.repeat(np.repeat(want, 8, 0), 8, 1)
+                assert np.array_equal(dec, want_img), (seed, quality)
+
+    def test_general_image_decode_inverts_encoder_exactly(self):
+        # random pixels maximize AC activity (ZRL runs, full categories);
+        # the decode must equal the encoder's quantized reconstruction
+        rng = np.random.RandomState(13)
+        gray = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+        for quality in (25, 50, 75, 90):
+            q = C.jpeg_scaled_quant(quality)
+            data = C.encode_jpeg_gray(24, 16, gray, quality)
+            w, h, dec = C.decode_jpeg_gray(data)
+            assert (w, h) == (24, 16)
+            B = C._DCT_BASIS
+            px = gray.astype(np.float64) - 128.0
+            for by in range(2):
+                for bx in range(3):
+                    blk = px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    coef = np.rint(B @ blk @ B.T).astype(np.int64)
+                    quant = C._quantize_rha(coef, q)
+                    rec = B.T @ (quant * q).astype(np.float64) @ B
+                    want = np.clip(np.floor(rec + 128.5), 0, 255).astype(np.uint8)
+                    got = dec[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    assert np.array_equal(got, want), (quality, by, bx)
+
+    def test_smooth_image_is_low_loss(self):
+        # a horizontal gradient survives q=50 within 2 gray levels
+        grad = np.tile((np.arange(64, dtype=np.int64) * 4).astype(np.uint8),
+                       (16, 1))
+        data = C.encode_jpeg_gray(64, 16, grad, 50)
+        _, _, dec = C.decode_jpeg_gray(data)
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 2
+
+    def test_ff_byte_stuffing_roundtrip(self):
+        # sweep random 8x8 images at q=90 until an entropy stream contains
+        # a stuffed 0xFF00 (RandomState(1) is known to); decode must
+        # de-stuff and still invert the encoder reconstruction exactly
+        hit = False
+        for seed in range(8):
+            gray = np.random.RandomState(seed).randint(
+                0, 256, size=(8, 8)).astype(np.uint8)
+            data = C.encode_jpeg_gray(8, 8, gray, 90)
+            scan_at = data.index(b"\xff\xda") + 14
+            stuffed = b"\xff\x00" in data[scan_at:-2]
+            hit = hit or stuffed
+            q = C.jpeg_scaled_quant(90)
+            B = C._DCT_BASIS
+            coef = np.rint(
+                B @ (gray.astype(np.float64) - 128.0) @ B.T).astype(np.int64)
+            rec = B.T @ (C._quantize_rha(coef, q) * q).astype(np.float64) @ B
+            want = np.clip(np.floor(rec + 128.5), 0, 255).astype(np.uint8)
+            _, _, dec = C.decode_jpeg_gray(data)
+            assert np.array_equal(dec, want), seed
+        assert hit, "no seed produced a stuffed byte — the test is vacuous"
+
+    def test_truncated_stream_raises(self):
+        data = C.build_jpeg_flat_blocks(seed=5, quality=50)
+        with pytest.raises(ValueError, match="SOI|marker|EOI|exhausted|truncated"):
+            C.decode_jpeg_gray(data[:40] + b"\xff\xd9")
+        with pytest.raises(ValueError, match="not a JPEG"):
+            C.parse_jpeg_header(b"\x00" + data)
+
+
+@pytest.mark.usefixtures("spark")
+class TestJpegCatalogEntry:
+    def test_jpeg_ahash_matches_closed_form(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import image_jpeg_ahash
+        rows = {r["doc_id"]: r
+                for r in image_jpeg_ahash(spark, sf_dir).collect()}
+        assert rows, "entry returned no rows"
+        some = sorted(rows)[:8]
+        for doc_id in some:
+            r = rows[doc_id]
+            q00 = {0: 32, 1: 16, 2: 8}[doc_id % 3]
+            assert (r["width"], r["height"], r["q00"]) == (64, 64, q00)
+            vals = C._mix_bytes(64, doc_id).reshape(8, 8).astype(np.int64)
+            t = (vals - 128) * 8
+            mag = (2 * np.abs(t) + q00) // (2 * q00)
+            dec = np.clip((np.sign(t) * mag * q00) // 8 + 128, 0, 255)
+            tot = int(dec.sum())
+            want_hash = "".join(
+                "1" if int(dec[by, bx]) * 64 > tot else "0"
+                for by in range(8) for bx in range(8))
+            assert r["ahash"] == want_hash, doc_id
+            assert r["abs_err"] == 64 * int(np.abs(dec - vals).sum())
+            # quality monotonicity: higher quality (smaller q00) can't
+            # be lossier than the same image at lower quality — checked
+            # per-block arithmetic, not asserted across doc_ids (the
+            # content differs); q=75 (q00=8) is exact on flat blocks
+            if q00 == 8:
+                assert r["abs_err"] == 0

@@ -292,3 +292,358 @@ def demux_mp4_samples(data: bytes) -> list[bytes]:
         out.append(b[off:off + size])
         off += size
     return out
+
+# --------------------------------------------------------------------------
+# JPEG (baseline JFIF, grayscale) — the round-12 stretch: the most common
+# multimodal format gets a real codec beside PNG/WAV/MP4. Everything below
+# is stdlib+numpy: forward DCT -> quantize -> zigzag -> Huffman on encode;
+# marker parse -> DHT canonical-code rebuild -> entropy decode -> dequantize
+# -> IDCT -> clamp on decode. Cross-engine exactness discipline: the DCT
+# coefficient is snapped to the nearest integer before quantization (the
+# integer-DCT encoder idiom), and the fixture qualities {25,50,75} scale the
+# Annex-K table so Q[0,0] in {32,16,8} is a multiple of 8 — which makes the
+# DC reconstruction d/8 an exact integer and the whole round-trip replayable
+# in closed-form integer arithmetic (see plans/llm_pipeline.py oracle).
+# --------------------------------------------------------------------------
+
+#: ITU-T T.81 Annex K.1 luminance quantization table (natural row order).
+JPEG_QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+#: Annex K.3.1: luminance DC Huffman table (code counts per length 1..16,
+#: then symbols in canonical order).
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+
+#: Annex K.3.2: luminance AC Huffman table.
+JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: Zigzag scan: JPEG_ZIGZAG[k] = (row, col) of the k-th coefficient.
+def _zigzag_order() -> list:
+    order = sorted(((r, c) for r in range(8) for c in range(8)),
+                   key=lambda rc: (rc[0] + rc[1],
+                                   rc[1] if (rc[0] + rc[1]) % 2 else rc[0]))
+    return order
+
+
+JPEG_ZIGZAG = _zigzag_order()
+
+#: Orthonormal DCT-II basis: B[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
+_DCT_BASIS = np.array([
+    [(0.5 if u else 0.5 / np.sqrt(2.0)) * np.cos((2 * x + 1) * u * np.pi / 16)
+     for x in range(8)] for u in range(8)
+])
+
+
+def jpeg_scaled_quant(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex-K table (floor((Q*S+50)/100),
+    clamped to 1..255). quality in {25, 50, 75} puts Q[0,0] at {32,16,8}."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((JPEG_QUANT_LUMA * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _quantize_rha(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero quantization of integer coefficients:
+    sign(t) * ((2|t| + Q) // (2Q)) — pure integer, replayable in SQL."""
+    t = coef.astype(np.int64)
+    mag = (2 * np.abs(t) + q) // (2 * q)
+    return np.sign(t) * mag
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc, self._nbits = 0, 0
+
+    def flush(self) -> None:
+        while self._nbits:
+            self.write(1, 1)  # pad with 1-bits per the spec
+
+
+def _huff_encode_table(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) from canonical (BITS, HUFFVAL)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended-bits) encoding of a nonzero-or-zero DC/AC value."""
+    cat = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_jpeg_gray(width: int, height: int, gray: np.ndarray,
+                     quality: int = 50) -> bytes:
+    """Baseline JFIF encode of an (h, w) uint8 grayscale image: level shift,
+    orthonormal forward DCT per 8x8 block, integer coefficient snap (rint),
+    round-half-away quantization, zigzag, differential-DC + run-length-AC
+    Huffman coding with the Annex-K tables, 0xFF stuffing, real markers.
+    Width/height must be multiples of 8 (production encoders edge-pad;
+    fixtures guarantee alignment)."""
+    if width % 8 or height % 8:
+        raise ValueError("width/height must be multiples of 8")
+    if gray.shape != (height, width):
+        raise ValueError(f"gray shape {gray.shape} != ({height}, {width})")
+    q = jpeg_scaled_quant(quality)
+    dc_tab = _huff_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    px = gray.astype(np.float64) - 128.0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            block = px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = np.rint(_DCT_BASIS @ block @ _DCT_BASIS.T).astype(np.int64)
+            quant = _quantize_rha(coef, q)
+            zz = [int(quant[r, c]) for r, c in JPEG_ZIGZAG]
+            # DC: difference from previous block's DC
+            diff = zz[0] - pred
+            pred = zz[0]
+            cat, bits = _magnitude(diff)
+            code, length = dc_tab[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(bits, cat)
+            # AC: run-length of zeros, ZRL for 16-zero runs, EOB at tail
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zcode, zlen = ac_tab[0xF0]
+                    bw.write(zcode, zlen)
+                    run -= 16
+                cat, bits = _magnitude(zz[k])
+                code, length = ac_tab[(run << 4) | cat]
+                bw.write(code, length)
+                bw.write(bits, cat)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_tab[0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(payload)) + payload
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(q[r, c]) for r, c in JPEG_ZIGZAG))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+               + struct.pack(">BBB", 1, 0x11, 0))
+    dht = (seg(0xFFC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)))
+    sos = seg(0xFFDA, struct.pack(">BBBBBB", 1, 1, 0x00, 0, 63, 0))
+    return (b"\xFF\xD8" + app0 + dqt + sof0 + dht + sos
+            + bytes(bw.out) + b"\xFF\xD9")
+
+
+def build_jpeg_flat_blocks(seed: int, quality: int = 50) -> bytes:
+    """The oracle-replayable JPEG fixture: a 64x64 grayscale image whose
+    8x8 DCT blocks are each a constant from the closed-form byte mixer
+    (block b=by*8+bx has value _mix_bytes-style (b*2654435761 + seed*97 +
+    13) % 256). Block-flat content makes every AC coefficient exactly zero
+    and the DC round-trip pure integer arithmetic — while the encoder and
+    decoder still run the full general pipeline over real entropy-coded
+    bytes."""
+    vals = _mix_bytes(64, seed).reshape(8, 8)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    return encode_jpeg_gray(64, 64, gray, quality)
+
+
+class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy data."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if not self._nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode_table(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol, canonical-code rebuild from a DHT segment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def parse_jpeg_segments(data: bytes) -> dict:
+    """Marker walk. Returns quant table (natural order), huffman tables,
+    dims, and the de-stuffed entropy-coded bytes."""
+    b = bytes(data)
+    if b[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG: missing SOI")
+    info: dict = {"huff": {}}
+    off = 2
+    while off + 4 <= len(b):
+        if b[off] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = (b[off] << 8) | b[off + 1]
+        (length,) = struct.unpack(">H", b[off + 2:off + 4])
+        if off + 2 + length > len(b):
+            raise ValueError("truncated JPEG segment")
+        body = b[off + 4:off + 2 + length]
+        if marker == 0xFFDB:
+            pq_tq = body[0]
+            if pq_tq >> 4:
+                raise ValueError("only 8-bit quant tables supported")
+            q = np.zeros((8, 8), dtype=np.int64)
+            for k, (r, c) in enumerate(JPEG_ZIGZAG):
+                q[r, c] = body[1 + k]
+            info["quant"] = q
+        elif marker == 0xFFC0:
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            info["width"], info["height"] = w, h
+        elif marker == 0xFFC4:
+            tc, th = body[0] >> 4, body[0] & 0x0F
+            bits = list(body[1:17])
+            vals = list(body[17:17 + sum(bits)])
+            info["huff"][(tc, th)] = _huff_decode_table(bits, vals)
+        elif marker == 0xFFDA:
+            # entropy data runs from after this header to EOI; de-stuff
+            scan_start = off + 2 + length
+            end = b.rfind(b"\xFF\xD9")
+            if end < 0:
+                raise ValueError("JPEG missing EOI")
+            info["scan"] = b[scan_start:end].replace(b"\xFF\x00", b"\xFF")
+            return info
+        off += 2 + length
+    raise ValueError("JPEG missing SOS")
+
+
+def parse_jpeg_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, q00) without entropy decode — the cheap metadata
+    read (q00 is the scaled DC quantizer, the quality fingerprint)."""
+    info = parse_jpeg_segments(data)
+    if "width" not in info or "quant" not in info:
+        raise ValueError("JPEG missing SOF0/DQT")
+    return info["width"], info["height"], int(info["quant"][0, 0])
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Full baseline decode: marker parse, DHT canonical-code rebuild,
+    bit-level Huffman entropy decode (differential DC, run-length AC with
+    ZRL/EOB), dezigzag, dequantize, orthonormal IDCT, +128 level shift,
+    floor(x+0.5) snap, clamp to [0, 255]. Returns (width, height, uint8
+    array shaped (h, w))."""
+    info = parse_jpeg_segments(data)
+    w, h, q = info["width"], info["height"], info["quant"]
+    dc_tab, ac_tab = info["huff"][(0, 0)], info["huff"][(1, 0)]
+    br = _BitReader(info["scan"])
+    out = np.zeros((h, w), dtype=np.uint8)
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = [0] * 64
+            cat = _read_symbol(br, dc_tab)
+            pred += _extend(br.read_bits(cat), cat)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows block")
+                zz[k] = _extend(br.read_bits(sym & 0x0F), sym & 0x0F)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for kk, (r, c) in enumerate(JPEG_ZIGZAG):
+                coef[r, c] = zz[kk] * q[r, c]
+            block = _DCT_BASIS.T @ coef @ _DCT_BASIS
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.floor(block + 128.5), 0, 255).astype(np.uint8)
+    return w, h, out

@@ -288,3 +288,68 @@ def image_ahash_features(media: DataFrame) -> DataFrame:
                 "hamming_resize"])
 
     return imgs.mapInPandas(gen, schema=out_schema)
+
+
+def image_jpeg_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document JPEG round-trip fingerprints over the REAL baseline
+    codec path (media_codec.py): encode a deterministic 64x64 block-flat
+    grayscale fixture through the full pipeline (forward DCT, integer
+    snap, round-half-away quantization, zigzag, differential-DC +
+    run-length-AC Huffman coding with the Annex-K tables, 0xFF stuffing),
+    then parse the markers back (DQT/SOF0/DHT/SOS walk), rebuild the
+    canonical Huffman codes from the DHT payload, entropy-decode the
+    scan bit-by-bit, dequantize, inverse-DCT, and fingerprint the decoded
+    pixels. Per doc_id: quality cycles {25, 50, 75} (doc_id % 3), which
+    scales the Annex-K DC quantizer to q00 in {32, 16, 8} — each a
+    multiple of 8, making the whole reconstruction exact integer
+    arithmetic the DuckDB oracle replays closed-form. Outputs the parsed
+    header (width, height, q00 — the quality fingerprint), the 64-bit
+    average-hash of the DECODED pixels (integer cross-multiplication
+    threshold, no floats), and abs_err = sum |decoded - source| over all
+    4096 pixels (the quantization-loss reading; any wrong bit anywhere in
+    the Huffman/DCT path shifts it). Arrow-batched mapInPandas, zero
+    shuffle; at 100 TB the payload column comes off parquet and the hash
+    is the Hamming-bucket key for image dedup."""
+    import numpy as np
+
+    n_part = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    ids = docs.select(id_col).repartition(n_part, id_col)
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("q00", IntegerType()),
+        StructField("ahash", StringType()),
+        StructField("abs_err", LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                quality = (25, 50, 75)[doc_id % 3]
+                data = C.build_jpeg_flat_blocks(doc_id, quality)
+                w, h, q00 = C.parse_jpeg_header(data)
+                _, _, dec = C.decode_jpeg_gray(data)
+                src = np.repeat(np.repeat(
+                    C._mix_bytes(64, doc_id).reshape(8, 8), 8, axis=0),
+                    8, axis=1)
+                err = int(np.abs(dec.astype(np.int64)
+                                 - src.astype(np.int64)).sum())
+                # aHash over decoded pixels: 8x8 block sums vs image mean
+                # via exact integer cross-multiplication (no division)
+                g = dec.astype(np.int64)
+                s = g.reshape(8, 8, 8, 8).sum(axis=(1, 3))  # (by, bx)
+                total = int(g.sum())
+                bits = "".join(
+                    "1" if int(s[by, bx]) * 64 > total else "0"
+                    for by in range(8) for bx in range(8))
+                rows.append((doc_id, w, h, q00, bits, err))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "q00", "ahash", "abs_err"])
+
+    return ids.mapInPandas(gen, schema=out_schema)

@@ -2833,3 +2833,89 @@ FROM imgs i
 def image_ahash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.image_ahash_features(M.attach_media(docs))
+
+
+@register(
+    "image_jpeg_ahash",
+    # Exactness hinges on the fixture design (media_codec.py:
+    # build_jpeg_flat_blocks): block-flat 64x64 content makes every AC
+    # coefficient exactly zero, the integer-snapped DC of a constant
+    # block is (v-128)*8 exactly (orthonormal DCT), and qualities
+    # {25,50,75} scale the Annex-K table so q00 in {32,16,8} — all
+    # multiples of 8 — so quantize -> dequantize -> IDCT -> +128 is pure
+    # integer arithmetic the oracle replays per block. Spark, meanwhile,
+    # must run the REAL codec both ways: Huffman-encode genuine
+    # entropy-coded bytes (differential DC, category/appended-bits,
+    # EOB, 0xFF stuffing), then marker-parse, rebuild canonical codes
+    # from the DHT payload, and bit-decode the scan. One wrong bit
+    # anywhere flips a decoded value and breaks the driver hash.
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 32 WHEN 1 THEN 16 ELSE 8 END AS q00
+  FROM documents),
+blocks AS (
+  SELECT doc_id, q00, unnest(range(64)) AS b FROM imgs),
+px AS (
+  SELECT doc_id, q00, b,
+         (b * 2654435761 + doc_id * 97 + 13) % 256 AS v
+  FROM blocks),
+dequant AS (
+  SELECT doc_id, q00, b, v,
+         (v - 128) * 8 AS t,
+         (2 * abs((v - 128) * 8) + q00) // (2 * q00) AS mag
+  FROM px),
+dec AS (
+  SELECT doc_id, q00, b, v,
+         LEAST(GREATEST(
+           (CASE WHEN t < 0 THEN -mag ELSE mag END * q00) // 8 + 128,
+           0), 255) AS d
+  FROM dequant),
+tot AS (
+  SELECT doc_id, CAST(SUM(d) AS BIGINT) AS dtot,
+         CAST(64 * SUM(abs(d - v)) AS BIGINT) AS abs_err
+  FROM dec GROUP BY 1)
+SELECT d.doc_id,
+       CAST(64 AS INTEGER) AS width,
+       CAST(64 AS INTEGER) AS height,
+       CAST(d.q00 AS INTEGER) AS q00,
+       string_agg(CASE WHEN d.d * 64 > t.dtot THEN '1' ELSE '0' END,
+                  '' ORDER BY d.b) AS ahash,
+       t.abs_err
+FROM dec d JOIN tot t USING (doc_id)
+GROUP BY d.doc_id, d.q00, t.abs_err
+""",
+    description="JPEG baseline round-trip fingerprints over the REAL "
+                "codec path (the round-12 stretch: the most common "
+                "multimodal format gets pixel-level parity beside "
+                "PNG/WAV/MP4): encode a deterministic 64x64 grayscale "
+                "fixture through the full baseline pipeline — forward "
+                "DCT, integer coefficient snap, round-half-away "
+                "quantization at quality {25,50,75} (doc_id % 3), "
+                "zigzag, differential-DC + run-length-AC Huffman with "
+                "the Annex-K tables, 0xFF byte stuffing, real "
+                "JFIF/DQT/SOF0/DHT/SOS markers — then decode it back "
+                "for real: marker walk, canonical Huffman rebuild from "
+                "the DHT payload, bit-level entropy decode, dequantize, "
+                "orthonormal IDCT, clamp. Emits the parsed header "
+                "(width, height, q00 — the scaled DC quantizer, i.e. "
+                "the quality fingerprint), the 64-bit average-hash of "
+                "the DECODED pixels (integer cross-multiplication "
+                "threshold), and abs_err = sum |decoded - source| over "
+                "all 4096 pixels — the quantization-loss reading that "
+                "shrinks as quality rises (q00 32 -> 8). The oracle "
+                "replays the reconstruction closed-form per 8x8 block "
+                "(the fixture makes it exact integer arithmetic), so a "
+                "single wrong bit in the Huffman stream, one "
+                "mis-rebuilt canonical code, or an off-by-one in the "
+                "quantizer breaks the driver hash. Scale shape: "
+                "Arrow-batched mapInPandas, zero shuffle; the hash is "
+                "the Hamming-bucket key for image dedup exactly as in "
+                "image_ahash_fingerprints.",
+    bench=True,
+    tags=("llm", "multimodal", "fingerprint"),
+)
+def image_jpeg_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.image_jpeg_features(docs)
