@@ -412,3 +412,33 @@ class TestJpegCatalogEntry:
             # content differs); q=75 (q00=8) is exact on flat blocks
             if q00 == 8:
                 assert r["abs_err"] == 0
+
+
+@pytest.mark.usefixtures("spark")
+class TestJpegHammingNeardups:
+    def test_same_content_pairs_all_recovered(self, spark, sf_dir):
+        """The fixture's planted near-dups — same image 256 doc_ids apart
+        at a different JPEG quality — must ALL surface at Hamming <= 1
+        (recall 1.0 through the chunk blocking), each flagged
+        same_content."""
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            jpeg_hamming_neardups,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+        ids = sorted(r[0] for r in
+                     load_table(spark, sf_dir, "documents")
+                     .select("doc_id").collect())
+        idset = set(ids)
+        planted = {(d, d + 256) for d in ids if d + 256 in idset}
+        assert planted, "fixture has no 256-apart pairs at this sf"
+        got = {(r["doc_lo"], r["doc_hi"]): r
+               for r in jpeg_hamming_neardups(spark, sf_dir).collect()}
+        missing = planted - set(got)
+        assert not missing, f"planted near-dups missed: {sorted(missing)[:5]}"
+        for p in planted:
+            assert got[p]["same_content"] is True
+            assert got[p]["hamming"] <= 1
+        # flag correctness on the whole result, not just planted pairs
+        for (lo, hi), r in got.items():
+            assert r["same_content"] == ((hi - lo) % 256 == 0)

@@ -2919,3 +2919,110 @@ GROUP BY d.doc_id, d.q00, t.abs_err
 def image_jpeg_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.image_jpeg_features(docs)
+
+
+@register(
+    "jpeg_hamming_neardups",
+    # Brute-force oracle vs blocked Spark path: the oracle computes ALL
+    # C(n,2) Hamming distances from the closed-form decoded blocks (the
+    # image_jpeg_ahash arithmetic), while Spark must find the same pairs
+    # through the 4x16-bit chunk blocking — pigeonhole guarantees any
+    # pair at Hamming <= 3 shares at least one chunk, so at the <= 1
+    # gate the blocked result is PROVABLY identical to brute force and
+    # the driver hash doubles as a blocking-recall audit (the
+    # minhash_recall_vs_exact discipline, here with exact identity).
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 32 WHEN 1 THEN 16 ELSE 8 END AS q00
+  FROM documents),
+blocks AS (
+  SELECT doc_id, q00, unnest(range(64)) AS b FROM imgs),
+px AS (
+  SELECT doc_id, q00, b,
+         (b * 2654435761 + doc_id * 97 + 13) % 256 AS v
+  FROM blocks),
+dequant AS (
+  SELECT doc_id, q00, b,
+         (v - 128) * 8 AS t,
+         (2 * abs((v - 128) * 8) + q00) // (2 * q00) AS mag
+  FROM px),
+dec AS (
+  SELECT doc_id, b,
+         LEAST(GREATEST(
+           (CASE WHEN t < 0 THEN -mag ELSE mag END * q00) // 8 + 128,
+           0), 255) AS d
+  FROM dequant),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN d * 64 > SUM(d) OVER (PARTITION BY doc_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM dec)
+SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+            AS INTEGER) AS hamming,
+       (b.doc_id - a.doc_id) % 256 = 0 AS same_content
+FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 1
+""",
+    description="Image near-duplicate pairs by perceptual-hash Hamming "
+                "distance over the REAL JPEG codec path — the use the "
+                "image_jpeg_ahash docstring promises, closed end to end: "
+                "each document's 64-bit aHash (computed from genuinely "
+                "entropy-decoded pixels) splits into 4 x 16-bit chunks, "
+                "candidate pairs share at least one chunk value "
+                "(pigeonhole: complete for Hamming <= 3, so exact at "
+                "the <= 1 gate — never an all-pairs comparison), and "
+                "survivors carry their exact Hamming distance plus a "
+                "same_content flag (the fixture mixer is mod-256, so "
+                "doc_ids 256 apart encode the SAME image at different "
+                "JPEG quality — the practical 'same photo, different "
+                "compression' near-dup). The result is simultaneously a "
+                "recall reading (every same-content pair lands at "
+                "Hamming <= 1 across quality levels — pinned in pytest) "
+                "and an honest precision reading: aHash is invariant to "
+                "constant brightness shifts BY DESIGN, and the fixture's "
+                "cross-doc content differs exactly by such shifts (mod "
+                "wraparound), so the flagged-false pairs quantify that "
+                "known collision mass instead of hiding it. Scale "
+                "shape: features staged once (localCheckpoint) so the "
+                "self-join cannot re-run the codec; the chunk join is "
+                "bucket-bounded (65,536 buckets per chunk index); at "
+                "100 TB identical-image floods cap per-bucket like the "
+                "SimHash path; output is pair-bounded by construction "
+                "at the tight gate.",
+    tags=("llm", "multimodal", "dedup", "fingerprint"),
+)
+def jpeg_hamming_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.image_jpeg_features(docs).select(
+        "doc_id",
+        F.conv(F.substring("ahash", 1, 32), 2, 10)
+        .cast("long").alias("hash_hi"),
+        F.conv(F.substring("ahash", 33, 32), 2, 10)
+        .cast("long").alias("hash_lo"),
+        F.array(*[F.substring("ahash", i * 16 + 1, 16) for i in range(4)])
+        .alias("chunks"),
+    ).localCheckpoint(eager=False)
+    sides = feats.select(
+        "doc_id", "hash_hi", "hash_lo",
+        F.posexplode("chunks").alias("pos", "chunk"))
+    a, b = sides.alias("a"), sides.alias("b")
+    pairs = (a.join(b, (F.col("a.pos") == F.col("b.pos"))
+                    & (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_lo"),
+                     F.col("b.doc_id").alias("doc_hi"),
+                     (F.bit_count(F.col("a.hash_hi")
+                                  .bitwiseXOR(F.col("b.hash_hi")))
+                      + F.bit_count(F.col("a.hash_lo")
+                                    .bitwiseXOR(F.col("b.hash_lo"))))
+                     .cast("int").alias("hamming"))
+             .where(F.col("hamming") <= 1)
+             .distinct())
+    return pairs.select(
+        "doc_lo", "doc_hi", "hamming",
+        ((F.col("doc_hi") - F.col("doc_lo")) % 256 == 0)
+        .alias("same_content"))
