@@ -51,6 +51,9 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
 # Everything else in the catalog must stay native-expression.
 _PANDAS_OK = {"media_features", "media_frame_sample",
               "image_ahash_fingerprints",
+              # real JPEG codec work (encode + entropy decode) runs
+              # inside Arrow-batched mapInPandas by design
+              "image_jpeg_ahash", "jpeg_hamming_neardups",
               # vectorized per-doc signature math (64-wide majority vote /
               # 64-permutation min matrix) — equality with the pure-
               # expression forms is pinned in test_dedup_similarity.py::
