@@ -2790,6 +2790,101 @@ class TestStreamingProfitMaintenance:
             maint.merge_batch(even, 0)
 
 
+class TestStreamingTrendMaintenance:
+    """Per-user OLS-trend state (streaming/analytics_twins.py
+    IncrementalTrendMaintainer, maintainer #20): the per-(user, day)
+    daily-cents grid ADDs under merge — the sufficient statistics do
+    NOT (a split day breaks Sxy) — so after minute-sliced micro-batches
+    that deliberately split single days across batches, the maintained
+    regression report must equal the driver-oracled grouped_ols_trend
+    bit-for-bit; replay idempotent behind the lifecycle guard; state
+    bounded by |users| x |days|."""
+
+    def test_stream_equals_batch_with_split_days(
+            self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalTrendMaintainer,
+            streaming_trend_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("trend_events"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "value")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        # minute-parity slices: the SAME (user, day) cell arrives in
+        # several batches — the interleaving the grid state exists for
+        for i in range(3):
+            d = os.path.join(base, f"m{i}")
+            ev.where(F.pmod(F.minute("ts"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalTrendMaintainer(
+            spark, str(tmp_path_factory.mktemp("trend_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema="ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_trend_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("trend_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["grouped_ols_trend"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        assert got == want
+        # state bounded by the user x day grid
+        grid = maint.state.current()
+        n_users = ev.select("user_id").distinct().count()
+        n_days = ev.select(F.to_date("ts")).distinct().count()
+        assert grid.count() <= n_users * n_days
+
+    def test_day_split_growth_replay_and_guard(
+            self, spark, sf_dir, tmp_path_factory):
+        """A (user, day) cell whose events arrive in different batches
+        must end with the SUMMED daily cents — the case where
+        maintaining the six sufficient statistics directly would be
+        WRONG — plus replay idempotence and the lifecycle guard."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalTrendMaintainer,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "value")
+        even = ev.where(F.pmod(F.minute("ts"), F.lit(2)) == 0)
+        odd = ev.where(F.pmod(F.minute("ts"), F.lit(2)) == 1)
+        maint = IncrementalTrendMaintainer(
+            spark, str(tmp_path_factory.mktemp("trend_split")))
+        maint.merge_batch(even, 0)
+        partial = {(r["user_id"], r["x"]): r["_sum"]
+                   for r in maint.state.current().collect()}
+        maint.merge_batch(odd, 1)
+        final = {(r["user_id"], r["x"]): r["_sum"]
+                 for r in maint.state.current().collect()}
+        # at least one daily cell actually accumulated across batches
+        assert any(abs(final[k] - v) > 1e-9 for k, v in partial.items()
+                   if k in final)
+        want = _rows(CATALOG["grouped_ols_trend"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        assert once == want
+        maint.merge_batch(odd, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(even, 0)
+
+
 class TestBottomKMergeAlgebra:
     """Pure-model hypothesis pins for the two new mergeable states: the
     Spark-side equivalences are pinned on real data by the input-split

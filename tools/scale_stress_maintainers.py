@@ -65,6 +65,7 @@ def main() -> None:
         IncrementalSourceMixMaintainer,
         IncrementalTableStatsMaintainer,
         IncrementalTokenFrequencyMaintainer,
+        IncrementalTrendMaintainer,
         IncrementalUserSpendMaintainer,
         Scd2DimensionMaintainer,
     )
@@ -101,6 +102,8 @@ def main() -> None:
             spark, state("daily_revenue")), orders),
         ("user_spend", lambda: IncrementalUserSpendMaintainer(
             spark, state("user_spend")), events),
+        ("trend", lambda: IncrementalTrendMaintainer(
+            spark, state("trend")), events),
         ("token_freq", lambda: IncrementalTokenFrequencyMaintainer(
             spark, state("token_freq")), docs),
         ("table_stats", lambda: IncrementalTableStatsMaintainer(

@@ -42,6 +42,9 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalSourceMixMaintainer`` (#13) on the same documents stream —
   per-(source, lang) doc/token counts serving the domain-mix report
   (``source_mix_report``);
+- ``IncrementalTrendMaintainer`` (#20) over an events drop-dir — the
+  per-(user, day-index) daily-cents grid re-deriving the driver-oracled
+  ``grouped_ols_trend`` regression report;
 - ``IncrementalUserSpendMaintainer`` over an events drop-dir —
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
@@ -79,6 +82,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalSourceMixMaintainer,
     IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
+    IncrementalTrendMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_bounded_token_frequency_maintenance,
     streaming_contingency_maintenance,
@@ -92,6 +96,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_set_membership_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
+    streaming_trend_maintenance,
     streaming_user_spend_maintenance,
 )
 
@@ -213,6 +218,12 @@ def main() -> None:
         queries.append(streaming_user_spend_maintenance(
             events, spend, os.path.join(args.checkpoint_root,
                                         "user_spend")))
+        # maintainer #20 shares the events stream: the per-(user, day)
+        # daily-cents grid behind the OLS trend report
+        trend = IncrementalTrendMaintainer(
+            spark, os.path.join(args.state_root, "trend"))
+        queries.append(streaming_trend_maintenance(
+            events, trend, os.path.join(args.checkpoint_root, "trend")))
     if args.docs:
         docs = (spark.readStream
                 .schema("doc_id BIGINT, text STRING, source STRING, "

@@ -2423,11 +2423,29 @@ FROM fit
 )
 def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    return ols_report_from_daily(ols_daily_grid(ev))
+
+
+def ols_daily_grid(events: DataFrame) -> DataFrame:
+    """The mergeable input grid behind ``grouped_ols_trend`` (and
+    streaming maintainer #20): per-(user, day-index) exact daily spend
+    cents. Cents ADD under merge, so a maintainer holding this grid —
+    bounded by |users| x |days| at any event volume — can re-derive the
+    full regression report at any time; the six OLS sufficient
+    statistics are NOT the mergeable unit (a micro-batch can split a
+    day, and Sxy over partial daily totals is wrong), the grid is."""
+    return events.groupBy(
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
         .alias("x"),
     ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("y"))
+
+
+def ols_report_from_daily(daily: DataFrame) -> DataFrame:
+    """Presentation shared by the batch entry and maintainer #20: the
+    per-user closed-form OLS fit from the (user_id, x, y) daily grid —
+    exact BIGINT sufficient statistics in one map-side-combinable pass,
+    then one identical IEEE expression per output column."""
     stats = daily.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

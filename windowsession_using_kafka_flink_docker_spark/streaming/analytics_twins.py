@@ -1018,7 +1018,61 @@ def streaming_profit_maintenance(
                                "profit_maintenance")
 
 
+class IncrementalTrendMaintainer:
+    """Streaming maintainer #20 — the per-user OLS-trend state behind
+    the driver-oracled ``grouped_ols_trend``: the per-(user, day-index)
+    daily spend grid, bounded by |users| x |days| at ANY event volume.
+    The mergeable unit is deliberately the GRID, not the six OLS
+    sufficient statistics: a micro-batch can split a day across
+    batches, and Sxy/Sxx/Syy accumulated over partial daily totals are
+    simply wrong — daily cents ADD under merge, and the sufficient
+    statistics derive from the completed grid at presentation (the
+    ewma maintainer's day-partial precedent, feeding the regression
+    family instead of the smoother). ``current()`` re-derives the full
+    regression report through the batch entry's own ``ols_daily_grid``
+    rounding + ``ols_report_from_daily`` (one code path), so stream ==
+    batch under any batch interleaving — including interleavings that
+    split single days."""
+
+    _SCHEMA = "user_id BIGINT, x INT, _sum DOUBLE"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.state.guard(batch_id)
+        delta = (batch_df
+                 .groupBy("user_id",
+                          F.datediff(F.to_date("ts"),
+                                     F.lit("2024-01-01").cast("date"))
+                          .alias("x"))
+                 .agg(F.sum("value").alias("_sum")))
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("user_id", "x")
+                  .agg(F.sum("_sum").alias("_sum")))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            ols_report_from_daily,
+        )
+        daily = self.state.current().select(
+            "user_id", "x",
+            F.round(F.col("_sum") * 100, 0).cast("long").alias("y"))
+        return ols_report_from_daily(daily)
+
+
+def streaming_trend_maintenance(
+        events: DataFrame, maintainer: IncrementalTrendMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(events, maintainer, checkpoint_dir,
+                               "trend_maintenance")
+
+
 __all__ = [
+    "IncrementalTrendMaintainer",
+    "streaming_trend_maintenance",
     "IncrementalProfitMaintainer",
     "streaming_profit_maintenance",
     "IncrementalOrderCountMaintainer",
