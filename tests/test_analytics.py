@@ -1176,3 +1176,63 @@ class TestBenjaminiHochberg:
                      for j in range(i, m + 1))
             if textbook == lo:  # recompute is decisive outside the ulp band
                 assert r["rejected"] == textbook, (r, ps)
+
+
+class TestTheilSenRobustness:
+    """Definitional pins for theil_sen_trend: the median-of-pair-slopes
+    estimator on synthetic frames, including the breakdown property the
+    docstring claims (one wild outlier day moves OLS, not Theil-Sen)."""
+
+    @staticmethod
+    def _with_events(spark, sf_dir, rows, td):
+        import os
+
+        spark.createDataFrame(
+            rows, "ts TIMESTAMP, user_id BIGINT, value DOUBLE") \
+            .write.parquet(os.path.join(td, "events.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            dst = os.path.join(td, f"{t}.parquet")
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+
+    def test_median_slope_exact_on_linear_series(self, spark, sf_dir):
+        """A perfectly linear series: every pair slope equals the true
+        slope, so Theil-Sen returns it exactly (e4-scaled)."""
+        import datetime
+        import tempfile
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+        # slope 3.25 currency units/day = 325 cents/day -> 3_250_000 e4
+        rows = [(datetime.datetime(2024, 1, 1 + d, 12), 1, 10.0 + 3.25 * d)
+                for d in range(6)]
+        with tempfile.TemporaryDirectory() as td:
+            self._with_events(spark, sf_dir, rows, td)
+            out = {r["user_id"]: r for r in
+                   CATALOG["theil_sen_trend"].spark(spark, td).collect()}
+        assert out[1]["n_days"] == 6
+        assert out[1]["n_pairs"] == 15
+        assert out[1]["ts_slope_e4"] == 3_250_000
+
+    def test_outlier_breaks_ols_not_theil_sen(self, spark, sf_dir):
+        """Flat spend plus ONE 100x outlier day: OLS slope swings hard,
+        the Theil-Sen median stays at zero."""
+        import datetime
+        import tempfile
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+        rows = [(datetime.datetime(2024, 1, 1 + d, 12), 7,
+                 1000.0 if d == 8 else 10.0) for d in range(9)]
+        with tempfile.TemporaryDirectory() as td:
+            self._with_events(spark, sf_dir, rows, td)
+            ts = {r["user_id"]: r for r in
+                  CATALOG["theil_sen_trend"].spark(spark, td).collect()}
+            ols = {r["user_id"]: r for r in
+                   CATALOG["grouped_ols_trend"].spark(spark, td).collect()}
+        # 36 pair slopes: 28 exactly 0, 8 touching the outlier -> median 0
+        assert ts[7]["ts_slope_e4"] == 0
+        # OLS is dragged far positive by the single outlier day
+        assert ols[7]["slope_ce2"] > 50_000

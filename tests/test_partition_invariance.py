@@ -63,6 +63,11 @@ SENSITIVE = [
     # mann_whitney) AND sorts by a derived double — both must be
     # partition-count-proof
     "bh_fdr_segment_spend",
+    # round 12: rank-pick over pair slopes (the Theil-Sen median row is
+    # chosen by row_number among possibly-tied slope values) and the
+    # lag self-join behind the ACF sums
+    "theil_sen_trend",
+    "spend_autocorrelation",
 ]
 
 

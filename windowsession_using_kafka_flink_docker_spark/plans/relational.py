@@ -4007,3 +4007,181 @@ def ordered_set_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(f"cont{p4 * 25}_e4", cont.cast("long"))
         cols.append(f"cont{p4 * 25}_e4")
     return out.select(*cols)
+
+
+@register(
+    "spend_autocorrelation",
+    # Engine-agreement discipline: the whole ACF quotient is assembled
+    # from exact BIGINT sums multiplied through by n^2 (numerator:
+    # n^2*S_ab - n*sy*S_a+b + m*sy^2; denominator: n*(n*syy - sy^2)),
+    # so both engines floor-scale ONE identical IEEE division. Daily
+    # cents <= ~1e6, n <= |days|, so every term stays far inside int64.
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM daily GROUP BY 1),
+lagged AS (
+  SELECT a.user_id, k.lag AS lag,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(a.y * b.y) AS BIGINT) AS sab,
+         CAST(SUM(a.y + b.y) AS BIGINT) AS sapb
+  FROM daily a
+  JOIN (SELECT unnest([1, 2, 3]) AS lag) k ON TRUE
+  JOIN daily b ON b.user_id = a.user_id AND b.x = a.x + k.lag
+  GROUP BY 1, 2)
+SELECT l.user_id, CAST(l.lag AS INTEGER) AS lag,
+       s.n AS n_days, l.m AS n_pairs,
+       CAST(floor(
+         CAST(s.n * s.n * l.sab - s.n * s.sy * l.sapb
+              + l.m * s.sy * s.sy AS DOUBLE)
+         / CAST(s.n * (s.n * s.syy - s.sy * s.sy) AS DOUBLE)
+         * 10000) AS BIGINT) AS acf_e4
+FROM lagged l JOIN stats s USING (user_id)
+WHERE s.n >= 8 AND s.n * s.syy - s.sy * s.sy > 0
+""",
+    description="Per-user autocorrelation of daily spend at lags 1-3 — "
+                "the time-series diagnostic next to grouped_ols_trend "
+                "(is yesterday's spend predictive of today's?), over "
+                "the SAME mergeable daily grid (ols_daily_grid: one "
+                "shared code path with the batch OLS entry and "
+                "maintainer #20, so the maintainer's state serves this "
+                "report too). Gap-aware: a lag-k pair exists only when "
+                "both day-indexes are observed (x and x+k), the honest "
+                "reading for sparse users — never LOCF-imputed. The "
+                "lag join is a self-equi-join on (user, x+k) over the "
+                "ALREADY-AGGREGATED grid (|users|x|days| rows, never "
+                "fact-sized) exploded 3 ways by lag; sums accumulate "
+                "as exact BIGINTs and the single IEEE division is "
+                "identical in both engines (the grouped_ols_trend "
+                "discipline). Guards mirror OLS: n >= 8 observed days "
+                "and positive variance.",
+    tags=("relational", "analytics", "timeseries", "window"),
+)
+def spend_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ols_daily_grid(ev)
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ).where((F.col("n") >= 8)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0))
+    a = daily.select("user_id", F.col("x").alias("xa"),
+                     F.col("y").alias("ya"))
+    lags = a.select("user_id", "xa", "ya",
+                    F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                    .alias("lag"))
+    b = daily.select("user_id", F.col("x").alias("xb"),
+                     F.col("y").alias("yb"))
+    lagged = (lags.join(b, (lags.user_id == b.user_id)
+                        & (b.xb == lags.xa + lags.lag))
+              .drop(b.user_id)
+              .groupBy("user_id", "lag")
+              .agg(F.count(F.lit(1)).cast("long").alias("m"),
+                   F.sum(F.col("ya") * F.col("yb")).cast("long")
+                   .alias("sab"),
+                   F.sum(F.col("ya") + F.col("yb")).cast("long")
+                   .alias("sapb")))
+    num = (F.col("n") * F.col("n") * F.col("sab")
+           - F.col("n") * F.col("sy") * F.col("sapb")
+           + F.col("m") * F.col("sy") * F.col("sy"))
+    den = F.col("n") * (F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy"))
+    return (lagged.join(stats, "user_id")
+            .select("user_id", F.col("lag").cast("int").alias("lag"),
+                    F.col("n").alias("n_days"),
+                    F.col("m").alias("n_pairs"),
+                    F.floor(num.cast("double") / den.cast("double")
+                            * 10000).cast("long").alias("acf_e4")))
+
+
+@register(
+    "theil_sen_trend",
+    # floor() over the pair-slope division is engine-safe because the
+    # denominator is bounded: x2-x1 <= |days|, so a non-integer true
+    # quotient sits at least 1/|days| away from the next integer while
+    # the correctly-rounded double division errs by <= 1 ulp (~6e-5 at
+    # the 1e11 numerator scale) — floor can never flip. The median
+    # picks a VALUE at a rank, so slope ties need no tie-break.
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+eligible AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1 HAVING COUNT(*) >= 5),
+slopes AS (
+  SELECT a.user_id,
+         CAST(floor(CAST((b.y - a.y) * 10000 AS DOUBLE)
+                    / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope_e4
+  FROM daily a
+  JOIN daily b ON b.user_id = a.user_id AND b.x > a.x
+  JOIN eligible e ON e.user_id = a.user_id),
+ranked AS (
+  SELECT user_id, slope_e4,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY slope_e4) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS m
+  FROM slopes)
+SELECT r.user_id, e.n_days, CAST(r.m AS BIGINT) AS n_pairs,
+       r.slope_e4 AS ts_slope_e4
+FROM ranked r JOIN eligible e USING (user_id)
+WHERE r.rn = (r.m + 1) // 2
+""",
+    description="Per-user Theil-Sen robust trend — the exact median of "
+                "all pairwise daily-spend slopes (lower median at rank "
+                "ceil(m/2)), the breakdown-point-29% robust sibling of "
+                "grouped_ols_trend's least squares (one wild outlier "
+                "day swings OLS but moves a median of 465 pair slopes "
+                "barely at all), over the SAME shared ols_daily_grid. "
+                "The pairwise expansion is VALUE-DOMAIN-bounded, never "
+                "fact-bounded: pairs form on the already-aggregated "
+                "|users| x |days| grid (<= C(|days|, 2) = a few "
+                "hundred per user at any event volume), so the classic "
+                "O(n^2) objection to Theil-Sen doesn't bite — the "
+                "quadratic term is in the bounded day count, exactly "
+                "the rank_test value-domain playbook. Slopes scale to "
+                "exact integers (floor(dy * 1e4 / dx), engine-safe by "
+                "the bounded-denominator argument above); the median "
+                "is a per-user rank pick over at most 465 rows — a "
+                "window over the pair frame, never over facts.",
+    tags=("relational", "analytics", "regression", "timeseries"),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ols_daily_grid(ev)
+    eligible = (daily.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+                .where(F.col("n_days") >= 5))
+    a = daily.select("user_id", F.col("x").alias("xa"),
+                     F.col("y").alias("ya"))
+    b = daily.select("user_id", F.col("x").alias("xb"),
+                     F.col("y").alias("yb"))
+    slopes = (a.join(b, (a.user_id == b.user_id) & (b.xb > a.xa))
+              .drop(b.user_id)
+              .join(eligible, "user_id")
+              .select("user_id", "n_days",
+                      F.floor(((F.col("yb") - F.col("ya")) * 10000)
+                              .cast("double")
+                              / (F.col("xb") - F.col("xa")).cast("double"))
+                      .cast("long").alias("slope_e4")))
+    w = Window.partitionBy("user_id").orderBy("slope_e4")
+    ranked = slopes.select(
+        "user_id", "n_days", "slope_e4",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        .cast("long").alias("m"))
+    return (ranked.where(F.col("rn")
+                         == F.floor((F.col("m") + 1) / F.lit(2)))
+            .select("user_id", "n_days",
+                    F.col("m").alias("n_pairs"),
+                    F.col("slope_e4").alias("ts_slope_e4")))
