@@ -2837,10 +2837,15 @@ class TestStreamingTrendMaintenance:
         finally:
             q.stop()
         assert len(maint.state.versions()) == 2  # pruned to cur+prev
-        got = _rows(maint.current(), exclude_sentinel=False)
-        want = _rows(CATALOG["grouped_ols_trend"].spark(spark, sf_dir),
-                     exclude_sentinel=False)
-        assert got == want
+        # ONE grid state serves all three driver-oracled reports
+        for current, entry in (
+                (maint.current, "grouped_ols_trend"),
+                (maint.current_acf, "spend_autocorrelation"),
+                (maint.current_theil_sen, "theil_sen_trend")):
+            got = _rows(current(), exclude_sentinel=False)
+            want = _rows(CATALOG[entry].spark(spark, sf_dir),
+                         exclude_sentinel=False)
+            assert got == want, entry
         # state bounded by the user x day grid
         grid = maint.state.current()
         n_users = ev.select("user_id").distinct().count()

@@ -4066,7 +4066,13 @@ WHERE s.n >= 8 AND s.n * s.syy - s.sy * s.sy > 0
 )
 def spend_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ols_daily_grid(ev)
+    return acf_report_from_daily(ols_daily_grid(ev))
+
+
+def acf_report_from_daily(daily: DataFrame) -> DataFrame:
+    """Presentation shared by the batch entry and maintainer #20: the
+    gap-aware lag-1/2/3 autocorrelation report from the (user_id, x, y)
+    daily grid."""
     stats = daily.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
@@ -4158,7 +4164,12 @@ WHERE r.rn = (r.m + 1) // 2
 )
 def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ols_daily_grid(ev)
+    return theil_sen_report_from_daily(ols_daily_grid(ev))
+
+
+def theil_sen_report_from_daily(daily: DataFrame) -> DataFrame:
+    """Presentation shared by the batch entry and maintainer #20: the
+    median-of-pair-slopes robust trend from the (user_id, x, y) grid."""
     eligible = (daily.groupBy("user_id")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
                 .where(F.col("n_days") >= 5))

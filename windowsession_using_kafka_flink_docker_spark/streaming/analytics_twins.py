@@ -1053,14 +1053,32 @@ class IncrementalTrendMaintainer:
                   .agg(F.sum("_sum").alias("_sum")))
         self.state.write(batch_id, merged)
 
+    def _daily(self) -> DataFrame:
+        return self.state.current().select(
+            "user_id", "x",
+            F.round(F.col("_sum") * 100, 0).cast("long").alias("y"))
+
     def current(self) -> DataFrame:
         from windowsession_using_kafka_flink_docker_spark.plans.relational import (
             ols_report_from_daily,
         )
-        daily = self.state.current().select(
-            "user_id", "x",
-            F.round(F.col("_sum") * 100, 0).cast("long").alias("y"))
-        return ols_report_from_daily(daily)
+        return ols_report_from_daily(self._daily())
+
+    def current_acf(self) -> DataFrame:
+        """The gap-aware lag-1/2/3 autocorrelation report — the SAME
+        grid state serves the driver-oracled spend_autocorrelation."""
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            acf_report_from_daily,
+        )
+        return acf_report_from_daily(self._daily())
+
+    def current_theil_sen(self) -> DataFrame:
+        """The robust median-of-pair-slopes trend — the SAME grid state
+        serves the driver-oracled theil_sen_trend."""
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            theil_sen_report_from_daily,
+        )
+        return theil_sen_report_from_daily(self._daily())
 
 
 def streaming_trend_maintenance(
