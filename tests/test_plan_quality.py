@@ -593,3 +593,17 @@ def test_ordered_set_percentiles_value_domain_plan(spark, sf_dir):
     # exactly one HashAggregate pair below the window (partial+final
     # distinct-cents counts), never a Sort over the raw scan
     assert "Window" in plan, plan
+
+
+def test_trend_grid_family_stages_daily_once(spark, sf_dir):
+    """spend_autocorrelation and theil_sen_trend promise the staged
+    daily grid: the |users| x |days| aggregate materializes ONCE
+    (localCheckpoint — measured 3 events scans for the ACF without it,
+    one per grid consumer), so the final stage reads ZERO parquet scans
+    and no fact-sized shuffle survives — only grid-sized joins."""
+    for name in ("spend_autocorrelation", "theil_sen_trend"):
+        plan = _plan(spark, name, sf_dir, "formatted")
+        n_scans = sum(1 for ln in plan.splitlines()
+                      if ln.lstrip().startswith("(") and "Scan parquet" in ln)
+        assert n_scans == 0, (name, n_scans, plan)
+        assert "CartesianProduct" not in plan, (name, plan)

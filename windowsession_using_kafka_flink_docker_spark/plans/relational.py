@@ -4072,7 +4072,11 @@ def spend_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def acf_report_from_daily(daily: DataFrame) -> DataFrame:
     """Presentation shared by the batch entry and maintainer #20: the
     gap-aware lag-1/2/3 autocorrelation report from the (user_id, x, y)
-    daily grid."""
+    daily grid. The grid is consumed THREE times (both lag-join sides
+    plus the variance stats), so it stages once via localCheckpoint —
+    without it the planner re-aggregates the fact scan per consumer
+    (measured: 3 events scans; the q15 lesson)."""
+    daily = daily.localCheckpoint(eager=False)
     stats = daily.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("sy"),
@@ -4169,7 +4173,11 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def theil_sen_report_from_daily(daily: DataFrame) -> DataFrame:
     """Presentation shared by the batch entry and maintainer #20: the
-    median-of-pair-slopes robust trend from the (user_id, x, y) grid."""
+    median-of-pair-slopes robust trend from the (user_id, x, y) grid,
+    staged once (three consumers: both pair sides and the eligibility
+    counts; without staging the planner re-aggregates the fact scan
+    per consumer — the q15 lesson)."""
+    daily = daily.localCheckpoint(eager=False)
     eligible = (daily.groupBy("user_id")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
                 .where(F.col("n_days") >= 5))
