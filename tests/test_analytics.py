@@ -1236,3 +1236,49 @@ class TestTheilSenRobustness:
         assert ts[7]["ts_slope_e4"] == 0
         # OLS is dragged far positive by the single outlier day
         assert ols[7]["slope_ce2"] > 50_000
+
+
+class TestCupedIdentities:
+    """Definitional pins for cuped_adjusted_ab on a synthetic frame
+    where the post metric is EXACTLY linear in the covariate
+    (y = 2x + 5000 cents): theta must be exactly 2, rho^2 exactly 1,
+    and the CUPED-adjusted means of both arms must coincide (the whole
+    point: pre-period differences between arms are removed) while the
+    raw means differ."""
+
+    def test_perfect_covariate_recovers_theta_and_equalizes_arms(
+            self, spark, sf_dir):
+        import datetime
+        import os
+        import tempfile
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+        rows = []
+        for c in range(1, 201):
+            x = 100 + 7 * c  # cents
+            y = 2 * x + 5000
+            rows.append((c, datetime.datetime(1996, 3, 1), x / 100.0))
+            rows.append((c, datetime.datetime(1997, 3, 1), y / 100.0))
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "o_custkey BIGINT, o_orderdate TIMESTAMP, "
+                      "o_totalprice DOUBLE") \
+                .write.parquet(os.path.join(td, "orders.parquet"))
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "lineitem", "documents", "embeddings", "events"):
+                src = os.path.join(sf_dir, f"{t}.parquet")
+                dst = os.path.join(td, f"{t}.parquet")
+                if os.path.exists(src) and not os.path.exists(dst):
+                    os.symlink(src, dst)
+            out = {r["arm"]: r for r in
+                   CATALOG["cuped_adjusted_ab"].spark(spark, td).collect()}
+        assert set(out) == {"A", "B"}
+        assert out["A"]["theta_e6"] == 2_000_000
+        assert out["A"]["rho2_e4"] == 10_000
+        # raw means differ (the md5 arms see different covariate mixes)
+        assert out["A"]["mean_post_ce2"] != out["B"]["mean_post_ce2"]
+        # adjusted means coincide: algebraically both equal
+        # 5000 + 2*mean(x); allow 1 floor-ulp of slack
+        assert abs(out["A"]["mean_adj_ce2"]
+                   - out["B"]["mean_adj_ce2"]) <= 1

@@ -3705,3 +3705,150 @@ def q12_returnflag_priority_classes(spark: SparkSession,
              .alias("high_line_count"),
              F.sum(F.when(~high, 1).otherwise(0)).cast("long")
              .alias("low_line_count")))
+
+
+@register(
+    "cuped_adjusted_ab",
+    # Engine-agreement discipline (the welch/BH lineage): every sum is
+    # an exact BIGINT/HUGEINT; theta and rho^2 are assembled from the
+    # exact centered moments n*Sxy - Sx*Sy / n*Sxx - Sx^2 / n*Syy - Sy^2
+    # (HUGEINT, cast to double ONCE), and each output is one identical
+    # IEEE expression tree floor-scaled — Spark and DuckDB agree
+    # bit-for-bit because +,-,*,/ are correctly rounded in both.
+    oracle="""
+WITH units AS (
+  SELECT o_custkey AS custkey,
+         CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END), 0)
+              AS BIGINT) AS y
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+  GROUP BY 1),
+armed AS (
+  SELECT x, y,
+         CASE WHEN substr(md5(CAST(custkey AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS arm
+  FROM units),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM armed),
+moments AS (
+  SELECT n, sx, sy,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov,
+         CAST(n AS HUGEINT) * sxx
+           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS vx,
+         CAST(n AS HUGEINT) * syy
+           - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS vy
+  FROM pooled),
+theta_t AS (
+  SELECT n, sx,
+         CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) AS theta,
+         (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+           / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) AS rho2
+  FROM moments WHERE vx > 0 AND vy > 0),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+         CAST(SUM(x) AS BIGINT) AS sx_arm,
+         CAST(SUM(y) AS BIGINT) AS sy_arm
+  FROM armed GROUP BY 1)
+SELECT a.arm, a.n_arm,
+       CAST(floor(CAST(a.sy_arm AS DOUBLE) / CAST(a.n_arm AS DOUBLE)
+                  * 100) AS BIGINT) AS mean_post_ce2,
+       CAST(floor((CAST(a.sy_arm AS DOUBLE) / CAST(a.n_arm AS DOUBLE)
+                   - t.theta
+                     * (CAST(a.sx_arm AS DOUBLE) / CAST(a.n_arm AS DOUBLE)
+                        - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                  * 100) AS BIGINT) AS mean_adj_ce2,
+       CAST(floor(t.theta * 1000000) AS BIGINT) AS theta_e6,
+       CAST(floor(t.rho2 * 10000) AS BIGINT) AS rho2_e4
+FROM arms a CROSS JOIN theta_t t
+WHERE a.n_arm >= 2
+""",
+    description="CUPED variance-reduced A/B readout — the industry "
+                "standard experiment operator (Deng et al., WSDM'13): "
+                "each customer's 1997 order spend (the experiment "
+                "metric) is adjusted by their own 1996 spend (the "
+                "pre-period covariate), y' = y - theta (x - mean(x)) "
+                "with theta = Cov(x,y)/Var(x) pooled across arms, "
+                "which shrinks metric variance by the factor 1 - rho^2 "
+                "without biasing the A/B difference (the covariate "
+                "predates assignment). Arms split by the md5 first-hex "
+                "rule shared with welch_t_spend_ab. Everything derives "
+                "from ONE pass of exact sufficient statistics "
+                "(n/Sx/Sy/Sxx/Sxy/Syy as BIGINT + DECIMAL(38,0), the "
+                "welch cancellation-free discipline): theta and rho^2 "
+                "come from exact centered moments cast to double once, "
+                "per-arm means adjust against the pooled theta via a "
+                "2-row x 1-row broadcast — no second fact scan, no "
+                "per-unit adjusted column ever materializes (the "
+                "adjusted MEAN is algebraically mean(y) - theta "
+                "(mean_arm(x) - mean(x)), so the report needs only the "
+                "arm sums). Reports per arm: n, raw and CUPED-adjusted "
+                "post-period mean, pooled theta_e6 and rho2_e4 (the "
+                "variance-reduction reading).",
+    tags=("relational", "analytics", "experiment", "aggregate"),
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    units = (orders.where(yr.isin(1996, 1997))
+             .groupBy(F.col("o_custkey").alias("custkey"))
+             .agg(F.coalesce(F.sum(F.when(yr == 1996, cents)), F.lit(0))
+                  .cast("long").alias("x"),
+                  F.coalesce(F.sum(F.when(yr == 1997, cents)), F.lit(0))
+                  .cast("long").alias("y")))
+    arm = F.when(
+        F.substring(F.md5(F.col("custkey").cast("string").cast("binary")),
+                    1, 1).isin(*"01234567"), "A").otherwise("B")
+    armed = units.select("x", "y", arm.alias("arm")) \
+        .localCheckpoint(eager=False)
+    dec38 = "decimal(38,0)"
+    xdec = F.col("x").cast("decimal(19,0)")
+    ydec = F.col("y").cast("decimal(19,0)")
+    pooled = armed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xdec * xdec).alias("sxx"),
+        F.sum(xdec * ydec).alias("sxy"),
+        F.sum(ydec * ydec).alias("syy"))
+    cov = (F.col("n").cast(dec38) * F.col("sxy")
+           - F.col("sx").cast(dec38) * F.col("sy").cast(dec38))
+    vx = (F.col("n").cast(dec38) * F.col("sxx")
+          - F.col("sx").cast(dec38) * F.col("sx").cast(dec38))
+    vy = (F.col("n").cast(dec38) * F.col("syy")
+          - F.col("sy").cast(dec38) * F.col("sy").cast(dec38))
+    theta_t = (pooled.select(
+        "n", "sx",
+        (cov.cast("double") / vx.cast("double")).alias("theta"),
+        ((cov.cast("double") * cov.cast("double"))
+         / (vx.cast("double") * vy.cast("double"))).alias("rho2"),
+        vx.alias("_vx"), vy.alias("_vy"))
+        .where((F.col("_vx") > 0) & (F.col("_vy") > 0))
+        .drop("_vx", "_vy"))
+    arms = (armed.groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_arm"),
+                 F.sum("x").cast("long").alias("sx_arm"),
+                 F.sum("y").cast("long").alias("sy_arm"))
+            .where(F.col("n_arm") >= 2))
+    joined = arms.join(F.broadcast(theta_t))
+    ya = F.col("sy_arm").cast("double") / F.col("n_arm").cast("double")
+    xa = F.col("sx_arm").cast("double") / F.col("n_arm").cast("double")
+    xm = F.col("sx").cast("double") / F.col("n").cast("double")
+    return joined.select(
+        "arm", "n_arm",
+        F.floor(ya * 100).cast("long").alias("mean_post_ce2"),
+        F.floor((ya - F.col("theta") * (xa - xm)) * 100).cast("long")
+        .alias("mean_adj_ce2"),
+        F.floor(F.col("theta") * 1000000).cast("long").alias("theta_e6"),
+        F.floor(F.col("rho2") * 10000).cast("long").alias("rho2_e4"))
