@@ -2890,6 +2890,97 @@ class TestStreamingTrendMaintenance:
             maint.merge_batch(even, 0)
 
 
+class TestStreamingCupedMaintenance:
+    """CUPED unit state (streaming/analytics_twins.py
+    IncrementalCupedMaintainer, maintainer #21): per-customer pre/post
+    epoch cents ADD under merge, so after custkey- and epoch-straddling
+    micro-batches the maintained per-arm CUPED report must equal the
+    driver-oracled cuped_adjusted_ab bit-for-bit; replay idempotent
+    behind the lifecycle guard; state bounded by the customer key
+    space."""
+
+    _COLS = ["o_custkey", "o_orderdate", "o_totalprice"]
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalCupedMaintainer,
+            streaming_cuped_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("cuped_orders"))
+        od = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        # slice by month so the SAME customer's 1996 and 1997 orders
+        # land in different batches — the interleaving the epoch-sum
+        # state exists for
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            od.where(F.pmod(F.month("o_orderdate"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalCupedMaintainer(
+            spark, str(tmp_path_factory.mktemp("cuped_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema="o_custkey BIGINT, o_orderdate TIMESTAMP, "
+                   "o_totalprice DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_cuped_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("cuped_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["cuped_adjusted_ab"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        assert got == want
+        # state bounded by the customer key space
+        assert maint.state.current().count() <= \
+            od.select("o_custkey").distinct().count()
+
+    def test_epoch_straddle_replay_and_guard(self, spark, sf_dir,
+                                             tmp_path_factory):
+        """A customer whose 1996 orders arrive in one batch and 1997
+        orders in another must end with BOTH epoch sums populated —
+        plus replay idempotence and the lifecycle guard."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalCupedMaintainer,
+        )
+
+        od = load_table(spark, sf_dir, "orders").select(*self._COLS)
+        pre = od.where(F.year("o_orderdate") != 1997)
+        post = od.where(F.year("o_orderdate") == 1997)
+        maint = IncrementalCupedMaintainer(
+            spark, str(tmp_path_factory.mktemp("cuped_split")))
+        maint.merge_batch(pre, 0)
+        after0 = {r["custkey"]: r for r in maint.state.current().collect()}
+        assert after0 and all(r["y"] == 0 for r in after0.values())
+        maint.merge_batch(post, 1)
+        final = {r["custkey"]: r for r in maint.state.current().collect()}
+        straddlers = [k for k, r in final.items()
+                      if r["x"] > 0 and r["y"] > 0]
+        assert straddlers, "no customer straddles both epochs at this sf"
+        want = _rows(CATALOG["cuped_adjusted_ab"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        assert once == want
+        maint.merge_batch(post, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(pre, 0)
+
+
 class TestBottomKMergeAlgebra:
     """Pure-model hypothesis pins for the two new mergeable states: the
     Spark-side equivalences are pinned on real data by the input-split

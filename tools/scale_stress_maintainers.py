@@ -51,6 +51,7 @@ def main() -> None:
         BoundedQuantileMaintainer,
         BoundedTokenFrequencyMaintainer,
         IncrementalContingencyMaintainer,
+        IncrementalCupedMaintainer,
         IncrementalDailyRevenueMaintainer,
         IncrementalDriftMaintainer,
         IncrementalEwmaMaintainer,
@@ -104,6 +105,9 @@ def main() -> None:
             spark, state("user_spend")), events),
         ("trend", lambda: IncrementalTrendMaintainer(
             spark, state("trend")), events),
+        ("cuped", lambda: IncrementalCupedMaintainer(
+            spark, state("cuped")),
+         orders.select("o_custkey", "o_orderdate", "o_totalprice")),
         ("token_freq", lambda: IncrementalTokenFrequencyMaintainer(
             spark, state("token_freq")), docs),
         ("table_stats", lambda: IncrementalTableStatsMaintainer(

@@ -42,6 +42,9 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalSourceMixMaintainer`` (#13) on the same documents stream —
   per-(source, lang) doc/token counts serving the domain-mix report
   (``source_mix_report``);
+- ``IncrementalCupedMaintainer`` (#21) on the same orders stream — the
+  per-customer pre/post epoch spend grid re-deriving the driver-oracled
+  ``cuped_adjusted_ab`` variance-reduced A/B report;
 - ``IncrementalTrendMaintainer`` (#20) over an events drop-dir — the
   per-(user, day-index) daily-cents grid re-deriving the driver-oracled
   ``grouped_ols_trend`` regression report;
@@ -82,6 +85,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalSourceMixMaintainer,
     IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
+    IncrementalCupedMaintainer,
     IncrementalTrendMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_bounded_token_frequency_maintenance,
@@ -96,6 +100,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_set_membership_maintenance,
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
+    streaming_cuped_maintenance,
     streaming_trend_maintenance,
     streaming_user_spend_maintenance,
 )
@@ -209,6 +214,12 @@ def main() -> None:
         queries.append(streaming_set_membership_maintenance(
             orders, member, os.path.join(args.checkpoint_root,
                                          "set_membership")))
+        # maintainer #21 shares the orders stream: the per-customer
+        # CUPED unit grid (pre/post epoch spend cents)
+        cuped = IncrementalCupedMaintainer(
+            spark, os.path.join(args.state_root, "cuped"))
+        queries.append(streaming_cuped_maintenance(
+            orders, cuped, os.path.join(args.checkpoint_root, "cuped")))
     if args.events:
         events = (spark.readStream
                   .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")

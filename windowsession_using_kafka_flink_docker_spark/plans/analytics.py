@@ -3799,14 +3799,28 @@ WHERE a.n_arm >= 2
 )
 def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    return cuped_report_from_units(cuped_units(orders))
+
+
+def cuped_units(orders: DataFrame) -> DataFrame:
+    """The mergeable unit grid behind ``cuped_adjusted_ab`` (and
+    streaming maintainer #21): per-customer exact pre-period (1996) and
+    post-period (1997) spend cents. Both sums ADD under merge and the
+    key space is bounded by |customers|, so a maintainer holding this
+    frame re-derives the full CUPED report at any time."""
     yr = F.year("o_orderdate")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    units = (orders.where(yr.isin(1996, 1997))
-             .groupBy(F.col("o_custkey").alias("custkey"))
-             .agg(F.coalesce(F.sum(F.when(yr == 1996, cents)), F.lit(0))
-                  .cast("long").alias("x"),
-                  F.coalesce(F.sum(F.when(yr == 1997, cents)), F.lit(0))
-                  .cast("long").alias("y")))
+    return (orders.where(yr.isin(1996, 1997))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.coalesce(F.sum(F.when(yr == 1996, cents)), F.lit(0))
+                 .cast("long").alias("x"),
+                 F.coalesce(F.sum(F.when(yr == 1997, cents)), F.lit(0))
+                 .cast("long").alias("y")))
+
+
+def cuped_report_from_units(units: DataFrame) -> DataFrame:
+    """Presentation shared by the batch entry and maintainer #21: the
+    per-arm CUPED report from the (custkey, x, y) unit grid."""
     arm = F.when(
         F.substring(F.md5(F.col("custkey").cast("string").cast("binary")),
                     1, 1).isin(*"01234567"), "A").otherwise("B")

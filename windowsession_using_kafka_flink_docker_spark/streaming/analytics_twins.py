@@ -1088,7 +1088,55 @@ def streaming_trend_maintenance(
                                "trend_maintenance")
 
 
+class IncrementalCupedMaintainer:
+    """Streaming maintainer #21 — the CUPED unit grid behind the
+    driver-oracled ``cuped_adjusted_ab``: per-customer exact pre-period
+    (1996) and post-period (1997) spend cents, bounded by the CUSTOMER
+    key space at any order volume. Both epoch sums ADD under merge
+    (exact BIGINTs), so a customer whose 1996 orders arrive in one
+    micro-batch and 1997 orders in another converges to the same unit
+    row as the batch aggregate; each batch delta is computed by the
+    batch entry's own ``cuped_units`` and ``current()`` re-derives the
+    full per-arm CUPED report through ``cuped_report_from_units`` (one
+    code path — the #20 grid-state playbook applied to the experiment
+    family: theta, rho^2, and the adjusted means are all derived
+    presentation, never state)."""
+
+    _SCHEMA = "custkey BIGINT, x BIGINT, y BIGINT"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            cuped_units,
+        )
+        self.state.guard(batch_id)
+        delta = cuped_units(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("custkey")
+                  .agg(F.sum("x").cast("long").alias("x"),
+                       F.sum("y").cast("long").alias("y")))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.analytics import (
+            cuped_report_from_units,
+        )
+        return cuped_report_from_units(self.state.current())
+
+
+def streaming_cuped_maintenance(
+        orders: DataFrame, maintainer: IncrementalCupedMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(orders, maintainer, checkpoint_dir,
+                               "cuped_maintenance")
+
+
 __all__ = [
+    "IncrementalCupedMaintainer",
+    "streaming_cuped_maintenance",
     "IncrementalTrendMaintainer",
     "streaming_trend_maintenance",
     "IncrementalProfitMaintainer",
