@@ -1282,3 +1282,68 @@ class TestCupedIdentities:
         # 5000 + 2*mean(x); allow 1 floor-ulp of slack
         assert abs(out["A"]["mean_adj_ce2"]
                    - out["B"]["mean_adj_ce2"]) <= 1
+
+
+class TestMannKendallIdentities:
+    """Definitional pins for mann_kendall_trend on synthetic series:
+    a strictly increasing series maximizes S with p -> 0, a constant
+    series is excluded (zero variance), and S/var18 match the
+    closed-form brute force."""
+
+    @staticmethod
+    def _with_events(spark, sf_dir, rows, td):
+        import os
+
+        spark.createDataFrame(
+            rows, "ts TIMESTAMP, user_id BIGINT, value DOUBLE") \
+            .write.parquet(os.path.join(td, "events.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            dst = os.path.join(td, f"{t}.parquet")
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+
+    def test_monotone_series_and_constant_exclusion(self, spark, sf_dir):
+        import datetime
+        import math
+        import tempfile
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+
+        rows = []
+        # user 1: strictly increasing over 10 days -> S = C(10,2) = 45
+        for d in range(10):
+            rows.append((datetime.datetime(2024, 1, 1 + d, 12), 1,
+                         10.0 + 3.0 * d))
+        # user 2: constant over 10 days -> var18 = 0 -> excluded
+        for d in range(10):
+            rows.append((datetime.datetime(2024, 1, 1 + d, 12), 2, 5.0))
+        # user 3: alternating up/down with ties -> brute-force check
+        vals3 = [10.0, 20.0, 10.0, 30.0, 20.0, 20.0, 40.0, 10.0]
+        for d, v in enumerate(vals3):
+            rows.append((datetime.datetime(2024, 1, 1 + d, 12), 3, v))
+        with tempfile.TemporaryDirectory() as td:
+            self._with_events(spark, sf_dir, rows, td)
+            out = {r["user_id"]: r for r in
+                   CATALOG["mann_kendall_trend"].spark(spark, td).collect()}
+        assert set(out) == {1, 3}  # constant user excluded
+        r1 = out[1]
+        assert r1["s_stat"] == 45
+        assert r1["var18"] == 10 * 9 * 25  # no ties
+        z1 = 44.0 / math.sqrt(10 * 9 * 25 / 18.0)
+        assert r1["z_e6"] == math.floor(z1 * 1e6)
+        assert r1["p_cheb_e6"] == math.floor(1e6 / (z1 * z1))
+        # user 3 brute force
+        cents = [int(v * 100) for v in vals3]
+        s3 = sum((c2 > c1) - (c2 < c1)
+                 for i, c1 in enumerate(cents)
+                 for c2 in cents[i + 1:])
+        n = len(cents)
+        from collections import Counter
+        tie = sum(t * (t - 1) * (2 * t + 5)
+                  for t in Counter(cents).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        r3 = out[3]
+        assert r3["s_stat"] == s3
+        assert r3["var18"] == var18

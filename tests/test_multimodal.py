@@ -442,3 +442,41 @@ class TestJpegHammingNeardups:
         # flag correctness on the whole result, not just planted pairs
         for (lo, hi), r in got.items():
             assert r["same_content"] == ((hi - lo) % 256 == 0)
+
+
+class TestJpegHypothesis:
+    """Property sweep of the whole entropy pipeline: for ANY image and
+    quality, the decoder must reproduce the encoder's quantized
+    reconstruction bit-exactly (Huffman categories 1..11, ZRL chains,
+    EOB placement, byte stuffing, DC differentials all exercised by the
+    random draw)."""
+
+    def test_decode_inverts_encode_for_any_image(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(1, 3), st.integers(1, 3),
+               st.integers(1, 95), st.randoms(use_true_random=False))
+        def check(bw, bh, quality, rnd):
+            w, h = bw * 8, bh * 8
+            gray = np.array([[rnd.randrange(256) for _ in range(w)]
+                             for _ in range(h)], dtype=np.uint8)
+            data = C.encode_jpeg_gray(w, h, gray, quality)
+            gw, gh, dec = C.decode_jpeg_gray(data)
+            assert (gw, gh) == (w, h)
+            q = C.jpeg_scaled_quant(quality)
+            B = C._DCT_BASIS
+            px = gray.astype(np.float64) - 128.0
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    coef = np.rint(B @ blk @ B.T).astype(np.int64)
+                    rec = B.T @ (C._quantize_rha(coef, q) * q
+                                 ).astype(np.float64) @ B
+                    want = np.clip(np.floor(rec + 128.5), 0,
+                                   255).astype(np.uint8)
+                    got = dec[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    assert np.array_equal(got, want), (quality, by, bx)
+
+        check()

@@ -68,6 +68,7 @@ SENSITIVE = [
     # lag self-join behind the ACF sums
     "theil_sen_trend",
     "spend_autocorrelation",
+    "mann_kendall_trend",
 ]
 
 

@@ -4204,3 +4204,124 @@ def theil_sen_report_from_daily(daily: DataFrame) -> DataFrame:
             .select("user_id", "n_days",
                     F.col("m").alias("n_pairs"),
                     F.col("slope_e4").alias("ts_slope_e4")))
+
+
+@register(
+    "mann_kendall_trend",
+    # Everything up to the sqrt is exact integer arithmetic: S (the
+    # signed pair count), the tie term, and var18 = n(n-1)(2n+5) -
+    # sum_t t(t-1)(2t+5) (18*Var(S), kept unscaled so it stays a
+    # BIGINT); z and the Chebyshev p then come from identical IEEE
+    # trees (sqrt of a double quotient, one division) floor-scaled —
+    # the BH-FDR discipline, which also supplies the p = min(1, 1/z^2)
+    # bound that needs no normal CDF.
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+eligible AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY 1 HAVING COUNT(*) >= 8),
+s_stat AS (
+  SELECT a.user_id,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a
+  JOIN daily b ON b.user_id = a.user_id AND b.x > a.x
+  JOIN eligible e ON e.user_id = a.user_id
+  GROUP BY 1),
+ties AS (
+  SELECT user_id,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY user_id, y)
+  GROUP BY 1),
+stats AS (
+  SELECT e.user_id, e.n, s.s,
+         e.n * (e.n - 1) * (2 * e.n + 5)
+           - COALESCE(t.tie_term, 0) AS var18
+  FROM eligible e
+  JOIN s_stat s USING (user_id)
+  LEFT JOIN ties t USING (user_id)
+  WHERE e.n * (e.n - 1) * (2 * e.n + 5) - COALESCE(t.tie_term, 0) > 0),
+z AS (
+  SELECT user_id, n AS n_days, s AS s_stat, var18,
+         CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                              / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              ELSE 0.0 END AS zval
+  FROM stats)
+SELECT user_id, n_days, s_stat, var18,
+       CAST(floor(zval * 1000000) AS BIGINT) AS z_e6,
+       CASE WHEN zval = 0.0 THEN CAST(1000000 AS BIGINT)
+            ELSE LEAST(CAST(1000000 AS BIGINT),
+                       CAST(floor(1000000 / (zval * zval)) AS BIGINT))
+       END AS p_cheb_e6
+FROM z
+""",
+    description="Per-user Mann-Kendall trend TEST over daily spend — "
+                "the nonparametric significance companion to "
+                "theil_sen_trend (Theil-Sen answers 'how steep', "
+                "Mann-Kendall answers 'is the monotone trend real'): "
+                "S = sum of sign(y_j - y_i) over day-ordered pairs, "
+                "tie-corrected variance 18*Var(S) = n(n-1)(2n+5) - "
+                "sum_t t(t-1)(2t+5) kept as an exact BIGINT, the "
+                "continuity-corrected z = (S -/+ 1)/sqrt(Var), and the "
+                "distribution-free Chebyshev bound p <= 1/z^2 (the "
+                "BH-FDR convention — valid and engine-exact where a "
+                "normal CDF is in neither engine). The pair expansion "
+                "rides the SAME value-domain argument as Theil-Sen: "
+                "pairs form on the already-aggregated |users| x |days| "
+                "grid (<= C(|days|, 2) per user at any event volume), "
+                "staged once via localCheckpoint; S, ties, and var18 "
+                "are map-side-combinable integer aggregates.",
+    tags=("relational", "analytics", "experiment", "timeseries"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ols_daily_grid(ev).localCheckpoint(eager=False)
+    eligible = (daily.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .where(F.col("n") >= 8))
+    a = daily.select("user_id", F.col("x").alias("xa"),
+                     F.col("y").alias("ya"))
+    b = daily.select("user_id", F.col("x").alias("xb"),
+                     F.col("y").alias("yb"))
+    s_stat = (a.join(b, (a.user_id == b.user_id) & (b.xb > a.xa))
+              .drop(b.user_id)
+              .join(eligible, "user_id")
+              .groupBy("user_id")
+              .agg(F.sum(F.when(F.col("yb") > F.col("ya"), 1)
+                         .when(F.col("yb") < F.col("ya"), -1)
+                         .otherwise(0)).cast("long").alias("s")))
+    ties = (daily.groupBy("user_id", "y")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .groupBy("user_id")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).cast("long")
+                 .alias("tie_term")))
+    var18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+             - F.coalesce(F.col("tie_term"), F.lit(0)))
+    stats = (eligible.join(s_stat, "user_id")
+             .join(ties, "user_id", "left")
+             .select("user_id", "n", "s", var18.alias("var18"))
+             .where(F.col("var18") > 0))
+    den = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    zval = (F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / den)
+            .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / den)
+            .otherwise(F.lit(0.0)))
+    z = stats.select("user_id", F.col("n").alias("n_days"),
+                     F.col("s").alias("s_stat"), "var18",
+                     zval.alias("zval"))
+    return z.select(
+        "user_id", "n_days", "s_stat", "var18",
+        F.floor(F.col("zval") * 1000000).cast("long").alias("z_e6"),
+        F.when(F.col("zval") == 0.0, F.lit(1000000).cast("long"))
+        .otherwise(F.least(F.lit(1000000).cast("long"),
+                           F.floor(F.lit(1000000)
+                                   / (F.col("zval") * F.col("zval")))
+                           .cast("long")))
+        .alias("p_cheb_e6"))
