@@ -2841,7 +2841,8 @@ class TestStreamingTrendMaintenance:
         for current, entry in (
                 (maint.current, "grouped_ols_trend"),
                 (maint.current_acf, "spend_autocorrelation"),
-                (maint.current_theil_sen, "theil_sen_trend")):
+                (maint.current_theil_sen, "theil_sen_trend"),
+                (maint.current_mann_kendall, "mann_kendall_trend")):
             got = _rows(current(), exclude_sentinel=False)
             want = _rows(CATALOG[entry].spark(spark, sf_dir),
                          exclude_sentinel=False)

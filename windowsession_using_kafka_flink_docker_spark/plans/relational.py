@@ -4282,7 +4282,14 @@ FROM z
 )
 def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ols_daily_grid(ev).localCheckpoint(eager=False)
+    return mann_kendall_report_from_daily(ols_daily_grid(ev))
+
+
+def mann_kendall_report_from_daily(daily: DataFrame) -> DataFrame:
+    """Presentation shared by the batch entry and maintainer #20: the
+    tie-corrected Mann-Kendall test from the (user_id, x, y) grid,
+    staged once (three consumers: both pair sides and the tie counts)."""
+    daily = daily.localCheckpoint(eager=False)
     eligible = (daily.groupBy("user_id")
                 .agg(F.count(F.lit(1)).cast("long").alias("n"))
                 .where(F.col("n") >= 8))

@@ -1080,6 +1080,15 @@ class IncrementalTrendMaintainer:
         )
         return theil_sen_report_from_daily(self._daily())
 
+    def current_mann_kendall(self) -> DataFrame:
+        """The nonparametric trend test — the SAME grid state serves
+        the driver-oracled mann_kendall_trend (the full trend triad
+        from one maintained frame)."""
+        from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+            mann_kendall_report_from_daily,
+        )
+        return mann_kendall_report_from_daily(self._daily())
+
 
 def streaming_trend_maintenance(
         events: DataFrame, maintainer: IncrementalTrendMaintainer,
