@@ -2997,6 +2997,13 @@ HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 1
 )
 def jpeg_hamming_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return jpeg_hamming_pairs(docs)
+
+
+def jpeg_hamming_pairs(docs: DataFrame) -> DataFrame:
+    """The blocked pair pipeline behind ``jpeg_hamming_neardups``,
+    reusable over any doc_id frame (tools/ scale measurements drive it
+    at 10x/100x synthetic corpus sizes)."""
     feats = M.image_jpeg_features(docs).select(
         "doc_id",
         F.conv(F.substring("ahash", 1, 32), 2, 10)
