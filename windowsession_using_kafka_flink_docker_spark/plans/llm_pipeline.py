@@ -3033,3 +3033,67 @@ def jpeg_hamming_pairs(docs: DataFrame) -> DataFrame:
         "doc_lo", "doc_hi", "hamming",
         ((F.col("doc_hi") - F.col("doc_lo")) % 256 == 0)
         .alias("same_content"))
+
+
+@register(
+    "feature_hashed_counts",
+    # The hash is the repo-standard md5 prefix (('0x'||substr(md5(t),
+    # 1,8))::BIGINT == Spark's conv(substring(md5,1,8),16,10)), so the
+    # bucket assignment and the sign bit (9th hex nibble) replay
+    # bit-identically in DuckDB — the whole sparse matrix is
+    # value-hash-checked, not just its shape.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id,
+               unnest(string_split(""" + _NORM_SQL + """, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket,
+         CASE WHEN ('0x' || substr(md5(token), 9, 1))::BIGINT >= 8
+              THEN -1 ELSE 1 END AS sgn
+  FROM toks)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(SUM(sgn) AS BIGINT) AS val
+FROM hashed
+GROUP BY 1, 2
+HAVING SUM(sgn) <> 0
+""",
+    description="Feature hashing (the 'hashing trick', Weinberger et "
+                "al. ICML'09) — the standard fixed-dimension text "
+                "featurizer for ML training pipelines: every token "
+                "maps to one of 256 buckets by its md5 prefix, carries "
+                "a +/-1 sign from the next hex nibble (the signed "
+                "variant that makes collisions cancel in expectation "
+                "instead of biasing counts upward), and the per-(doc, "
+                "bucket) signed sums form the sparse feature matrix — "
+                "no vocabulary, no fit step, no dictionary to ship to "
+                "1000 executors, which is the entire point of the "
+                "trick at 100 TB (a TF-IDF vocabulary is corpus-sized "
+                "state; the hash function is 0 bytes). Zero-valued "
+                "cells (sign-cancelled collisions) are dropped so the "
+                "output contract is genuinely sparse and deterministic "
+                "in both engines. Plan shape: explode -> one map-side-"
+                "combinable (doc, bucket) aggregate, output bounded by "
+                "|docs| x 256, no join, no window.",
+    tags=("llm", "text", "embedding", "aggregate"),
+)
+def feature_hashed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
+    ).where(F.col("token") != "")
+    h8 = F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 8),
+                16, 10).cast("bigint")
+    nib = F.conv(F.substring(F.md5(F.col("token").cast("binary")), 9, 1),
+                 16, 10).cast("bigint")
+    hashed = toks.select(
+        "doc_id",
+        (h8 % 256).cast("int").alias("bucket"),
+        F.when(nib >= 8, -1).otherwise(1).alias("sgn"))
+    return (hashed.groupBy("doc_id", "bucket")
+            .agg(F.sum("sgn").cast("long").alias("val"))
+            .where(F.col("val") != 0))
