@@ -3097,3 +3097,121 @@ def feature_hashed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (hashed.groupBy("doc_id", "bucket")
             .agg(F.sum("sgn").cast("long").alias("val"))
             .where(F.col("val") != 0))
+
+
+@register(
+    "rrf_hybrid_search",
+    # Both source rankings are the entries' OWN pipelines (BM25 top-50
+    # and the unigram-LM quality score), re-ranked here and fused by
+    # reciprocal rank. The fused score is the sum of at most two
+    # 1/(60+rank) doubles added in a fixed order (bm25 term first),
+    # so both engines compute the identical IEEE value; ranks
+    # themselves are integers ordered by the entries' already
+    # hash-stable rounded scores with doc_id tiebreaks.
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl, t
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents)
+),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, s AS tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS s FROM base)
+  WHERE s IN ('spark', 'stream', 'join')
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         SUM( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN stats
+  GROUP BY doc_id
+),
+bm25_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+         AS r_bm25
+  FROM scored
+  QUALIFY r_bm25 <= 50
+),
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+  WHERE {_NORM_SQL} <> ''
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS t FROM toks),
+qual AS (
+  SELECT doc_id,
+         ROUND(AVG(-log2(freq.n / CAST(total.t AS DOUBLE))), 4) AS bits
+  FROM toks JOIN freq USING (tok) CROSS JOIN total
+  GROUP BY doc_id
+),
+qual_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bits DESC, doc_id) AS r_qual
+  FROM qual
+  QUALIFY r_qual <= 50
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, q.doc_id) AS doc_id,
+         b.r_bm25, q.r_qual,
+         COALESCE(1.0 / (60 + b.r_bm25), 0.0)
+           + COALESCE(1.0 / (60 + q.r_qual), 0.0) AS rrf
+  FROM bm25_rank b FULL OUTER JOIN qual_rank q USING (doc_id)
+)
+SELECT doc_id, r_bm25, r_qual,
+       CAST(floor(rrf * 1000000000) AS BIGINT) AS rrf_e9,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+""",
+    description="Reciprocal-rank fusion (Cormack et al., SIGIR'09) — "
+                "the standard hybrid-search combiner: the BM25 "
+                "relevance ranking for query {spark, stream, join} "
+                "(top-50, the bm25_search pipeline) fuses with the "
+                "unigram-LM quality-prior ranking (top-50 by "
+                "bits/token, the unigram_quality_score pipeline) via "
+                "score = sum 1/(60 + rank), k=60 per the paper — rank "
+                "fusion needs NO score calibration between "
+                "heterogeneous rankers, which is why it is the "
+                "production default for lexical+semantic hybrids. Both "
+                "legs run the entries' own code (one code path each); "
+                "each leg is dimension-small after its own top-50 cut, "
+                "so the fusion is a 50x50 full outer join on doc_id — "
+                "broadcast-sized regardless of corpus scale — and the "
+                "final top-10 is a TakeOrderedAndProject. Emits the "
+                "per-leg ranks (NULL where a doc appears in only one "
+                "leg — the fusion's whole point) beside the fused "
+                "score and rank.",
+    tags=("llm", "text", "retrieval", "topk"),
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w_b = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm25 = (T.bm25_topk(docs, ("spark", "stream", "join"), k=50)
+            .select("doc_id", "bm25")
+            .withColumn("r_bm25", F.row_number().over(w_b).cast("long"))
+            .select("doc_id", "r_bm25"))
+    qual = unigram_quality_score(spark, sf_dir).select(
+        "doc_id", "bits_per_token")
+    w_q = Window.orderBy(F.col("bits_per_token").desc(), F.col("doc_id"))
+    qual_rank = (qual
+                 .withColumn("r_qual",
+                             F.row_number().over(w_q).cast("long"))
+                 .where(F.col("r_qual") <= 50)
+                 .select("doc_id", "r_qual"))
+    fused = (bm25.join(qual_rank, "doc_id", "full_outer")
+             .select("doc_id", "r_bm25", "r_qual",
+                     (F.coalesce(1.0 / (60 + F.col("r_bm25")), F.lit(0.0))
+                      + F.coalesce(1.0 / (60 + F.col("r_qual")),
+                                   F.lit(0.0))).alias("rrf")))
+    w_f = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (fused
+            .withColumn("fused_rank", F.row_number().over(w_f)
+                        .cast("long"))
+            .where(F.col("fused_rank") <= 10)
+            .select("doc_id", "r_bm25", "r_qual",
+                    F.floor(F.col("rrf") * 1000000000).cast("long")
+                    .alias("rrf_e9"),
+                    "fused_rank"))
