@@ -607,3 +607,26 @@ def test_trend_grid_family_stages_daily_once(spark, sf_dir):
                       if ln.lstrip().startswith("(") and "Scan parquet" in ln)
         assert n_scans == 0, (name, n_scans, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_cuped_and_mann_kendall_stage_their_grids(spark, sf_dir):
+    """cuped_adjusted_ab stages the armed unit frame and
+    mann_kendall_trend the daily grid (both have 3 consumers), so each
+    final stage reads ZERO parquet scans — the fact scan happens once
+    at checkpoint materialization."""
+    for name in ("cuped_adjusted_ab", "mann_kendall_trend"):
+        plan = _plan(spark, name, sf_dir, "formatted")
+        n_scans = sum(1 for ln in plan.splitlines()
+                      if ln.lstrip().startswith("(") and "Scan parquet" in ln)
+        assert n_scans == 0, (name, n_scans, plan)
+
+
+def test_feature_hashing_is_one_scan_no_join(spark, sf_dir):
+    """feature_hashed_counts promises: one documents scan pruned to the
+    two used columns, explode, ONE map-side-combinable aggregate — no
+    join, no window, no second pass."""
+    plan = _plan(spark, "feature_hashed_counts", sf_dir, "formatted")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
