@@ -2982,6 +2982,81 @@ class TestStreamingCupedMaintenance:
             maint.merge_batch(pre, 0)
 
 
+class TestStreamingFeatureMomentsMaintenance:
+    """256-row feature-moment state (streaming/analytics_twins.py
+    IncrementalFeatureMomentsMaintainer, maintainer #22): count / sum /
+    sum-of-squares per hash bucket ADD under document-sliced merge, so
+    after doc-sliced micro-batches the maintained standardization
+    report must equal the driver-oracled feature_bucket_moments
+    bit-for-bit; replay idempotent behind the lifecycle guard; state
+    hard-bounded by the 256 hash dimensions."""
+
+    def test_stream_equals_batch(self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalFeatureMomentsMaintainer,
+            streaming_feature_moments_maintenance,
+        )
+
+        base = str(tmp_path_factory.mktemp("fmom_docs"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalFeatureMomentsMaintainer(
+            spark, str(tmp_path_factory.mktemp("fmom_state")))
+        stream = file_events_source(
+            spark, flat, schema="doc_id BIGINT, text STRING",
+            max_files_per_trigger=1)
+        q = streaming_feature_moments_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("fmom_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(CATALOG["feature_bucket_moments"].spark(spark, sf_dir),
+                     exclude_sentinel=False)
+        assert got == want
+        assert maint.state.current().count() <= 256  # hard dimension bound
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalFeatureMomentsMaintainer,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        even = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        odd = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        maint = IncrementalFeatureMomentsMaintainer(
+            spark, str(tmp_path_factory.mktemp("fmom_replay")))
+        maint.merge_batch(even, 0)
+        n0 = {r["bucket"]: r["n"] for r in maint.state.current().collect()}
+        maint.merge_batch(odd, 1)
+        n1 = {r["bucket"]: r["n"] for r in maint.state.current().collect()}
+        # cells accumulated across batches in at least one bucket
+        assert any(n1[b] > n for b, n in n0.items() if b in n1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(odd, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(even, 0)
+
+
 class TestBottomKMergeAlgebra:
     """Pure-model hypothesis pins for the two new mergeable states: the
     Spark-side equivalences are pinned on real data by the input-split

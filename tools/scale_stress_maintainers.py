@@ -53,6 +53,7 @@ def main() -> None:
         IncrementalContingencyMaintainer,
         IncrementalCupedMaintainer,
         IncrementalDailyRevenueMaintainer,
+        IncrementalFeatureMomentsMaintainer,
         IncrementalDriftMaintainer,
         IncrementalEwmaMaintainer,
         IncrementalHhiMaintainer,
@@ -118,6 +119,8 @@ def main() -> None:
             spark, state("hhi"), part), li),
         ("source_mix", lambda: IncrementalSourceMixMaintainer(
             spark, state("source_mix")), docs),
+        ("feature_moments", lambda: IncrementalFeatureMomentsMaintainer(
+            spark, state("feature_moments")), docs),
         ("bounded_token_freq", lambda: BoundedTokenFrequencyMaintainer(
             spark, state("bounded_token_freq")), docs),
         ("bounded_quantile", lambda: BoundedQuantileMaintainer(

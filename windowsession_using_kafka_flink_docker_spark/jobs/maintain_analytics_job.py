@@ -45,6 +45,9 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalCupedMaintainer`` (#21) on the same orders stream — the
   per-customer pre/post epoch spend grid re-deriving the driver-oracled
   ``cuped_adjusted_ab`` variance-reduced A/B report;
+- ``IncrementalFeatureMomentsMaintainer`` (#22) on the same documents
+  stream — the 256-row hashed-feature standardization moments
+  re-deriving the driver-oracled ``feature_bucket_moments``;
 - ``IncrementalTrendMaintainer`` (#20) over an events drop-dir — the
   per-(user, day-index) daily-cents grid re-deriving the driver-oracled
   ``grouped_ols_trend`` regression report;
@@ -86,6 +89,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalTableStatsMaintainer,
     IncrementalTokenFrequencyMaintainer,
     IncrementalCupedMaintainer,
+    IncrementalFeatureMomentsMaintainer,
     IncrementalTrendMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_bounded_token_frequency_maintenance,
@@ -101,6 +105,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_table_stats_maintenance,
     streaming_token_frequency_maintenance,
     streaming_cuped_maintenance,
+    streaming_feature_moments_maintenance,
     streaming_trend_maintenance,
     streaming_user_spend_maintenance,
 )
@@ -257,6 +262,13 @@ def main() -> None:
             spark, os.path.join(args.state_root, "source_mix"))
         queries.append(streaming_source_mix_maintenance(
             docs, mix, os.path.join(args.checkpoint_root, "source_mix")))
+        # maintainer #22 shares the documents stream: the 256-row
+        # hashed-feature standardization moments
+        fmom = IncrementalFeatureMomentsMaintainer(
+            spark, os.path.join(args.state_root, "feature_moments"))
+        queries.append(streaming_feature_moments_maintenance(
+            docs, fmom, os.path.join(args.checkpoint_root,
+                                     "feature_moments")))
     if args.lineitem:
         li = (spark.readStream
               .schema("l_partkey BIGINT, l_suppkey BIGINT, "

@@ -3082,6 +3082,12 @@ HAVING SUM(sgn) <> 0
 )
 def feature_hashed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return hashed_feature_matrix(docs)
+
+
+def hashed_feature_matrix(docs: DataFrame) -> DataFrame:
+    """The sparse (doc_id, bucket, val) hashed-feature matrix — shared
+    by the batch entry, the moments entry, and maintainer #22."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
@@ -3215,3 +3221,100 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("rrf") * 1000000000).cast("long")
                     .alias("rrf_e9"),
                     "fused_rank"))
+
+
+def feature_moments_from_matrix(matrix: DataFrame) -> DataFrame:
+    """Presentation shared by the batch entry and maintainer #22: the
+    per-bucket standardization report from the (bucket, n, s, ss)
+    moment state. The DERIVED mean/std are one IEEE expression each
+    over exact integers (the welch cancellation-free discipline:
+    variance numerator n*ss - s^2 exact in DECIMAL(38,0), cast to
+    double once)."""
+    dec38 = "decimal(38,0)"
+    var_num = (F.col("n").cast(dec38) * F.col("ss")
+               - F.col("s").cast(dec38) * F.col("s").cast(dec38))
+    return matrix.select(
+        "bucket", "n", "s",
+        F.col("ss").cast("double").alias("ss"),
+        F.floor(F.col("s").cast("double") / F.col("n").cast("double")
+                * 1000000).cast("long").alias("mean_e6"),
+        F.floor(F.sqrt(var_num.cast("double")
+                       / (F.col("n").cast("double")
+                          * F.col("n").cast("double"))) * 1000000)
+        .cast("long").alias("std_e6"))
+
+
+def feature_bucket_partials(docs: DataFrame) -> DataFrame:
+    """The mergeable 256-row moment state behind
+    ``feature_bucket_moments`` (and streaming maintainer #22): per
+    hash bucket, the count / sum / sum-of-squares of the non-zero
+    matrix cells. All three ADD under merge... with the one honest
+    caveat the maintainer's docstring carries: cells are per-document,
+    so DOCUMENT-sliced batches add exactly (a doc's cells live in one
+    batch); value-sliced batches would not, and the maintainer's
+    contract is document-at-a-time arrival — the natural unit of a
+    corpus stream."""
+    m = hashed_feature_matrix(docs)
+    vdec = F.col("val").cast("decimal(19,0)")
+    return (m.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("val").cast("long").alias("s"),
+                 F.sum(vdec * vdec).alias("ss")))
+
+
+@register(
+    "feature_bucket_moments",
+    # n*ss - s^2 exact in HUGEINT/DECIMAL(38,0), one double division +
+    # sqrt per output (the welch discipline); population std (n, not
+    # n-1) so a 1-cell bucket reads 0, not NULL.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id,
+               unnest(string_split(""" + _NORM_SQL + """, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket,
+         CASE WHEN ('0x' || substr(md5(token), 9, 1))::BIGINT >= 8
+              THEN -1 ELSE 1 END AS sgn
+  FROM toks),
+cells AS (
+  SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val
+  FROM hashed GROUP BY 1, 2
+  HAVING SUM(sgn) <> 0),
+mom AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(val) AS BIGINT) AS s,
+         SUM(CAST(val AS HUGEINT) * val) AS ss
+  FROM cells GROUP BY 1)
+SELECT CAST(bucket AS INTEGER) AS bucket, n, s, CAST(ss AS DOUBLE) AS ss,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+            AS BIGINT) AS mean_e6,
+       CAST(floor(sqrt(CAST(CAST(n AS HUGEINT) * ss
+                            - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                            AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS std_e6
+FROM mom
+""",
+    description="Per-bucket standardization statistics for the hashed "
+                "feature matrix — the artifact an ML pipeline ships "
+                "next to the features themselves (serving-time "
+                "standardization needs the TRAINING corpus's per-"
+                "dimension mean/std, and recomputing them per run is a "
+                "full-corpus pass): count, sum, and sum-of-squares of "
+                "the non-zero cells per hash bucket (exact BIGINT + "
+                "DECIMAL(38,0)), with the derived mean_e6/std_e6 one "
+                "IEEE expression each over the exact moments (welch "
+                "cancellation-free variance, population std). The "
+                "state is 256 rows AT ANY CORPUS SIZE — the extreme "
+                "point of the key-space-bounded family — and all three "
+                "moments ADD under document-sliced merge, which is "
+                "what streaming maintainer #22 exploits.",
+    tags=("llm", "embedding", "aggregate", "quality"),
+)
+def feature_bucket_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_moments_from_matrix(feature_bucket_partials(docs))

@@ -1143,7 +1143,59 @@ def streaming_cuped_maintenance(
                                "cuped_maintenance")
 
 
+class IncrementalFeatureMomentsMaintainer:
+    """Streaming maintainer #22 — the per-bucket feature-moment state
+    behind the driver-oracled ``feature_bucket_moments``: count / sum /
+    sum-of-squares of the hashed-feature matrix's non-zero cells per
+    hash bucket. The state is 256 rows at ANY corpus size — the
+    extreme point of the key-space-bounded family (the dimension count
+    is a CONSTANT of the hashing trick, not a function of the data).
+    All three moments ADD under merge with one contract caveat the
+    cell definition imposes: a cell is a per-DOCUMENT aggregate, so
+    batches must be document-sliced (a doc's tokens arrive together —
+    the natural unit of a corpus stream, and exactly how the
+    token-frequency and source-mix maintainers already consume it);
+    each batch delta is computed by the batch entry's own
+    ``feature_bucket_partials`` and ``current()`` re-derives the
+    standardization report through ``feature_moments_from_matrix``
+    (one code path)."""
+
+    _SCHEMA = "bucket INT, n BIGINT, s BIGINT, ss DECIMAL(38,0)"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            feature_bucket_partials,
+        )
+        self.state.guard(batch_id)
+        delta = feature_bucket_partials(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("bucket")
+                  .agg(F.sum("n").cast("long").alias("n"),
+                       F.sum("s").cast("long").alias("s"),
+                       F.sum("ss").cast("decimal(38,0)").alias("ss")))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            feature_moments_from_matrix,
+        )
+        return feature_moments_from_matrix(self.state.current())
+
+
+def streaming_feature_moments_maintenance(
+        docs: DataFrame, maintainer: IncrementalFeatureMomentsMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(docs, maintainer, checkpoint_dir,
+                               "feature_moments_maintenance")
+
+
 __all__ = [
+    "IncrementalFeatureMomentsMaintainer",
+    "streaming_feature_moments_maintenance",
     "IncrementalCupedMaintainer",
     "streaming_cuped_maintenance",
     "IncrementalTrendMaintainer",
