@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Project the NEXT driver correctness window — the round-start/round-end
+protocol check this repo's sessions otherwise re-type as an ad-hoc
+snippet:
+
+    python tools/window_projection.py            # greppable summary
+    python tools/window_projection.py --full     # + the 50 window names
+
+Reads the live registry, the on-disk CORRECTNESS history, and the
+certified fingerprints, then reports which cohorts (at-bound, never-
+checked, changed, pinned) land inside the upcoming DRIVER_WINDOW and —
+the invariant that matters — whether ANY critical cohort member falls
+outside it. Exit code 1 if one does, so the check can gate a round
+seal. Prints one `WINDOWPROJ {json}` line (grep -a WINDOWPROJ).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also print the projected window, in order")
+    args = ap.parse_args()
+
+    from windowsession_using_kafka_flink_docker_spark.plans import catalog as cat
+    from windowsession_using_kafka_flink_docker_spark.plans import (
+        fingerprints as fp,
+    )
+
+    last_green, latest = cat.driver_history()
+    names = list(cat.CATALOG)
+    changed = fp.changed_entries(cat.CATALOG, fp.load_recorded())
+    order = cat.compute_driver_priority(names, last_green, changed)
+    window = list(order[:cat.DRIVER_WINDOW])
+    wset = set(window)
+
+    at_bound = sorted(n for n in names if n in last_green
+                      and latest - last_green[n] >= cat.STALENESS_BOUND)
+    never = sorted(n for n in names if n not in last_green)
+    missing = {
+        "at_bound": [n for n in at_bound if n not in wset],
+        "never": [n for n in never if n not in wset],
+        "changed": sorted(n for n in changed if n not in wset),
+        "pinned": [n for n in cat.PINNED if n not in wset],
+    }
+    ages: dict[str, int] = {}
+    for n in window:
+        a = "never" if n not in last_green else str(latest - last_green[n])
+        ages[a] = ages.get(a, 0) + 1
+
+    ok = not any(missing.values())
+    print("WINDOWPROJ " + json.dumps({
+        "ok": ok,
+        "catalog": len(names),
+        "latest_round": latest,
+        "at_bound": len(at_bound),
+        "never": len(never),
+        "changed": len(changed),
+        "window_ages": ages,
+        "missing": {k: v for k, v in missing.items() if v},
+    }))
+    if args.full:
+        for i, n in enumerate(window, 1):
+            age = ("never" if n not in last_green
+                   else latest - last_green[n])
+            print(f"{i:3d}. {n}  (age {age})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
