@@ -630,3 +630,13 @@ def test_feature_hashing_is_one_scan_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_feature_moments_is_one_scan_two_aggregates(spark, sf_dir):
+    """feature_bucket_moments promises: the same single pruned documents
+    pass as the matrix entry, then two map-side-combinable aggregates
+    ((doc, bucket) cells -> bucket moments) — no join, no window."""
+    plan = _plan(spark, "feature_bucket_moments", sf_dir, "formatted")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
