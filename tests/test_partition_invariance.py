@@ -69,6 +69,8 @@ SENSITIVE = [
     "theil_sen_trend",
     "spend_autocorrelation",
     "mann_kendall_trend",
+    # winsorize cuts come from the same cumulative value-domain ranks
+    "winsorized_spend_means",
 ]
 
 

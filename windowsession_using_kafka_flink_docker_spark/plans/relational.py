@@ -4332,3 +4332,85 @@ def mann_kendall_report_from_daily(daily: DataFrame) -> DataFrame:
                                    / (F.col("zval") * F.col("zval")))
                            .cast("long")))
         .alias("p_cheb_e6"))
+
+
+@register(
+    "winsorized_spend_means",
+    # Exactness: the P10/P90 cuts are percentile_disc values (the
+    # ordered_set_percentiles cross-multiplication 10*cum >= n /
+    # 10*cum >= 9*n, matching DuckDB's native percentile_disc), the
+    # winsorized sum is an exact BIGINT (per-value count x clipped
+    # cents over the DISTINCT value domain == per-row clipping, without
+    # a second fact pass), and both means are exact integer divisions.
+    oracle="""
+WITH f AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders),
+cuts AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(percentile_disc(0.10) WITHIN GROUP (ORDER BY cents)
+              AS BIGINT) AS cut_lo_cents,
+         CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)
+              AS BIGINT) AS cut_hi_cents
+  FROM f GROUP BY 1),
+wins AS (
+  SELECT f.o_orderpriority,
+         CAST(SUM(LEAST(GREATEST(f.cents, c.cut_lo_cents),
+                        c.cut_hi_cents)) AS BIGINT) AS ws
+  FROM f JOIN cuts c USING (o_orderpriority)
+  GROUP BY 1)
+SELECT c.o_orderpriority, c.n_orders, c.cut_lo_cents, c.cut_hi_cents,
+       c.s * 100 // c.n_orders AS mean_ce2,
+       w.ws * 100 // c.n_orders AS winsorized_mean_ce2
+FROM cuts c JOIN wins w USING (o_orderpriority)
+""",
+    description="Per-priority winsorized spend means — the robust "
+                "location estimate a reporting layer wants next to the "
+                "raw mean (clip every order's price to the exact "
+                "per-priority [P10, P90] before averaging; one fat-"
+                "finger order no longer moves the number): cuts are "
+                "EXACT percentile_disc values via the ordered-set "
+                "cross-multiplication over the shared "
+                "priority_cents_cumulative value-domain frame, and the "
+                "winsorized sum is computed on that SAME frame "
+                "(per-distinct-value count x clipped value == per-row "
+                "clipping) — one fact pass, one value-domain window, "
+                "no row-level second scan, both means exact integer "
+                "divisions. The raw-vs-winsorized delta column is the "
+                "tail-mass reading.",
+    tags=("relational", "analytics", "percentile", "quality"),
+)
+def winsorized_spend_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dom = priority_cents_cumulative(orders).localCheckpoint(eager=False)
+    wp = Window.partitionBy("o_orderpriority")
+    wlag = wp.orderBy("cents")
+    dom = dom.select(
+        "o_orderpriority", "cents", "cum", "n",
+        (F.col("cum") - F.coalesce(F.lag("cum").over(wlag), F.lit(0)))
+        .alias("c"))
+    cuts = dom.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.sum(F.col("c") * F.col("cents")).cast("long").alias("s"),
+        F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("cents")))
+        .cast("long").alias("cut_lo_cents"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("cents")))
+        .cast("long").alias("cut_hi_cents"))
+    wins = (dom.join(cuts.select("o_orderpriority", "cut_lo_cents",
+                                 "cut_hi_cents"),
+                     "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.col("c")
+                       * F.least(F.greatest(F.col("cents"),
+                                            F.col("cut_lo_cents")),
+                                 F.col("cut_hi_cents")))
+                 .cast("long").alias("ws")))
+    return (cuts.join(wins, "o_orderpriority")
+            .select("o_orderpriority", "n_orders",
+                    "cut_lo_cents", "cut_hi_cents",
+                    F.expr("s * 100 div n_orders").alias("mean_ce2"),
+                    F.expr("ws * 100 div n_orders")
+                    .alias("winsorized_mean_ce2")))
