@@ -480,3 +480,85 @@ class TestJpegHypothesis:
                     assert np.array_equal(got, want), (quality, by, bx)
 
         check()
+
+
+class TestJpeg420Codec:
+    """4:2:0 color JPEG (the round-12 extension of the grayscale
+    stretch): interleaved MCUs, three DC predictor chains, two quant
+    tables — the decoder must invert the encoder exactly on arbitrary
+    planes, and the block-flat fixture must match the closed-form
+    reconstruction in every component."""
+
+    def test_flat_fixture_closed_form_all_planes(self):
+        def expect(vals, q00):
+            t = (vals.astype(np.int64) - 128) * 8
+            mag = (2 * np.abs(t) + q00) // (2 * q00)
+            recon = np.sign(t) * mag * q00
+            a = 0.35355339059327373
+            return np.clip(np.floor((a * recon) * a + 128.5),
+                           0, 255).astype(np.uint8)
+
+        for seed in (0, 5, 9):
+            for quality, ql00, qc00 in ((25, 32, 34), (50, 16, 17),
+                                        (75, 8, 9)):
+                data = C.build_jpeg420_flat_blocks(seed, quality)
+                w, h, y, cb, cr = C.decode_jpeg_color420(data)
+                assert (w, h) == (32, 32)
+                info = C.parse_jpeg_segments(data)
+                assert int(info["quant_tables"][0][0, 0]) == ql00
+                assert int(info["quant_tables"][1][0, 0]) == qc00
+                ye = np.repeat(np.repeat(expect(
+                    C._mix_bytes(16, seed).reshape(4, 4), ql00), 8, 0), 8, 1)
+                cbe = np.repeat(np.repeat(expect(
+                    C._mix_bytes(4, seed * 7 + 1).reshape(2, 2), qc00),
+                    8, 0), 8, 1)
+                cre = np.repeat(np.repeat(expect(
+                    C._mix_bytes(4, seed * 7 + 2).reshape(2, 2), qc00),
+                    8, 0), 8, 1)
+                assert np.array_equal(y, ye), (seed, quality)
+                assert np.array_equal(cb, cbe), (seed, quality)
+                assert np.array_equal(cr, cre), (seed, quality)
+
+    def test_color_decode_inverts_encoder_exactly(self):
+        rng = np.random.RandomState(11)
+        y = rng.randint(0, 256, (16, 32)).astype(np.uint8)
+        cb = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+        cr = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+        B = C._DCT_BASIS
+
+        def recon(plane, q):
+            out = np.zeros_like(plane)
+            pf = plane.astype(np.float64) - 128.0
+            for by in range(plane.shape[0] // 8):
+                for bx in range(plane.shape[1] // 8):
+                    blk = pf[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    coef = np.rint(B @ blk @ B.T).astype(np.int64)
+                    rec = B.T @ (C._quantize_rha(coef, q) * q
+                                 ).astype(np.float64) @ B
+                    out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                        np.floor(rec + 128.5), 0, 255).astype(np.uint8)
+            return out
+
+        for quality in (25, 50, 90):
+            data = C.encode_jpeg_color420(32, 16, y, cb, cr, quality)
+            w, h, yd, cbd, crd = C.decode_jpeg_color420(data)
+            assert (w, h) == (32, 16)
+            assert np.array_equal(yd, recon(y, C.jpeg_scaled_quant(quality)))
+            assert np.array_equal(
+                cbd, recon(cb, C.jpeg_scaled_quant_chroma(quality)))
+            assert np.array_equal(
+                crd, recon(cr, C.jpeg_scaled_quant_chroma(quality)))
+
+    def test_shape_and_sampling_guards(self):
+        y = np.zeros((16, 16), dtype=np.uint8)
+        c8 = np.zeros((8, 8), dtype=np.uint8)
+        with pytest.raises(ValueError, match="multiples of 16"):
+            C.encode_jpeg_color420(8, 8, y[:8, :8], c8[:4, :4], c8[:4, :4])
+        with pytest.raises(ValueError, match="half-resolution"):
+            C.encode_jpeg_color420(16, 16, y, y, y)
+        # a grayscale stream through the color decoder must refuse
+        with pytest.raises(ValueError, match="3-component"):
+            C.decode_jpeg_color420(C.build_jpeg_flat_blocks(1, 50))
+        # and the color stream through the gray decoder must refuse
+        with pytest.raises(ValueError, match="single-component"):
+            C.decode_jpeg_gray(C.build_jpeg420_flat_blocks(1, 50))

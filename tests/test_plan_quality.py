@@ -54,6 +54,7 @@ _PANDAS_OK = {"media_features", "media_frame_sample",
               # real JPEG codec work (encode + entropy decode) runs
               # inside Arrow-batched mapInPandas by design
               "image_jpeg_ahash", "jpeg_hamming_neardups",
+              "image_jpeg420_planes",
               # vectorized per-doc signature math (64-wide majority vote /
               # 64-permutation min matrix) — equality with the pure-
               # expression forms is pinned in test_dedup_similarity.py::

@@ -318,6 +318,18 @@ JPEG_QUANT_LUMA = np.array([
     [72, 92, 95, 98, 112, 100, 103, 99],
 ], dtype=np.int64)
 
+#: ITU-T T.81 Annex K.2 chrominance quantization table (natural order).
+JPEG_QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
 #: Annex K.3.1: luminance DC Huffman table (code counts per length 1..16,
 #: then symbols in canonical order).
 JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -367,6 +379,15 @@ def jpeg_scaled_quant(quality: int) -> np.ndarray:
         raise ValueError("quality must be in 1..100")
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     return np.clip((JPEG_QUANT_LUMA * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def jpeg_scaled_quant_chroma(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex-K.2 chroma table (same formula
+    as the luma scaler)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((JPEG_QUANT_CHROMA * s + 50) // 100, 1, 255).astype(np.int64)
 
 
 def _quantize_rha(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -419,6 +440,42 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
+def _encode_block(bw: "_BitWriter", block: np.ndarray, q: np.ndarray,
+                  pred: int, dc_tab: dict, ac_tab: dict) -> int:
+    """Forward-DCT, quantize, and entropy-code one level-shifted 8x8
+    block (differential DC, run-length AC with ZRL/EOB). Returns the
+    new DC predictor. Shared by the grayscale and 4:2:0 encoders."""
+    coef = np.rint(_DCT_BASIS @ block @ _DCT_BASIS.T).astype(np.int64)
+    quant = _quantize_rha(coef, q)
+    zz = [int(quant[r, c]) for r, c in JPEG_ZIGZAG]
+    diff = zz[0] - pred
+    pred = zz[0]
+    cat, bits = _magnitude(diff)
+    code, length = dc_tab[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zlen = ac_tab[0xF0]
+            bw.write(zcode, zlen)
+            run -= 16
+        cat, bits = _magnitude(zz[k])
+        code, length = ac_tab[(run << 4) | cat]
+        bw.write(code, length)
+        bw.write(bits, cat)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return pred
+
+
 def encode_jpeg_gray(width: int, height: int, gray: np.ndarray,
                      quality: int = 50) -> bytes:
     """Baseline JFIF encode of an (h, w) uint8 grayscale image: level shift,
@@ -440,36 +497,7 @@ def encode_jpeg_gray(width: int, height: int, gray: np.ndarray,
     for by in range(height // 8):
         for bx in range(width // 8):
             block = px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-            coef = np.rint(_DCT_BASIS @ block @ _DCT_BASIS.T).astype(np.int64)
-            quant = _quantize_rha(coef, q)
-            zz = [int(quant[r, c]) for r, c in JPEG_ZIGZAG]
-            # DC: difference from previous block's DC
-            diff = zz[0] - pred
-            pred = zz[0]
-            cat, bits = _magnitude(diff)
-            code, length = dc_tab[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(bits, cat)
-            # AC: run-length of zeros, ZRL for 16-zero runs, EOB at tail
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zcode, zlen = ac_tab[0xF0]
-                    bw.write(zcode, zlen)
-                    run -= 16
-                cat, bits = _magnitude(zz[k])
-                code, length = ac_tab[(run << 4) | cat]
-                bw.write(code, length)
-                bw.write(bits, cat)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_tab[0x00]  # EOB
-                bw.write(code, length)
+            pred = _encode_block(bw, block, q, pred, dc_tab, ac_tab)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -577,12 +605,21 @@ def parse_jpeg_segments(data: bytes) -> dict:
             q = np.zeros((8, 8), dtype=np.int64)
             for k, (r, c) in enumerate(JPEG_ZIGZAG):
                 q[r, c] = body[1 + k]
-            info["quant"] = q
+            info.setdefault("quant_tables", {})[pq_tq & 0x0F] = q
+            if pq_tq & 0x0F == 0:
+                info["quant"] = q
         elif marker == 0xFFC0:
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline supported")
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError(
+                    "only 8-bit 1- or 3-component baseline supported")
             info["width"], info["height"] = w, h
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = struct.unpack(
+                    ">BBB", body[6 + 3 * ci:9 + 3 * ci])
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            info["components"] = comps
         elif marker == 0xFFC4:
             tc, th = body[0] >> 4, body[0] & 0x0F
             bits = list(body[1:17])
@@ -616,6 +653,9 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, np.ndarray]:
     floor(x+0.5) snap, clamp to [0, 255]. Returns (width, height, uint8
     array shaped (h, w))."""
     info = parse_jpeg_segments(data)
+    if len(info.get("components", [(1, 1, 1, 0)])) != 1:
+        raise ValueError("decode_jpeg_gray needs a single-component scan"
+                         " (use decode_jpeg_color420 for 4:2:0 color)")
     w, h, q = info["width"], info["height"], info["quant"]
     dc_tab, ac_tab = info["huff"][(0, 0)], info["huff"][(1, 0)]
     br = _BitReader(info["scan"])
@@ -623,27 +663,154 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, np.ndarray]:
     pred = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = [0] * 64
-            cat = _read_symbol(br, dc_tab)
-            pred += _extend(br.read_bits(cat), cat)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows block")
-                zz[k] = _extend(br.read_bits(sym & 0x0F), sym & 0x0F)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for kk, (r, c) in enumerate(JPEG_ZIGZAG):
-                coef[r, c] = zz[kk] * q[r, c]
-            block = _DCT_BASIS.T @ coef @ _DCT_BASIS
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                np.floor(block + 128.5), 0, 255).astype(np.uint8)
+            block, pred = _decode_block(br, dc_tab, ac_tab, pred, q)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
     return w, h, out
+
+
+def _decode_block(br: "_BitReader", dc_tab: dict, ac_tab: dict,
+                  pred: int, q: np.ndarray) -> tuple[np.ndarray, int]:
+    """Entropy-decode, dequantize, and inverse-DCT one 8x8 block.
+    Returns (uint8 pixel block, new DC predictor). Shared by the
+    grayscale and 4:2:0 decoders."""
+    zz = [0] * 64
+    cat = _read_symbol(br, dc_tab)
+    pred += _extend(br.read_bits(cat), cat)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _extend(br.read_bits(sym & 0x0F), sym & 0x0F)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    for kk, (r, c) in enumerate(JPEG_ZIGZAG):
+        coef[r, c] = zz[kk] * q[r, c]
+    block = _DCT_BASIS.T @ coef @ _DCT_BASIS
+    return np.clip(np.floor(block + 128.5), 0, 255).astype(np.uint8), pred
+
+
+def encode_jpeg_color420(width: int, height: int, y: np.ndarray,
+                         cb: np.ndarray, cr: np.ndarray,
+                         quality: int = 50) -> bytes:
+    """Baseline JFIF 4:2:0 color encode from pre-subsampled planes:
+    Y is (h, w) uint8, Cb/Cr are (h/2, w/2) uint8 (the caller supplies
+    YCbCr directly — the color transform is an input-space choice, the
+    codec machinery under test here is the INTERLEAVING: per 16x16 MCU,
+    four Y blocks then one Cb then one Cr, each component with its OWN
+    DC predictor, luma quantized by the Annex-K.1 table and chroma by
+    K.2). Width/height must be multiples of 16 so every MCU is full."""
+    if width % 16 or height % 16:
+        raise ValueError("width/height must be multiples of 16 for 4:2:0")
+    if y.shape != (height, width):
+        raise ValueError(f"y shape {y.shape} != ({height}, {width})")
+    if cb.shape != (height // 2, width // 2) or cr.shape != cb.shape:
+        raise ValueError("cb/cr must be the half-resolution planes")
+    ql = jpeg_scaled_quant(quality)
+    qc = jpeg_scaled_quant_chroma(quality)
+    dc_tab = _huff_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    yf = y.astype(np.float64) - 128.0
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for dy in range(2):
+                for dx in range(2):
+                    r0, c0 = my * 16 + dy * 8, mx * 16 + dx * 8
+                    preds[1] = _encode_block(
+                        bw, yf[r0:r0 + 8, c0:c0 + 8], ql,
+                        preds[1], dc_tab, ac_tab)
+            r0, c0 = my * 8, mx * 8
+            preds[2] = _encode_block(bw, cbf[r0:r0 + 8, c0:c0 + 8], qc,
+                                     preds[2], dc_tab, ac_tab)
+            preds[3] = _encode_block(bw, crf[r0:r0 + 8, c0:c0 + 8], qc,
+                                     preds[3], dc_tab, ac_tab)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(payload)) + payload
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    dqt = (seg(0xFFDB, b"\x00" + bytes(int(ql[r, c]) for r, c in JPEG_ZIGZAG))
+           + seg(0xFFDB, b"\x01" + bytes(int(qc[r, c]) for r, c in JPEG_ZIGZAG)))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3)
+               + struct.pack(">BBB", 1, 0x22, 0)
+               + struct.pack(">BBB", 2, 0x11, 1)
+               + struct.pack(">BBB", 3, 0x11, 1))
+    dht = (seg(0xFFC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)))
+    sos = seg(0xFFDA, struct.pack(">B", 3)
+              + struct.pack(">BB", 1, 0x00)
+              + struct.pack(">BB", 2, 0x00)
+              + struct.pack(">BB", 3, 0x00)
+              + struct.pack(">BBB", 0, 63, 0))
+    return (b"\xFF\xD8" + app0 + dqt + sof0 + dht + sos
+            + bytes(bw.out) + b"\xFF\xD9")
+
+
+def decode_jpeg_color420(data: bytes) -> tuple[int, int, np.ndarray,
+                                               np.ndarray, np.ndarray]:
+    """Full baseline 4:2:0 decode: marker walk, per-component quant
+    table lookup, interleaved-MCU entropy decode with per-component DC
+    predictors, dequantize, IDCT, clamp. Returns (width, height,
+    y (h,w), cb (h/2,w/2), cr (h/2,w/2))."""
+    info = parse_jpeg_segments(data)
+    comps = info.get("components")
+    if not comps or len(comps) != 3:
+        raise ValueError("decode_jpeg_color420 needs a 3-component scan")
+    (yid, yh, yv, ytq), (cbid, cbh, cbv, cbtq), (crid, crh, crv, crtq) = comps
+    if (yh, yv, cbh, cbv, crh, crv) != (2, 2, 1, 1, 1, 1):
+        raise ValueError("only 4:2:0 sampling supported")
+    w, h = info["width"], info["height"]
+    if w % 16 or h % 16:
+        raise ValueError("4:2:0 decode requires full MCUs")
+    ql = info["quant_tables"][ytq]
+    qc = info["quant_tables"][cbtq]
+    dc_tab, ac_tab = info["huff"][(0, 0)], info["huff"][(1, 0)]
+    br = _BitReader(info["scan"])
+    y = np.zeros((h, w), dtype=np.uint8)
+    cb = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    cr = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for dy in range(2):
+                for dx in range(2):
+                    blk, preds[1] = _decode_block(br, dc_tab, ac_tab,
+                                                  preds[1], ql)
+                    r0, c0 = my * 16 + dy * 8, mx * 16 + dx * 8
+                    y[r0:r0 + 8, c0:c0 + 8] = blk
+            blk, preds[2] = _decode_block(br, dc_tab, ac_tab, preds[2], qc)
+            cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+            blk, preds[3] = _decode_block(br, dc_tab, ac_tab, preds[3], qc)
+            cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+    return w, h, y, cb, cr
+
+
+def build_jpeg420_flat_blocks(seed: int, quality: int = 50) -> bytes:
+    """The oracle-replayable 4:2:0 fixture: a 32x32 YCbCr image whose Y
+    plane is 8x8-block-flat (16 blocks from the byte mixer, seed) and
+    whose half-resolution Cb/Cr planes are 8x8-block-flat too (4 blocks
+    each, seeds 7*seed+1 / 7*seed+2) — every AC coefficient is exactly
+    zero in all three components, so the whole round-trip is the same
+    closed-form DC integer arithmetic as the grayscale fixture, but the
+    entropy stream now exercises REAL interleaving: 4-Y-1-Cb-1-Cr MCU
+    order with three independent DC predictor chains and two quant
+    tables."""
+    yv = _mix_bytes(16, seed).reshape(4, 4)
+    cbv = _mix_bytes(4, seed * 7 + 1).reshape(2, 2)
+    crv = _mix_bytes(4, seed * 7 + 2).reshape(2, 2)
+    y = np.repeat(np.repeat(yv, 8, 0), 8, 1)
+    cb = np.repeat(np.repeat(cbv, 8, 0), 8, 1)
+    cr = np.repeat(np.repeat(crv, 8, 0), 8, 1)
+    return encode_jpeg_color420(32, 32, y, cb, cr, quality)

@@ -353,3 +353,73 @@ def image_jpeg_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "doc_id", "width", "height", "q00", "ahash", "abs_err"])
 
     return ids.mapInPandas(gen, schema=out_schema)
+
+
+def image_jpeg420_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document 4:2:0 COLOR JPEG round-trip fingerprints (the
+    round-12 extension of image_jpeg_features from grayscale to the
+    dominant real-world JPEG layout): encode a deterministic 32x32
+    YCbCr fixture through the full interleaved pipeline — per 16x16
+    MCU, four luma blocks then Cb then Cr, three independent
+    differential-DC predictor chains, luma quantized by Annex K.1 and
+    chroma by K.2 — then genuinely decode it back (marker walk, two
+    quant tables, canonical Huffman rebuild, interleaved entropy
+    decode, dequantize, IDCT, clamp). Per doc_id the quality cycles
+    {25, 50, 75}; emits the parsed header (width, height, ql00/qc00 —
+    the two scaled DC quantizers), per-plane decoded-value sums (one
+    wrong bit in ANY component's chain shifts a sum), and per-plane
+    abs errors vs the closed-form source. Arrow-batched mapInPandas,
+    zero shuffle."""
+    import numpy as np
+
+    n_part = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    ids = docs.select(id_col).repartition(n_part, id_col)
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ql00", IntegerType()),
+        StructField("qc00", IntegerType()),
+        StructField("y_sum", LongType()),
+        StructField("cb_sum", LongType()),
+        StructField("cr_sum", LongType()),
+        StructField("y_err", LongType()),
+        StructField("cb_err", LongType()),
+        StructField("cr_err", LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                quality = (25, 50, 75)[doc_id % 3]
+                data = C.build_jpeg420_flat_blocks(doc_id, quality)
+                info = C.parse_jpeg_segments(data)
+                w, h = info["width"], info["height"]
+                ql00 = int(info["quant_tables"][0][0, 0])
+                qc00 = int(info["quant_tables"][1][0, 0])
+                _, _, y, cb, cr = C.decode_jpeg_color420(data)
+                ys = np.repeat(np.repeat(
+                    C._mix_bytes(16, doc_id).reshape(4, 4), 8, 0), 8, 1)
+                cbs = np.repeat(np.repeat(
+                    C._mix_bytes(4, doc_id * 7 + 1).reshape(2, 2), 8, 0), 8, 1)
+                crs = np.repeat(np.repeat(
+                    C._mix_bytes(4, doc_id * 7 + 2).reshape(2, 2), 8, 0), 8, 1)
+                rows.append((
+                    doc_id, w, h, ql00, qc00,
+                    int(y.astype(np.int64).sum()),
+                    int(cb.astype(np.int64).sum()),
+                    int(cr.astype(np.int64).sum()),
+                    int(np.abs(y.astype(np.int64) - ys).sum()),
+                    int(np.abs(cb.astype(np.int64) - cbs).sum()),
+                    int(np.abs(cr.astype(np.int64) - crs).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "ql00", "qc00",
+                "y_sum", "cb_sum", "cr_sum", "y_err", "cb_err", "cr_err"])
+
+    return ids.mapInPandas(gen, schema=out_schema)

@@ -3318,3 +3318,97 @@ FROM mom
 def feature_bucket_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return feature_moments_from_matrix(feature_bucket_partials(docs))
+
+
+@register(
+    "image_jpeg420_planes",
+    # Closed-form exactness without the multiple-of-8 convenience the
+    # grayscale fixture had: chroma q00 scales to {34, 17, 9}, so
+    # recon/8 + 128.5 can be EXACTLY integral (recon % 8 == 4) and the
+    # decoder's float IDCT decides the floor at a half-ulp boundary —
+    # the orthonormal basis constant a = 0.5/sqrt(2) squares to
+    # 0.1249999... not 0.125, so the honest oracle replays the
+    # decoder's own IEEE tree floor((a * recon) * a + 128.5) with the
+    # round-tripping double literal (verified identical to numpy's
+    # matmul for every reachable recon). Spark runs the REAL
+    # interleaved codec: four
+    # Y blocks + Cb + Cr per MCU, three DC predictor chains, two
+    # Huffman-coded quant domains — one bit wrong in any chain shifts a
+    # plane sum and breaks the driver hash.
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 32 WHEN 1 THEN 16 ELSE 8 END AS ql00,
+         CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 34 WHEN 1 THEN 17 ELSE 9 END AS qc00
+  FROM documents),
+planes AS (
+  SELECT doc_id, ql00, qc00, p.plane, p.seed, p.nblocks, p.q
+  FROM imgs,
+       LATERAL (SELECT * FROM (VALUES
+         ('y',  doc_id,         16, ql00),
+         ('cb', doc_id * 7 + 1,  4, qc00),
+         ('cr', doc_id * 7 + 2,  4, qc00))
+         AS t(plane, seed, nblocks, q)) p),
+blocks AS (
+  SELECT doc_id, plane, q, unnest(range(nblocks)) AS b, seed
+  FROM planes),
+px AS (
+  SELECT doc_id, plane, q, b,
+         (b * 2654435761 + seed * 97 + 13) % 256 AS v
+  FROM blocks),
+recon_t AS (
+  SELECT doc_id, plane, v,
+         (CASE WHEN (v - 128) < 0 THEN -1 ELSE 1 END)
+           * ((2 * abs((v - 128) * 8) + q) // (2 * q)) * q AS recon
+  FROM px),
+dec AS (
+  SELECT doc_id, plane, v,
+         LEAST(GREATEST(CAST(floor(
+           (0.35355339059327373e0 * recon) * 0.35355339059327373e0 + 128.5e0)
+           AS BIGINT), 0), 255) AS d
+  FROM recon_t),
+sums AS (
+  SELECT doc_id, plane,
+         CAST(64 * SUM(d) AS BIGINT) AS s,
+         CAST(64 * SUM(abs(d - v)) AS BIGINT) AS e
+  FROM dec GROUP BY 1, 2)
+SELECT i.doc_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(i.ql00 AS INTEGER) AS ql00,
+       CAST(i.qc00 AS INTEGER) AS qc00,
+       MAX(CASE WHEN s.plane = 'y' THEN s.s END) AS y_sum,
+       MAX(CASE WHEN s.plane = 'cb' THEN s.s END) AS cb_sum,
+       MAX(CASE WHEN s.plane = 'cr' THEN s.s END) AS cr_sum,
+       MAX(CASE WHEN s.plane = 'y' THEN s.e END) AS y_err,
+       MAX(CASE WHEN s.plane = 'cb' THEN s.e END) AS cb_err,
+       MAX(CASE WHEN s.plane = 'cr' THEN s.e END) AS cr_err
+FROM imgs i JOIN sums s USING (doc_id)
+GROUP BY 1, 2, 3, 4, 5
+""",
+    description="4:2:0 COLOR JPEG round-trip parity — the grayscale "
+                "stretch extended to the layout virtually every real "
+                "JPEG uses: per document, a 32x32 YCbCr fixture encodes "
+                "through the full interleaved baseline pipeline (per "
+                "16x16 MCU: four luma blocks then Cb then Cr; THREE "
+                "independent differential-DC predictor chains; luma "
+                "quantized by Annex K.1, chroma by K.2 — two tables in "
+                "the DQT stream) and decodes back through the genuine "
+                "inverse. Emits the parsed header (the two scaled DC "
+                "quantizers ql00/qc00 in {32,16,8}/{34,17,9} as the "
+                "quality fingerprint) plus per-plane decoded sums and "
+                "abs errors: the chroma table's coarser steps make "
+                "cb_err/cr_err systematically exceed y_err at equal "
+                "quality — the subsampled-chroma quality trade "
+                "quantified, and every value replayed closed-form by "
+                "the oracle (one wrong bit in any predictor chain "
+                "shifts a sum). Arrow-batched mapInPandas, zero "
+                "shuffle; per-doc constant cost like the grayscale "
+                "entry.",
+    tags=("llm", "multimodal", "fingerprint"),
+)
+def image_jpeg420_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.image_jpeg420_features(docs)
