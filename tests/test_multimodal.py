@@ -562,3 +562,52 @@ class TestJpeg420Codec:
         # and the color stream through the gray decoder must refuse
         with pytest.raises(ValueError, match="single-component"):
             C.decode_jpeg_gray(C.build_jpeg420_flat_blocks(1, 50))
+
+
+class TestJpeg420Hypothesis:
+    """Property sweep of the interleaved color pipeline: for ANY plane
+    content and quality, the color decoder must reproduce all three of
+    the encoder's quantized reconstructions bit-exactly (predictor
+    chains crossing MCU boundaries, chroma-table categories, and
+    interleaving order all exercised by the random draw)."""
+
+    def test_color_decode_inverts_encode_for_any_planes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        B = C._DCT_BASIS
+
+        def recon(plane, q):
+            out = np.zeros_like(plane)
+            pf = plane.astype(np.float64) - 128.0
+            for by in range(plane.shape[0] // 8):
+                for bx in range(plane.shape[1] // 8):
+                    blk = pf[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    coef = np.rint(B @ blk @ B.T).astype(np.int64)
+                    rec = B.T @ (C._quantize_rha(coef, q) * q
+                                 ).astype(np.float64) @ B
+                    out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                        np.floor(rec + 128.5), 0, 255).astype(np.uint8)
+            return out
+
+        @settings(max_examples=20, deadline=None)
+        @given(st.integers(1, 2), st.integers(1, 2),
+               st.integers(1, 95), st.randoms(use_true_random=False))
+        def check(mw, mh, quality, rnd):
+            w, h = mw * 16, mh * 16
+            y = np.array([[rnd.randrange(256) for _ in range(w)]
+                          for _ in range(h)], dtype=np.uint8)
+            cb = np.array([[rnd.randrange(256) for _ in range(w // 2)]
+                           for _ in range(h // 2)], dtype=np.uint8)
+            cr = np.array([[rnd.randrange(256) for _ in range(w // 2)]
+                           for _ in range(h // 2)], dtype=np.uint8)
+            data = C.encode_jpeg_color420(w, h, y, cb, cr, quality)
+            gw, gh, yd, cbd, crd = C.decode_jpeg_color420(data)
+            assert (gw, gh) == (w, h)
+            ql = C.jpeg_scaled_quant(quality)
+            qc = C.jpeg_scaled_quant_chroma(quality)
+            assert np.array_equal(yd, recon(y, ql)), quality
+            assert np.array_equal(cbd, recon(cb, qc)), quality
+            assert np.array_equal(crd, recon(cr, qc)), quality
+
+        check()
