@@ -611,3 +611,107 @@ class TestJpeg420Hypothesis:
             assert np.array_equal(crd, recon(cr, qc)), quality
 
         check()
+
+
+class TestJpegConformance:
+    """ADVICE r12: the zigzag table must be the ITU-T T.81 Figure A.6
+    order (the pre-r13 table was its transpose — in-repo round-trips
+    passed but emitted files were non-conformant JFIF), and the marker
+    walk must handle multi-table DQT/DHT segments and refuse restart
+    markers instead of losing sync."""
+
+    # T.81 Figure A.6, flattened as row*8+col for each scan position.
+    T81_ZIGZAG_FLAT = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def test_zigzag_matches_t81_figure_a6(self):
+        assert [r * 8 + c for r, c in C.JPEG_ZIGZAG] == self.T81_ZIGZAG_FLAT
+
+    def test_pillow_interop_decode(self):
+        """A standard decoder (libjpeg via Pillow) must agree with our
+        decoder on emitted files. Env-gated: Pillow is not in the CI
+        container; runs wherever it is installed."""
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+
+        data = C.build_jpeg_flat_blocks(seed=3, quality=50)
+        img = PIL.open(io.BytesIO(data))
+        ours = C.decode_jpeg_gray(data)[2]
+        theirs = np.asarray(img.convert("L"))
+        # libjpeg uses a fast integer IDCT; allow off-by-one rounding.
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+    def test_multi_table_dqt_dht_segments(self):
+        """Repack the fixture's per-table DQT/DHT segments into single
+        combined segments (as real encoders emit) — the parse must see
+        identical tables and the decode must be byte-identical."""
+        import struct
+
+        data = C.build_jpeg420_flat_blocks(seed=9, quality=50)
+        want = C.parse_jpeg_segments(data)
+
+        # Walk markers, coalescing DQT bodies and DHT bodies.
+        b = bytes(data)
+        off, segs, dqt_body, dht_body = 2, [b"\xFF\xD8"], b"", b""
+        while True:
+            marker = (b[off] << 8) | b[off + 1]
+            (length,) = struct.unpack(">H", b[off + 2:off + 4])
+            body = b[off + 4:off + 2 + length]
+            if marker == 0xFFDB:
+                dqt_body += body
+            elif marker == 0xFFC4:
+                dht_body += body
+            elif marker == 0xFFDA:
+                segs.append(struct.pack(">HH", 0xFFDB, 2 + len(dqt_body))
+                            + dqt_body)
+                segs.append(struct.pack(">HH", 0xFFC4, 2 + len(dht_body))
+                            + dht_body)
+                segs.append(b[off:])
+                break
+            else:
+                segs.append(b[off:off + 2 + length])
+            off += 2 + length
+        repacked = b"".join(segs)
+        got = C.parse_jpeg_segments(repacked)
+        assert np.array_equal(got["quant_tables"][0], want["quant_tables"][0])
+        assert np.array_equal(got["quant_tables"][1], want["quant_tables"][1])
+        assert got["huff"] == want["huff"]
+        assert got["scan"] == want["scan"]
+        w, h, y, cb, cr = C.decode_jpeg_color420(repacked)
+        ww, wh, wy, wcb, wcr = C.decode_jpeg_color420(data)
+        assert (w, h) == (ww, wh)
+        assert np.array_equal(y, wy)
+        assert np.array_equal(cb, wcb) and np.array_equal(cr, wcr)
+
+    def test_dri_raises_instead_of_desyncing(self):
+        import struct
+
+        data = C.build_jpeg_flat_blocks(seed=2, quality=50)
+        dri = struct.pack(">HHH", 0xFFDD, 4, 8)  # restart every 8 MCUs
+        patched = data[:2] + dri + data[2:]
+        with pytest.raises(ValueError, match="restart"):
+            C.parse_jpeg_segments(patched)
+
+    def test_truncated_packed_tables_raise(self):
+        import struct
+
+        # DQT segment whose body is 64 bytes (one byte short of a table)
+        bad_dqt = (b"\xFF\xD8"
+                   + struct.pack(">HH", 0xFFDB, 2 + 64) + bytes(64))
+        with pytest.raises(ValueError, match="truncated DQT"):
+            C.parse_jpeg_segments(bad_dqt)
+        # DHT whose counts claim more values than the body holds
+        counts = bytes([0, 0, 0, 200] + [0] * 12)
+        bad_dht = (b"\xFF\xD8"
+                   + struct.pack(">HH", 0xFFC4, 2 + 17 + 3)
+                   + b"\x00" + counts + bytes(3))
+        with pytest.raises(ValueError, match="truncated DHT"):
+            C.parse_jpeg_segments(bad_dht)

@@ -2873,13 +2873,14 @@ class TestStreamingTrendMaintenance:
         maint = IncrementalTrendMaintainer(
             spark, str(tmp_path_factory.mktemp("trend_split")))
         maint.merge_batch(even, 0)
-        partial = {(r["user_id"], r["x"]): r["_sum"]
+        partial = {(r["user_id"], r["x"]): r["y"]
                    for r in maint.state.current().collect()}
         maint.merge_batch(odd, 1)
-        final = {(r["user_id"], r["x"]): r["_sum"]
+        final = {(r["user_id"], r["x"]): r["y"]
                  for r in maint.state.current().collect()}
         # at least one daily cell actually accumulated across batches
-        assert any(abs(final[k] - v) > 1e-9 for k, v in partial.items()
+        # (state is exact BIGINT cents, so plain integer inequality)
+        assert any(final[k] != v for k, v in partial.items()
                    if k in final)
         want = _rows(CATALOG["grouped_ols_trend"].spark(spark, sf_dir),
                      exclude_sentinel=False)

@@ -355,11 +355,15 @@ JPEG_AC_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
-#: Zigzag scan: JPEG_ZIGZAG[k] = (row, col) of the k-th coefficient.
+#: Zigzag scan: JPEG_ZIGZAG[k] = (row, col) of the k-th coefficient, in
+#: the ITU-T T.81 Figure A.6 order — diagonals of constant r+c, odd
+#: diagonals traversed row-ascending ((0,1),(1,0)), even diagonals
+#: column-ascending ((2,0),(1,1),(0,2)). Pinned against the hardcoded
+#: Figure A.6 table and a Pillow interop decode in test_media_codec.py.
 def _zigzag_order() -> list:
     order = sorted(((r, c) for r in range(8) for c in range(8)),
                    key=lambda rc: (rc[0] + rc[1],
-                                   rc[1] if (rc[0] + rc[1]) % 2 else rc[0]))
+                                   rc[0] if (rc[0] + rc[1]) % 2 else rc[1]))
     return order
 
 
@@ -599,15 +603,22 @@ def parse_jpeg_segments(data: bytes) -> dict:
             raise ValueError("truncated JPEG segment")
         body = b[off + 4:off + 2 + length]
         if marker == 0xFFDB:
-            pq_tq = body[0]
-            if pq_tq >> 4:
-                raise ValueError("only 8-bit quant tables supported")
-            q = np.zeros((8, 8), dtype=np.int64)
-            for k, (r, c) in enumerate(JPEG_ZIGZAG):
-                q[r, c] = body[1 + k]
-            info.setdefault("quant_tables", {})[pq_tq & 0x0F] = q
-            if pq_tq & 0x0F == 0:
-                info["quant"] = q
+            # A DQT segment may pack several tables back to back
+            # (T.81 B.2.4.1); loop until the body is exhausted.
+            p = 0
+            while p < len(body):
+                pq_tq = body[p]
+                if pq_tq >> 4:
+                    raise ValueError("only 8-bit quant tables supported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT table")
+                q = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(JPEG_ZIGZAG):
+                    q[r, c] = body[p + 1 + k]
+                info.setdefault("quant_tables", {})[pq_tq & 0x0F] = q
+                if pq_tq & 0x0F == 0:
+                    info["quant"] = q
+                p += 65
         elif marker == 0xFFC0:
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8 or ncomp not in (1, 3):
@@ -621,10 +632,21 @@ def parse_jpeg_segments(data: bytes) -> dict:
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             info["components"] = comps
         elif marker == 0xFFC4:
-            tc, th = body[0] >> 4, body[0] & 0x0F
-            bits = list(body[1:17])
-            vals = list(body[17:17 + sum(bits)])
-            info["huff"][(tc, th)] = _huff_decode_table(bits, vals)
+            # A DHT segment may pack several tables (T.81 B.2.4.2).
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1:p + 17])
+                if len(bits) < 16 or p + 17 + sum(bits) > len(body):
+                    raise ValueError("truncated DHT table")
+                vals = list(body[p + 17:p + 17 + sum(bits)])
+                info["huff"][(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + sum(bits)
+        elif marker == 0xFFDD or 0xFFD0 <= marker <= 0xFFD7:
+            # Restart intervals move RSTn markers into the entropy
+            # stream; this decoder does not resync on them. Raise here
+            # rather than lose marker sync and mis-decode.
+            raise ValueError("JPEG restart markers (DRI/RSTn) unsupported")
         elif marker == 0xFFDA:
             # entropy data runs from after this header to EOI; de-stuff
             scan_start = off + 2 + length

@@ -312,9 +312,12 @@ def image_jpeg_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     is the Hamming-bucket key for image dedup."""
     import numpy as np
 
-    n_part = int(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"))
-    ids = docs.select(id_col).repartition(n_part, id_col)
+    # No repartition: mapInPandas needs no co-partitioning and the scan's
+    # partitions are already balanced (constant codec work per doc here),
+    # so the plan is genuinely zero-shuffle (r12 ADVICE). Real payload
+    # columns with size skew take the media_features route, which DOES
+    # pay one balancing exchange and says so.
+    ids = docs.select(id_col)
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),
@@ -372,9 +375,10 @@ def image_jpeg420_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     zero shuffle."""
     import numpy as np
 
-    n_part = int(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"))
-    ids = docs.select(id_col).repartition(n_part, id_col)
+    # No repartition — see image_jpeg_features (r12 ADVICE): the plan is
+    # genuinely zero-shuffle; constant per-doc codec cost needs no
+    # balancing exchange.
+    ids = docs.select(id_col)
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),

@@ -2374,7 +2374,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT user_id,
          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
   FROM events GROUP BY 1, 2),
 stats AS (
   SELECT user_id,
@@ -2406,7 +2406,7 @@ SELECT user_id, n AS n_days,
 FROM fit
 """,
     description="Per-group closed-form OLS (spend trend per user) from "
-                "INTEGER sufficient statistics: daily totals quantized "
+                "INTEGER sufficient statistics: per-event values quantized "
                 "to cents, then n/Sx/Sy/Sxy/Sxx/Syy accumulated as exact "
                 "bigints — a thousand independent regressions as one "
                 "map-side-combinable aggregation pass, no per-group "
@@ -2429,16 +2429,21 @@ def grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ols_daily_grid(events: DataFrame) -> DataFrame:
     """The mergeable input grid behind ``grouped_ols_trend`` (and
     streaming maintainer #20): per-(user, day-index) exact daily spend
-    cents. Cents ADD under merge, so a maintainer holding this grid —
-    bounded by |users| x |days| at any event volume — can re-derive the
-    full regression report at any time; the six OLS sufficient
-    statistics are NOT the mergeable unit (a micro-batch can split a
-    day, and Sxy over partial daily totals is wrong), the grid is."""
+    cents. Each EVENT's value quantizes to integer cents before any
+    summation (r12 ADVICE: rounding a float daily total is not
+    associative — a micro-batch boundary could flip the half-cent round
+    — whereas BIGINT cents ADD exactly under any merge order), so the
+    maintainer's grid state — bounded by |users| x |days| at any event
+    volume — re-derives the full regression report bit-identically
+    under ANY batch interleaving; the six OLS sufficient statistics are
+    NOT the mergeable unit (a micro-batch can split a day, and Sxy over
+    partial daily totals is wrong), the cents grid is."""
     return events.groupBy(
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
         .alias("x"),
-    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("y"))
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+          .cast("long").alias("y"))
 
 
 def ols_report_from_daily(daily: DataFrame) -> DataFrame:
@@ -4020,7 +4025,7 @@ def ordered_set_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT user_id,
          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
   FROM events GROUP BY 1, 2),
 stats AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
@@ -4124,7 +4129,7 @@ def acf_report_from_daily(daily: DataFrame) -> DataFrame:
 WITH daily AS (
   SELECT user_id,
          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
   FROM events GROUP BY 1, 2),
 eligible AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
@@ -4219,7 +4224,7 @@ def theil_sen_report_from_daily(daily: DataFrame) -> DataFrame:
 WITH daily AS (
   SELECT user_id,
          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
-         CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
   FROM events GROUP BY 1, 2),
 eligible AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n

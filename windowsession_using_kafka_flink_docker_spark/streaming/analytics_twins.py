@@ -1028,35 +1028,43 @@ class IncrementalTrendMaintainer:
     simply wrong — daily cents ADD under merge, and the sufficient
     statistics derive from the completed grid at presentation (the
     ewma maintainer's day-partial precedent, feeding the regression
-    family instead of the smoother). ``current()`` re-derives the full
-    regression report through the batch entry's own ``ols_daily_grid``
-    rounding + ``ols_report_from_daily`` (one code path), so stream ==
-    batch under any batch interleaving — including interleavings that
-    split single days."""
+    family instead of the smoother). State is BIGINT cents — each
+    event quantizes to cents before summation, exactly as the batch
+    path's ``ols_daily_grid`` does — so merges are exact integer
+    addition and ``current()`` (which re-derives the report through
+    the shared ``ols_report_from_daily``) is stream == batch
+    bit-identical under ANY interleaving, including adversarial values
+    at half-cent boundaries and interleavings that split single days
+    (r12 ADVICE)."""
 
-    _SCHEMA = "user_id BIGINT, x INT, _sum DOUBLE"
+    _SCHEMA = "user_id BIGINT, x INT, y BIGINT"
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.state = _VersionedState(spark, state_dir, self._SCHEMA)
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Quantize each event to integer cents BEFORE any summation
+        # (r12 ADVICE: float partial sums merged by float addition can
+        # flip the round-to-cents at half-cent boundaries under an
+        # adversarial interleaving; BIGINT cents ADD exactly in any
+        # order). Same expression as the batch path's ols_daily_grid —
+        # one cents semantic, two engines.
         self.state.guard(batch_id)
         delta = (batch_df
                  .groupBy("user_id",
                           F.datediff(F.to_date("ts"),
                                      F.lit("2024-01-01").cast("date"))
                           .alias("x"))
-                 .agg(F.sum("value").alias("_sum")))
+                 .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                      .cast("long").alias("y")))
         prev = self.state.latest_before(batch_id)
         merged = (prev.unionByName(delta) if prev is not None else delta)
         merged = (merged.groupBy("user_id", "x")
-                  .agg(F.sum("_sum").alias("_sum")))
+                  .agg(F.sum("y").cast("long").alias("y")))
         self.state.write(batch_id, merged)
 
     def _daily(self) -> DataFrame:
-        return self.state.current().select(
-            "user_id", "x",
-            F.round(F.col("_sum") * 100, 0).cast("long").alias("y"))
+        return self.state.current().select("user_id", "x", "y")
 
     def current(self) -> DataFrame:
         from windowsession_using_kafka_flink_docker_spark.plans.relational import (
