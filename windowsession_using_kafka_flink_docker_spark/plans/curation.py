@@ -801,3 +801,200 @@ def source_mix_from_partials(partials: DataFrame) -> DataFrame:
             F.round(F.col("total_tokens") / F.col("_ct"), 6).alias("token_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline composition (r12 VERDICT item 3a)
+# --------------------------------------------------------------------------
+
+#: The composition plants its own exact-duplicate groups (the corpus has
+#: none naturally): every 25th doc (offset 7, eval docs excluded) carries
+#: one of _E2E_VARIANTS canonical texts, so the exact stage collapses each
+#: group to its min id and the near stage then collapses the variants
+#: (cross-variant 3-gram Jaccard ~0.9) down to one — the funnel is
+#: non-vacuous at every stage BY CONSTRUCTION, deterministically in both
+#: engines. The sentence deliberately shares no word 8-gram with the
+#: decon leak phrases, so planted dups are not eaten by the decon stage.
+_E2E_DUP_MOD, _E2E_DUP_OFF, _E2E_VARIANTS = 25, 7, 4
+_E2E_DUP_SENTENCE = ("we pack these training shards with the finest "
+                     "curated tokens and ship them")
+
+#: Gate thresholds: the full Gopher rule set with the distinct-stopword
+#: floor tuned to this corpus register (the synthetic word soup carries
+#: ~0.8 distinct stopwords per doc, so Gopher's >= 2 would zero the
+#: funnel; >= 1 splits it — production pipelines tune exactly this knob
+#: per corpus).
+_E2E_MIN_STOPWORDS = 1
+
+
+def _e2e_text() -> F.Column:
+    """The pipeline's planted text column: canonical dup variants on the
+    %25==7 train docs, the decontamination leak plants everywhere else
+    (one expression, replayed verbatim by the oracle)."""
+    dup = F.concat(
+        F.expr(f"repeat('{_E2E_DUP_SENTENCE} ', 5)"),
+        F.lit("variant "),
+        (F.col("doc_id") % _E2E_VARIANTS).cast("string"),
+    )
+    is_dup_plant = ((F.col("doc_id") % _E2E_DUP_MOD == _E2E_DUP_OFF)
+                    & (F.col("doc_id") % _EVAL_MOD != 0))
+    return F.when(is_dup_plant, dup).otherwise(_decon_text())
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=f"""
+WITH piped AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % {_E2E_DUP_MOD} = {_E2E_DUP_OFF} AND doc_id % {_EVAL_MOD} <> 0
+         THEN repeat('{_E2E_DUP_SENTENCE} ', 5) || 'variant ' || CAST(doc_id % {_E2E_VARIANTS} AS VARCHAR)
+         WHEN doc_id % {_EVAL_MOD} = 0 THEN text || ' {_LEAK_P1} {_LEAK_P2}'
+         ELSE text
+           || CASE WHEN doc_id % {_LEAK1_MOD} = 0 THEN ' {_LEAK_P1}' ELSE '' END
+           || CASE WHEN doc_id % {_LEAK2_MOD} = 0 THEN ' {_LEAK_P2}' ELSE '' END
+    END AS text,
+    doc_id % {_EVAL_MOD} = 0 AS is_eval
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, is_eval, text,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM piped
+),
+gated AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, is_eval, text, len(w) AS n_words,
+      list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS mwl,
+      len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(w) AS af,
+      len(list_filter(w, x -> x = '#' OR x = '...')) * 1.0 / len(w) AS sr,
+      len(list_distinct(list_filter(w, x -> list_contains({list(_STOPWORDS)!r}, lower(x))))) AS ns
+    FROM toks)
+  WHERE (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+    AND af > 0.8 AND sr < 0.1 AND ns >= {_E2E_MIN_STOPWORDS} AND NOT is_eval
+),
+exact AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, GREATEST(len(tk) - 2, 1) + 1),
+           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+        FROM exact)
+),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ns
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (SELECT doc_id, len(s) AS n FROM sh),
+near_drop AS (
+  SELECT DISTINCT ib AS doc_id
+  FROM pairs JOIN sized na ON na.doc_id = ia JOIN sized nb ON nb.doc_id = ib
+  WHERE ROUND(ns / (na.n + nb.n - ns), 4) >= 0.5
+),
+near AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(len(w) - {DECON_NGRAM - 1}),
+                i -> md5(array_to_string(w[i+1:i+{DECON_NGRAM}], ' ')))) AS h
+  FROM toks
+  WHERE is_eval OR doc_id IN (SELECT doc_id FROM near)
+),
+ev AS (SELECT DISTINCT h FROM grams WHERE is_eval),
+contam AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (h) WHERE NOT g.is_eval
+),
+survivors AS (
+  SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+ptoks AS (
+  SELECT lang, doc_id % {PACK_SHARDS} AS shard, doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM survivors
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
+  FROM ptoks
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR((cum - n_tokens) / {SEQ_BUDGET}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, shard, seq_id
+""",
+    description="END-TO-END curation composition — the full "
+                "raw-crawl-to-training-shards funnel as ONE plan, every "
+                "stage reusing the per-stage entries' own code: Gopher "
+                "quality gate (stopword floor tuned to the corpus "
+                "register) -> exact md5 dedup (min-id survivor) -> exact "
+                "word-3-gram Jaccard near-dedup via the prefix-filtered "
+                "set-similarity join (drop the larger id of any pair "
+                ">= 0.5) -> 8-gram test-set decontamination against the "
+                "planted eval split -> token-budget sequence packing of "
+                "the survivors. Planted dup variants + leak phrases make "
+                "every stage provably non-vacuous; the oracle replays "
+                "the whole funnel closed-form. Scale: each stage keeps "
+                "its own entry's shape — gate is scan-side, dedup "
+                "shuffles digests not payloads, the ssjoin indexes only "
+                "prefix shingles, eval grams broadcast, packing sorts "
+                "per (lang, shard). The one new cost is composition "
+                "itself: stages pipeline without materializing "
+                "intermediate corpora.",
+    tags=("llm", "curation", "dedup", "decontamination", "packing"),
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _e2e_text().alias("text"),
+        (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+    )
+    train = docs.where(~F.col("is_eval")).drop("is_eval")
+    eval_docs = docs.where(F.col("is_eval")).drop("is_eval")
+
+    # Stage 1 — quality gate (gopher_quality_flags rules, stopword floor
+    # _E2E_MIN_STOPWORDS).
+    w = F.split(F.trim("text"), r"\s+")
+    toks = train.select("doc_id", "lang", "text", w.alias("_w"))
+    n = F.size("_w")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    gated = toks.where(
+        n.between(50, 100_000)
+        & (F.aggregate("_w", F.lit(0), lambda a, x: a + F.length(x)) / n)
+        .between(3, 10)
+        & (F.size(F.filter("_w", lambda x: x.rlike("[a-zA-Z]"))) / n > 0.8)
+        & (F.size(F.filter("_w", lambda x: (x == "#") | (x == "..."))) / n
+           < 0.1)
+        & (F.size(F.array_distinct(
+            F.filter("_w", lambda x: F.array_contains(stop_arr, F.lower(x)))))
+           >= _E2E_MIN_STOPWORDS)
+    ).select("doc_id", "lang", "text")
+
+    # Stage 2 — exact dedup: keep each digest group's min id (semi-join
+    # against the exact_dedup survivor list; digests shuffle, text stays).
+    keepers = D.exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    exact = gated.join(keepers, "doc_id", "left_semi")
+
+    # Stage 3 — near-dedup: exact 3-gram Jaccard pairs via the
+    # prefix-filtered ssjoin; drop the larger id of every pair.
+    pairs = D.ngram_jaccard_pairs(exact)
+    near = exact.join(pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+                      "doc_id", "left_anti")
+
+    # Stage 4 — decontamination against the held-out eval split.
+    flags = decontaminate(near, eval_docs)
+    clean_ids = flags.where(~F.col("contaminated")).select("doc_id")
+    survivors = near.join(clean_ids, "doc_id", "left_semi")
+
+    # Stage 5 — pack the surviving corpus into training sequences.
+    return pack_sequences(survivors)
