@@ -41,7 +41,13 @@ _EAGER = {"minhash_lsh_neardups", "ngram_jaccard_neardups", "simhash_neardups",
           # measure recall at plan-construction time
           "minhash_recall_vs_exact", "simhash_recall_vs_exact",
           # eager containment ssjoin builder (localCheckpoint)
-          "containment_neardups"}
+          "containment_neardups",
+          # iterative merge loop: localCheckpoints the word-type table
+          # per step at plan-construction time
+          "bpe_tokenizer_train",
+          # composes the eager ngram ssjoin stage over its own planted
+          # corpus (pair stage localCheckpoints at construction)
+          "curation_pipeline_e2e"}
 
 # Sanctioned Arrow-batched Python stages — and ONLY these:
 # - media decode (opaque binary payloads, no JVM expression can decode);

@@ -3412,3 +3412,145 @@ GROUP BY 1, 2, 3, 4, 5
 def image_jpeg420_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.image_jpeg420_features(docs)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (r12 VERDICT item 3b)
+# --------------------------------------------------------------------------
+
+#: Number of BPE merges to learn. The training loop is the classic
+#: word-level algorithm (Sennrich et al. 2016): pre-tokenize the corpus
+#: into a (word, freq) type table ONCE — the only corpus-scale pass —
+#: then each merge step counts adjacent symbol pairs over the word TYPES
+#: weighted by freq, picks the argmax, and rewrites the types. At 100 TB
+#: the type table is bounded by vocabulary (tens of millions of rows, not
+#: trillions of tokens), so every iteration is one small groupBy + one
+#: broadcast-applied rewrite — exactly how production distributed BPE
+#: trainers scale.
+BPE_MERGES = 8
+
+
+def _bpe_word_sql() -> str:
+    """The wrapped symbol-sequence form of each word type: every symbol
+    individually parenthesized, '_' as the end-of-word symbol —
+    '(h)(e)(l)(l)(o)(_)'. Parens never occur inside symbols (normalized
+    text is [a-z0-9 ]), so string replace of '(L)(R)' with '(LR)' is
+    EXACTLY greedy left-to-right non-overlapping BPE merge application,
+    with identical semantics in Spark and DuckDB."""
+    return ("'(' || array_to_string(list_transform(range(1, length(w) + 1), "
+            "i -> substr(w, i, 1)), ')(') || ')(_)'")
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled WITH-chain replay of the merge loop: SQL cannot iterate,
+    but a FIXED merge count unrolls to straight-line CTEs — one
+    pair-count + argmax + rewrite block per step."""
+    parts = [f"""
+WITH w0 AS (
+  SELECT {_bpe_word_sql()} AS s, freq FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w)
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+pc{k} AS (
+  SELECT p['l'] AS lhs, p['r'] AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {{'l': t[i], 'r': t[i + 1]}})) AS p, freq
+    FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS t, freq
+          FROM w{k - 1}))
+  GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT lhs, rhs, pair_count FROM pc{k}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+w{k} AS (
+  SELECT replace(s, '(' || lhs || ')(' || rhs || ')',
+                 '(' || lhs || rhs || ')') AS s, freq
+  FROM w{k - 1}, best{k}
+)""")
+    steps = [f"SELECT CAST({k} AS INTEGER) AS step, lhs, rhs, "
+             f"lhs || rhs AS merged, pair_count FROM best{k}"
+             for k in range(1, n_merges + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(steps))
+    return "".join(parts)
+
+
+@register(
+    "bpe_tokenizer_train",
+    oracle=_bpe_oracle_sql(BPE_MERGES),
+    description=f"BPE tokenizer training, {BPE_MERGES} merges: classic "
+                "word-level byte-pair encoding (Sennrich 2016) — ONE "
+                "corpus-scale pass builds the (word, freq) type table, "
+                "then each merge counts adjacent symbol pairs over word "
+                "TYPES weighted by freq (ties: count desc, pair lexical), "
+                "picks the argmax, and rewrites types via string replace "
+                "on the paren-wrapped symbol form, which IS greedy "
+                "non-overlapping merge application. Emits the learned "
+                "merge table (step, lhs, rhs, merged, pair_count). The "
+                "oracle unrolls the same loop as straight-line CTEs. "
+                "Scale: iterations touch only the vocabulary-bounded "
+                "type table (one small groupBy + a broadcast 1-row "
+                "rewrite each); the trillion-token corpus is read once. "
+                "Eager builder: each step localCheckpoints the rewritten "
+                "types, so lineage stays O(1) per step instead of "
+                "doubling.",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(T.normalized_text("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    words = toks.groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    wrapped = words.select(
+        F.concat(
+            F.lit("("),
+            F.concat_ws(")(", F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)))),
+            F.lit(")(_)"),
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    cur, merge_frames = wrapped, []
+    for step in range(1, BPE_MERGES + 1):
+        split_toks = cur.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"),
+                    r"\)\(").alias("t"),
+            "freq")
+        pairs = split_toks.select(
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("lhs"),
+                    F.element_at("t", i + F.lit(1)).alias("rhs")),
+            )).alias("p"),
+            "freq")
+        counts = (pairs.select("p.lhs", "p.rhs", "freq")
+                  .groupBy("lhs", "rhs")
+                  .agg(F.sum("freq").cast("long").alias("pair_count")))
+        best = (counts.orderBy(F.desc("pair_count"), "lhs", "rhs").limit(1)
+                .localCheckpoint(eager=True))
+        merge_frames.append(best.select(
+            F.lit(step).cast("int").alias("step"),
+            "lhs", "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            "pair_count"))
+        cur = (cur.crossJoin(F.broadcast(best))
+               .select(
+                   F.replace(
+                       "s",
+                       F.concat(F.lit("("), F.col("lhs"), F.lit(")("),
+                                F.col("rhs"), F.lit(")")),
+                       F.concat(F.lit("("), F.col("lhs"), F.col("rhs"),
+                                F.lit(")"))).alias("s"),
+                   "freq")
+               .localCheckpoint(eager=True))
+    return functools.reduce(lambda a, b: a.unionByName(b), merge_frames)
