@@ -647,3 +647,56 @@ def test_feature_moments_is_one_scan_two_aggregates(spark, sf_dir):
     assert plan.count("documents.parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_bloom_prejoin_filters_scan_side_before_exchange(spark, sf_dir):
+    """The bloom probe must run as a scan-side Filter on the lineitem
+    branch BEFORE that branch's join exchange — pruning after the
+    shuffle would defeat the runtime-filter point. The bitmap itself
+    arrives by BroadcastNestedLoopJoin (one-row cross join), never a
+    shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bloom_prejoin_urgent_revenue", sf_dir, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    # the probe branch: scan -> bnlj(bitmap) -> filter(bit tests) -> exchange
+    smj_probe_side = plan.split("SortMergeJoin")[1]
+    assert "shiftleft" in plan and "bit_or" not in smj_probe_side.split(
+        "Exchange")[0], plan
+    fil = plan.find("shiftleft")
+    exch = plan.find("Exchange hashpartitioning(l_orderkey")
+    assert fil != -1 and exch != -1 and fil > exch, (
+        "probe filter must appear below (after in EXPLAIN text) the "
+        "probe-side exchange, i.e. evaluated before it:\n" + plan)
+
+
+def test_bloom_prejoin_prunes_and_composes_exactly(spark, sf_dir):
+    """Pruning power + composed exactness: the probe output must contain
+    every true match (no false negatives — the bloom invariant), prune
+    the fact table hard, and the probe+join composition must equal the
+    plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.operators import bloom as B
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    pruned = B.bloom_probe(li, "l_orderkey", B.bloom_build(urgent, "o_orderkey"))
+    n_fact = li.count()
+    n_pruned = pruned.count()
+    n_true = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"],
+                     "left_semi").count()
+    n_pruned_true = pruned.join(
+        urgent, pruned["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).count()
+    assert n_pruned_true == n_true, "bloom dropped a true match"
+    assert n_true <= n_pruned < n_fact, (n_true, n_pruned, n_fact)
+    # fp rate under 5% at this build-side cardinality (sizing comment in
+    # operators/bloom.py puts the expectation near 0.2-2%)
+    assert (n_pruned - n_true) <= 0.05 * max(1, n_fact - n_true)
