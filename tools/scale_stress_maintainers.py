@@ -58,6 +58,7 @@ def main() -> None:
         IncrementalEwmaMaintainer,
         IncrementalHhiMaintainer,
         IncrementalJoinView,
+        IncrementalJpegFingerprintMaintainer,
         IncrementalLedgerMaintainer,
         IncrementalOrderCountMaintainer,
         IncrementalProfitMaintainer,
@@ -121,6 +122,8 @@ def main() -> None:
             spark, state("source_mix")), docs),
         ("feature_moments", lambda: IncrementalFeatureMomentsMaintainer(
             spark, state("feature_moments")), docs),
+        ("jpeg_fingerprint", lambda: IncrementalJpegFingerprintMaintainer(
+            spark, state("jpeg_fingerprint")), docs.select("doc_id")),
         ("bounded_token_freq", lambda: BoundedTokenFrequencyMaintainer(
             spark, state("bounded_token_freq")), docs),
         ("bounded_quantile", lambda: BoundedQuantileMaintainer(

@@ -3003,7 +3003,21 @@ def jpeg_hamming_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jpeg_hamming_pairs(docs: DataFrame) -> DataFrame:
     """The blocked pair pipeline behind ``jpeg_hamming_neardups``,
     reusable over any doc_id frame (tools/ scale measurements drive it
-    at 10x/100x synthetic corpus sizes)."""
+    at 10x/100x synthetic corpus sizes). Composition of the codec-side
+    fingerprint stage and the pair presentation — streaming maintainer
+    #23 holds the former as state and presents through the latter, so
+    stream == batch is one code path."""
+    return hamming_pairs_from_sides(jpeg_fingerprint_sides(docs))
+
+
+def jpeg_fingerprint_sides(docs: DataFrame) -> DataFrame:
+    """Per-document chunk-bucket membership rows: (doc_id, hash_hi,
+    hash_lo, pos, chunk) — four rows per doc, one per 16-bit aHash
+    chunk. This is the mergeable unit of the JPEG fingerprint family:
+    rows are a pure function of the document, so the maintainer's merge
+    is set-union (dropDuplicates on the (doc_id, pos) key), bounded by
+    4 x |docs| at any stream length, and the expensive codec runs ONCE
+    per document ever — new batches encode only their own docs."""
     feats = M.image_jpeg_features(docs).select(
         "doc_id",
         F.conv(F.substring("ahash", 1, 32), 2, 10)
@@ -3013,9 +3027,15 @@ def jpeg_hamming_pairs(docs: DataFrame) -> DataFrame:
         F.array(*[F.substring("ahash", i * 16 + 1, 16) for i in range(4)])
         .alias("chunks"),
     ).localCheckpoint(eager=False)
-    sides = feats.select(
+    return feats.select(
         "doc_id", "hash_hi", "hash_lo",
         F.posexplode("chunks").alias("pos", "chunk"))
+
+
+def hamming_pairs_from_sides(sides: DataFrame) -> DataFrame:
+    """Pair presentation over the chunk-bucket membership rows: bucket
+    join per (pos, chunk) — pigeonhole-complete at Hamming <= 3, used
+    at the <= 1 gate — then exact 64-bit Hamming verify."""
     a, b = sides.alias("a"), sides.alias("b")
     pairs = (a.join(b, (F.col("a.pos") == F.col("b.pos"))
                     & (F.col("a.chunk") == F.col("b.chunk"))

@@ -107,6 +107,47 @@ class _VersionedState:
                 shutil.rmtree(os.path.join(self.state_dir, f"v={v}"),
                               ignore_errors=True)
 
+    # -- persistence roundtrip (r12 VERDICT item 5) --------------------
+    #
+    # The state already LIVES as versioned parquet, so a same-dir
+    # restart resumes for free: a new maintainer instance over the same
+    # state_dir reads the newest version and the guard accepts any
+    # batch_id >= it. export/import add the cross-location half — a
+    # durable snapshot a restart at 100 TB restores from, so recovery
+    # re-reads KBs-to-GBs of state instead of reseeding from the full
+    # fact table.
+
+    def export_to(self, path: str) -> int:
+        """Snapshot the newest state version (data + its batch version,
+        carried in the directory name) to ``path``. Returns the
+        exported version."""
+        versions = self.versions()
+        if not versions:
+            raise ValueError(f"no state versions in {self.state_dir}")
+        v = versions[-1]
+        self.read(v).write.mode("overwrite").parquet(
+            os.path.join(path, f"v={v}"))
+        return v
+
+    def import_from(self, path: str) -> int:
+        """Adopt the newest exported snapshot under ``path`` into this
+        state dir (which must be behind it — the guard's monotonicity
+        contract). The next merge_batch continues from the snapshot's
+        batch version exactly as an uninterrupted run would."""
+        versions = []
+        for name in os.listdir(path):
+            if name.startswith("v=") and os.path.exists(
+                    os.path.join(path, name, "_SUCCESS")):
+                versions.append(int(name[2:]))
+        if not versions:
+            raise ValueError(f"no exported state snapshot under {path}")
+        v = max(versions)
+        self.guard(v)
+        df = self.spark.read.schema(self.schema).parquet(
+            os.path.join(path, f"v={v}"))
+        self.write(v, df)
+        return v
+
 
 class IncrementalEwmaMaintainer:
     """Maintains per-(user, day) spend partials; ``current()`` derives
@@ -1201,6 +1242,53 @@ def streaming_feature_moments_maintenance(
                                "feature_moments_maintenance")
 
 
+class IncrementalJpegFingerprintMaintainer:
+    """Streaming maintainer #23 — the JPEG aHash chunk-bucket membership
+    state behind the driver-oracled ``jpeg_hamming_neardups`` (the first
+    incremental twin in the multimodal family): per document, the four
+    (pos, 16-bit chunk) bucket rows plus the two 32-bit hash halves,
+    exactly the frame ``jpeg_fingerprint_sides`` builds for the batch
+    entry. Rows are a pure function of the document, so the merge is
+    SET-UNION (dropDuplicates on the (doc_id, pos) key — idempotent and
+    commutative, hence replay-safe and interleaving-independent by
+    construction), state is bounded by 4 x |docs| rows of slim ints,
+    and — the scale point — the expensive codec runs ONCE per document
+    ever: each batch encodes only its own new docs, while the pair
+    report ``current()`` re-derives over the full membership through
+    the batch entry's own ``hamming_pairs_from_sides`` (one code path,
+    pigeonhole-complete bucket join + exact Hamming verify)."""
+
+    _SCHEMA = ("doc_id BIGINT, hash_hi BIGINT, hash_lo BIGINT, "
+               "pos INT, chunk STRING")
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            jpeg_fingerprint_sides,
+        )
+        self.state.guard(batch_id)
+        delta = jpeg_fingerprint_sides(batch_df)
+        prev = self.state.latest_before(batch_id)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = merged.dropDuplicates(["doc_id", "pos"])
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            hamming_pairs_from_sides,
+        )
+        return hamming_pairs_from_sides(self.state.current())
+
+
+def streaming_jpeg_fingerprint_maintenance(
+        docs: DataFrame, maintainer: IncrementalJpegFingerprintMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(docs, maintainer, checkpoint_dir,
+                               "jpeg_fingerprint_maintenance")
+
+
 __all__ = [
     "IncrementalFeatureMomentsMaintainer",
     "streaming_feature_moments_maintenance",
@@ -1240,4 +1328,6 @@ __all__ = [
     "streaming_user_spend_maintenance",
     "streaming_drift_maintenance",
     "streaming_ledger_maintenance",
+    "IncrementalJpegFingerprintMaintainer",
+    "streaming_jpeg_fingerprint_maintenance",
 ]
