@@ -71,6 +71,12 @@ SENSITIVE = [
     "mann_kendall_trend",
     # winsorize cuts come from the same cumulative value-domain ranks
     "winsorized_spend_means",
+    # round 13: the BPE argmax is a limit(1) over a total order (count
+    # desc, pair lexical) — the rank-pick must not depend on which
+    # partition ties land in; the e2e funnel stacks a row_number
+    # survivor pick, a pair-driven drop set and packing windows
+    "bpe_tokenizer_train",
+    "curation_pipeline_e2e",
 ]
 
 

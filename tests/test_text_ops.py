@@ -89,3 +89,95 @@ def test_token_freq_edge_docs(spark):
     freq = {r.token: r.n for r in token_freq_from_docs(docs).collect()}
     assert "" not in freq
     assert freq == {"one": 1, "a": 2, "b": 1}
+
+
+class TestBpeTokenizerTrain:
+    """BPE training (plans/llm_pipeline.py bpe_tokenizer_train): the
+    distributed merge loop must equal a direct single-process reference
+    implementation of classic word-level BPE — same pre-tokenization,
+    same tie-break (count desc, pair lexical), same greedy
+    left-to-right non-overlapping merge application — on the real
+    corpus AND on hypothesis-generated word-frequency tables."""
+
+    @staticmethod
+    def _reference_bpe(word_freq: dict, n_merges: int) -> list:
+        """Plain-Python classic BPE over a (word -> freq) table."""
+        words = {"(" + ")(".join(list(w)) + ")(_)": f
+                 for w, f in word_freq.items()}
+        merges = []
+        for step in range(1, n_merges + 1):
+            pc: dict = {}
+            for s, f in words.items():
+                toks = s[1:-1].split(")(")
+                for a, b in zip(toks, toks[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + f
+            if not pc:
+                break
+            (l, r), c = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+            merges.append((step, l, r, l + r, c))
+            nxt: dict = {}
+            for s, f in words.items():
+                nxt[s.replace(f"({l})({r})", f"({l}{r})")] = (
+                    nxt.get(s.replace(f"({l})({r})", f"({l}{r})"), 0) + f)
+            words = nxt
+        return merges
+
+    def test_matches_reference_on_corpus(self, spark, sf_dir):
+        from collections import Counter
+
+        from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+            normalized_text,
+        )
+        from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            BPE_MERGES,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+        texts = [r[0] for r in load_table(spark, sf_dir, "documents")
+                 .select(normalized_text("text")).collect()]
+        freq = Counter(w for t in texts for w in t.split(" ") if w)
+        want = self._reference_bpe(dict(freq), BPE_MERGES)
+        got = sorted(
+            (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in CATALOG["bpe_tokenizer_train"].spark(spark, sf_dir)
+            .collect())
+        assert got == want
+
+    def test_hypothesis_word_tables(self, spark, tmp_path):
+        """Random small word-frequency tables, including merge-overlap
+        traps (runs like 'aaaa' where greedy non-overlap matters and
+        words that collapse onto each other after a merge)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+            BPE_MERGES,
+            bpe_tokenizer_train,
+        )
+
+        word = st.text(alphabet="abc", min_size=1, max_size=6)
+        table = st.dictionaries(word, st.integers(1, 9),
+                                min_size=1, max_size=8)
+
+        @settings(max_examples=10, deadline=None)
+        @given(table)
+        def check(word_freq):
+            # materialize a tiny corpus: each word repeated freq times
+            text = " ".join(w for w, f in sorted(word_freq.items())
+                            for _ in range(f))
+            import os
+            import uuid
+
+            d = os.path.join(str(tmp_path), uuid.uuid4().hex)
+            spark.createDataFrame(
+                [(0, text, "en", "web")],
+                "doc_id LONG, text STRING, lang STRING, source STRING",
+            ).write.parquet(os.path.join(d, "documents.parquet"))
+            got = sorted(
+                (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+                for r in bpe_tokenizer_train(spark, d).collect())
+            assert got == self._reference_bpe(word_freq, BPE_MERGES)
+
+        check()

@@ -3541,10 +3541,15 @@ def bpe_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cur, merge_frames = wrapped, []
     for step in range(1, BPE_MERGES + 1):
+        # Words fully merged to ONE symbol contribute no pairs — and must
+        # be filtered BEFORE the index sequence: Spark's sequence(1, 0)
+        # is a DESCENDING [1, 0] (not empty like DuckDB's end-exclusive
+        # range), so an unguarded transform would element_at past the
+        # 1-element array under ANSI mode (hypothesis-found edge).
         split_toks = cur.select(
             F.split(F.expr("substring(s, 2, length(s) - 2)"),
                     r"\)\(").alias("t"),
-            "freq")
+            "freq").where(F.size("t") >= 2)
         pairs = split_toks.select(
             F.explode(F.transform(
                 F.sequence(F.lit(1), F.size("t") - 1),
