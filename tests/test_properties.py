@@ -294,3 +294,42 @@ class TestPagerankProperties:
         srcs = {s for s, _ in edges}
         if srcs == set(nodes):  # no dangling nodes -> mass conserved
             assert abs(total - 1.0) < 1e-9
+
+
+class TestBloomProperties:
+    """Bloom pre-join (operators/bloom.py): the no-false-negative law —
+    every build key must pass its own probe — and probe/plain-semi-join
+    agreement after the exact join, on hypothesis-generated key sets
+    including negatives, zero, and extreme longs (sign bugs in the
+    bit-position arithmetic would surface here: pmod keeps positions
+    non-negative, shiftleft(1L, 63) is a negative long whose bitwise
+    AND must still test the bit)."""
+
+    _keys = st.lists(
+        st.one_of(
+            st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+            st.sampled_from([0, -1, 1, 2 ** 62, -(2 ** 62), 63, 64]),
+        ),
+        min_size=1, max_size=50, unique=True,
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(build=_keys, probe=_keys)
+    def test_no_false_negatives_and_exact_composition(self, spark,
+                                                      build, probe):
+        from windowsession_using_kafka_flink_docker_spark.operators import bloom as B
+
+        b = spark.createDataFrame([(k,) for k in build], "k BIGINT")
+        p = spark.createDataFrame([(k,) for k in probe], "k BIGINT")
+        bits = B.bloom_build(b, "k")
+        # every build key passes its own probe
+        self_hits = B.bloom_probe(b, "k", bits).count()
+        assert self_hits == len(build)
+        # composed pre-filter + exact semi join == plain semi join
+        pruned = B.bloom_probe(p, "k", bits)
+        got = sorted(r.k for r in pruned.join(
+            b.withColumnRenamed("k", "bk"),
+            F.col("k") == F.col("bk"), "left_semi").collect())
+        want = sorted(set(build) & set(probe))
+        assert got == want
