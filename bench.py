@@ -57,6 +57,25 @@ def _tpch_names() -> list[str]:
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _calibrate(spark) -> float:
+    """Fixed CPU-bound probe (median of 3): sum over a 200M-row range
+    with a little arithmetic — constant work, no I/O, no shuffle, all
+    32 cores. Recorded as ``calibration_sec`` so cross-round totals can
+    divide out HOST speed objectively: rounds 12 and 13 both lost their
+    quiet-host windows to external load waves, and per-query ratios vs
+    an anchor could not distinguish "plan regressed 1.2x" from "host is
+    1.2x slower today". Compare this number across BENCH_r{N} files
+    before comparing any query number."""
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + (id % 7)) AS s").collect()
+        if i:  # drop the first: it pays the probe's own codegen compile
+            times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -86,6 +105,7 @@ def main() -> None:
     # some measured sample — the residual ±30% total-level variance traced
     # to exactly these one-offs ramping inside pass 1.
     clear_stage_caches()
+    calib_pre = _calibrate(spark)
     for name in names:
         fns[name](spark, sf_dir) \
             .write.format("noop").mode("overwrite").save()
@@ -126,6 +146,9 @@ def main() -> None:
         "tpch_total": round(sum(tpch_timings.values()), 3),
         "runs_per_query": RUNS,
         "spread_max_over_median": spread,
+        # host-speed probes bracketing the measured passes; see
+        # _calibrate. post >> pre means a load wave arrived mid-run.
+        "calibration_sec": {"pre": calib_pre, "post": _calibrate(spark)},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(result))
