@@ -56,6 +56,21 @@ def main() -> int:
         a = "never" if n not in last_green else str(latest - last_green[n])
         ages[a] = ages.get(a, 0) + 1
 
+    # One-round lookahead: assume the projected window all greens at
+    # round latest+1, then compute round latest+2's at-bound cohort +
+    # pins. If that sum approaches DRIVER_WINDOW there is no slack for
+    # new/changed entries NEXT round — the planning number that decides
+    # how many entries this round may safely add (the r9 cohort bunch
+    # makes r14 ~49/50, for example).
+    next_green = dict(last_green)
+    for n in window:
+        next_green[n] = latest + 1
+    nxt_at_bound = [n for n in names if n in next_green
+                    and latest + 1 - next_green[n] >= cat.STALENESS_BOUND]
+    nxt_pins = [n for n in cat.PINNED
+                if n in names and n not in set(nxt_at_bound)]
+    next_round_free = cat.DRIVER_WINDOW - len(nxt_at_bound) - len(nxt_pins)
+
     ok = not any(missing.values())
     print("WINDOWPROJ " + json.dumps({
         "ok": ok,
@@ -65,6 +80,8 @@ def main() -> int:
         "never": len(never),
         "changed": len(changed),
         "window_ages": ages,
+        "next_round_at_bound": len(nxt_at_bound),
+        "next_round_free_slots": next_round_free,
         "missing": {k: v for k, v in missing.items() if v},
     }))
     if args.full:
