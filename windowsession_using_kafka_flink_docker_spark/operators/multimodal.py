@@ -307,17 +307,26 @@ def image_jpeg_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     average-hash of the DECODED pixels (integer cross-multiplication
     threshold, no floats), and abs_err = sum |decoded - source| over all
     4096 pixels (the quantization-loss reading; any wrong bit anywhere in
-    the Huffman/DCT path shifts it). Arrow-batched mapInPandas, zero
-    shuffle; at 100 TB the payload column comes off parquet and the hash
-    is the Hamming-bucket key for image dedup."""
+    the Huffman/DCT path shifts it). Arrow-batched mapInPandas behind one
+    id-column hash exchange that buys core-count parallelism at any file
+    layout (the scan alone can be a single partition); at 100 TB the
+    payload column comes off parquet and the hash is the Hamming-bucket
+    key for image dedup."""
     import numpy as np
 
-    # No repartition: mapInPandas needs no co-partitioning and the scan's
-    # partitions are already balanced (constant codec work per doc here),
-    # so the plan is genuinely zero-shuffle (r12 ADVICE). Real payload
-    # columns with size skew take the media_features route, which DOES
-    # pay one balancing exchange and says so.
-    ids = docs.select(id_col)
+    # ONE deliberate hash exchange on the id column before the codec
+    # stage (r12 ADVICE follow-up, measured): mapInPandas needs no
+    # co-partitioning, but its parallelism is the INPUT partitioning,
+    # and the documents scan is a single row-group parquet file = ONE
+    # partition — dropping this repartition serialized the whole
+    # per-doc encode+decode onto one task (2.0 s -> 29 s at sf0.1,
+    # 1/32 of the host). The 8-bytes/row shuffle is the price of
+    # core-count parallelism at ANY file layout; 'zero shuffle' claims
+    # for this path were wrong and are corrected here and in the
+    # catalog descriptions.
+    n_part = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    ids = docs.select(id_col).repartition(n_part, id_col)
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),
@@ -371,14 +380,16 @@ def image_jpeg420_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     {25, 50, 75}; emits the parsed header (width, height, ql00/qc00 —
     the two scaled DC quantizers), per-plane decoded-value sums (one
     wrong bit in ANY component's chain shifts a sum), and per-plane
-    abs errors vs the closed-form source. Arrow-batched mapInPandas,
-    zero shuffle."""
+    abs errors vs the closed-form source. Arrow-batched mapInPandas
+    behind one id-column balancing exchange (see image_jpeg_features)."""
     import numpy as np
 
-    # No repartition — see image_jpeg_features (r12 ADVICE): the plan is
-    # genuinely zero-shuffle; constant per-doc codec cost needs no
-    # balancing exchange.
-    ids = docs.select(id_col)
+    # One balancing hash exchange — see image_jpeg_features: the scan
+    # is one partition for single-row-group files, and the codec must
+    # parallelize by cores, not by file layout.
+    n_part = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    ids = docs.select(id_col).repartition(n_part, id_col)
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),

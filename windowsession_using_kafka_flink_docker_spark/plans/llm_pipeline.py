@@ -2910,7 +2910,10 @@ GROUP BY d.doc_id, d.q00, t.abs_err
                 "single wrong bit in the Huffman stream, one "
                 "mis-rebuilt canonical code, or an off-by-one in the "
                 "quantizer breaks the driver hash. Scale shape: "
-                "Arrow-batched mapInPandas, zero shuffle; the hash is "
+                "Arrow-batched mapInPandas behind one id-column "
+                "balancing exchange (the scan alone can be a single "
+                "row-group = one partition; the exchange buys core-"
+                "count parallelism at any layout); the hash is "
                 "the Hamming-bucket key for image dedup exactly as in "
                 "image_ahash_fingerprints.",
     bench=True,
@@ -3424,8 +3427,8 @@ GROUP BY 1, 2, 3, 4, 5
                 "quality — the subsampled-chroma quality trade "
                 "quantified, and every value replayed closed-form by "
                 "the oracle (one wrong bit in any predictor chain "
-                "shifts a sum). Arrow-batched mapInPandas, zero "
-                "shuffle; per-doc constant cost like the grayscale "
+                "shifts a sum). Arrow-batched mapInPandas behind one "
+                "id balancing exchange; per-doc constant cost like the grayscale "
                 "entry.",
     tags=("llm", "multimodal", "fingerprint"),
 )
