@@ -3296,3 +3296,60 @@ class TestMaintainerStatePersistence:
         target.merge_batch(frame, 5)  # newer than the snapshot
         with pytest.raises(ValueError, match="reset together"):
             target.state.import_from(snap)
+
+
+class TestStateSchemaStamp:
+    """Round-13 review finding: resuming or importing state written
+    under a DIFFERENT maintainer schema must ERROR — spark.read.schema
+    silently projects missing columns to NULL, so a schema drift (like
+    r13's own trend-state `_sum DOUBLE` -> `y BIGINT` migration) would
+    otherwise corrupt every carried cell without a trace."""
+
+    def test_same_dir_resume_with_drifted_schema_raises(
+            self, spark, sf_dir, tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+            _VersionedState,
+        )
+
+        d = str(tmp_path_factory.mktemp("stamp_dir"))
+        old = _VersionedState(spark, d, "user_id BIGINT, _sum DOUBLE")
+        old.write(0, spark.createDataFrame(
+            [(1, 2.0)], "user_id BIGINT, _sum DOUBLE"))
+        with pytest.raises(ValueError, match="does not match"):
+            _VersionedState(spark, d, "user_id BIGINT, x INT, y BIGINT")
+
+    def test_import_with_drifted_schema_raises(self, spark, sf_dir,
+                                               tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+            _VersionedState,
+        )
+
+        donor = _VersionedState(
+            spark, str(tmp_path_factory.mktemp("stamp_donor")),
+            "user_id BIGINT, _sum DOUBLE")
+        donor.write(0, spark.createDataFrame(
+            [(1, 2.0)], "user_id BIGINT, _sum DOUBLE"))
+        snap = str(tmp_path_factory.mktemp("stamp_snap"))
+        donor.export_to(snap)
+        target = _VersionedState(
+            spark, str(tmp_path_factory.mktemp("stamp_target")),
+            "user_id BIGINT, y BIGINT")
+        with pytest.raises(ValueError, match="does not match"):
+            target.import_from(snap)
+
+    def test_matching_schema_resumes_clean(self, spark, sf_dir,
+                                           tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+            _VersionedState,
+        )
+
+        d = str(tmp_path_factory.mktemp("stamp_ok"))
+        a = _VersionedState(spark, d, "user_id BIGINT, y BIGINT")
+        a.write(0, spark.createDataFrame([(1, 5)],
+                                         "user_id BIGINT, y BIGINT"))
+        b = _VersionedState(spark, d, "user_id BIGINT, y BIGINT")
+        assert [r.y for r in b.current().collect()] == [5]

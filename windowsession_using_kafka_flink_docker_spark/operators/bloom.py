@@ -55,10 +55,12 @@ def bloom_build(keys: DataFrame, key_col: str,
         .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("bits"))
     )
+    # Collision-proof output name: the probe crossJoins this column
+    # onto an arbitrary caller frame (round-13 review finding).
     return words.agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("w", "bits")))
-        ).alias("bloom")
+        ).alias("__bloom_bits")
     )
 
 
@@ -68,15 +70,19 @@ def bloom_probe(fact: DataFrame, key_col: str, bloom: DataFrame,
     """Filter ``fact`` to rows whose key might be in the build set: all k
     bloom bits set. Broadcasts the 1-row bitmap; the test is pure
     codegen'd expressions on the scan side, ahead of any join shuffle."""
+    if "__bloom_bits" in fact.columns:
+        raise ValueError("fact frame already has a __bloom_bits column")
     probed = fact.crossJoin(F.broadcast(bloom))
     cond = None
     for s in seeds:
-        # INT seed literal: xxhash64 hashes arguments by type, and the
-        # build side hashes the seed as F.lit(int) — an INT.
-        p = f"pmod(xxhash64({key_col}, {s}), {m_bits})"
+        # Backtick-quoted key (review finding: dotted/spaced column
+        # names must bind like they do through F.col everywhere else)
+        # and an INT seed literal — xxhash64 hashes arguments by TYPE,
+        # and the build side hashes the seed as F.lit(int), an INT.
+        p = f"pmod(xxhash64(`{key_col}`, {s}), {m_bits})"
         hit = F.expr(
-            f"(coalesce(element_at(bloom, CAST({p} DIV 64 AS INT)), 0L)"
+            f"(coalesce(element_at(__bloom_bits, CAST({p} DIV 64 AS INT)), 0L)"
             f" & shiftleft(1L, CAST({p} % 64 AS INT))) != 0"
         )
         cond = hit if cond is None else (cond & hit)
-    return probed.where(cond).drop("bloom")
+    return probed.where(cond).drop("__bloom_bits")

@@ -68,6 +68,34 @@ class _VersionedState:
         self.state_dir = state_dir
         self.schema = schema
         os.makedirs(state_dir, exist_ok=True)
+        # Schema stamp (round-13 review finding): resuming a state_dir
+        # written under a DIFFERENT maintainer schema must error, not
+        # silently project missing columns to NULL (spark.read.schema
+        # does the latter — e.g. pre-r13 trend state had `_sum DOUBLE`
+        # where the current schema reads `y BIGINT`, and a silent
+        # resume would NULL every carried cell).
+        self._check_stamp(state_dir)
+
+    _STAMP = "_schema.txt"
+
+    def _check_stamp(self, directory: str) -> None:
+        path = os.path.join(directory, self._STAMP)
+        if os.path.exists(path):
+            with open(path) as fh:
+                stamped = fh.read().strip()
+            if stamped != self.schema:
+                raise ValueError(
+                    f"state under {directory} was written with schema "
+                    f"{stamped!r}, which does not match this "
+                    f"maintainer's {self.schema!r}; refusing to resume "
+                    "(a schema.read over it would silently NULL "
+                    "missing columns)")
+
+    def _write_stamp(self, directory: str) -> None:
+        path = os.path.join(directory, self._STAMP)
+        if not os.path.exists(path):
+            with open(path, "w") as fh:
+                fh.write(self.schema)
 
     def versions(self) -> list[int]:
         out = []
@@ -101,6 +129,7 @@ class _VersionedState:
 
     def write(self, batch_id: int, df: DataFrame) -> None:
         target = os.path.join(self.state_dir, f"v={batch_id}")
+        self._write_stamp(self.state_dir)
         df.coalesce(1).write.mode("overwrite").parquet(target)
         for v in self.versions():
             if v < batch_id - 1:
@@ -127,6 +156,9 @@ class _VersionedState:
         v = versions[-1]
         self.read(v).write.mode("overwrite").parquet(
             os.path.join(path, f"v={v}"))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, self._STAMP), "w") as fh:
+            fh.write(self.schema)
         return v
 
     def import_from(self, path: str) -> int:
@@ -141,6 +173,7 @@ class _VersionedState:
                 versions.append(int(name[2:]))
         if not versions:
             raise ValueError(f"no exported state snapshot under {path}")
+        self._check_stamp(path)
         v = max(versions)
         self.guard(v)
         df = self.spark.read.schema(self.schema).parquet(
