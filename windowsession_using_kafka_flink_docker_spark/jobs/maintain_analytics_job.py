@@ -90,6 +90,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalTokenFrequencyMaintainer,
     IncrementalCupedMaintainer,
     IncrementalFeatureMomentsMaintainer,
+    IncrementalJpegFingerprintMaintainer,
     IncrementalTrendMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_bounded_token_frequency_maintenance,
@@ -106,6 +107,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_token_frequency_maintenance,
     streaming_cuped_maintenance,
     streaming_feature_moments_maintenance,
+    streaming_jpeg_fingerprint_maintenance,
     streaming_trend_maintenance,
     streaming_user_spend_maintenance,
 )
@@ -269,6 +271,14 @@ def main() -> None:
         queries.append(streaming_feature_moments_maintenance(
             docs, fmom, os.path.join(args.checkpoint_root,
                                      "feature_moments")))
+        # maintainer #23 shares the documents stream: the JPEG aHash
+        # chunk-bucket membership (codec once per new doc, set-union
+        # merge)
+        jfp = IncrementalJpegFingerprintMaintainer(
+            spark, os.path.join(args.state_root, "jpeg_fingerprint"))
+        queries.append(streaming_jpeg_fingerprint_maintenance(
+            docs, jfp, os.path.join(args.checkpoint_root,
+                                    "jpeg_fingerprint")))
     if args.lineitem:
         li = (spark.readStream
               .schema("l_partkey BIGINT, l_suppkey BIGINT, "
