@@ -3353,3 +3353,42 @@ class TestStateSchemaStamp:
                                          "user_id BIGINT, y BIGINT"))
         b = _VersionedState(spark, d, "user_id BIGINT, y BIGINT")
         assert [r.y for r in b.current().collect()] == [5]
+
+
+class TestEmptyBatchMerges:
+    """A trigger can fire with ZERO rows (idle source, watermark-only
+    progress); every maintainer's merge must treat an empty batch as a
+    state-preserving no-op — the report after (real, empty) must equal
+    the report after just (real)."""
+
+    def test_empty_batch_is_a_noop(self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            BoundedQuantileMaintainer,
+            IncrementalFeatureMomentsMaintainer,
+            IncrementalJpegFingerprintMaintainer,
+            IncrementalSourceMixMaintainer,
+            IncrementalTrendMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice")
+        events = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "value")
+        docs = load_table(spark, sf_dir, "documents")
+        cases = [
+            ("quantile", BoundedQuantileMaintainer, orders),
+            ("trend", IncrementalTrendMaintainer, events),
+            ("moments", IncrementalFeatureMomentsMaintainer, docs),
+            ("jpeg", IncrementalJpegFingerprintMaintainer,
+             docs.select("doc_id")),
+            ("mix", IncrementalSourceMixMaintainer,
+             docs.select("doc_id", "text", "source", "lang")),
+        ]
+        for label, cls, frame in cases:
+            m = cls(spark, str(tmp_path_factory.mktemp(f"{label}_empty")))
+            m.merge_batch(frame, 0)
+            before = _rows(m.current(), exclude_sentinel=False)
+            m.merge_batch(frame.where(F.lit(False)), 1)
+            after = _rows(m.current(), exclude_sentinel=False)
+            assert after == before, label
+            assert m.state.versions()[-1] == 1, label  # version advanced
