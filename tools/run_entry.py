@@ -7,6 +7,7 @@ re-invents with ad-hoc ``python -c``:
     python tools/run_entry.py gini_spend_inequality --oracle       # gate
     python tools/run_entry.py q19_disjunctive_revenue --explain
     python tools/run_entry.py --list experiment                    # find
+    python tools/run_entry.py a b c --oracle       # batch: ONE shared JVM
 
 Prints ``RESULT <name> OK|FAIL`` on --oracle so output survives Spark's
 progress-bar carriage returns (grep -a RESULT).
@@ -23,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("name", nargs="?", help="catalog entry name")
+    ap.add_argument("name", nargs="*",
+                    help="catalog entry name(s) — several names share "
+                         "one Spark session (a per-entry JVM costs ~10 s "
+                         "of startup each; a 40-entry sweep drops from "
+                         "~40 min to minutes)")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--oracle", action="store_true",
@@ -49,28 +54,36 @@ def main() -> None:
         return
     if not args.name:
         ap.error("entry name required (or --list)")
-    if args.name not in CATALOG:
-        ap.error(f"unknown entry {args.name!r} — try --list {args.name}")
+    unknown = [n for n in args.name if n not in CATALOG]
+    if unknown:
+        ap.error(f"unknown entries {unknown!r} — try --list")
 
     from windowsession_using_kafka_flink_docker_spark import get_spark
 
     spark = get_spark("run-entry")
-    spec = CATALOG[args.name]
-    df = spec.spark(spark, args.sf)
-    if args.explain:
-        df.explain("formatted")
-    df.show(args.rows, truncate=False)
-    print(f"rows: {df.count()}")
-    if args.oracle:
-        if spec.oracle is None:
-            print(f"RESULT {args.name} ROWS-ONLY (no oracle registered)")
-            return
-        from tests.oracle import compare
+    batch = len(args.name) > 1
+    failed = False
+    for name in args.name:
+        spec = CATALOG[name]
+        df = spec.spark(spark, args.sf)
+        if args.explain:
+            df.explain("formatted")
+        if not batch:
+            df.show(args.rows, truncate=False)
+            print(f"rows: {df.count()}")
+        if args.oracle:
+            if spec.oracle is None:
+                print(f"RESULT {name} ROWS-ONLY (no oracle registered)",
+                      flush=True)
+                continue
+            from tests.oracle import compare
 
-        ok, msg = compare(df, spec.oracle, args.sf)
-        print(f"RESULT {args.name} {'OK' if ok else 'FAIL'} {msg[:400]}")
-        if not ok:
-            sys.exit(1)
+            ok, msg = compare(df, spec.oracle, args.sf)
+            print(f"RESULT {name} {'OK' if ok else 'FAIL'} {msg[:400]}",
+                  flush=True)
+            failed = failed or not ok
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
