@@ -27,3 +27,38 @@ def test_rows_only_executes(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert df.schema.fieldNames()
+
+
+def test_no_half_cent_rounding_ties_at_driver_scale(spark, sf_dir):
+    """Tripwire for the sf0.1 sweep's penny-tie finding (BASELINE round
+    13 close): Spark's round(x, 2) rounds the shortest decimal
+    representation half-up while DuckDB rounds the binary double, so a
+    session average landing on an exact .xx5 decimal boundary splits by
+    one cent between the engines. No such tie exists in the driver's
+    sf0.01 data today — this test fails LOUDLY (before the driver does)
+    if data or sessionization changes ever produce one."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+        sessionize,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = sessionize(ev).select(
+        (F.col("session_sum") / F.greatest(F.lit(1), F.col("event_count")))
+        .alias("avg_raw")).collect()
+    ties = []
+    for r in raw:
+        v = r.avg_raw
+        string_half_up = Decimal(str(v)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP)
+        binary_round = Decimal(repr(round(v, 2)))
+        if string_half_up != binary_round:
+            ties.append(v)
+    assert not ties, (
+        f"{len(ties)} session averages land on half-cent ties "
+        f"(e.g. {ties[:3]}); Spark and DuckDB will round these apart — "
+        "see BASELINE.md 'Round 13 (close)' before certifying")
