@@ -316,3 +316,70 @@ class TestCurateCorpusJob:
         assert out.count() == stats["train_after_decontamination"]
         # iterdir order is fs-arbitrary and the dir also holds _SUCCESS
         assert any("lang=" in p.name for p in (tmp_path / "corpus").iterdir())
+
+
+class TestCurationPipelineE2E:
+    """The composition entry's funnel must stay non-vacuous at EVERY
+    stage — the oracle hash would catch a wrong survivor set, but these
+    count pins localize WHICH stage broke (and prove the plants do
+    their job: gate drops docs, exact dedup collapses the planted
+    variant groups, near-dedup drops cross-variant survivors,
+    decontamination drops leak carriers)."""
+
+    def test_funnel_counts_and_stage_nonvacuity(self, spark, sf_dir):
+        from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+        from windowsession_using_kafka_flink_docker_spark.plans.curation import (
+            _EVAL_MOD,
+            _e2e_text,
+            _E2E_MIN_STOPWORDS,
+            _STOPWORDS,
+            decontaminate,
+        )
+        from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", _e2e_text().alias("text"),
+            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"))
+        train = docs.where(~F.col("is_eval")).drop("is_eval")
+        eval_docs = docs.where(F.col("is_eval")).drop("is_eval")
+        n_train = train.count()
+
+        w = F.split(F.trim("text"), r"\s+")
+        toks = train.select("doc_id", "lang", "text", w.alias("_w"))
+        n = F.size("_w")
+        stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+        gated = toks.where(
+            n.between(50, 100_000)
+            & (F.aggregate("_w", F.lit(0), lambda a, x: a + F.length(x)) / n)
+            .between(3, 10)
+            & (F.size(F.filter("_w", lambda x: x.rlike("[a-zA-Z]"))) / n
+               > 0.8)
+            & (F.size(F.filter("_w", lambda x: (x == "#") | (x == "...")))
+               / n < 0.1)
+            & (F.size(F.array_distinct(F.filter(
+                "_w", lambda x: F.array_contains(stop_arr, F.lower(x)))))
+               >= _E2E_MIN_STOPWORDS)
+        ).select("doc_id", "lang", "text")
+        n_gated = gated.count()
+        assert 0 < n_gated < n_train, "gate must drop some and keep some"
+
+        keepers = D.exact_dedup(gated).select(
+            F.col("keep_id").alias("doc_id"))
+        exact = gated.join(keepers, "doc_id", "left_semi")
+        n_exact = exact.count()
+        assert n_exact < n_gated, "planted dup groups must collapse"
+
+        pairs = D.ngram_jaccard_pairs(exact)
+        near = exact.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id", "left_anti")
+        n_near = near.count()
+        assert n_near < n_exact, "cross-variant near-dups must drop"
+
+        flags = decontaminate(near, eval_docs)
+        n_contam = flags.where(F.col("contaminated")).count()
+        assert n_contam > 0, "planted leaks must be flagged"
+        survivors = near.join(
+            flags.where(~F.col("contaminated")).select("doc_id"),
+            "doc_id", "left_semi")
+        assert 0 < survivors.count() == n_near - n_contam
