@@ -3223,6 +3223,7 @@ class TestMaintainerStatePersistence:
         from windowsession_using_kafka_flink_docker_spark.streaming import (
             BoundedQuantileMaintainer,
             IncrementalFeatureMomentsMaintainer,
+            IncrementalJpegFingerprintMaintainer,
             IncrementalTrendMaintainer,
         )
 
@@ -3236,6 +3237,11 @@ class TestMaintainerStatePersistence:
             ("trend", IncrementalTrendMaintainer, events, "user_id"),
             ("moments", IncrementalFeatureMomentsMaintainer, docs,
              "doc_id"),
+            # #23 is the fleet's LARGEST state (4 rows per doc) — the
+            # restore path that matters most at 100 TB, and the one
+            # whose re-seed would be costliest (full codec re-run)
+            ("jpeg", IncrementalJpegFingerprintMaintainer,
+             docs.select("doc_id"), "doc_id"),
         ]
 
     def test_kill_restore_continue_bit_identical(self, spark, sf_dir,
