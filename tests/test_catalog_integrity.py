@@ -114,34 +114,61 @@ def test_priority_is_computed_from_on_disk_history():
 
 
 def test_changed_entry_self_schedules_into_next_window():
-    """Change-aware rotation (VERDICT r9 item 4): an entry whose
-    source+oracle fingerprint diverges from its certified record must
-    enter the very next driver window even when its certification age
-    alone would not force it. Pure-function pin on
-    compute_driver_priority: marking a freshly-green entry as changed
-    moves it from outside the window to inside."""
+    """Change-aware rotation (VERDICT r9 item 4), restated as the policy
+    actually guarantees (VERDICT r13 item 1): a changed entry sorts
+    ahead of every merely-aging entry, so it enters the very next driver
+    window WHENEVER a free slot exists. It does NOT displace at-bound or
+    pinned entries (policy point 5 — the age bound is the hard
+    invariant), so under a saturated window it waits exactly one round.
+    The original live-history version of this test asserted the
+    unconditional claim and went red the moment CORRECTNESS_r13 made the
+    r14 window exactly 40 at-bound + 10 pinned = 50/50. Synthetic
+    histories (the file's :171/:219 precedent) pin both cases."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
         DRIVER_WINDOW,
+        PINNED,
+        STALENESS_BOUND,
         compute_driver_priority,
-        driver_history,
     )
 
-    last_green, latest = driver_history()
-    last_green = {n: r for n, r in last_green.items() if n in CATALOG}
     names = list(CATALOG)
-    # pick an entry certified in the LATEST round (age 0 — by age alone
-    # it would sit at the very back of the rotation) that is not pinned
-    from windowsession_using_kafka_flink_docker_spark.plans.catalog import PINNED
-    fresh = next(n for n in names
-                 if last_green.get(n) == latest and n not in PINNED)
+    latest = 20
+    unpinned = [n for n in names if n not in PINNED]
+
+    # --- Case 1: free slots exist (no at-bound cohort, everything age 0).
+    # An age-0 unpinned entry late in registration order sits outside the
+    # window by age alone; marking it changed pulls it in.
+    last_green = {n: latest for n in names}
+    fresh = unpinned[-1]
     without = compute_driver_priority(names, last_green)
     assert fresh not in without[:DRIVER_WINDOW], (
-        "test premise broken: an age-0 unpinned entry should not be in "
-        "the next window by age alone")
+        "test premise broken: an age-0 unpinned entry at the back of "
+        "registration order should not be in the next window by age alone")
     with_change = compute_driver_priority(
         names, last_green, frozenset({fresh}))
     assert fresh in with_change[:DRIVER_WINDOW], (
-        f"{fresh} marked changed but not scheduled into the next window")
+        f"{fresh} marked changed but not scheduled despite free slots")
+
+    # --- Case 2: saturated window (at-bound + pinned == DRIVER_WINDOW,
+    # the live r14 state). The changed entry must NOT displace anyone,
+    # but must head the overflow — first name after the window, ahead of
+    # every merely-aging entry — so it certifies the round the window
+    # reopens.
+    n_at_bound = DRIVER_WINDOW - len(PINNED)
+    at_bound = set(unpinned[:n_at_bound])
+    last_green = {n: latest - STALENESS_BOUND if n in at_bound else latest
+                  for n in names}
+    changed = next(n for n in unpinned if n not in at_bound)
+    order = compute_driver_priority(names, last_green, frozenset({changed}))
+    window = set(order[:DRIVER_WINDOW])
+    assert window == at_bound | (set(PINNED) & set(names)), (
+        "saturated window must be exactly at-bound + pinned")
+    assert changed not in window, (
+        "changed entry displaced an at-bound/pinned entry — breaks the "
+        "hard staleness invariant")
+    assert order[DRIVER_WINDOW] == changed, (
+        f"changed entry must head the overflow (outrank all merely-aging "
+        f"entries); got {order[DRIVER_WINDOW]!r} first instead")
 
 
 def test_changed_burst_cannot_displace_at_bound_entries():
