@@ -3360,6 +3360,85 @@ class TestStateSchemaStamp:
         b = _VersionedState(spark, d, "user_id BIGINT, y BIGINT")
         assert [r.y for r in b.current().collect()] == [5]
 
+    # -- r13 ADVICE: the missing-stamp hole ----------------------------
+    # Every pre-stamp state_dir has data but no _schema.txt; the guard
+    # used to pass silently, a schema.read would NULL the carried cells,
+    # and the next write() would stamp the NEW schema over the wreck.
+
+    def test_unstamped_dir_with_drifted_footer_raises(
+            self, spark, sf_dir, tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+            _VersionedState,
+        )
+
+        d = str(tmp_path_factory.mktemp("nostamp_drift"))
+        old = _VersionedState(spark, d, "user_id BIGINT, _sum DOUBLE")
+        old.write(0, spark.createDataFrame(
+            [(1, 2.0)], "user_id BIGINT, _sum DOUBLE"))
+        os.remove(os.path.join(d, "_schema.txt"))  # pre-stamp-era dir
+        with pytest.raises(ValueError, match="parquet footer"):
+            _VersionedState(spark, d, "user_id BIGINT, y BIGINT")
+
+    def test_unstamped_dir_with_matching_footer_legalizes(
+            self, spark, sf_dir, tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+            _VersionedState,
+        )
+
+        d = str(tmp_path_factory.mktemp("nostamp_ok"))
+        a = _VersionedState(spark, d, "user_id BIGINT, y BIGINT")
+        a.write(0, spark.createDataFrame([(1, 5)],
+                                         "user_id BIGINT, y BIGINT"))
+        os.remove(os.path.join(d, "_schema.txt"))
+        b = _VersionedState(spark, d, "user_id BIGINT, y BIGINT")
+        assert [r.y for r in b.current().collect()] == [5]
+        # the footer-verified dir is re-stamped so later opens are cheap
+        assert os.path.exists(os.path.join(d, "_schema.txt"))
+
+    def test_import_missing_snapshot_stamp_raises(
+            self, spark, sf_dir, tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+            _VersionedState,
+        )
+
+        donor = _VersionedState(
+            spark, str(tmp_path_factory.mktemp("torn_donor")),
+            "user_id BIGINT, y BIGINT")
+        donor.write(0, spark.createDataFrame(
+            [(1, 5)], "user_id BIGINT, y BIGINT"))
+        snap = str(tmp_path_factory.mktemp("torn_snap"))
+        donor.export_to(snap)
+        os.remove(os.path.join(snap, "_schema.txt"))  # torn pre-fix export
+        target = _VersionedState(
+            spark, str(tmp_path_factory.mktemp("torn_target")),
+            "user_id BIGINT, y BIGINT")
+        with pytest.raises(ValueError, match="no _schema.txt"):
+            target.import_from(snap)
+
+    def test_export_interrupted_after_stamp_is_rejected(
+            self, spark, sf_dir, tmp_path_factory):
+        """Stamp-before-data write order: an export killed between the
+        stamp and the parquet write leaves a snapshot import_from
+        rejects (no _SUCCESS version), never one it adopts unverified."""
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
+            _VersionedState,
+        )
+
+        snap = str(tmp_path_factory.mktemp("half_snap"))
+        with open(os.path.join(snap, "_schema.txt"), "w") as fh:
+            fh.write("user_id BIGINT, y BIGINT")  # stamp landed, data didn't
+        target = _VersionedState(
+            spark, str(tmp_path_factory.mktemp("half_target")),
+            "user_id BIGINT, y BIGINT")
+        with pytest.raises(ValueError, match="no exported state snapshot"):
+            target.import_from(snap)
+
 
 class TestEmptyBatchMerges:
     """A trigger can fire with ZERO rows (idle source, watermark-only

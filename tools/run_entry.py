@@ -71,6 +71,11 @@ def main() -> None:
         if not batch:
             df.show(args.rows, truncate=False)
             print(f"rows: {df.count()}")
+        elif not (args.oracle or args.explain):
+            # batch mode with neither flag used to build each DataFrame
+            # lazily and exit 0 having executed nothing (r13 ADVICE);
+            # a count per entry makes the sweep actually run the plans.
+            print(f"RESULT {name} ROWS {df.count()}", flush=True)
         if args.oracle:
             if spec.oracle is None:
                 print(f"RESULT {name} ROWS-ONLY (no oracle registered)",

@@ -90,6 +90,34 @@ class _VersionedState:
                     f"maintainer's {self.schema!r}; refusing to resume "
                     "(a schema.read over it would silently NULL "
                     "missing columns)")
+            return
+        # No stamp (r13 ADVICE): every pre-stamp state_dir looks exactly
+        # like this — including the pre-r13 trend state whose `_sum
+        # DOUBLE` motivated the guard. Silently passing would let a
+        # schema.read NULL every carried cell and the next write() would
+        # stamp the NEW schema over it, permanently masking the
+        # corruption. Verify the newest version's actual parquet footer
+        # instead; stamp-on-first-write only for genuinely empty dirs.
+        versions = self._versions_under(directory)
+        if not versions:
+            return
+        from pyspark.sql.types import StructType
+
+        footer = self.spark.read.parquet(
+            os.path.join(directory, f"v={versions[-1]}")).schema
+        expected = StructType.fromDDL(self.schema)
+        got = sorted((f.name, f.dataType) for f in footer.fields)
+        want = sorted((f.name, f.dataType) for f in expected.fields)
+        if got != want:
+            raise ValueError(
+                f"unstamped state under {directory} has parquet footer "
+                f"schema {footer.simpleString()}, which does not match "
+                f"this maintainer's {self.schema!r}; refusing to resume "
+                "(a schema.read over it would silently NULL missing "
+                "columns)")
+        # Footer verified — legalize the dir so later opens take the
+        # cheap stamp path.
+        self._write_stamp(directory)
 
     def _write_stamp(self, directory: str) -> None:
         path = os.path.join(directory, self._STAMP)
@@ -97,13 +125,17 @@ class _VersionedState:
             with open(path, "w") as fh:
                 fh.write(self.schema)
 
-    def versions(self) -> list[int]:
+    @staticmethod
+    def _versions_under(directory: str) -> list[int]:
         out = []
-        for name in os.listdir(self.state_dir):
+        for name in os.listdir(directory):
             if name.startswith("v=") and os.path.exists(
-                    os.path.join(self.state_dir, name, "_SUCCESS")):
+                    os.path.join(directory, name, "_SUCCESS")):
                 out.append(int(name[2:]))
         return sorted(out)
+
+    def versions(self) -> list[int]:
+        return self._versions_under(self.state_dir)
 
     def read(self, version: int) -> DataFrame:
         return self.spark.read.schema(self.schema).parquet(
@@ -149,16 +181,19 @@ class _VersionedState:
     def export_to(self, path: str) -> int:
         """Snapshot the newest state version (data + its batch version,
         carried in the directory name) to ``path``. Returns the
-        exported version."""
+        exported version. Stamp-before-data (r13 ADVICE): an export
+        interrupted after the stamp leaves a snapshot with no _SUCCESS
+        version, which import_from rejects; the old data-then-stamp
+        order left a stamp-less snapshot that imported unverified."""
         versions = self.versions()
         if not versions:
             raise ValueError(f"no state versions in {self.state_dir}")
         v = versions[-1]
-        self.read(v).write.mode("overwrite").parquet(
-            os.path.join(path, f"v={v}"))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, self._STAMP), "w") as fh:
             fh.write(self.schema)
+        self.read(v).write.mode("overwrite").parquet(
+            os.path.join(path, f"v={v}"))
         return v
 
     def import_from(self, path: str) -> int:
@@ -166,11 +201,17 @@ class _VersionedState:
         state dir (which must be behind it — the guard's monotonicity
         contract). The next merge_batch continues from the snapshot's
         batch version exactly as an uninterrupted run would."""
-        versions = []
-        for name in os.listdir(path):
-            if name.startswith("v=") and os.path.exists(
-                    os.path.join(path, name, "_SUCCESS")):
-                versions.append(int(name[2:]))
+        if not os.path.exists(os.path.join(path, self._STAMP)):
+            # r13 ADVICE: a snapshot with data but no stamp is a torn
+            # export (pre-fix write order) or not an export at all —
+            # error rather than adopt unverified state; re-exporting is
+            # cheap.
+            raise ValueError(
+                f"snapshot under {path} has no {self._STAMP}; the export "
+                "was interrupted before the stamp write or the path is "
+                "not an exported snapshot — re-export from a live state "
+                "dir")
+        versions = self._versions_under(path)
         if not versions:
             raise ValueError(f"no exported state snapshot under {path}")
         self._check_stamp(path)
