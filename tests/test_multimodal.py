@@ -635,6 +635,62 @@ class TestJpegConformance:
     def test_zigzag_matches_t81_figure_a6(self):
         assert [r * 8 + c for r, c in C.JPEG_ZIGZAG] == self.T81_ZIGZAG_FLAT
 
+    # Spec-transcribed conformance stream — generated (with provenance
+    # comments and its own spec-constant transcription, importing
+    # nothing from the engine) by tests/fixtures/gen_t81_conformance.py.
+    # 16x16 gray baseline JFIF with the UNSCALED Annex K.1 quant table
+    # and Annex K.3 Huffman tables in ONE combined DHT segment, a COM
+    # segment, AC coefficients at zigzag 1 (natural (0,1)) and zigzag 2
+    # (natural (1,0)) — the transposed-zigzag probe pair — a >15-zero
+    # run forcing a ZRL code, an all-zero block, and a zigzag-63 tail.
+    T81_FIXTURE_HEX = (
+        "ffd8ffe000104a46494600010100000100010000fffe0022542e383120416e6e"
+        "6578204b20636f6e666f726d616e63652066697874757265ffdb004300100b0c"
+        "0e0c0a100e0d0e1211101318281a181616183123251d283a333d3c3933383740"
+        "485c4e404457453738506d51575f626768673e4d71797064785c656763ffc000"
+        "0b080010001001011100ffc400d2000001050101010101010000000000000000"
+        "0102030405060708090a0b100002010303020403050504040000017d01020300"
+        "041105122131410613516107227114328191a1082342b1c11552d1f024336272"
+        "82090a161718191a25262728292a3435363738393a434445464748494a535455"
+        "565758595a636465666768696a737475767778797a838485868788898a929394"
+        "95969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9"
+        "cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda"
+        "0008010100003f007ad57f339ff3fe78a96ad10c9fe7fcff009fd7ffd9"
+    )
+    T81_FIXTURE_PIXELS = [
+        [130, 131, 132, 133, 135, 136, 137, 138, 118, 145, 122, 110, 140, 129, 109, 138],
+        [130, 131, 132, 133, 135, 136, 137, 138, 129, 122, 125, 127, 120, 124, 130, 124],
+        [130, 131, 132, 133, 135, 136, 137, 138, 136, 102, 126, 139, 103, 118, 144, 112],
+        [130, 131, 132, 133, 135, 136, 137, 138, 128, 108, 121, 128, 108, 117, 132, 115],
+        [130, 131, 132, 133, 135, 136, 137, 138, 111, 129, 113, 105, 125, 118, 105, 125],
+        [130, 131, 132, 133, 135, 136, 137, 138, 103, 135, 108, 94, 129, 117, 93, 127],
+        [130, 131, 132, 133, 135, 136, 137, 138, 110, 116, 109, 106, 113, 111, 107, 115],
+        [130, 131, 132, 133, 135, 136, 137, 138, 121, 93, 113, 123, 93, 105, 128, 101],
+        [128, 128, 128, 128, 128, 128, 128, 128, 145, 142, 151, 144, 157, 150, 159, 156],
+        [128, 128, 128, 128, 128, 128, 128, 128, 140, 151, 134, 161, 136, 163, 145, 156],
+        [128, 128, 128, 128, 128, 128, 128, 128, 146, 131, 160, 124, 166, 130, 159, 144],
+        [128, 128, 128, 128, 128, 128, 128, 128, 138, 157, 123, 167, 119, 163, 129, 148],
+        [128, 128, 128, 128, 128, 128, 128, 128, 152, 133, 166, 121, 167, 122, 154, 135],
+        [128, 128, 128, 128, 128, 128, 128, 128, 150, 164, 134, 169, 126, 161, 130, 144],
+        [128, 128, 128, 128, 128, 128, 128, 128, 164, 152, 168, 140, 163, 135, 151, 140],
+        [128, 128, 128, 128, 128, 128, 128, 128, 164, 166, 157, 161, 148, 153, 143, 145],
+    ]
+
+    def test_spec_table_fixture_decode(self):
+        """CI-visible conformance (VERDICT r13 item 9, replacing the
+        env-gated Pillow interop in the sandbox): a baseline stream the
+        engine's encoder never produced — hand-assembled from T.81 spec
+        constants by an independent generator — must decode to its
+        independently-IDCT'd pixels bit-exactly. The pre-r13
+        transposed-zigzag bug class fails this (blocks 0/1 place their
+        single AC at the mirrored frequency); in-repo round-trip tests
+        alone could not see it."""
+        data = bytes.fromhex(self.T81_FIXTURE_HEX)
+        w, h, px = C.decode_jpeg_gray(data)
+        assert (w, h) == (16, 16)
+        assert np.array_equal(
+            px, np.array(self.T81_FIXTURE_PIXELS, dtype=np.uint8))
+
     def test_pillow_interop_decode(self):
         """A standard decoder (libjpeg via Pillow) must agree with our
         decoder on emitted files. Env-gated: Pillow is not in the CI
