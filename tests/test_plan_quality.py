@@ -700,3 +700,75 @@ def test_bloom_prejoin_prunes_and_composes_exactly(spark, sf_dir):
     # fp rate under 5% at this build-side cardinality (sizing comment in
     # operators/bloom.py puts the expectation near 0.2-2%)
     assert (n_pruned - n_true) <= 0.05 * max(1, n_fact - n_true)
+
+
+def test_bpe_rewrite_broadcasts_best_pair_no_shuffle(spark, sf_dir):
+    """bpe_tokenizer_train promises (r13 VERDICT item 7): each merge
+    step's REWRITE stage joins the vocabulary-bounded word-type table
+    against the 1-row best-pair via broadcast — BroadcastNestedLoopJoin
+    with ZERO shuffle exchanges — so at 100 TB the per-iteration cost is
+    a map over the type table, never a repartition of it. The entry is
+    an eager builder (each step localCheckpoints), so the per-step plans
+    are read back from the SQL status store rather than from a lazy
+    explain."""
+    import time
+
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+        BPE_MERGES,
+    )
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    CATALOG["bpe_tokenizer_train"].spark(spark, sf_dir)
+
+    def _rewrite_plans():
+        out = []
+        execs = store.executionsList()
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            if e.executionId() < before:
+                continue
+            d = e.physicalPlanDescription()
+            if "replace(" in d and "BroadcastNestedLoopJoin" in d:
+                out.append(d)
+        return out
+
+    # the status store fills from the listener bus asynchronously
+    deadline = time.time() + 20
+    plans = _rewrite_plans()
+    while len(plans) < BPE_MERGES and time.time() < deadline:
+        time.sleep(0.2)
+        plans = _rewrite_plans()
+    assert len(plans) == BPE_MERGES, (
+        f"expected one rewrite execution per merge step, saw {len(plans)}")
+    for d in plans:
+        shuffles = (d.count("Exchange hashpartitioning")
+                    + d.count("Exchange rangepartitioning")
+                    + d.count("Exchange SinglePartition"))
+        assert shuffles == 0, (
+            "BPE rewrite stage shuffles the word-type table:\n" + d[:2000])
+        assert "BroadcastExchange" in d, (
+            "best-pair not broadcast into the rewrite:\n" + d[:2000])
+
+
+def test_curation_e2e_stage_fusion_shape(spark, sf_dir):
+    """curation_pipeline_e2e promises (r13 VERDICT item 7): the five
+    stages compose into ONE lazy plan with no cartesian product and no
+    Python stage; every stage boundary is a keyed join (semi/anti on
+    doc_id), with the id-only sides broadcast. Tripwire: the funnel
+    currently re-derives the quality gate per downstream semi-join, so
+    the documents scan appears up to 8x in the fused plan — bounded
+    here so it cannot silently grow; collapsing the stage boundaries
+    behind localCheckpoints (single corpus scan) is the queued r15
+    improvement (catalog-frozen in r14)."""
+    plan = _plan(spark, "curation_pipeline_e2e", sf_dir, "formatted")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, (
+        "stage boundaries must be semi/anti joins")
+    assert "BroadcastHashJoin" in plan, (
+        "id-list sides should broadcast into the stage joins")
+    scans = plan.count("documents.parquet")
+    assert 1 <= scans <= 8, (
+        f"documents scanned {scans}x — the funnel regressed past the "
+        "known 8-scan shape")
