@@ -3566,6 +3566,52 @@ class TestCrashMidBatchDurability:
                 f"uninterrupted run")
 
 
+class TestTornStateWriteRecovery:
+    """The other half of the write-crash window (companion to
+    TestCrashMidBatchDurability): a crash DURING state.write — parquet
+    directory created, _SUCCESS never committed. versions() must ignore
+    the torn version, so a restart replays the batch from the previous
+    good version and the overwrite-write heals the torn directory."""
+
+    def test_torn_version_is_invisible_and_healed(self, spark, sf_dir,
+                                                  tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalContingencyMaintainer,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority")
+        slices = [orders.where(F.pmod(F.col("o_orderkey"), F.lit(2)) == i)
+                  for i in range(2)]
+
+        ref = IncrementalContingencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("torn_ref")))
+        for i, sl in enumerate(slices):
+            ref.merge_batch(sl, i)
+        want = _rows(ref.current(), exclude_sentinel=False)
+
+        state_dir = str(tmp_path_factory.mktemp("torn_state"))
+        maint = IncrementalContingencyMaintainer(spark, state_dir)
+        maint.merge_batch(slices[0], 0)
+        maint.merge_batch(slices[1], 1)
+        # tear v=1: the process died mid-write — data files may exist,
+        # the _SUCCESS commit marker does not
+        os.remove(os.path.join(state_dir, "v=1", "_SUCCESS"))
+        assert maint.state.versions() == [0], (
+            "torn version must be invisible")
+        restarted = IncrementalContingencyMaintainer(spark, state_dir)
+        # before the replay, the presentation serves the last GOOD state
+        only_b0 = IncrementalContingencyMaintainer(
+            spark, str(tmp_path_factory.mktemp("torn_b0")))
+        only_b0.merge_batch(slices[0], 0)
+        assert (_rows(restarted.current(), exclude_sentinel=False)
+                == _rows(only_b0.current(), exclude_sentinel=False))
+        # replay of batch 1 merges from v=0 and heals the torn dir
+        restarted.merge_batch(slices[1], 1)
+        assert restarted.state.versions() == [0, 1]
+        assert _rows(restarted.current(), exclude_sentinel=False) == want
+
+
 class TestRateSourceRestartUnderLoad:
     """VERDICT r13 item 5 — the closest sandbox proxy for the Kafka e2e
     gap (flink_stream_task1.py:13-19 parity): a LIVE rate-source stream
