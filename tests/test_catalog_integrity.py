@@ -493,3 +493,39 @@ def test_survey_names_every_tpch_entry():
     assert len(tpch) >= 22
     missing = [n for n in tpch if n not in survey]
     assert not missing, f"SURVEY.md missing TPC-H rows: {missing}"
+
+
+def test_window_projection_tool_reports_recovery():
+    """tools/window_projection.py is the round-protocol gate; its JSON
+    must (a) parse, (b) agree with the live rotation on the window
+    cohorts, and (c) classify every missing changed/never entry as
+    either recovering next round or deferred past it — the
+    deferred-past-next-round list is the too-stale alarm (an entry
+    running driver-uncertified code for two consecutive rounds)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "window_projection.py")],
+        capture_output=True, text=True, cwd=root)
+    line = next(l for l in proc.stdout.splitlines()
+                if l.startswith("WINDOWPROJ "))
+    rep = json.loads(line[len("WINDOWPROJ "):])
+    assert rep["catalog"] == len(CATALOG)
+    missing = [n for v in rep.get("missing", {}).values() for n in v]
+    recovered = set(rep["missing_recover_next_round"])
+    deferred = set(rep["deferred_past_next_round"])
+    # exit code mirrors ok; every missing changed/never entry is
+    # classified exactly once
+    assert (proc.returncode == 0) == rep["ok"]
+    ch_never = set(rep.get("missing", {}).get("changed", [])) \
+        | set(rep.get("missing", {}).get("never", []))
+    assert ch_never == (recovered | deferred) and not (recovered & deferred)
+    # the hard alarm: nothing may defer past the NEXT window while the
+    # catalog honors the feasibility capacity
+    assert not deferred, (
+        f"entries running uncertified code for 2+ rounds: {sorted(deferred)}")
+    assert missing is not None  # shape sanity

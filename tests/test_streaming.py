@@ -3565,6 +3565,81 @@ class TestCrashMidBatchDurability:
                 f"{label}: crash-mid-batch + restart diverged from the "
                 f"uninterrupted run")
 
+    def test_crash_mid_batch_rollup_and_scd2(self, spark, sf_dir,
+                                             tmp_path_factory):
+        """Same drill for the two pre-_VersionedState schemes with their
+        own version plumbing: the rollup maintainer (summable partials)
+        and the SCD2 dimension maintainer (CDC merge — chronological
+        batches, so the replayed batch is a mid-history delta)."""
+        import glob
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalRollupMaintainer,
+            Scd2DimensionMaintainer,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value")
+        rollup_chunks = [
+            ev.where(F.pmod(F.dayofmonth("ts"), F.lit(3)) == i)
+            for i in range(3)]
+        scd_flat = TestStreamingScd2Maintenance()._change_stream_dir(
+            spark, sf_dir, tmp_path_factory)
+        scd_chunks = [spark.read.parquet(p) for p in sorted(
+            glob.glob(os.path.join(scd_flat, "*.parquet")))]
+
+        def mk_scd(d):
+            return Scd2DimensionMaintainer(
+                spark, d, key="user_id", attr_cols=("tier",),
+                batch_ts_col="ts", change_order="ts")
+
+        cases = [
+            ("rollup", lambda d: IncrementalRollupMaintainer(spark, d),
+             rollup_chunks, "ts TIMESTAMP, event_type STRING, value DOUBLE",
+             None, lambda m: m.current()),
+            ("scd2", mk_scd, scd_chunks,
+             "ts TIMESTAMP, user_id BIGINT, tier STRING",
+             scd_flat, lambda m: m.current_rows()),
+        ]
+        for label, mk, chunks, schema, flat, present in cases:
+            ref = mk(str(tmp_path_factory.mktemp(f"{label}_xref")))
+            for i, chunk in enumerate(chunks):
+                ref.merge_batch(chunk, i)
+            want = _rows(present(ref), exclude_sentinel=False)
+
+            if flat is None:
+                flat = self._flat_chunks(tmp_path_factory,
+                                         f"{label}_xdata", chunks)
+            state_dir = str(tmp_path_factory.mktemp(f"{label}_xstate"))
+            ckpt = str(tmp_path_factory.mktemp(f"{label}_xckpt"))
+            wounded = mk(state_dir)
+            crashing = self._CrashAfterStateWrite(wounded, crash_batch=1)
+            q = (file_events_source(spark, flat, schema=schema,
+                                    max_files_per_trigger=1)
+                 .writeStream.queryName(f"{label}_crash_drill")
+                 .option("checkpointLocation", ckpt)
+                 .foreachBatch(crashing.merge_batch).start())
+            with pytest.raises(Exception) as excinfo:
+                q.processAllAvailable()
+            assert "injected crash" in str(excinfo.value), label
+            q.stop()
+            assert wounded._versions()[-1] == 1, label
+
+            revived = mk(state_dir)
+            q2 = (file_events_source(spark, flat, schema=schema,
+                                     max_files_per_trigger=1)
+                  .writeStream.queryName(f"{label}_crash_drill_resume")
+                  .option("checkpointLocation", ckpt)
+                  .foreachBatch(revived.merge_batch).start())
+            try:
+                q2.processAllAvailable()
+            finally:
+                q2.stop()
+            assert revived._versions()[-1] == 2, label
+            assert _rows(present(revived), exclude_sentinel=False) == want, (
+                f"{label}: crash-mid-batch + restart diverged from the "
+                f"uninterrupted run")
+
 
 class TestTornStateWriteRecovery:
     """The other half of the write-crash window (companion to

@@ -71,6 +71,18 @@ def main() -> int:
                 if n in names and n not in set(nxt_at_bound)]
     next_round_free = cat.DRIVER_WINDOW - len(nxt_at_bound) - len(nxt_pins)
 
+    # Next-round MEMBERSHIP for the critical cohorts (r13 VERDICT item
+    # 3's ad-hoc simulation, made a tool feature): with this round's
+    # window assumed green, do today's missing changed/never entries
+    # enter the NEXT window? A changed entry that misses two consecutive
+    # windows would run driver-uncertified code for two rounds — that is
+    # the deferred-too-long signal this field exists to surface.
+    nxt_window = set(cat.compute_driver_priority(names, next_green, changed)
+                     [:cat.DRIVER_WINDOW])
+    deferred_twice = sorted(
+        n for n in (set(missing["changed"]) | set(missing["never"]))
+        if n not in nxt_window)
+
     ok = not any(missing.values())
     print("WINDOWPROJ " + json.dumps({
         "ok": ok,
@@ -83,6 +95,10 @@ def main() -> int:
         "next_round_at_bound": len(nxt_at_bound),
         "next_round_free_slots": next_round_free,
         "missing": {k: v for k, v in missing.items() if v},
+        "missing_recover_next_round": sorted(
+            n for n in (set(missing["changed"]) | set(missing["never"]))
+            if n in nxt_window),
+        "deferred_past_next_round": deferred_twice,
     }))
     if args.full:
         for i, n in enumerate(window, 1):
