@@ -30,6 +30,16 @@ Drafted families (the M6 c candidates):
    result must equal BOTH the exact cosine scan and the fresh
    (never-persisted) index — the serving-restart contract at 100 TB:
    recovery re-reads the index, never retrains the quantizer.
+4. Session-store maintenance — ``incremental_session_merge`` (new
+   arrivals merge into a persisted session store at its per-user tail;
+   history never re-sessionized) and ``late_event_session_repair``
+   (late events re-sessionize only the users they touch). Both oracles
+   are the full recompute: incremental must equal from-scratch.
+5. A registered-entry REWRITE queued for r15 —
+   ``curation_pipeline_e2e_fused``: the 8-scan funnel plan collapsed
+   to ONE corpus scan via localCheckpoint boundaries (the r14 plan
+   audit's finding); value-identical to the registered entry, swapped
+   in when the window can absorb the changed-entry recertification.
 """
 
 from __future__ import annotations
@@ -282,6 +292,335 @@ SELECT CAST(10 AS BIGINT) AS n_queries,
 """
 
 
+# --------------------------------------------------------------------
+# Session-store maintenance pair (drafted later in r14): the reference's
+# session windows (flink_stream_task1.py:30-41's gap semantics; widened
+# here to a 10-minute gap so multi-event sessions exist at every test
+# SF — at sf0.001 no two same-user events are 30 s apart) taken to the
+# 100 TB incremental world, where history is NEVER re-sessionized —
+# new arrivals merge into a persisted session store, and late arrivals
+# repair only the users they touch. Both carry the strongest oracle a
+# maintenance operator can have: the incremental result must EQUAL the
+# full recompute (gaps-and-islands over all events), so the oracle never
+# mentions the cutoff / late split at all.
+
+#: Full-session gaps-and-islands CTE (start, end = first/last EVENT ts,
+#: exact BIGINT cents) — shared by both maintenance oracles.
+_SESS_FULL_CTE = """
+WITH flagged AS (
+  SELECT user_id, ts AS _ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c, event_id AS _tb,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1000000 * 600
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, _ts, _c,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY _ts, _tb
+                         ROWS UNBOUNDED PRECEDING) AS _sid
+  FROM flagged
+),
+sess_full AS (
+  SELECT user_id, MIN(_ts) AS session_start, MAX(_ts) AS session_end,
+         CAST(SUM(_c) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS event_count
+  FROM islands GROUP BY user_id, _sid
+)
+"""
+
+
+def _sessions_full(ev: DataFrame) -> DataFrame:
+    """10-minute fixed-gap sessions with first/last event ts + exact cents —
+    the Spark twin of ``_SESS_FULL_CTE``'s ``sess_full``."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.sum(cents).alias("sum_cents"),
+                 F.count(F.lit(1)).cast("long").alias("event_count"))
+            .drop("session_window"))
+
+
+def incremental_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-side session-store maintenance: events before a cutoff are
+    the persisted store (sessionized once, never revisited); events at or
+    after it are the new arrivals. New arrivals are sessionized ALONE,
+    then merged against the store tail: per user, only the store session
+    with the latest end can extend (everything earlier is > gap from any
+    new event by construction), and only the first new session can attach
+    (the second is > gap past the first by sessionization). The merged
+    row carries BIGINT-exact combined partials — the same
+    merge-without-recompute discipline as the streaming maintainers
+    (streaming/analytics_twins.py). Result must equal the full
+    recompute, which is exactly what the oracle computes.
+
+    The cutoff is derived so the merge is provably non-vacuous at every
+    SF: the latest event that CONTINUES a session (has a same-user
+    predecessor within the gap) — splitting there guarantees at least
+    one straddling session. In production the cutoff is just the ingest
+    high-water mark.
+
+    Scale: the store is read only at its per-user tail (at 100 TB a
+    time-partitioned store prunes to the last partition; here the tail
+    row_number runs over the just-built store), the delta is one
+    ingest's worth, and the merge join is tail-vs-head — two one-row-
+    per-user frames."""
+    ev = load_table(spark, sf_dir, "events")
+    wname = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cont = (ev.withColumn("_prev", F.lag("ts").over(wname))
+            .where(F.col("_prev").isNotNull()
+                   & (F.col("ts").cast("double")
+                      - F.col("_prev").cast("double") <= 600.0)))
+    cut = cont.agg(F.max("ts").alias("_cutoff"))
+
+    ev2 = ev.crossJoin(F.broadcast(cut))
+    store = _sessions_full(
+        ev2.where(F.col("ts") < F.col("_cutoff")).drop("_cutoff"))
+    fresh = _sessions_full(
+        ev2.where(F.col("ts") >= F.col("_cutoff")).drop("_cutoff"))
+    return merge_session_store(store, fresh)
+
+
+def merge_session_store(store: DataFrame, fresh: DataFrame,
+                        gap_s: float = 600.0) -> DataFrame:
+    """Merge a persisted session store with the sessions of a strictly
+    later event batch (every fresh event at/after every store event).
+    Per user at most ONE merge is possible — store tail with fresh head
+    — and the merged row combines BIGINT partials exactly. Factored out
+    of :func:`incremental_session_merge` so the cutoff-sweep property
+    test can drive it with arbitrary splits."""
+    w_tail = Window.partitionBy("user_id").orderBy(F.desc("session_end"))
+    tail = (store.withColumn("_rn", F.row_number().over(w_tail))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    w_head = Window.partitionBy("user_id").orderBy("session_start")
+    head = (fresh.withColumn("_rn", F.row_number().over(w_head))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+    joined = (tail.alias("s").join(head.alias("t"), "user_id")
+              .where(F.col("t.session_start").cast("double")
+                     - F.col("s.session_end").cast("double") <= gap_s))
+    pairs = joined.select(
+        "user_id",
+        F.col("s.session_start").alias("old_start"),
+        F.col("t.session_start").alias("new_start"),
+        F.col("s.session_start").alias("session_start"),
+        F.col("t.session_end").alias("session_end"),
+        (F.col("s.sum_cents") + F.col("t.sum_cents")).alias("sum_cents"),
+        (F.col("s.event_count") + F.col("t.event_count"))
+        .alias("event_count"))
+
+    keep_store = store.join(
+        pairs.select("user_id", F.col("old_start").alias("session_start")),
+        ["user_id", "session_start"], "left_anti")
+    keep_fresh = fresh.join(
+        pairs.select("user_id", F.col("new_start").alias("session_start")),
+        ["user_id", "session_start"], "left_anti")
+    cols = ["user_id", "session_start", "session_end", "sum_cents",
+            "event_count"]
+    return (keep_store.select(*cols)
+            .unionByName(keep_fresh.select(*cols))
+            .unionByName(pairs.select(*cols)))
+
+
+INCREMENTAL_SESSION_MERGE_ORACLE = _SESS_FULL_CTE + """
+SELECT user_id, session_start, session_end, sum_cents, event_count
+FROM sess_full
+"""
+
+#: Deterministic late-arrival plant: every 19th event (offset 3) is
+#: held back from the first sessionization pass and arrives late.
+_LATE_MOD, _LATE_OFF = 19, 3
+
+
+def late_event_session_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival session repair: the store was sessionized WITHOUT
+    the late events (every 19th, planted deterministically so both
+    engines agree on the split); when they arrive, only the users they
+    touch are re-sessionized from their own events — a late event can
+    extend a session, open a new one, or BRIDGE two store sessions into
+    one, and per-user recompute is the only repair that handles all
+    three. Untouched users' store rows are never read past the
+    anti-join. Emits the per-user repair audit: late count, session
+    count before/after, cents added (repaired minus store — equals the
+    late events' own cents by conservation, which the oracle recomputes
+    independently the same way).
+
+    Scale: affected users are one ingest's distinct keys; their event
+    history is fetched by a semi join (user-bucketed layouts prune it
+    to the touched buckets); the store contributes only those users'
+    rows. Nothing corpus-sized is re-sessionized."""
+    ev = load_table(spark, sf_dir, "events")
+    is_late = F.col("event_id") % _LATE_MOD == _LATE_OFF
+    late = ev.where(is_late)
+    ontime = ev.where(~is_late)
+
+    affected = late.select("user_id").distinct()
+    store = _sessions_full(ontime)
+    before = (store.join(affected, "user_id", "left_semi")
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("sessions_before"),
+                   F.sum("sum_cents").alias("cents_before")))
+    repaired = (_sessions_full(ev.join(affected, "user_id", "left_semi"))
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("sessions_after"),
+                     F.sum("sum_cents").alias("cents_after")))
+    late_counts = late.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("late_events"))
+    return (late_counts
+            .join(repaired, "user_id")
+            .join(before, "user_id", "left")
+            .select("user_id", "late_events",
+                    F.coalesce(F.col("sessions_before"), F.lit(0))
+                    .cast("long").alias("sessions_before"),
+                    F.col("sessions_after").cast("long")
+                    .alias("sessions_after"),
+                    (F.col("cents_after")
+                     - F.coalesce(F.col("cents_before"), F.lit(0)))
+                    .cast("long").alias("cents_added")))
+
+
+LATE_EVENT_SESSION_REPAIR_ORACLE = f"""
+WITH ontime AS (
+  SELECT * FROM events WHERE event_id % {_LATE_MOD} <> {_LATE_OFF}
+),
+late AS (
+  SELECT * FROM events WHERE event_id % {_LATE_MOD} = {_LATE_OFF}
+),
+affected AS (SELECT DISTINCT user_id FROM late),
+flagged_b AS (
+  SELECT user_id, ts AS _ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c, event_id AS _tb,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1000000 * 600
+              THEN 1 ELSE 0 END AS _new
+  FROM ontime
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess_b AS (
+  SELECT user_id,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY _ts, _tb
+                         ROWS UNBOUNDED PRECEDING) AS _sid, _c
+  FROM flagged_b
+),
+before AS (
+  SELECT user_id, CAST(COUNT(DISTINCT _sid) AS BIGINT) AS sessions_before,
+         CAST(SUM(_c) AS BIGINT) AS cents_before
+  FROM sess_b WHERE user_id IN (SELECT user_id FROM affected)
+  GROUP BY user_id
+),
+flagged_a AS (
+  SELECT user_id, ts AS _ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c, event_id AS _tb,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1000000 * 600
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WHERE user_id IN (SELECT user_id FROM affected)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess_a AS (
+  SELECT user_id,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY _ts, _tb
+                         ROWS UNBOUNDED PRECEDING) AS _sid, _c
+  FROM flagged_a
+),
+after AS (
+  SELECT user_id, CAST(COUNT(DISTINCT _sid) AS BIGINT) AS sessions_after,
+         CAST(SUM(_c) AS BIGINT) AS cents_after
+  FROM sess_a GROUP BY user_id
+)
+SELECT l.user_id, l.late_events,
+       COALESCE(b.sessions_before, 0) AS sessions_before,
+       a.sessions_after,
+       a.cents_after - COALESCE(b.cents_before, 0) AS cents_added
+FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS late_events
+      FROM late GROUP BY user_id) l
+JOIN after a ON a.user_id = l.user_id
+LEFT JOIN before b ON b.user_id = l.user_id
+"""
+
+
+def curation_pipeline_e2e_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-SCAN rewrite of the registered ``curation_pipeline_e2e``
+    (plans/curation.py) — the r14 plan audit found the fused funnel's
+    plan re-derives the quality-gated frame from the documents parquet
+    at every semi/anti stage boundary, 8 scans in one plan
+    (tests/test_plan_quality.py::test_curation_e2e_stage_fusion_shape;
+    SCALING.md round-14 finding). At 100 TB that is eight corpus reads.
+
+    The fix, drafted here because r14 is catalog-frozen (an edit to the
+    registered entry could not recertify before r15): localCheckpoint
+    the synthesized corpus ONCE right after the scan, then let every
+    stage — gate, exact dedup, ssjoin near-dedup, decontamination,
+    packing — derive from the materialized blocks. The three id-list
+    boundaries (exact keepers, near-dup drops, contamination drops) are
+    checkpointed too, so the final plan is shallow joins over one
+    in-memory corpus plus key-sized intermediates: ONE corpus scan
+    total. Same stages, same helpers, same oracle — byte-identical
+    results to the registered entry (asserted in
+    tests/test_staging_r15.py).
+
+    Scale note: localCheckpoint truncates lineage into executor-local
+    blocks (lost-executor ⇒ job retry from the scan); on a real cluster
+    swap it for a reliable ``checkpoint()`` dir or accept the retry —
+    either way 1 write + 7 block reads beats 8 corpus scans."""
+    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+    from windowsession_using_kafka_flink_docker_spark.plans import curation as C
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", C._e2e_text().alias("text"),
+                    (F.col("doc_id") % C._EVAL_MOD == 0).alias("is_eval"))
+            .localCheckpoint())  # <- the one and only corpus scan
+    train = docs.where(~F.col("is_eval")).drop("is_eval")
+    eval_docs = docs.where(F.col("is_eval")).drop("is_eval")
+
+    w = F.split(F.trim("text"), r"\s+")
+    toks = train.select("doc_id", "lang", "text", w.alias("_w"))
+    n = F.size("_w")
+    stop_arr = F.array(*[F.lit(s) for s in C._STOPWORDS])
+    gated = toks.where(
+        n.between(50, 100_000)
+        & (F.aggregate("_w", F.lit(0), lambda a, x: a + F.length(x)) / n)
+        .between(3, 10)
+        & (F.size(F.filter("_w", lambda x: x.rlike("[a-zA-Z]"))) / n > 0.8)
+        & (F.size(F.filter("_w", lambda x: (x == "#") | (x == "..."))) / n
+           < 0.1)
+        & (F.size(F.array_distinct(
+            F.filter("_w", lambda x: F.array_contains(stop_arr, F.lower(x)))))
+           >= C._E2E_MIN_STOPWORDS)
+    ).select("doc_id", "lang", "text")
+
+    keepers = (D.exact_dedup(gated)
+               .select(F.col("keep_id").alias("doc_id"))
+               .localCheckpoint())  # id-list boundary 1
+    exact = gated.join(keepers, "doc_id", "left_semi")
+
+    drops = (D.ngram_jaccard_pairs(exact)
+             .select(F.col("id_b").alias("doc_id")).distinct()
+             .localCheckpoint())  # id-list boundary 2
+    near = exact.join(drops, "doc_id", "left_anti")
+
+    flags = C.decontaminate(near, eval_docs)
+    clean_ids = (flags.where(~F.col("contaminated")).select("doc_id")
+                 .localCheckpoint())  # id-list boundary 3
+    survivors = near.join(clean_ids, "doc_id", "left_semi")
+
+    return C.pack_sequences(survivors)
+
+
+#: Registered-entry rewrites queued for r15 (name -> replacement fn).
+#: Each must be value-identical to the current registered entry and
+#: pass the SAME oracle; landing one flags the entry changed, which
+#: front-loads it into the next driver window (plans/catalog.py
+#: change-aware rotation) — exactly one round of uncertified drift,
+#: spent deliberately when the window can absorb it.
+REWRITES = {
+    "curation_pipeline_e2e": curation_pipeline_e2e_fused,
+}
+
+
 #: name -> (spark_fn, oracle_sql, description, tags) — the exact shape
 #: r15's @register calls will take; kept OUT of the catalog until then.
 STAGED = {
@@ -317,4 +656,23 @@ STAGED = {
         "— the serving-restart contract (recovery re-reads the index, "
         "never retrains the quantizer).",
         ("llm", "similarity", "ann", "persistence")),
+    "incremental_session_merge": (
+        incremental_session_merge, INCREMENTAL_SESSION_MERGE_ORACLE,
+        "Append-side session-store maintenance: new arrivals are "
+        "sessionized alone and merged against the store's per-user tail "
+        "(only the latest store session can extend; only the first new "
+        "session can attach) with BIGINT-exact combined partials — the "
+        "reference's session-gap semantics taken incremental (10-minute "
+        "gap so every test SF has multi-event sessions), history "
+        "never re-sessionized. Oracle: the full gaps-and-islands "
+        "recompute; the cutoff must be invisible in the result.",
+        ("session", "window", "incremental", "maintenance")),
+    "late_event_session_repair": (
+        late_event_session_repair, LATE_EVENT_SESSION_REPAIR_ORACLE,
+        "Late-arrival session repair: re-sessionize ONLY the users a "
+        "late batch touches (a late event can extend, open, or bridge "
+        "store sessions); emit the per-user repair audit (late count, "
+        "sessions before/after, cents added). Oracle replays the "
+        "ontime/late split and both sessionizations closed-form.",
+        ("session", "window", "incremental", "maintenance")),
 }
