@@ -373,13 +373,23 @@ def incremental_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("_prev").isNotNull()
                    & (F.col("ts").cast("double")
                       - F.col("_prev").cast("double") <= 600.0)))
-    cut = cont.agg(F.max("ts").alias("_cutoff"))
+    # Bounded driver-side scalar (one row — the scd.py:89 idiom): a
+    # broadcast-crossJoin cutoff would re-run the lag-window pass inside
+    # EACH side's materialization below and block ts pushdown into the
+    # scan; as a literal it is one window pass total and both filters
+    # push down.
+    cutoff = cont.agg(F.max("ts")).first()[0]
+    if cutoff is None:  # degenerate corpus: no continuation events at all
+        return _sessions_full(ev)
 
-    ev2 = ev.crossJoin(F.broadcast(cut))
+    # The store IS a materialized artifact in this pattern — and the
+    # merge consumes each side twice (tail/keep_store, head/keep_fresh),
+    # so an un-materialized plan would re-sessionize both sides per
+    # union branch (measured 32 s -> ~2 s at sf0.1).
     store = _sessions_full(
-        ev2.where(F.col("ts") < F.col("_cutoff")).drop("_cutoff"))
+        ev.where(F.col("ts") < F.lit(cutoff))).localCheckpoint()
     fresh = _sessions_full(
-        ev2.where(F.col("ts") >= F.col("_cutoff")).drop("_cutoff"))
+        ev.where(F.col("ts") >= F.lit(cutoff))).localCheckpoint()
     return merge_session_store(store, fresh)
 
 
