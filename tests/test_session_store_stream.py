@@ -1,0 +1,195 @@
+"""Maintainer #24 (streaming/session_store.py): the incremental session
+store under time-ordered micro-batch arrival. stream==batch parity,
+cross-batch tail merge non-vacuity, restart resume on the same
+checkpoint+state, and the late-arrival guard."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+    _sessions_full,
+)
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+from windowsession_using_kafka_flink_docker_spark.streaming import (
+    IncrementalSessionStoreMaintainer,
+    file_events_source,
+    streaming_session_store_maintenance,
+)
+
+_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+_COLS = ["event_id", "ts", "user_id", "value"]
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r)
+                  for r in df.select(*sorted(df.columns)).collect())
+
+
+def _straddle_cutoff(spark, sf_dir):
+    """The latest session-continuation event's ts — splitting there
+    guarantees at least one session straddles the file boundary, so the
+    tail-merge path provably executes (same derivation as the staged
+    incremental_session_merge entry)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cont = (ev.withColumn("_prev", F.lag("ts").over(w))
+            .where(F.col("_prev").isNotNull()
+                   & (F.col("ts").cast("double")
+                      - F.col("_prev").cast("double") <= 600.0)))
+    cutoff = cont.agg(F.max("ts")).first()[0]
+    assert cutoff is not None
+    return cutoff
+
+
+def _write_chunks(spark, sf_dir, base, bounds):
+    """Split events into time-ordered files at the given ts bounds
+    (len(bounds)+1 chunks); returns the flat dir for maxFilesPerTrigger
+    replay. Chunk i holds [bounds[i-1], bounds[i])."""
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*bounds, None]):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            chunk = chunk.where(F.col("ts") < F.lit(hi))
+        d = os.path.join(base, f"c{i}")
+        chunk.coalesce(1).write.parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    return flat
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_equals_batch_with_straddling_boundary(
+        spark, sf_dir, tmp_path_factory):
+    """Three time-ordered batches, one boundary planted at the latest
+    continuation event: the maintained store must equal sessionizing
+    all events from scratch, and the straddling session must exist in
+    the final store (the merge path demonstrably ran)."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.where(F.col("ts") < F.lit(cutoff)).agg(
+        F.percentile_approx(F.col("ts").cast("double"), 0.5)).first()[0]
+    import datetime
+    mid_ts = datetime.datetime.fromtimestamp(mid)
+
+    base = str(tmp_path_factory.mktemp("sess_store"))
+    flat = _write_chunks(spark, sf_dir, base, [mid_ts, cutoff])
+
+    maint = IncrementalSessionStoreMaintainer(
+        spark, str(tmp_path_factory.mktemp("sess_state")))
+    q = streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1),
+        maint, str(tmp_path_factory.mktemp("sess_ckpt")))
+    _drain(q)
+
+    got = _rows(maint.current())
+    want = _rows(_sessions_full(ev.select(*_COLS)))
+    assert len(got) == len(want) and got == want
+    straddlers = (maint.current()
+                  .where((F.col("session_start") < F.lit(cutoff))
+                         & (F.col("session_end") >= F.lit(cutoff)))
+                  .count())
+    assert straddlers >= 1, "boundary session did not merge"
+
+
+def test_restart_resumes_on_same_checkpoint(spark, sf_dir,
+                                            tmp_path_factory):
+    """Process the first file, stop, add the second file, resume with a
+    FRESH maintainer instance on the same checkpoint+state: final store
+    equals from-scratch sessionization."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    base = str(tmp_path_factory.mktemp("sess_restart"))
+    flat = _write_chunks(spark, sf_dir, base, [cutoff])
+    # hold file 01 back
+    held = os.path.join(base, "held.parquet")
+    os.rename(os.path.join(flat, "01.parquet"), held)
+
+    state_dir = str(tmp_path_factory.mktemp("sess_state2"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt2"))
+
+    maint = IncrementalSessionStoreMaintainer(spark, state_dir)
+    _drain(streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint, ckpt))
+    assert maint.current().count() > 0
+
+    os.rename(held, os.path.join(flat, "01.parquet"))
+    maint2 = IncrementalSessionStoreMaintainer(spark, state_dir)
+    _drain(streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint2, ckpt))
+
+    got = _rows(maint2.current())
+    want = _rows(_sessions_full(
+        load_table(spark, sf_dir, "events").select(*_COLS)))
+    assert len(got) == len(want) and got == want
+
+
+def test_late_arrival_raises_instead_of_corrupting(spark, sf_dir,
+                                                   tmp_path_factory):
+    """Files replayed in REVERSED time order violate the per-user
+    monotonicity precondition; the guard must fail the query rather
+    than silently mis-merge, and the store must still hold only the
+    first (valid) batch's sessions."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    base = str(tmp_path_factory.mktemp("sess_late"))
+    flat = _write_chunks(spark, sf_dir, base, [cutoff])
+    # swap file order: late half first. FileStreamSource orders by
+    # MODIFICATION TIME (not name), so set mtimes explicitly.
+    import time
+    a, b = os.path.join(flat, "00.parquet"), os.path.join(flat, "01.parquet")
+    tmp = os.path.join(base, "tmp.parquet")
+    os.rename(a, tmp); os.rename(b, a); os.rename(tmp, b)
+    now = time.time()
+    os.utime(a, (now - 100, now - 100))  # late half arrives first
+    os.utime(b, (now, now))              # early half arrives second
+
+    maint = IncrementalSessionStoreMaintainer(
+        spark, str(tmp_path_factory.mktemp("sess_state3")))
+    q = streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1),
+        maint, str(tmp_path_factory.mktemp("sess_ckpt3")))
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException, match="late arrival"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # the valid first batch landed; the poisoned batch did not
+    ev = load_table(spark, sf_dir, "events")
+    want_first = _rows(_sessions_full(
+        ev.where(F.col("ts") >= F.lit(cutoff)).select(*_COLS)))
+    assert _rows(maint.current()) == want_first
+
+
+def test_empty_batch_is_value_preserving(spark, sf_dir,
+                                         tmp_path_factory):
+    """An empty micro-batch must not change the maintained values
+    (fleet-wide invariant, see test_streaming.py empty-batch suite)."""
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    maint = IncrementalSessionStoreMaintainer(
+        spark, str(tmp_path_factory.mktemp("sess_state4")))
+    maint.merge_batch(ev, 0)
+    before = _rows(maint.current())
+    maint.merge_batch(ev.where(F.lit(False)), 1)
+    assert _rows(maint.current()) == before

@@ -3449,9 +3449,11 @@ class TestCrashMidBatchDurability:
     overwrite-write makes the replay idempotent, so nothing is ever
     double-counted. Exercised through a REAL checkpointed query (not a
     direct merge_batch replay — the checkpoint's offset/commit split is
-    the thing under test) for the three merge classes: ledger #6
+    the thing under test) for the four merge classes: ledger #6
     (non-associative clamp over in-order arrival), contingency #11
-    (summable grid), JPEG fingerprints #23 (set-union)."""
+    (summable grid), JPEG fingerprints #23 (set-union), session store
+    #24 (order-dependent tail merge — a re-delivered batch must merge
+    against the PRE-crash version, which latest_before() guarantees)."""
 
     class _CrashAfterStateWrite:
         """foreachBatch wrapper that dies between the state write and
@@ -3488,6 +3490,7 @@ class TestCrashMidBatchDurability:
             IncrementalContingencyMaintainer,
             IncrementalJpegFingerprintMaintainer,
             IncrementalLedgerMaintainer,
+            IncrementalSessionStoreMaintainer,
         )
 
         events = load_table(spark, sf_dir, "events").select(
@@ -3511,6 +3514,12 @@ class TestCrashMidBatchDurability:
              [docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
               for i in range(3)],
              "doc_id BIGINT"),
+            # session store: CHRONOLOGICAL slices (monotonicity contract)
+            ("session_store", IncrementalSessionStoreMaintainer,
+             [events.where(F.dayofmonth("ts").between(lo, hi))
+              for lo, hi in [(1, 10), (11, 20), (21, 31)]],
+             "ts TIMESTAMP, user_id BIGINT, event_id BIGINT, "
+             "event_type STRING, value DOUBLE"),
         ]
 
     def test_crash_between_state_write_and_commit_no_double_count(
