@@ -2,8 +2,9 @@
 statistics families fresh from streams, never recomputing from
 the full fact tables.
 
-Wires seven maintainers (streaming/analytics_twins.py) — eight
-selectable, see ``--bounded-tokens``:
+Wires the analytics maintainer fleet (streaming/analytics_twins.py
+plus streaming/session_store.py; see ``--bounded-tokens`` for the
+fixed-memory token-state variant):
 
 - ``IncrementalDailyRevenueMaintainer`` over an orders drop-dir —
   per-day cent partials serving the CUSUM change-point and the
@@ -51,6 +52,10 @@ selectable, see ``--bounded-tokens``:
 - ``IncrementalTrendMaintainer`` (#20) over an events drop-dir — the
   per-(user, day-index) daily-cents grid re-deriving the driver-oracled
   ``grouped_ols_trend`` regression report;
+- ``IncrementalSessionStoreMaintainer`` (#24) on the same events
+  stream — the 10-minute-gap session table maintained by per-user tail
+  merge (streaming/session_store.py), with a fail-fast late-arrival
+  guard;
 - ``IncrementalUserSpendMaintainer`` over an events drop-dir —
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
@@ -91,6 +96,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalCupedMaintainer,
     IncrementalFeatureMomentsMaintainer,
     IncrementalJpegFingerprintMaintainer,
+    IncrementalSessionStoreMaintainer,
     IncrementalTrendMaintainer,
     IncrementalUserSpendMaintainer,
     streaming_bounded_token_frequency_maintenance,
@@ -108,6 +114,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_cuped_maintenance,
     streaming_feature_moments_maintenance,
     streaming_jpeg_fingerprint_maintenance,
+    streaming_session_store_maintenance,
     streaming_trend_maintenance,
     streaming_user_spend_maintenance,
 )
@@ -242,6 +249,15 @@ def main() -> None:
             spark, os.path.join(args.state_root, "trend"))
         queries.append(streaming_trend_maintenance(
             events, trend, os.path.join(args.checkpoint_root, "trend")))
+        # maintainer #24 shares the events stream: the incremental
+        # session store (10-minute-gap session table kept current by
+        # per-user tail merge; a late-arrival batch fails fast and must
+        # be routed through the repair path)
+        sess = IncrementalSessionStoreMaintainer(
+            spark, os.path.join(args.state_root, "session_store"))
+        queries.append(streaming_session_store_maintenance(
+            events, sess, os.path.join(args.checkpoint_root,
+                                       "session_store")))
     if args.docs:
         docs = (spark.readStream
                 .schema("doc_id BIGINT, text STRING, source STRING, "
