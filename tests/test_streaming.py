@@ -3271,6 +3271,39 @@ class TestMaintainerStatePersistence:
             assert _rows(revived.current(),
                          exclude_sentinel=False) == want, label
 
+    def test_session_store_kill_restore_continue(self, spark, sf_dir,
+                                                 tmp_path_factory):
+        """Maintainer #24 joins the matrix with CHRONOLOGICAL slices —
+        the pmod-by-key slicing above would put each user in exactly
+        one batch and never exercise the tail merge the snapshot must
+        carry (a session open at the export boundary has to keep
+        extending after the restore)."""
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalSessionStoreMaintainer as cls,
+        )
+
+        events = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "value")
+        slices = [events.where(F.dayofmonth("ts").between(lo, hi))
+                  for lo, hi in [(1, 10), (11, 20), (21, 31)]]
+
+        ref = cls(spark, str(tmp_path_factory.mktemp("sess_ref")))
+        for i, sl in enumerate(slices):
+            ref.merge_batch(sl, i)
+        want = _rows(ref.current(), exclude_sentinel=False)
+
+        first = cls(spark, str(tmp_path_factory.mktemp("sess_a")))
+        first.merge_batch(slices[0], 0)
+        first.merge_batch(slices[1], 1)
+        snap = str(tmp_path_factory.mktemp("sess_snap"))
+        assert first.state.export_to(snap) == 1
+        del first
+
+        revived = cls(spark, str(tmp_path_factory.mktemp("sess_b")))
+        assert revived.state.import_from(snap) == 1
+        revived.merge_batch(slices[2], 2)
+        assert _rows(revived.current(), exclude_sentinel=False) == want
+
     def test_same_dir_restart_resumes(self, spark, sf_dir,
                                       tmp_path_factory):
         label, cls, frame, key = self._cases(spark, sf_dir)[1]
