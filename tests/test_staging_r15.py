@@ -289,3 +289,33 @@ def test_crosscorr_matches_numpy_reference(spark):
     # the planted lag-1 dependence must dominate: corr(a->b, lag1)
     # exceeds corr(a->c, lag1)
     assert got[("a", "b", 1)][1] > got[("a", "c", 1)][1]
+
+
+def test_neardup_probe_layout_and_nonvacuity(spark, sf_dir, tmp_path):
+    """The persisted index must have the serving layout (band_id=
+    partition dirs for pruned probe reads, a bucket-count ledger, the
+    shingle store); the probe must produce >= 1 CROSS pair (a delta doc
+    matched against the index — the path that matters) and an empty
+    delta must probe to an empty result, not spurious corpus pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.plans import staging_r15 as M
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    entry = M.STAGED["incremental_neardup_probe"][0]
+    out = entry(spark, sf_dir)
+    assert out.where("is_cross").count() >= 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % M._DELTA_MOD != M._DELTA_OFF)
+    path = str(tmp_path / "ndidx")
+    M.neardup_index_export(spark, corpus, path)
+    assert sorted(os.listdir(path)) == ["bands", "bucket_counts", "shingles"]
+    band_dirs = [d for d in os.listdir(os.path.join(path, "bands"))
+                 if d.startswith("band_id=")]
+    assert len(band_dirs) == M._MH_BANDS
+
+    empty_delta = docs.where(F.lit(False))
+    assert M.neardup_index_probe(spark, path, empty_delta).count() == 0

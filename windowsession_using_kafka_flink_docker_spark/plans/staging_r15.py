@@ -35,7 +35,13 @@ Drafted families (the M6 c candidates):
    history never re-sessionized) and ``late_event_session_repair``
    (late events re-sessionize only the users they touch). Both oracles
    are the full recompute: incremental must equal from-scratch.
-5. A registered-entry REWRITE queued for r15 —
+5. Continuous dedup — ``incremental_neardup_probe``: the corpus
+   MinHash-LSH index persisted (band tables partitioned by band_id,
+   per-bucket counts, shingle store) and probed by a delta batch whose
+   signatures alone are computed; combined-count bucket capping makes
+   the result equal the from-scratch run restricted to delta-involving
+   pairs, which is exactly what the oracle computes.
+6. A registered-entry REWRITE queued for r15 —
    ``curation_pipeline_e2e_fused``: the 8-scan funnel plan collapsed
    to ONE corpus scan via localCheckpoint boundaries (the r14 plan
    audit's finding); value-identical to the registered entry, swapped
@@ -686,3 +692,232 @@ STAGED = {
         "ontime/late split and both sessionizations closed-form.",
         ("session", "window", "incremental", "maintenance")),
 }
+
+
+# --------------------------------------------------------------------
+# Continuous dedup (drafted late r14, targets r16): the dedup-side
+# serving contract that pairs with the session-store maintenance family
+# above. A crawl pipeline at 100 TB never re-hashes its corpus when a
+# new batch arrives — it probes a PERSISTED MinHash-LSH index (band
+# tables + per-bucket counts + shingle store) with just the delta's
+# signatures. The entry proves: persisted-index probe == the
+# from-scratch full-corpus run restricted to delta-involving pairs —
+# including the bucket-cap semantics, which must combine index counts
+# with delta counts to match the full run's pruning exactly.
+
+_DELTA_MOD, _DELTA_OFF = 10, 7     # ~10% of docs arrive as the delta
+_MH_HASHES, _MH_BANDS, _MH_ROWS = 64, 16, 4
+_MH_CAP = 1000
+_MH_THRESHOLD = 0.5
+
+
+def _portable_bands(sig_df: DataFrame) -> DataFrame:
+    """(_id, band_id, band_hash) in portable md5 mode — the same band
+    key operators/dedup.py:minhash_lsh_pairs derives (md5 over the
+    comma-joined 4-minhash slice), factored here for the split
+    build/probe paths."""
+    def band_hash(b: int) -> F.Column:
+        sl = F.slice(F.col("_sig"), b * _MH_ROWS + 1, _MH_ROWS)
+        return F.md5(F.array_join(
+            F.transform(sl, lambda x: x.cast("string")), ",").cast("binary"))
+
+    band_cols = F.array(*[
+        F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
+        for b in range(_MH_BANDS)])
+    return (sig_df.select("_id", F.explode(band_cols).alias("bh"))
+            .select("_id", "bh.band_id", "bh.band_hash"))
+
+
+def _portable_signatures(shingles: DataFrame) -> DataFrame:
+    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+
+    return (shingles
+            .select("_id", D.base_hashes_md5_expr(F.col("_sh")).alias("_base"))
+            .select("_id", D.minhash_signature_udf(_MH_HASHES)(F.col("_base"))
+                    .alias("_sig")))
+
+
+def neardup_index_export(spark: SparkSession, corpus: DataFrame,
+                         path: str) -> None:
+    """Persist the corpus near-dup index: band table PARTITIONED BY
+    band_id, per-bucket counts (the O(1) cap ledger a serving tier
+    needs), and the shingle store for exact-Jaccard verification. At
+    100 TB the shingle store is the big one — but it is fetched by id
+    join only for surviving candidates, never scanned."""
+    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+
+    shingles = D.shingle_table(corpus)
+    try:
+        bands = _portable_bands(_portable_signatures(shingles))
+        (bands.write.mode("overwrite").partitionBy("band_id")
+         .parquet(os.path.join(path, "bands")))
+        (bands.groupBy("band_id", "band_hash")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(os.path.join(path, "bucket_counts")))
+        (shingles.write.mode("overwrite")
+         .parquet(os.path.join(path, "shingles")))
+    finally:
+        shingles.unpersist()
+
+
+def neardup_index_probe(spark: SparkSession, path: str,
+                        delta: DataFrame) -> DataFrame:
+    """Probe the persisted index with a new document batch: signatures
+    are computed for the DELTA ONLY; candidates come from (delta band x
+    index band) plus the delta's internal self-join; the bucket cap
+    applies to COMBINED (index + delta) bucket sizes, exactly as a
+    from-scratch run over corpus+delta would size them. Returns every
+    near-dup pair involving a delta doc: (id_a, id_b, jaccard,
+    is_cross) with id_a < id_b."""
+    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+
+    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    idx_counts = spark.read.parquet(os.path.join(path, "bucket_counts"))
+    idx_shingles = spark.read.parquet(os.path.join(path, "shingles"))
+
+    d_shingles = D.shingle_table(delta)
+    d_bands = _portable_bands(_portable_signatures(d_shingles)) \
+        .localCheckpoint()
+
+    d_counts = d_bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("dn"))
+    over_cap = (idx_counts.join(d_counts, ["band_id", "band_hash"], "full")
+                .where(F.coalesce(F.col("n"), F.lit(0))
+                       + F.coalesce(F.col("dn"), F.lit(0)) > _MH_CAP)
+                .select("band_id", "band_hash",
+                        F.lit(True).alias("_skip")))
+    d_ok = (d_bands.join(F.broadcast(over_cap), ["band_id", "band_hash"],
+                         "left")
+            .where(F.col("_skip").isNull()).drop("_skip"))
+    idx_ok = (idx_bands.join(F.broadcast(over_cap),
+                             ["band_id", "band_hash"], "left")
+              .where(F.col("_skip").isNull()).drop("_skip"))
+
+    cross = (d_ok.alias("d").join(idx_ok.alias("i"),
+                                  ["band_id", "band_hash"])
+             .select(F.least("d._id", "i._id").alias("id_a"),
+                     F.greatest("d._id", "i._id").alias("id_b")))
+    within = (d_ok.alias("x").join(d_ok.alias("y"),
+                                   ["band_id", "band_hash"])
+              .where(F.col("x._id") < F.col("y._id"))
+              .select(F.col("x._id").alias("id_a"),
+                      F.col("y._id").alias("id_b")))
+    cand = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+
+    all_sh = idx_shingles.unionByName(d_shingles)
+    verified = (cand
+                .join(all_sh.select(F.col("_id").alias("id_a"),
+                                    F.col("_sh").alias("_sh_a")), "id_a")
+                .join(all_sh.select(F.col("_id").alias("id_b"),
+                                    F.col("_sh").alias("_sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    is_delta = (F.col("id_a") % _DELTA_MOD == _DELTA_OFF)
+    is_delta_b = (F.col("id_b") % _DELTA_MOD == _DELTA_OFF)
+    out = (verified.withColumn("jaccard", F.round(jac, 4))
+           .where(F.col("jaccard") >= _MH_THRESHOLD)
+           .select("id_a", "id_b", "jaccard",
+                   (is_delta != is_delta_b).alias("is_cross"))
+           .localCheckpoint(eager=True))
+    d_shingles.unpersist()
+    return out
+
+
+def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the corpus index (doc_id % 10 != 7), persist it, probe it
+    with the delta (doc_id % 10 == 7): the result must equal the
+    from-scratch full-corpus MinHash-LSH run restricted to pairs with
+    at least one delta member — which is exactly what the oracle
+    computes closed-form (same portable md5 pipeline, same combined
+    bucket-cap arithmetic, same exact-Jaccard verification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % _DELTA_MOD != _DELTA_OFF)
+    delta = docs.where(F.col("doc_id") % _DELTA_MOD == _DELTA_OFF)
+    app = spark.sparkContext.applicationId
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/spark_graft_staging", app, f"ndidx_{leaf}")
+    neardup_index_export(spark, corpus, path)
+    return neardup_index_probe(spark, path, delta)
+
+
+def _nd_perm_values() -> str:
+    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
+
+    return ",\n    ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(D._perm_params(_MH_HASHES)))
+
+
+def _nd_oracle() -> str:
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import _NORM_SQL
+
+    # The full-corpus portable pipeline (identical CTE text to the
+    # minhash_recall_vs_exact oracle through the verification step),
+    # restricted to pairs with >= 1 delta member — closed-form proof
+    # that the persisted-index probe equals from-scratch.
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, GREATEST(len(toks) - 2, 1) + 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+           )
+         ) AS sh
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+),
+perms(j, a, b) AS (VALUES
+    {_nd_perm_values()}
+),
+bh AS (
+  SELECT doc_id,
+         list_transform(sh, s ->
+           ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647) AS hs
+  FROM docs),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM bh),
+pm AS (
+  SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+  FROM ex CROSS JOIN perms GROUP BY doc_id, j),
+sg AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM pm GROUP BY doc_id),
+bd AS (
+  SELECT doc_id, b,
+         md5(array_to_string(
+           list_transform(list_slice(sig, b*{_MH_ROWS} + 1, b*{_MH_ROWS} + {_MH_ROWS}),
+                          x -> CAST(x AS VARCHAR)), ',')) AS bkey
+  FROM sg CROSS JOIN (SELECT unnest(range({_MH_BANDS})) AS b)),
+capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY b, bkey) AS _bsz FROM bd)
+  WHERE _bsz <= {_MH_CAP}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM capped x JOIN capped y ON x.b = y.b AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(da.sh, db.sh)) AS i,
+         len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS u
+  FROM cand c JOIN docs da ON da.doc_id = c.id_a
+              JOIN docs db ON db.doc_id = c.id_b)
+SELECT id_a, id_b,
+       CASE WHEN u = 0 THEN 1.0 ELSE ROUND(i / u, 4) END AS jaccard,
+       (id_a % {_DELTA_MOD} = {_DELTA_OFF})
+         <> (id_b % {_DELTA_MOD} = {_DELTA_OFF}) AS is_cross
+FROM pairs
+WHERE (CASE WHEN u = 0 THEN 1.0 ELSE ROUND(i / u, 4) END) >= {_MH_THRESHOLD}
+  AND (id_a % {_DELTA_MOD} = {_DELTA_OFF}
+       OR id_b % {_DELTA_MOD} = {_DELTA_OFF})
+"""
+
+
+STAGED["incremental_neardup_probe"] = (
+    incremental_neardup_probe, _nd_oracle(),
+    "Continuous dedup: the corpus MinHash-LSH index persisted to "
+    "parquet (band tables partitioned by band_id, per-bucket counts, "
+    "shingle store), probed by a ~10% delta batch whose signatures "
+    "alone are computed; the bucket cap combines index + delta counts "
+    "so pruning matches a from-scratch run exactly. Oracle: the full "
+    "portable md5 pipeline closed-form, restricted to delta-involving "
+    "pairs — incremental must equal from-scratch, the dedup twin of "
+    "incremental_session_merge.",
+    ("llm", "dedup", "minhash", "incremental", "persistence"))
