@@ -319,3 +319,24 @@ def test_neardup_probe_layout_and_nonvacuity(spark, sf_dir, tmp_path):
 
     empty_delta = docs.where(F.lit(False))
     assert M.neardup_index_probe(spark, path, empty_delta).count() == 0
+
+
+def test_neardup_probe_rejects_torn_export(spark, sf_dir, tmp_path):
+    """An export interrupted between components must be rejected before
+    any probe math runs — a missing counts ledger would silently
+    under-prune; a missing shingle store would silently drop pairs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.plans import staging_r15 as M
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % M._DELTA_MOD != M._DELTA_OFF)
+    delta = docs.where(F.col("doc_id") % M._DELTA_MOD == M._DELTA_OFF)
+    path = str(tmp_path / "torn")
+    M.neardup_index_export(spark, corpus, path)
+    os.remove(os.path.join(path, "bucket_counts", "_SUCCESS"))
+    with pytest.raises(ValueError, match="bucket_counts"):
+        M.neardup_index_probe(spark, path, delta)

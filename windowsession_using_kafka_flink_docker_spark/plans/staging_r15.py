@@ -771,6 +771,18 @@ def neardup_index_probe(spark: SparkSession, path: str,
     is_cross) with id_a < id_b."""
     from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
 
+    # Torn-export guard (the export writes bands -> counts -> shingles;
+    # an interrupted export leaves a prefix): all three components must
+    # be present-and-committed before any probe math runs. Without the
+    # counts ledger the cap would silently under-prune; without the
+    # shingle store verification would silently drop cross pairs.
+    for comp in ("bands", "bucket_counts", "shingles"):
+        if not os.path.exists(os.path.join(path, comp, "_SUCCESS")):
+            raise ValueError(
+                f"near-dup index under {path} is missing a committed "
+                f"{comp!r} component — the export was interrupted; "
+                "re-export from the corpus before probing")
+
     idx_bands = spark.read.parquet(os.path.join(path, "bands"))
     idx_counts = spark.read.parquet(os.path.join(path, "bucket_counts"))
     idx_shingles = spark.read.parquet(os.path.join(path, "shingles"))
