@@ -340,3 +340,104 @@ def test_neardup_probe_rejects_torn_export(spark, sf_dir, tmp_path):
     os.remove(os.path.join(path, "bucket_counts", "_SUCCESS"))
     with pytest.raises(ValueError, match="bucket_counts"):
         M.neardup_index_probe(spark, path, delta)
+
+
+def test_late_repair_bridges_extends_and_opens(spark):
+    """The three late-arrival shapes, crafted: a late event that BRIDGES
+    two store sessions (sessions_after < sessions_before — the case no
+    tail merge can handle), one that OPENS a new session, and an
+    untouched user who must not appear in the audit at all."""
+    import datetime
+
+    import windowsession_using_kafka_flink_docker_spark.plans.staging_r15 as M
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + datetime.timedelta(seconds=s)
+
+    # _LATE_MOD=19, _LATE_OFF=3: ids 3 and 22 are late, others ontime
+    rows = [
+        # u1: ontime singletons at 0 and 1200 (gap 1200 > 600); late id=3
+        # at 600 is within the gap of BOTH -> bridges to ONE session
+        (1, t(0), 1, 1.00),
+        (2, t(1200), 1, 2.00),
+        (3, t(600), 1, 4.00),
+        # u2: untouched control
+        (4, t(0), 2, 8.00),
+        # u3: ontime at 0; late id=22 far away -> opens a second session
+        (5, t(0), 3, 16.00),
+        (22, t(10_000), 3, 32.00),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+
+    orig = M.load_table
+    M.load_table = lambda s, sf, name: ev
+    try:
+        audit = {r.user_id: (r.late_events, r.sessions_before,
+                             r.sessions_after, r.cents_added)
+                 for r in M.late_event_session_repair(spark, "x").collect()}
+    finally:
+        M.load_table = orig
+
+    assert audit == {
+        1: (1, 2, 1, 400),   # bridge: two sessions fuse into one
+        3: (1, 1, 2, 3200),  # open: late event starts its own session
+    }
+
+
+@pytest.mark.usefixtures("spark")
+class TestMergeProperties:
+    """Randomized cutoff-invariance for merge_session_store: whatever
+    the split point, store-tail merge equals from-scratch
+    sessionization. Deltas biased around the 600 s boundary (equal
+    merges, +1 splits — both engines agree, probed empirically)."""
+
+    import datetime as _dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _BASE = _dt.datetime(2024, 3, 1, 9, 0, 0)
+    _delta_s = st.one_of(
+        st.integers(min_value=0, max_value=1800),
+        st.sampled_from([599, 600, 601]),
+    )
+    _raw = st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),   # user
+                  _delta_s,
+                  st.integers(min_value=-500, max_value=500)),  # cents
+        min_size=1, max_size=25,
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(raw=_raw, cut_ratio=st.floats(min_value=0.0, max_value=1.0))
+    def test_any_cutoff_merges_to_full_recompute(self, spark, raw,
+                                                 cut_ratio):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+            _sessions_full,
+            merge_session_store,
+        )
+
+        rows, clocks = [], {}
+        for i, (uid, delta_s, cents) in enumerate(raw):
+            clocks[uid] = clocks.get(uid, self._BASE) \
+                + datetime.timedelta(seconds=delta_s)
+            rows.append((i, clocks[uid], uid, cents / 100.0))
+        ev = spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+
+        times = sorted(r[1] for r in rows)
+        cut = times[min(int(cut_ratio * len(times)), len(times) - 1)]
+        store = _sessions_full(ev.where(F.col("ts") < F.lit(cut)))
+        fresh = _sessions_full(ev.where(F.col("ts") >= F.lit(cut)))
+        got = _collect_sessions(merge_session_store(store, fresh))
+        want = _collect_sessions(_sessions_full(ev))
+        assert got == want
