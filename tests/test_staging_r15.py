@@ -441,3 +441,29 @@ class TestMergeProperties:
         got = _collect_sessions(merge_session_store(store, fresh))
         want = _collect_sessions(_sessions_full(ev))
         assert got == want
+
+
+def test_maintenance_draft_plan_shapes(spark, sf_dir):
+    """Scale shapes of the session-maintenance drafts: no cartesian
+    product anywhere; the merge entry's final plan reads the two
+    checkpointed session-store sides as materialized blocks (the
+    twice-consumed-frame discipline, SCALING.md r14-late); the repair
+    entry stays semi/anti-join shaped (late users fetched by semi join,
+    never a corpus-wide recompute)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+        incremental_session_merge,
+        late_event_session_repair,
+    )
+
+    def plan(df, mode="extended"):
+        jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString(mode)
+        return df._jdf.queryExecution().explainString(jm)
+
+    p_merge = plan(incremental_session_merge(spark, sf_dir))
+    assert "CartesianProduct" not in p_merge
+    assert "ExistingRDD" in p_merge  # both sides materialized once
+
+    p_repair = plan(late_event_session_repair(spark, sf_dir))
+    assert "CartesianProduct" not in p_repair
+    assert "LeftSemi" in p_repair  # affected-user fetch is a semi join
