@@ -64,6 +64,7 @@ def main() -> None:
         IncrementalProfitMaintainer,
         IncrementalRankTestMaintainer,
         IncrementalRollupMaintainer,
+        IncrementalSessionStoreMaintainer,
         IncrementalSetMembershipMaintainer,
         IncrementalSourceMixMaintainer,
         IncrementalTableStatsMaintainer,
@@ -143,15 +144,25 @@ def main() -> None:
         ("scd2", lambda: Scd2DimensionMaintainer(
             spark, state("scd2"), key="user_id", attr_cols=("tier",),
             batch_ts_col="ts", change_order="ts"), scd_changes),
+        # #24: replaying the SAME events would (correctly) trip the
+        # late-arrival guard, so the stress batch is the full table
+        # time-shifted past the store — a full-corpus-sized store merged
+        # with a full-ingest-sized delta, the worst tail merge possible.
+        ("session_store", lambda: IncrementalSessionStoreMaintainer(
+            spark, state("session_store")),
+         events.select(
+             (F.col("ts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+             "user_id", "value"),
+         events.select("ts", "user_id", "value")),
     ]
 
     out: dict[str, float | int] = {
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "runs": RUNS,
     }
-    for label, build, batch in fleet:
+    for label, build, batch, *rest in fleet:
         maint = build()
-        maint.merge_batch(batch, 0)  # seed (untimed)
+        maint.merge_batch(rest[0] if rest else batch, 0)  # seed (untimed)
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
