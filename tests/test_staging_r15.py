@@ -467,3 +467,35 @@ def test_maintenance_draft_plan_shapes(spark, sf_dir):
     p_repair = plan(late_event_session_repair(spark, sf_dir))
     assert "CartesianProduct" not in p_repair
     assert "LeftSemi" in p_repair  # affected-user fetch is a semi join
+
+
+def test_neardup_probe_combined_bucket_cap(spark, tmp_path):
+    """The cap must count INDEX + DELTA members together: a bucket
+    under cap corpus-only that overflows once the delta lands must be
+    pruned, exactly as a from-scratch run over corpus+delta would
+    prune it. Crafted: 3 identical corpus docs + 1 identical delta doc
+    share every bucket; cap=3 -> combined size 4 overflows -> no pairs;
+    cap=4 -> pairs appear."""
+    import windowsession_using_kafka_flink_docker_spark.plans.staging_r15 as M
+
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again for this crafted bucket test " * 3)
+    corpus = spark.createDataFrame(
+        [(10, text), (20, text), (30, text)], "doc_id BIGINT, text STRING")
+    # id 17 % 10 == _DELTA_OFF -> a delta-classified id
+    delta = spark.createDataFrame([(17, text)], "doc_id BIGINT, text STRING")
+
+    path = str(tmp_path / "capidx")
+    M.neardup_index_export(spark, corpus, path)
+
+    orig = M._MH_CAP
+    try:
+        M._MH_CAP = 3
+        assert M.neardup_index_probe(spark, path, delta).count() == 0
+        M._MH_CAP = 4
+        got = M.neardup_index_probe(spark, path, delta)
+        pairs = {(r.id_a, r.id_b) for r in got.collect()}
+        assert pairs == {(10, 17), (17, 20), (17, 30)}
+        assert all(r.jaccard == 1.0 for r in got.collect())
+    finally:
+        M._MH_CAP = orig
