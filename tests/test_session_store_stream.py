@@ -10,11 +10,10 @@ import os
 import shutil
 
 import pytest
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
-    _sessions_full,
+from windowsession_using_kafka_flink_docker_spark.operators.session_store import (
+    sessions_full as _sessions_full,
 )
 from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
 from windowsession_using_kafka_flink_docker_spark.streaming import (
@@ -35,15 +34,13 @@ def _rows(df):
 def _straddle_cutoff(spark, sf_dir):
     """The latest session-continuation event's ts — splitting there
     guarantees at least one session straddles the file boundary, so the
-    tail-merge path provably executes (same derivation as the staged
-    incremental_session_merge entry)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cont = (ev.withColumn("_prev", F.lag("ts").over(w))
-            .where(F.col("_prev").isNotNull()
-                   & (F.col("ts").cast("double")
-                      - F.col("_prev").cast("double") <= 600.0)))
-    cutoff = cont.agg(F.max("ts")).first()[0]
+    tail-merge path provably executes (THE SAME helper the staged
+    incremental_session_merge entry uses — one derivation, no drift)."""
+    from windowsession_using_kafka_flink_docker_spark.operators.session_store import (
+        continuation_cutoff,
+    )
+
+    cutoff = continuation_cutoff(load_table(spark, sf_dir, "events"))
     assert cutoff is not None
     return cutoff
 
@@ -193,3 +190,49 @@ def test_empty_batch_is_value_preserving(spark, sf_dir,
     before = _rows(maint.current())
     maint.merge_batch(ev.where(F.lit(False)), 1)
     assert _rows(maint.current()) == before
+
+
+def test_late_arrival_dead_letter_quarantines_and_continues(
+        spark, sf_dir, tmp_path_factory):
+    """With a dead_letter_dir configured (the continuous-job wiring),
+    a late-arrival batch must NOT fail the query: the late users' raw
+    batch events quarantine to b=<batch_id> parquet, their store rows
+    stay exactly as before the batch, and clean users still merge."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    base = str(tmp_path_factory.mktemp("sess_dlq"))
+    flat = _write_chunks(spark, sf_dir, base, [cutoff])
+    # reversed arrival, as in the fail-fast test
+    import time
+    a, b = os.path.join(flat, "00.parquet"), os.path.join(flat, "01.parquet")
+    tmp = os.path.join(base, "tmp.parquet")
+    os.rename(a, tmp); os.rename(b, a); os.rename(tmp, b)
+    now = time.time()
+    os.utime(a, (now - 100, now - 100))
+    os.utime(b, (now, now))
+
+    dlq = str(tmp_path_factory.mktemp("sess_dlq_dir"))
+    maint = IncrementalSessionStoreMaintainer(
+        spark, str(tmp_path_factory.mktemp("sess_state5")),
+        dead_letter_dir=dlq)
+    _drain(streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1),
+        maint, str(tmp_path_factory.mktemp("sess_ckpt5"))))
+
+    ev = load_table(spark, sf_dir, "events")
+    late_half = ev.where(F.col("ts") >= F.lit(cutoff))   # batch 0
+    early_half = ev.where(F.col("ts") < F.lit(cutoff))   # batch 1 (late!)
+    batch0_users = {r.user_id for r in
+                    late_half.select("user_id").distinct().collect()}
+
+    # quarantine = batch-1 events of users already in the store
+    got_dlq = spark.read.parquet(os.path.join(dlq, "b=1"))
+    want_dlq = early_half.where(F.col("user_id").isin(batch0_users))
+    assert _rows(got_dlq.select(*_COLS)) == _rows(want_dlq.select(*_COLS))
+
+    # store = batch-0 sessions for quarantined users (unchanged) plus
+    # batch-1 sessions of users the store had never seen
+    clean_early = early_half.where(~F.col("user_id").isin(batch0_users))
+    want = _rows(_sessions_full(late_half.select(*_COLS)).unionByName(
+        _sessions_full(clean_early.select(*_COLS))))
+    assert _rows(maint.current()) == want

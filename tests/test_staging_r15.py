@@ -176,19 +176,15 @@ def test_incremental_merge_entry_is_non_vacuous(spark, sf_dir):
     cutoff that splits nothing would pass the oracle trivially."""
     from pyspark.sql import functions as F
 
+    from windowsession_using_kafka_flink_docker_spark.operators.session_store import (
+        continuation_cutoff,
+    )
     from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
         incremental_session_merge,
     )
     from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
-    from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cont = (ev.withColumn("_prev", F.lag("ts").over(w))
-            .where(F.col("_prev").isNotNull()
-                   & (F.col("ts").cast("double")
-                      - F.col("_prev").cast("double") <= 600.0)))
-    cutoff = cont.agg(F.max("ts")).first()[0]
+    cutoff = continuation_cutoff(load_table(spark, sf_dir, "events"))
     assert cutoff is not None, "no continuation events — widen the gap"
     straddlers = (incremental_session_merge(spark, sf_dir)
                   .where((F.col("session_start") < F.lit(cutoff))

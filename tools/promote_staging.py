@@ -64,7 +64,12 @@ def main() -> int:
                 and last_green[n] <= next_round - cat.STALENESS_BOUND - 1]
     pinned = [n for n in cat.PINNED
               if n in names and n not in set(at_bound)]
-    base = len(at_bound) + len(pinned)
+    # Already-registered never-checked entries occupy never-bucket
+    # slots AHEAD of the changed cohort too (e.g. a promotion split
+    # across sessions, or a re-run mid-promotion-day) — they are part
+    # of the window base, not free capacity.
+    never_registered = [n for n in names if n not in last_green]
+    base = len(at_bound) + len(pinned) + len(never_registered)
     free = cat.DRIVER_WINDOW - base
 
     # Reserve slots for entries that MUST recertify next round: the
@@ -85,6 +90,7 @@ def main() -> int:
         "window": cat.DRIVER_WINDOW,
         "at_bound": len(at_bound),
         "pinned": len(pinned),
+        "never_registered": len(never_registered),
         "free_slots": free,
         "reserved_for_changed": reserve,
         "promote_now": now,

@@ -54,8 +54,9 @@ fixed-memory token-state variant):
   ``grouped_ols_trend`` regression report;
 - ``IncrementalSessionStoreMaintainer`` (#24) on the same events
   stream — the 10-minute-gap session table maintained by per-user tail
-  merge (streaming/session_store.py), with a fail-fast late-arrival
-  guard;
+  merge (streaming/session_store.py); late-arrival slices quarantine
+  to a dead-letter dir (drained offline via the repair path) so one
+  late drop-file cannot wedge the job;
 - ``IncrementalUserSpendMaintainer`` over an events drop-dir —
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
@@ -251,10 +252,15 @@ def main() -> None:
             events, trend, os.path.join(args.checkpoint_root, "trend")))
         # maintainer #24 shares the events stream: the incremental
         # session store (10-minute-gap session table kept current by
-        # per-user tail merge; a late-arrival batch fails fast and must
-        # be routed through the repair path)
+        # per-user tail merge). The continuous job configures a
+        # dead-letter dir so one late drop-file quarantines its late
+        # users' raw events (b=<batch_id> parquet, replay-idempotent)
+        # instead of crash-looping the query; drain it periodically
+        # through the late_event_session_repair path.
         sess = IncrementalSessionStoreMaintainer(
-            spark, os.path.join(args.state_root, "session_store"))
+            spark, os.path.join(args.state_root, "session_store"),
+            dead_letter_dir=os.path.join(args.state_root,
+                                         "session_store_dead_letter"))
         queries.append(streaming_session_store_maintenance(
             events, sess, os.path.join(args.checkpoint_root,
                                        "session_store")))

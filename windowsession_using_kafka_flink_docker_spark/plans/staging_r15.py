@@ -337,16 +337,16 @@ sess_full AS (
 """
 
 
-def _sessions_full(ev: DataFrame) -> DataFrame:
-    """10-minute fixed-gap sessions with first/last event ts + exact cents —
-    the Spark twin of ``_SESS_FULL_CTE``'s ``sess_full``."""
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    return (ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
-            .agg(F.min("ts").alias("session_start"),
-                 F.max("ts").alias("session_end"),
-                 F.sum(cents).alias("sum_cents"),
-                 F.count(F.lit(1)).cast("long").alias("event_count"))
-            .drop("session_window"))
+# The primitives live in operators/session_store.py (shared with the
+# streaming maintainer, which must not import the plans layer); the
+# staging names below are the same objects — the Spark twins of
+# ``_SESS_FULL_CTE``'s ``sess_full``. On r16 promotion the registered
+# entries import them the same way.
+from windowsession_using_kafka_flink_docker_spark.operators.session_store import (  # noqa: E402
+    continuation_cutoff,
+    merge_session_store,
+    sessions_full as _sessions_full,
+)
 
 
 def incremental_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,70 +374,25 @@ def incremental_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest's worth, and the merge join is tail-vs-head — two one-row-
     per-user frames."""
     ev = load_table(spark, sf_dir, "events")
-    wname = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cont = (ev.withColumn("_prev", F.lag("ts").over(wname))
-            .where(F.col("_prev").isNotNull()
-                   & (F.col("ts").cast("double")
-                      - F.col("_prev").cast("double") <= 600.0)))
     # Bounded driver-side scalar (one row — the scd.py:89 idiom): a
     # broadcast-crossJoin cutoff would re-run the lag-window pass inside
     # EACH side's materialization below and block ts pushdown into the
     # scan; as a literal it is one window pass total and both filters
-    # push down.
-    cutoff = cont.agg(F.max("ts")).first()[0]
+    # push down (measured: 4.9 -> 2.8 s warm at sf0.1).
+    cutoff = continuation_cutoff(ev)
     if cutoff is None:  # degenerate corpus: no continuation events at all
         return _sessions_full(ev)
 
     # The store IS a materialized artifact in this pattern — and the
     # merge consumes each side twice (tail/keep_store, head/keep_fresh),
     # so an un-materialized plan would re-sessionize both sides per
-    # union branch (measured 32 s -> ~2 s at sf0.1).
+    # union branch (measured: 32 -> 14 s cold at sf0.1; with the scalar
+    # cutoff above, 12.5 s cold / 2.8 s warm).
     store = _sessions_full(
         ev.where(F.col("ts") < F.lit(cutoff))).localCheckpoint()
     fresh = _sessions_full(
         ev.where(F.col("ts") >= F.lit(cutoff))).localCheckpoint()
     return merge_session_store(store, fresh)
-
-
-def merge_session_store(store: DataFrame, fresh: DataFrame,
-                        gap_s: float = 600.0) -> DataFrame:
-    """Merge a persisted session store with the sessions of a strictly
-    later event batch (every fresh event at/after every store event).
-    Per user at most ONE merge is possible — store tail with fresh head
-    — and the merged row combines BIGINT partials exactly. Factored out
-    of :func:`incremental_session_merge` so the cutoff-sweep property
-    test can drive it with arbitrary splits."""
-    w_tail = Window.partitionBy("user_id").orderBy(F.desc("session_end"))
-    tail = (store.withColumn("_rn", F.row_number().over(w_tail))
-            .where(F.col("_rn") == 1).drop("_rn"))
-    w_head = Window.partitionBy("user_id").orderBy("session_start")
-    head = (fresh.withColumn("_rn", F.row_number().over(w_head))
-            .where(F.col("_rn") == 1).drop("_rn"))
-
-    joined = (tail.alias("s").join(head.alias("t"), "user_id")
-              .where(F.col("t.session_start").cast("double")
-                     - F.col("s.session_end").cast("double") <= gap_s))
-    pairs = joined.select(
-        "user_id",
-        F.col("s.session_start").alias("old_start"),
-        F.col("t.session_start").alias("new_start"),
-        F.col("s.session_start").alias("session_start"),
-        F.col("t.session_end").alias("session_end"),
-        (F.col("s.sum_cents") + F.col("t.sum_cents")).alias("sum_cents"),
-        (F.col("s.event_count") + F.col("t.event_count"))
-        .alias("event_count"))
-
-    keep_store = store.join(
-        pairs.select("user_id", F.col("old_start").alias("session_start")),
-        ["user_id", "session_start"], "left_anti")
-    keep_fresh = fresh.join(
-        pairs.select("user_id", F.col("new_start").alias("session_start")),
-        ["user_id", "session_start"], "left_anti")
-    cols = ["user_id", "session_start", "session_end", "sum_cents",
-            "event_count"]
-    return (keep_store.select(*cols)
-            .unionByName(keep_fresh.select(*cols))
-            .unionByName(pairs.select(*cols)))
 
 
 INCREMENTAL_SESSION_MERGE_ORACLE = _SESS_FULL_CTE + """
@@ -751,7 +706,12 @@ def neardup_index_export(spark: SparkSession, corpus: DataFrame,
         bands = _portable_bands(_portable_signatures(shingles))
         (bands.write.mode("overwrite").partitionBy("band_id")
          .parquet(os.path.join(path, "bands")))
-        (bands.groupBy("band_id", "band_hash")
+        # Derive the count ledger from the JUST-WRITTEN parquet, not the
+        # lazy bands frame — re-deriving would run the whole Arrow
+        # minhash + 16-band-md5 pipeline a second time (the most
+        # expensive stage of the export).
+        (spark.read.parquet(os.path.join(path, "bands"))
+         .groupBy("band_id", "band_hash")
          .agg(F.count(F.lit(1)).alias("n"))
          .write.mode("overwrite").parquet(os.path.join(path, "bucket_counts")))
         (shingles.write.mode("overwrite")
