@@ -495,3 +495,42 @@ def test_neardup_probe_combined_bucket_cap(spark, tmp_path):
         assert all(r.jaccard == 1.0 for r in got.collect())
     finally:
         M._MH_CAP = orig
+
+
+def test_bm25_index_pruning_increment_and_torn_guard(spark, sf_dir,
+                                                     tmp_path):
+    """The index query must prune the postings scan to the query
+    terms' bucket partitions (PartitionFilters on the bucket column,
+    <= |terms| values); the delta increment must actually land in the
+    persisted postings; a torn export must be rejected."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.plans import staging_r15 as M
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % M._BM_DELTA_MOD != M._BM_DELTA_OFF)
+    delta = docs.where(F.col("doc_id") % M._BM_DELTA_MOD == M._BM_DELTA_OFF)
+    path = str(tmp_path / "bm25idx")
+    M.bm25_index_export(spark, corpus, path)
+    M.bm25_index_append(spark, path, delta)
+
+    # increment landed: delta docs have postings rows
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    assert postings.where(
+        F.col("doc_id") % M._BM_DELTA_MOD == M._BM_DELTA_OFF).count() > 0
+
+    df = M.bm25_from_index(spark, path)
+    jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jm)
+    pf = re.findall(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)\]", plan)
+    assert pf, plan[:2000]
+    assert all(len(v.split(",")) <= len(M._BM_TERMS) for v in pf)
+
+    os.remove(os.path.join(path, "doclens", "_SUCCESS"))
+    with pytest.raises(ValueError, match="doclens"):
+        M.bm25_from_index(spark, path)

@@ -41,7 +41,13 @@ Drafted families (the M6 c candidates):
    signatures alone are computed; combined-count bucket capping makes
    the result equal the from-scratch run restricted to delta-involving
    pairs, which is exactly what the oracle computes.
-6. A registered-entry REWRITE queued for r15 —
+6. Index-backed BM25 serving — ``incremental_bm25_search``: the
+   postings index (all tokens, partitioned by token-hash bucket)
+   persisted from the corpus, delta batches appended as doc-only
+   increments, queries scored from the index alone with
+   partition-pruned postings reads (PartitionFilters: bucket IN
+   (...)); oracle = from-scratch single-pass BM25 over all documents.
+7. A registered-entry REWRITE queued for r15 —
    ``curation_pipeline_e2e_fused``: the 8-scan funnel plan collapsed
    to ONE corpus scan via localCheckpoint boundaries (the r14 plan
    audit's finding); value-identical to the registered entry, swapped
@@ -893,3 +899,168 @@ STAGED["incremental_neardup_probe"] = (
     "pairs — incremental must equal from-scratch, the dedup twin of "
     "incremental_session_merge.",
     ("llm", "dedup", "minhash", "incremental", "persistence"))
+
+
+# --------------------------------------------------------------------
+# Incremental text-retrieval serving (drafted late r14, targets r16):
+# the third leg of the maintained-index family — session store (events),
+# near-dup LSH index (dedup), and now the BM25 POSTINGS index (search).
+# A serving tier never re-tokenizes its corpus per query OR per ingest:
+# queries read only the query terms' postings (partition-pruned by a
+# token-hash bucket), and a new document batch appends ITS OWN postings
+# increment without touching the existing index. The entry proves:
+# index built from the corpus + increment appended for the delta,
+# queried from the INDEX ALONE, equals the from-scratch single-pass
+# BM25 over all documents — which is exactly what the oracle computes.
+
+_BM_DELTA_MOD, _BM_DELTA_OFF = 8, 5   # ~12.5% of docs arrive late
+_BM_BUCKETS = 32
+_BM_TERMS = ("merge", "window", "hash")
+_BM_K1, _BM_B, _BM_K = 1.2, 0.75, 10
+
+
+def _bm25_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a document frame: postings = (doc_id,
+    tok, tf, bucket) over ALL tokens — the real inverted index, with a
+    token-hash bucket as the partition key so a |q|-term query prunes
+    to <= |q| directories; doclens = (doc_id, dl)."""
+    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+        normalized_text,
+    )
+
+    base = docs.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("_t"))
+    doclens = base.select("doc_id", F.size("_t").alias("dl"))
+    postings = (base.select("doc_id", F.explode("_t").alias("tok"))
+                .groupBy("doc_id", "tok")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                .withColumn("bucket",
+                            F.pmod(F.hash("tok"), F.lit(_BM_BUCKETS))))
+    return postings, doclens
+
+
+def bm25_index_export(spark: SparkSession, docs: DataFrame,
+                      path: str) -> None:
+    """Build and persist the postings index for a corpus."""
+    postings, doclens = _bm25_postings(docs)
+    (postings.write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(path, "postings")))
+    doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+
+
+def bm25_index_append(spark: SparkSession, path: str,
+                      delta: DataFrame) -> None:
+    """Append a new document batch's OWN postings to the index — the
+    existing corpus is never re-tokenized (doc_ids are unique across
+    batches, so increments are disjoint row-appends; production runs
+    would version increments for replay-idempotence the way the
+    maintainers' _VersionedState does)."""
+    postings, doclens = _bm25_postings(delta)
+    (postings.write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(path, "postings")))
+    doclens.write.mode("append").parquet(os.path.join(path, "doclens"))
+
+
+def bm25_from_index(spark: SparkSession, path: str,
+                    terms: tuple[str, ...] = _BM_TERMS,
+                    k: int = _BM_K) -> DataFrame:
+    """Score a query FROM THE INDEX ALONE — no document text is read.
+    The postings scan filters on the partition column ``bucket`` (<=
+    |terms| directories survive pruning) and then on ``tok``; corpus
+    stats (N, avgdl) aggregate the narrow doclens frame (a serving
+    tier keeps them precomputed); df/idf come from the pruned
+    postings. Same score expression + ROUND(.,4)-then-id ordering as
+    operators/text_analysis.py:bm25_topk."""
+    for comp in ("postings", "doclens"):
+        if not os.path.exists(os.path.join(path, comp, "_SUCCESS")):
+            raise ValueError(
+                f"bm25 index under {path} is missing a committed "
+                f"{comp!r} component — re-export before querying")
+    # bucket ids for the query terms, computed with the SAME hash the
+    # writer used (one tiny Spark job; |terms| rows)
+    buckets = [r.b for r in spark.createDataFrame(
+        [(t,) for t in terms], "tok STRING")
+        .select(F.pmod(F.hash("tok"), F.lit(_BM_BUCKETS)).alias("b"))
+        .collect()]
+
+    postings = (spark.read.parquet(os.path.join(path, "postings"))
+                .where(F.col("bucket").isin(buckets))
+                .where(F.col("tok").isin(list(terms))))
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    stats = doclens.agg(F.count(F.lit(1)).alias("_n"),
+                        F.avg("dl").alias("_avgdl"))
+    dft = postings.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("_df"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    tf_part = (F.col("tf") * (_BM_K1 + 1.0)) / (
+        F.col("tf") + _BM_K1 * (1.0 - _BM_B
+                                + _BM_B * F.col("dl") / F.col("_avgdl")))
+    scored = (postings.join(doclens, "doc_id")
+              .join(F.broadcast(dft), "tok")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.sum(idf * tf_part).alias("_s")))
+    return (scored.select("doc_id", F.round("_s", 4).alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(k))
+
+
+def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus index (doc_id % 8 != 5) built and persisted, the delta's
+    increment appended doc-only, then the query scored from the merged
+    index — must equal the from-scratch BM25 over all documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % _BM_DELTA_MOD != _BM_DELTA_OFF)
+    delta = docs.where(F.col("doc_id") % _BM_DELTA_MOD == _BM_DELTA_OFF)
+    app = spark.sparkContext.applicationId
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/tmp/spark_graft_staging", app, f"bm25_{leaf}")
+    bm25_index_export(spark, corpus, path)
+    bm25_index_append(spark, path, delta)
+    return bm25_from_index(spark, path)
+
+
+def _bm25_oracle() -> str:
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import _NORM_SQL
+
+    terms = ", ".join(f"'{t}'" for t in _BM_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl, t
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents)
+),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, s AS tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS s FROM base)
+  WHERE s IN ({terms})
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         SUM( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({_BM_K1} + 1) / (tf.tf + {_BM_K1} * (1 - {_BM_B} + {_BM_B} * tf.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, ROUND(s, 4) AS bm25
+FROM scored
+ORDER BY ROUND(s, 4) DESC, doc_id
+LIMIT {_BM_K}
+"""
+
+
+STAGED["incremental_bm25_search"] = (
+    incremental_bm25_search, _bm25_oracle(),
+    "Index-backed BM25 serving: the postings index (ALL tokens, "
+    "partitioned by token-hash bucket) persisted from the corpus, a "
+    "~12.5% delta batch appended as its own doc-only increment (corpus "
+    "never re-tokenized), then query {merge, window, hash} scored from "
+    "the INDEX ALONE — postings reads prune to <= |q| bucket "
+    "directories, no document text touched at query time. Oracle: the "
+    "from-scratch single-pass BM25 over all documents; the increment "
+    "must be invisible in the result. Third leg of the maintained-"
+    "index family (session store, LSH near-dup index, BM25 postings).",
+    ("llm", "text", "retrieval", "incremental", "persistence"))
