@@ -752,15 +752,15 @@ def test_bpe_rewrite_broadcasts_best_pair_no_shuffle(spark, sf_dir):
 
 
 def test_curation_e2e_stage_fusion_shape(spark, sf_dir):
-    """curation_pipeline_e2e promises (r13 VERDICT item 7): the five
-    stages compose into ONE lazy plan with no cartesian product and no
-    Python stage; every stage boundary is a keyed join (semi/anti on
-    doc_id), with the id-only sides broadcast. Tripwire: the funnel
-    currently re-derives the quality gate per downstream semi-join, so
-    the documents scan appears up to 8x in the fused plan — bounded
-    here so it cannot silently grow; collapsing the stage boundaries
-    behind localCheckpoints (single corpus scan) is the queued r15
-    improvement (catalog-frozen in r14)."""
+    """curation_pipeline_e2e promises (r13 VERDICT item 7, tightened by
+    the r15 single-scan rewrite): the five stages compose with no
+    cartesian product and no Python stage; every stage boundary is a
+    keyed join (semi/anti on doc_id), with the id-only sides broadcast.
+    Since r15 the corpus is localCheckpointed once right after the scan,
+    so the FINAL plan touches the documents parquet ZERO times (the one
+    scan happens inside the eager checkpoint) and every stage reads the
+    materialized blocks (ExistingRDD) — the original funnel re-derived
+    the gated frame per boundary, 8 corpus scans in one plan."""
     plan = _plan(spark, "curation_pipeline_e2e", sf_dir, "formatted")
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
@@ -769,6 +769,28 @@ def test_curation_e2e_stage_fusion_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, (
         "id-list sides should broadcast into the stage joins")
     scans = plan.count("documents.parquet")
-    assert 1 <= scans <= 8, (
-        f"documents scanned {scans}x — the funnel regressed past the "
-        "known 8-scan shape")
+    assert scans == 0, (
+        f"documents scanned {scans}x in the final plan — the single-scan "
+        "rewrite regressed (corpus must come from the checkpoint blocks)")
+    assert "ExistingRDD" in plan, (
+        "checkpointed corpus must feed the stages as materialized blocks")
+
+
+def test_session_topn_plan_shapes(spark, sf_dir):
+    """session_top10_global / session_top2_per_user promises (promoted
+    r15, plans/parity.py): the global top-10 plans as
+    TakeOrderedAndProject (per-partition top-k + 10-row merge, never a
+    fact-scale single-partition sort); the per-user rank reuses the
+    sessionization exchange (one hashpartitioning on user_id feeds
+    MergingSessions, Sort, WindowGroupLimit, and Window alike); neither
+    plans a cartesian product or a Python stage."""
+    topg = _plan(spark, "session_top10_global", sf_dir)
+    assert "TakeOrderedAndProject" in topg, topg[:1500]
+    for name in ("session_top2_per_user", "session_top10_global"):
+        p = _plan(spark, name, sf_dir, "extended")
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+    topu = _plan(spark, "session_top2_per_user", sf_dir, "simple")
+    assert topu.count("Exchange hashpartitioning") == 1, topu[:2000]
+    assert "WindowGroupLimit" in topu, topu[:2000]

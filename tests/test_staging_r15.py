@@ -40,14 +40,11 @@ def test_staged_names_not_yet_registered():
 
 
 def test_staged_plan_shapes(spark, sf_dir):
-    """The scale promises the drafts make must hold before promotion:
-    global top-10 plans as TakeOrderedAndProject (never a fact-scale
-    single-partition sort), nothing plans a cartesian product or a
-    Python stage, and the per-user rank reuses the sessionization
-    exchange (exactly one shuffle of the session frame)."""
+    """The scale promises the remaining drafts make must hold before
+    promotion: no cartesian product, no Python stage. (The session
+    top-N pair's shape pins moved to tests/test_plan_quality.py with
+    the r15 promotion.)"""
     from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
-        session_top2_per_user,
-        session_top10_global,
         event_type_crosscorr,
     )
 
@@ -56,56 +53,20 @@ def test_staged_plan_shapes(spark, sf_dir):
             .fromString(mode)
         return df._jdf.queryExecution().explainString(jmode)
 
-    topg = plan(session_top10_global(spark, sf_dir))
-    assert "TakeOrderedAndProject" in topg, topg[:1500]
-    for df in (session_top2_per_user(spark, sf_dir),
-               session_top10_global(spark, sf_dir),
-               event_type_crosscorr(spark, sf_dir)):
-        p = plan(df, "extended")
-        assert "CartesianProduct" not in p
-        assert "BatchEvalPython" not in p and "MapInPandas" not in p
-
-    # per-user rank over the session frame: the window partitions by the
-    # same key the sessionization grouped on — no exchange between the
-    # session aggregate and the rank (one hashpartitioning on user_id
-    # feeds MergingSessions, Sort, WindowGroupLimit, and Window alike)
-    topu = plan(session_top2_per_user(spark, sf_dir), "simple")
-    assert topu.count("Exchange hashpartitioning") == 1, topu[:2000]
-    assert "WindowGroupLimit" in topu, topu[:2000]
+    p = plan(event_type_crosscorr(spark, sf_dir), "extended")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
 
-def test_rewrite_is_value_identical_and_single_scan(spark, sf_dir):
-    """The queued curation_pipeline_e2e rewrite must be a pure plan
-    improvement: same rows as the registered entry, same oracle, and
-    the final plan touches the documents parquet ZERO times (the one
-    scan happens inside the eager localCheckpoint) where the registered
-    plan re-derives it 8x (SCALING.md round-14 finding)."""
+def test_rewrite_queue_is_drained():
+    """The r15 promotion landed the curation_pipeline_e2e single-scan
+    rewrite into the registered entry (its shape pin now lives in
+    tests/test_plan_quality.py::test_curation_e2e_stage_fusion_shape);
+    any rewrite re-queued here must target a registered entry."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
     from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import REWRITES
 
     assert set(REWRITES) <= set(CATALOG), "rewrites must target registered entries"
-    for name, fn in REWRITES.items():
-        spec = CATALOG[name]
-        ok, msg = compare(fn(spark, sf_dir), spec.oracle, sf_dir)
-        assert ok, f"{name} rewrite vs oracle: {msg}"
-        old = sorted(map(tuple, spec.spark(spark, sf_dir).collect()))
-        new = sorted(map(tuple, fn(spark, sf_dir).collect()))
-        assert old == new, f"{name} rewrite changed values"
-
-    def plan(df):
-        jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
-            .fromString("extended")
-        return df._jdf.queryExecution().explainString(jm)
-
-    fused = REWRITES["curation_pipeline_e2e"](spark, sf_dir)
-    p = plan(fused)
-    assert p.count("documents.parquet") == 0, p[:2000]
-    assert "ExistingRDD" in p  # the checkpointed corpus feeds every stage
-    # the registered entry still carries the multiplicity this rewrite
-    # removes — if THIS starts passing with 0, promote the rewrite and
-    # delete the pair
-    p_old = plan(CATALOG["curation_pipeline_e2e"].spark(spark, sf_dir))
-    assert p_old.count("documents.parquet") > 1
 
 
 def _collect_sessions(df):
@@ -502,9 +463,13 @@ def test_bm25_index_pruning_increment_and_torn_guard(spark, sf_dir,
     """The index query must prune the postings scan to the query
     terms' bucket partitions (PartitionFilters on the bucket column,
     <= |terms| values); the delta increment must actually land in the
-    persisted postings; a torn export must be rejected."""
+    persisted postings as its OWN committed inc=<n> directory; a torn
+    export (missing commit marker) AND a torn append (postings
+    increment landed, doclens increment missing — the r14 ADVICE
+    failure mode) must both be rejected."""
     import os
     import re
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -517,6 +482,10 @@ def test_bm25_index_pruning_increment_and_torn_guard(spark, sf_dir,
     path = str(tmp_path / "bm25idx")
     M.bm25_index_export(spark, corpus, path)
     M.bm25_index_append(spark, path, delta)
+
+    # increments are versioned: base + delta, each with its own marker
+    assert M._bm25_increments(path, "postings") == ["inc=00000", "inc=00001"]
+    assert M._bm25_increments(path, "doclens") == ["inc=00000", "inc=00001"]
 
     # increment landed: delta docs have postings rows
     postings = spark.read.parquet(os.path.join(path, "postings"))
@@ -531,6 +500,16 @@ def test_bm25_index_pruning_increment_and_torn_guard(spark, sf_dir,
     assert pf, plan[:2000]
     assert all(len(v.split(",")) <= len(M._BM_TERMS) for v in pf)
 
-    os.remove(os.path.join(path, "doclens", "_SUCCESS"))
-    with pytest.raises(ValueError, match="doclens"):
+    # torn APPEND: delta postings committed but its doclens increment
+    # never landed — the guard must catch the mismatch (previously this
+    # silently served stale N/avgdl)
+    shutil.rmtree(os.path.join(path, "doclens", "inc=00001"))
+    with pytest.raises(ValueError, match="mismatched increments"):
+        M.bm25_from_index(spark, path)
+
+    # torn WRITE: increment directory exists but its commit marker is
+    # missing (interrupted mid-write)
+    M.bm25_index_append(spark, path, delta, inc=1)
+    os.remove(os.path.join(path, "doclens", "inc=00001", "_SUCCESS"))
+    with pytest.raises(ValueError, match="doclens/inc=00001"):
         M.bm25_from_index(spark, path)

@@ -51,24 +51,18 @@ def main() -> int:
         STAGED,
     )
 
-    last_green, latest = cat.driver_history()
+    last_green, _latest = cat.driver_history()
     names = list(cat.CATALOG)
     changed = set(fp.changed_entries(cat.CATALOG, fp.load_recorded()))
 
-    # Next round's window composition BEFORE any promotion: at-bound
-    # cohort (certified exactly STALENESS_BOUND rounds before next
-    # round) + pins. Mirrors compute_driver_priority's arithmetic.
-    next_round = latest + 1
-    at_bound = [n for n in names
-                if n in last_green
-                and last_green[n] <= next_round - cat.STALENESS_BOUND - 1]
-    pinned = [n for n in cat.PINNED
-              if n in names and n not in set(at_bound)]
-    # Already-registered never-checked entries occupy never-bucket
-    # slots AHEAD of the changed cohort too (e.g. a promotion split
-    # across sessions, or a re-run mid-promotion-day) — they are part
-    # of the window base, not free capacity.
-    never_registered = [n for n in names if n not in last_green]
+    # Next round's window composition BEFORE any promotion: the SAME
+    # cohort computation compute_driver_priority runs (shared helper —
+    # r14 ADVICE closed the re-implementation drift risk). Note the
+    # already-registered never-checked entries occupy never-bucket
+    # slots AHEAD of the changed cohort (e.g. a promotion split across
+    # sessions) — they are part of the window base, not free capacity.
+    at_bound, pinned, never_registered, next_round = \
+        cat.window_cohorts(names, last_green)
     base = len(at_bound) + len(pinned) + len(never_registered)
     free = cat.DRIVER_WINDOW - base
 

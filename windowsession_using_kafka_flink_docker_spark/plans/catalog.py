@@ -129,6 +129,29 @@ def driver_history(root: str | None = None) -> tuple[dict[str, int], int]:
     return last_green, latest_round
 
 
+def window_cohorts(
+    names: list[str],
+    last_green: dict[str, int],
+) -> tuple[list[str], list[str], list[str], int]:
+    """The shared cohort arithmetic behind the rotation: returns
+    ``(at_bound, pinned, never, next_round)`` for the upcoming driver
+    window. Single source of truth for both
+    :func:`compute_driver_priority` and ``tools/promote_staging.py``
+    (r14 ADVICE: the tool re-implemented this and could drift —
+    e.g. deriving next_round from the newest snapshot FILE where the
+    rotation uses ``max(last_green) + 1``)."""
+    reg_pos = {n: i for i, n in enumerate(names)}
+    next_round = max(last_green.values(), default=0) + 1
+    at_bound = [n for n in names
+                if n in last_green
+                and last_green[n] <= next_round - STALENESS_BOUND - 1]
+    at_bound.sort(key=lambda n: (last_green[n], reg_pos[n]))
+    never = [n for n in names if n not in last_green]
+    pinned = [n for n in PINNED
+              if n in names and n not in set(never) | set(at_bound)]
+    return at_bound, pinned, never, next_round
+
+
 def compute_driver_priority(
     names: list[str],
     last_green: dict[str, int],
@@ -179,14 +202,7 @@ def compute_driver_priority(
     tests/test_catalog_integrity.py.
     """
     reg_pos = {n: i for i, n in enumerate(names)}
-    next_round = max(last_green.values(), default=0) + 1
-    at_bound = [n for n in names
-                if n in last_green
-                and last_green[n] <= next_round - STALENESS_BOUND - 1]
-    at_bound.sort(key=lambda n: (last_green[n], reg_pos[n]))
-    never = [n for n in names if n not in last_green]
-    pinned = [n for n in PINNED
-              if n in names and n not in set(never) | set(at_bound)]
+    at_bound, pinned, never, _ = window_cohorts(names, last_green)
     taken = set(never) | set(pinned) | set(at_bound)
 
     def _key(n: str):

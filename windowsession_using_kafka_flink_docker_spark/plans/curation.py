@@ -947,18 +947,31 @@ GROUP BY lang, shard, seq_id
                 "its own entry's shape — gate is scan-side, dedup "
                 "shuffles digests not payloads, the ssjoin indexes only "
                 "prefix shingles, eval grams broadcast, packing sorts "
-                "per (lang, shard). The one new cost is composition "
-                "itself: stages pipeline without materializing "
-                "intermediate corpora.",
+                "per (lang, shard). Composition cost is ONE corpus scan "
+                "total (r15 rewrite of the original 8-scan funnel): the "
+                "synthesized corpus is localCheckpointed right after the "
+                "scan and every stage — gate, exact dedup, ssjoin "
+                "near-dedup, decontamination, packing — derives from the "
+                "materialized blocks, with the three id-list boundaries "
+                "checkpointed too so the final plan is shallow joins over "
+                "one in-memory corpus plus key-sized intermediates.",
     tags=("llm", "curation", "dedup", "decontamination", "packing"),
 )
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-SCAN funnel (r15 rewrite, drafted in plans/staging_r15.py
+    while the r14 window was frozen): the original composition re-derived
+    the quality-gated frame from the documents parquet at every semi/anti
+    stage boundary — 8 corpus scans in one plan (r14 plan audit;
+    SCALING.md round-14 finding). localCheckpoint truncates lineage into
+    executor-local blocks (lost-executor => job retry from the scan); on
+    a real cluster swap for a reliable ``checkpoint()`` dir or accept the
+    retry — either way 1 write + 7 block reads beats 8 corpus scans."""
     from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _e2e_text().alias("text"),
-        (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
-    )
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", _e2e_text().alias("text"),
+                    (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"))
+            .localCheckpoint())  # <- the one and only corpus scan
     train = docs.where(~F.col("is_eval")).drop("is_eval")
     eval_docs = docs.where(F.col("is_eval")).drop("is_eval")
 
@@ -982,18 +995,22 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage 2 — exact dedup: keep each digest group's min id (semi-join
     # against the exact_dedup survivor list; digests shuffle, text stays).
-    keepers = D.exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    keepers = (D.exact_dedup(gated)
+               .select(F.col("keep_id").alias("doc_id"))
+               .localCheckpoint())  # id-list boundary 1
     exact = gated.join(keepers, "doc_id", "left_semi")
 
     # Stage 3 — near-dedup: exact 3-gram Jaccard pairs via the
     # prefix-filtered ssjoin; drop the larger id of every pair.
-    pairs = D.ngram_jaccard_pairs(exact)
-    near = exact.join(pairs.select(F.col("id_b").alias("doc_id")).distinct(),
-                      "doc_id", "left_anti")
+    drops = (D.ngram_jaccard_pairs(exact)
+             .select(F.col("id_b").alias("doc_id")).distinct()
+             .localCheckpoint())  # id-list boundary 2
+    near = exact.join(drops, "doc_id", "left_anti")
 
     # Stage 4 — decontamination against the held-out eval split.
     flags = decontaminate(near, eval_docs)
-    clean_ids = flags.where(~F.col("contaminated")).select("doc_id")
+    clean_ids = (flags.where(~F.col("contaminated")).select("doc_id")
+                 .localCheckpoint())  # id-list boundary 3
     survivors = near.join(clean_ids, "doc_id", "left_semi")
 
     # Stage 5 — pack the surviving corpus into training sequences.

@@ -208,3 +208,128 @@ def generated_big_customer_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_fixed_gap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from windowsession_using_kafka_flink_docker_spark.sources.bucketed import bucketed_events
     return sessionize(bucketed_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------
+# Session-window top-N (promoted from plans/staging_r15.py in r15 per
+# tools/promote_staging.py's PROMOTEPLAN): the reference's session
+# aggregate (flink_stream_task1.py:48-75) extended with ranking — the
+# "who are the heaviest sessions" question every session pipeline
+# eventually asks. Sums are EXACT BIGINT cents, not ROUND(double, 2),
+# so the engines' half-cent rounding split (BASELINE.md round-13
+# close) can never reorder a ranking.
+
+#: Gaps-and-islands sessionization over exact cents — the shared CTE
+#: skeleton of the top-N oracles (sessionize_oracle_sql's islands logic
+#: with BIGINT cents instead of ROUND(sum, 2)).
+_SESS_CENTS_CTE = """
+WITH flagged AS (
+  SELECT user_id, ts AS _ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c, event_id AS _tb,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1000000 * 30
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, _ts, _c,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY _ts, _tb
+                         ROWS UNBOUNDED PRECEDING) AS _sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, MIN(_ts) AS session_start,
+         CAST(SUM(_c) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS event_count
+  FROM islands GROUP BY user_id, _sid
+)
+"""
+
+
+def _sessions_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 s fixed-gap sessions with EXACT cent sums — the Spark twin of
+    ``_SESS_CENTS_CTE``'s ``sess`` table (same session_window semantics
+    as operators/sessionize.py, re-aggregated because the public entry
+    emits ROUND(double, 2) sums, which must not feed a ranking)."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 seconds"))
+        .agg(F.sum(cents).alias("sum_cents"),
+             F.count(F.lit(1)).cast("long").alias("event_count"))
+        .select("user_id",
+                F.col("session_window.start").alias("session_start"),
+                "sum_cents", "event_count")
+    )
+
+
+@register(
+    "session_top2_per_user",
+    oracle=_SESS_CENTS_CTE + """
+SELECT user_id, CAST(rk AS INTEGER) AS rk, session_start, sum_cents,
+       event_count
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY sum_cents DESC, session_start) AS rk
+  FROM sess)
+WHERE rk <= 2
+""",
+    description="Per-user top-2 sessions by EXACT cent sum (30 s fixed "
+                "gap; ties break to the earlier session) — the "
+                "session-window top-N pattern: one sessionization shuffle "
+                "on user_id, rank window reusing the same partitioning. "
+                "Cents (not ROUND(double,2)) feed the ranking so the "
+                "engines' half-cent rounding split (BASELINE.md round-13 "
+                "close) can never reorder it.",
+    tags=("session", "window", "topn"),
+)
+def session_top2_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-2 sessions by exact cent sum (ties: earlier session
+    first). One sessionization shuffle on user_id, then the rank window
+    reuses the same partitioning — no second exchange at scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("sum_cents"), F.asc("session_start"))
+    return (_sessions_cents(spark, sf_dir)
+            .withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= 2)
+            .select("user_id", "rk", "session_start", "sum_cents",
+                    "event_count"))
+
+
+@register(
+    "session_top10_global",
+    oracle=_SESS_CENTS_CTE + """
+SELECT CAST(rk AS INTEGER) AS rk, user_id, session_start, sum_cents,
+       event_count
+FROM (
+  SELECT *, row_number() OVER (ORDER BY sum_cents DESC, user_id,
+                               session_start) AS rk
+  FROM sess)
+WHERE rk <= 10
+""",
+    description="Global top-10 sessions by exact cent sum with a total "
+                "deterministic order (sum desc, user, start) — "
+                "orderBy+limit plans as TakeOrderedAndProject "
+                "(per-partition top-k + 10-row merge), never a "
+                "fact-scale single-partition sort.",
+    tags=("session", "window", "topn"),
+)
+def session_top10_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 sessions by exact cent sum (ties: user, start).
+    orderBy + limit plans as TakeOrderedAndProject — per-partition
+    top-10 then a 10-row merge, never a fact-scale single-partition
+    sort; the 10-row rank window after the limit is free."""
+    from pyspark.sql import Window
+
+    top = (_sessions_cents(spark, sf_dir)
+           .orderBy(F.desc("sum_cents"), F.asc("user_id"),
+                    F.asc("session_start"))
+           .limit(10))
+    w = Window.orderBy(F.desc("sum_cents"), F.asc("user_id"),
+                       F.asc("session_start"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rk"),
+        "user_id", "session_start", "sum_cents", "event_count")

@@ -11,11 +11,8 @@ perturb a certified entry's fingerprint closure.
 Drafted families (the M6 c candidates):
 
 1. Session-window top-N — ``session_top2_per_user`` and
-   ``session_top10_global``: sessionization re-aggregated over exact
-   BIGINT cents (dodging the known sf0.1 half-cent ROUND tie,
-   BASELINE.md round-13 close) ranked per-user / globally with
-   deterministic tiebreaks. The global form uses orderBy+limit
-   (TakeOrderedAndProject — no fact-scale single-partition sort).
+   ``session_top10_global``: PROMOTED to plans/parity.py in r15 per
+   PROMOTEPLAN (staging copies deleted).
 2. Grouped time-series cross-correlation —
    ``event_type_crosscorr``: lag-0/1/2 Pearson cross-correlation
    between DAILY COUNT series of event-type pairs, the
@@ -48,117 +45,25 @@ Drafted families (the M6 c candidates):
    partition-pruned postings reads (PartitionFilters: bucket IN
    (...)); oracle = from-scratch single-pass BM25 over all documents.
 7. A registered-entry REWRITE queued for r15 —
-   ``curation_pipeline_e2e_fused``: the 8-scan funnel plan collapsed
-   to ONE corpus scan via localCheckpoint boundaries (the r14 plan
-   audit's finding); value-identical to the registered entry, swapped
-   in when the window can absorb the changed-entry recertification.
+   ``curation_pipeline_e2e``: LANDED in r15 (the registered entry in
+   plans/curation.py is now the single-scan fused version).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from windowsession_using_kafka_flink_docker_spark.operators import similarity as S
 from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
 
-#: Gaps-and-islands sessionization over exact cents — the shared CTE
-#: skeleton of the top-N oracles (sessionize_oracle_sql's islands logic
-#: with BIGINT cents instead of ROUND(sum, 2), so ranking by sum can
-#: never hit the engines' half-cent rounding split).
-_SESS_CENTS_CTE = """
-WITH flagged AS (
-  SELECT user_id, ts AS _ts,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c, event_id AS _tb,
-         CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1000000 * 30
-              THEN 1 ELSE 0 END AS _new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-islands AS (
-  SELECT user_id, _ts, _c,
-         SUM(_new) OVER (PARTITION BY user_id ORDER BY _ts, _tb
-                         ROWS UNBOUNDED PRECEDING) AS _sid
-  FROM flagged
-),
-sess AS (
-  SELECT user_id, MIN(_ts) AS session_start,
-         CAST(SUM(_c) AS BIGINT) AS sum_cents,
-         CAST(COUNT(*) AS BIGINT) AS event_count
-  FROM islands GROUP BY user_id, _sid
-)
-"""
-
-
-def _sessions_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30 s fixed-gap sessions with EXACT cent sums — the Spark twin of
-    ``_SESS_CENTS_CTE``'s ``sess`` table (same session_window semantics
-    as operators/sessionize.py, re-aggregated because the public entry
-    emits ROUND(double, 2) sums, which must not feed a ranking)."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 seconds"))
-        .agg(F.sum(cents).alias("sum_cents"),
-             F.count(F.lit(1)).cast("long").alias("event_count"))
-        .select("user_id",
-                F.col("session_window.start").alias("session_start"),
-                "sum_cents", "event_count")
-    )
-
-
-def session_top2_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user top-2 sessions by exact cent sum (ties: earlier session
-    first). One sessionization shuffle on user_id, then the rank window
-    reuses the same partitioning — no second exchange at scale."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("sum_cents"), F.asc("session_start"))
-    return (_sessions_cents(spark, sf_dir)
-            .withColumn("rk", F.row_number().over(w).cast("int"))
-            .where(F.col("rk") <= 2)
-            .select("user_id", "rk", "session_start", "sum_cents",
-                    "event_count"))
-
-
-SESSION_TOP2_PER_USER_ORACLE = _SESS_CENTS_CTE + """
-SELECT user_id, CAST(rk AS INTEGER) AS rk, session_start, sum_cents,
-       event_count
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY user_id
-                               ORDER BY sum_cents DESC, session_start) AS rk
-  FROM sess)
-WHERE rk <= 2
-"""
-
-
-def session_top10_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-10 sessions by exact cent sum (ties: user, start).
-    orderBy + limit plans as TakeOrderedAndProject — per-partition
-    top-10 then a 10-row merge, never a fact-scale single-partition
-    sort; the 10-row rank window after the limit is free."""
-    top = (_sessions_cents(spark, sf_dir)
-           .orderBy(F.desc("sum_cents"), F.asc("user_id"),
-                    F.asc("session_start"))
-           .limit(10))
-    w = Window.orderBy(F.desc("sum_cents"), F.asc("user_id"),
-                       F.asc("session_start"))
-    return top.select(
-        F.row_number().over(w).cast("int").alias("rk"),
-        "user_id", "session_start", "sum_cents", "event_count")
-
-
-SESSION_TOP10_GLOBAL_ORACLE = _SESS_CENTS_CTE + """
-SELECT CAST(rk AS INTEGER) AS rk, user_id, session_start, sum_cents,
-       event_count
-FROM (
-  SELECT *, row_number() OVER (ORDER BY sum_cents DESC, user_id,
-                               session_start) AS rk
-  FROM sess)
-WHERE rk <= 10
-"""
+# The session top-N pair (session_top2_per_user, session_top10_global)
+# was PROMOTED to plans/parity.py in r15 per PROMOTEPLAN — the staging
+# copies are deleted, not kept as shims.
 
 
 def event_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,11 +139,42 @@ WHERE m >= 8 AND m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
 """
 
 
-def _index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Deterministic per-(app, corpus) export location outside the repo."""
+#: appId -> private scratch root (created once per app, 0700).
+_STAGING_ROOTS: dict[str, str] = {}
+
+
+def _staging_root(spark: SparkSession) -> str:
+    """Private per-app scratch root for staged index exports: a
+    ``mkdtemp`` (mode 0700, unpredictable suffix) under
+    ``spark.graft.staging.dir`` if configured, else ``spark.local.dir``,
+    else the system temp dir — never a fixed world-writable path (r14
+    ADVICE: a predictable shared-tmp location accumulates without bound
+    across bench/test runs and is spoofable on multi-user hosts).
+    Entries remove their export dir via :func:`_drop_export` as soon as
+    the result is eagerly materialized."""
     app = spark.sparkContext.applicationId
+    root = _STAGING_ROOTS.get(app)
+    if root is None or not os.path.isdir(root):
+        base = (spark.conf.get("spark.graft.staging.dir", None)
+                or spark.sparkContext.getConf()
+                .get("spark.local.dir", tempfile.gettempdir())
+                .split(",")[0])
+        os.makedirs(base, exist_ok=True)
+        root = tempfile.mkdtemp(prefix=f"graft_stage_{app}_", dir=base)
+        _STAGING_ROOTS[app] = root
+    return root
+
+
+def _drop_export(path: str) -> None:
+    """Delete an index export once the entry's result is eagerly
+    materialized (localCheckpoint) — the files are dead weight after."""
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(app, corpus) export location outside the repo."""
     leaf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join("/tmp/spark_graft_staging", app, f"ivf_{leaf}")
+    return os.path.join(_staging_root(spark), f"ivf_{leaf}")
 
 
 def ivf_export(index: "S.IvfIndex", spark: SparkSession, path: str) -> None:
@@ -287,13 +223,16 @@ def ivf_index_persist_roundtrip(spark: SparkSession,
                  .withColumn("_hit", F.lit(1)))
     agree = fresh.join(persisted.drop("_hit"), ["query_id", "match_id"],
                        "left_semi").count()
-    return (exact.join(persisted, ["query_id", "match_id"], "left")
-            .agg(F.countDistinct("query_id").alias("n_queries"),
-                 F.count(F.lit(1)).alias("exact_pairs"),
-                 F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
-                 .alias("persisted_hits"))
-            .withColumn("fresh_persisted_agree",
-                        F.lit(agree).cast("long")))
+    out = (exact.join(persisted, ["query_id", "match_id"], "left")
+           .agg(F.countDistinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("exact_pairs"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+                .alias("persisted_hits"))
+           .withColumn("fresh_persisted_agree",
+                       F.lit(agree).cast("long"))
+           .localCheckpoint(eager=True))  # 1 row — frees the export
+    _drop_export(path)
+    return out
 
 
 IVF_INDEX_PERSIST_ROUNDTRIP_ORACLE = """
@@ -519,104 +458,17 @@ LEFT JOIN before b ON b.user_id = l.user_id
 """
 
 
-def curation_pipeline_e2e_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SINGLE-SCAN rewrite of the registered ``curation_pipeline_e2e``
-    (plans/curation.py) — the r14 plan audit found the fused funnel's
-    plan re-derives the quality-gated frame from the documents parquet
-    at every semi/anti stage boundary, 8 scans in one plan
-    (tests/test_plan_quality.py::test_curation_e2e_stage_fusion_shape;
-    SCALING.md round-14 finding). At 100 TB that is eight corpus reads.
-
-    The fix, drafted here because r14 is catalog-frozen (an edit to the
-    registered entry could not recertify before r15): localCheckpoint
-    the synthesized corpus ONCE right after the scan, then let every
-    stage — gate, exact dedup, ssjoin near-dedup, decontamination,
-    packing — derive from the materialized blocks. The three id-list
-    boundaries (exact keepers, near-dup drops, contamination drops) are
-    checkpointed too, so the final plan is shallow joins over one
-    in-memory corpus plus key-sized intermediates: ONE corpus scan
-    total. Same stages, same helpers, same oracle — byte-identical
-    results to the registered entry (asserted in
-    tests/test_staging_r15.py).
-
-    Scale note: localCheckpoint truncates lineage into executor-local
-    blocks (lost-executor ⇒ job retry from the scan); on a real cluster
-    swap it for a reliable ``checkpoint()`` dir or accept the retry —
-    either way 1 write + 7 block reads beats 8 corpus scans."""
-    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
-    from windowsession_using_kafka_flink_docker_spark.plans import curation as C
-
-    docs = (load_table(spark, sf_dir, "documents")
-            .select("doc_id", "lang", C._e2e_text().alias("text"),
-                    (F.col("doc_id") % C._EVAL_MOD == 0).alias("is_eval"))
-            .localCheckpoint())  # <- the one and only corpus scan
-    train = docs.where(~F.col("is_eval")).drop("is_eval")
-    eval_docs = docs.where(F.col("is_eval")).drop("is_eval")
-
-    w = F.split(F.trim("text"), r"\s+")
-    toks = train.select("doc_id", "lang", "text", w.alias("_w"))
-    n = F.size("_w")
-    stop_arr = F.array(*[F.lit(s) for s in C._STOPWORDS])
-    gated = toks.where(
-        n.between(50, 100_000)
-        & (F.aggregate("_w", F.lit(0), lambda a, x: a + F.length(x)) / n)
-        .between(3, 10)
-        & (F.size(F.filter("_w", lambda x: x.rlike("[a-zA-Z]"))) / n > 0.8)
-        & (F.size(F.filter("_w", lambda x: (x == "#") | (x == "..."))) / n
-           < 0.1)
-        & (F.size(F.array_distinct(
-            F.filter("_w", lambda x: F.array_contains(stop_arr, F.lower(x)))))
-           >= C._E2E_MIN_STOPWORDS)
-    ).select("doc_id", "lang", "text")
-
-    keepers = (D.exact_dedup(gated)
-               .select(F.col("keep_id").alias("doc_id"))
-               .localCheckpoint())  # id-list boundary 1
-    exact = gated.join(keepers, "doc_id", "left_semi")
-
-    drops = (D.ngram_jaccard_pairs(exact)
-             .select(F.col("id_b").alias("doc_id")).distinct()
-             .localCheckpoint())  # id-list boundary 2
-    near = exact.join(drops, "doc_id", "left_anti")
-
-    flags = C.decontaminate(near, eval_docs)
-    clean_ids = (flags.where(~F.col("contaminated")).select("doc_id")
-                 .localCheckpoint())  # id-list boundary 3
-    survivors = near.join(clean_ids, "doc_id", "left_semi")
-
-    return C.pack_sequences(survivors)
-
-
-#: Registered-entry rewrites queued for r15 (name -> replacement fn).
-#: Each must be value-identical to the current registered entry and
-#: pass the SAME oracle; landing one flags the entry changed, which
-#: front-loads it into the next driver window (plans/catalog.py
-#: change-aware rotation) — exactly one round of uncertified drift,
-#: spent deliberately when the window can absorb it.
-REWRITES = {
-    "curation_pipeline_e2e": curation_pipeline_e2e_fused,
-}
+# The curation_pipeline_e2e single-scan rewrite LANDED in r15: the
+# registered entry in plans/curation.py now IS the fused version (one
+# localCheckpointed corpus scan + checkpointed id-list boundaries); the
+# staged draft and the REWRITES queue are deleted, and the entry's
+# changed-fingerprint front-loads it into the r15 driver window.
+REWRITES: dict = {}
 
 
 #: name -> (spark_fn, oracle_sql, description, tags) — the exact shape
 #: r15's @register calls will take; kept OUT of the catalog until then.
 STAGED = {
-    "session_top2_per_user": (
-        session_top2_per_user, SESSION_TOP2_PER_USER_ORACLE,
-        "Per-user top-2 sessions by EXACT cent sum (30 s fixed gap; "
-        "ties break to the earlier session) — the session-window top-N "
-        "pattern: one sessionization shuffle on user_id, rank window "
-        "reusing the same partitioning. Cents (not ROUND(double,2)) "
-        "feed the ranking so the engines' half-cent rounding split "
-        "(BASELINE.md round-13 close) can never reorder it.",
-        ("session", "window", "topn")),
-    "session_top10_global": (
-        session_top10_global, SESSION_TOP10_GLOBAL_ORACLE,
-        "Global top-10 sessions by exact cent sum with a total "
-        "deterministic order (sum desc, user, start) — orderBy+limit "
-        "plans as TakeOrderedAndProject (per-partition top-k + 10-row "
-        "merge), never a fact-scale single-partition sort.",
-        ("session", "window", "topn")),
     "event_type_crosscorr": (
         event_type_crosscorr, EVENT_TYPE_CROSSCORR_ORACLE,
         "Directed event-type pairs' daily-count cross-correlation at "
@@ -812,11 +664,12 @@ def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % _DELTA_MOD != _DELTA_OFF)
     delta = docs.where(F.col("doc_id") % _DELTA_MOD == _DELTA_OFF)
-    app = spark.sparkContext.applicationId
     leaf = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join("/tmp/spark_graft_staging", app, f"ndidx_{leaf}")
+    path = os.path.join(_staging_root(spark), f"ndidx_{leaf}")
     neardup_index_export(spark, corpus, path)
-    return neardup_index_probe(spark, path, delta)
+    out = neardup_index_probe(spark, path, delta)  # eager checkpoint
+    _drop_export(path)
+    return out
 
 
 def _nd_perm_values() -> str:
@@ -914,96 +767,34 @@ STAGED["incremental_neardup_probe"] = (
 # BM25 over all documents — which is exactly what the oracle computes.
 
 _BM_DELTA_MOD, _BM_DELTA_OFF = 8, 5   # ~12.5% of docs arrive late
-_BM_BUCKETS = 32
 _BM_TERMS = ("merge", "window", "hash")
-_BM_K1, _BM_B, _BM_K = 1.2, 0.75, 10
+_BM_K = 10
 
-
-def _bm25_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(postings, doclens) for a document frame: postings = (doc_id,
-    tok, tf, bucket) over ALL tokens — the real inverted index, with a
-    token-hash bucket as the partition key so a |q|-term query prunes
-    to <= |q| directories; doclens = (doc_id, dl)."""
-    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
-        normalized_text,
-    )
-
-    base = docs.select(
-        "doc_id", F.split(normalized_text("text"), " ").alias("_t"))
-    doclens = base.select("doc_id", F.size("_t").alias("dl"))
-    postings = (base.select("doc_id", F.explode("_t").alias("tok"))
-                .groupBy("doc_id", "tok")
-                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-                .withColumn("bucket",
-                            F.pmod(F.hash("tok"), F.lit(_BM_BUCKETS))))
-    return postings, doclens
-
-
-def bm25_index_export(spark: SparkSession, docs: DataFrame,
-                      path: str) -> None:
-    """Build and persist the postings index for a corpus."""
-    postings, doclens = _bm25_postings(docs)
-    (postings.write.mode("overwrite").partitionBy("bucket")
-     .parquet(os.path.join(path, "postings")))
-    doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
-
-
-def bm25_index_append(spark: SparkSession, path: str,
-                      delta: DataFrame) -> None:
-    """Append a new document batch's OWN postings to the index — the
-    existing corpus is never re-tokenized (doc_ids are unique across
-    batches, so increments are disjoint row-appends; production runs
-    would version increments for replay-idempotence the way the
-    maintainers' _VersionedState does)."""
-    postings, doclens = _bm25_postings(delta)
-    (postings.write.mode("append").partitionBy("bucket")
-     .parquet(os.path.join(path, "postings")))
-    doclens.write.mode("append").parquet(os.path.join(path, "doclens"))
+# The index primitives live in operators/bm25_index.py (shared with the
+# streaming BM25 index maintainer #25, which must not import the plans
+# layer — the operators/session_store.py precedent); the staging names
+# below are the same objects. Constants re-exported for the oracle and
+# the tests.
+from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (  # noqa: E402
+    BM25_B as _BM_B,
+    BM25_BUCKETS as _BM_BUCKETS,
+    BM25_K1 as _BM_K1,
+    bm25_index_append,
+    bm25_index_export,
+    increments as _bm25_increments,
+)
+from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (  # noqa: E402
+    bm25_from_index as _bm25_from_index_impl,
+)
 
 
 def bm25_from_index(spark: SparkSession, path: str,
                     terms: tuple[str, ...] = _BM_TERMS,
                     k: int = _BM_K) -> DataFrame:
-    """Score a query FROM THE INDEX ALONE — no document text is read.
-    The postings scan filters on the partition column ``bucket`` (<=
-    |terms| directories survive pruning) and then on ``tok``; corpus
-    stats (N, avgdl) aggregate the narrow doclens frame (a serving
-    tier keeps them precomputed); df/idf come from the pruned
-    postings. Same score expression + ROUND(.,4)-then-id ordering as
-    operators/text_analysis.py:bm25_topk."""
-    for comp in ("postings", "doclens"):
-        if not os.path.exists(os.path.join(path, comp, "_SUCCESS")):
-            raise ValueError(
-                f"bm25 index under {path} is missing a committed "
-                f"{comp!r} component — re-export before querying")
-    # bucket ids for the query terms, computed with the SAME hash the
-    # writer used (one tiny Spark job; |terms| rows)
-    buckets = [r.b for r in spark.createDataFrame(
-        [(t,) for t in terms], "tok STRING")
-        .select(F.pmod(F.hash("tok"), F.lit(_BM_BUCKETS)).alias("b"))
-        .collect()]
-
-    postings = (spark.read.parquet(os.path.join(path, "postings"))
-                .where(F.col("bucket").isin(buckets))
-                .where(F.col("tok").isin(list(terms))))
-    doclens = spark.read.parquet(os.path.join(path, "doclens"))
-    stats = doclens.agg(F.count(F.lit(1)).alias("_n"),
-                        F.avg("dl").alias("_avgdl"))
-    dft = postings.groupBy("tok").agg(
-        F.countDistinct("doc_id").alias("_df"))
-    idf = F.log(F.lit(1.0)
-                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
-    tf_part = (F.col("tf") * (_BM_K1 + 1.0)) / (
-        F.col("tf") + _BM_K1 * (1.0 - _BM_B
-                                + _BM_B * F.col("dl") / F.col("_avgdl")))
-    scored = (postings.join(doclens, "doc_id")
-              .join(F.broadcast(dft), "tok")
-              .crossJoin(F.broadcast(stats))
-              .groupBy("doc_id")
-              .agg(F.sum(idf * tf_part).alias("_s")))
-    return (scored.select("doc_id", F.round("_s", 4).alias("bm25"))
-            .orderBy(F.desc("bm25"), "doc_id")
-            .limit(k))
+    """operators/bm25_index.py:bm25_from_index with this entry's query
+    terms and k as defaults (see that module for the pruning contract
+    and the torn-index guard)."""
+    return _bm25_from_index_impl(spark, path, terms, k)
 
 
 def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,12 +804,13 @@ def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % _BM_DELTA_MOD != _BM_DELTA_OFF)
     delta = docs.where(F.col("doc_id") % _BM_DELTA_MOD == _BM_DELTA_OFF)
-    app = spark.sparkContext.applicationId
     leaf = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join("/tmp/spark_graft_staging", app, f"bm25_{leaf}")
+    path = os.path.join(_staging_root(spark), f"bm25_{leaf}")
     bm25_index_export(spark, corpus, path)
     bm25_index_append(spark, path, delta)
-    return bm25_from_index(spark, path)
+    out = bm25_from_index(spark, path).localCheckpoint(eager=True)  # k rows
+    _drop_export(path)
+    return out
 
 
 def _bm25_oracle() -> str:
