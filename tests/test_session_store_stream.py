@@ -236,3 +236,122 @@ def test_late_arrival_dead_letter_quarantines_and_continues(
     want = _rows(_sessions_full(late_half.select(*_COLS)).unionByName(
         _sessions_full(clean_early.select(*_COLS))))
     assert _rows(maint.current()) == want
+
+
+def _cents_atoms(df):
+    """Raw events as degenerate session atoms [ts, ts]."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return df.select(
+        "user_id", F.col("ts").alias("session_start"),
+        F.col("ts").alias("session_end"), cents.alias("sum_cents"),
+        F.lit(1).cast("long").alias("event_count"))
+
+
+def _quarantined_maintainer(spark, sf_dir, tmp_path_factory):
+    """Store from the time-late half (batch 0), then the early half
+    (batch 1) arrives late: overlapping users quarantine. Returns
+    (maintainer, all-events frame)."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    late_half = ev.where(F.col("ts") >= F.lit(cutoff))
+    early_half = ev.where(F.col("ts") < F.lit(cutoff))
+    maint = IncrementalSessionStoreMaintainer(
+        spark, str(tmp_path_factory.mktemp("drain_state")),
+        dead_letter_dir=str(tmp_path_factory.mktemp("drain_dlq")))
+    maint.merge_batch(late_half, 0)
+    maint.merge_batch(early_half, 1)   # overlapping users -> quarantine
+    return maint, ev
+
+
+def test_resessionize_atoms_equals_full_recompute(spark, sf_dir):
+    """The drain's repair primitive: stored sessions (from the ontime
+    subset) re-sessionized together with the withheld events as
+    interval atoms must equal sessionizing ALL events from scratch —
+    including events nesting inside stored spans and bridge events
+    (every 19th event withheld, the late_event_session_repair plant)."""
+    from windowsession_using_kafka_flink_docker_spark.operators.session_store import (
+        resessionize_atoms,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    is_late = F.col("event_id") % 19 == 3
+    store = _sessions_full(ev.where(~is_late))
+    atoms = store.unionByName(_cents_atoms(ev.where(is_late)))
+    assert _rows(resessionize_atoms(atoms)) == _rows(_sessions_full(ev))
+
+
+def test_dead_letter_drain_restores_full_recompute(spark, sf_dir,
+                                                   tmp_path_factory):
+    """repair_from_dead_letter drains the quarantine back into the
+    store: backlog is visible beforehand (disk-derived, so a FRESH
+    maintainer instance sees it too), the drained store equals
+    sessionizing every event from scratch, and the drain is a no-op
+    once the quarantine is empty."""
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+
+    backlog = maint.dead_letter_backlog()
+    assert backlog > 0
+    # a restarted job sees the same backlog from disk
+    fresh = IncrementalSessionStoreMaintainer(
+        spark, maint.state.state_dir, dead_letter_dir=maint.dead_letter_dir)
+    assert fresh.dead_letter_backlog() == backlog
+
+    drained = maint.repair_from_dead_letter()
+    assert drained == backlog
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+    assert maint.dead_letter_backlog() == 0
+    assert maint.repair_from_dead_letter() == 0
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+
+
+def test_drain_crash_after_commit_never_double_counts(spark, sf_dir,
+                                                      tmp_path_factory):
+    """Step-4 crash: the repaired v=N committed but the letters and the
+    pre-drain backup survived. Re-draining must recognize the letters
+    as already folded (backup beside a committed target) and ONLY clean
+    up — re-applying them would double-count every late event's cents."""
+    import shutil as sh
+
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    letters = maint._dead_letter_batches()
+    saved = str(tmp_path_factory.mktemp("saved_letters"))
+    for d in letters:
+        sh.copytree(os.path.join(maint.dead_letter_dir, d),
+                    os.path.join(saved, d))
+
+    assert maint.repair_from_dead_letter() > 0
+    want = _rows(_sessions_full(ev))
+    assert _rows(maint.current()) == want
+
+    # resurrect the crash state: letters back + backup beside v=N
+    for d in letters:
+        sh.copytree(os.path.join(saved, d),
+                    os.path.join(maint.dead_letter_dir, d))
+    versions = maint.state.versions()
+    sh.copytree(os.path.join(maint.state.state_dir, f"v={versions[-1]}"),
+                os.path.join(maint.state.state_dir,
+                             f"pre_drain_v={versions[-1]}"))
+
+    assert maint.repair_from_dead_letter() == 0  # folded already
+    assert _rows(maint.current()) == want        # no double count
+    assert maint.dead_letter_backlog() == 0
+    assert maint._pre_drain_leaf() is None
+
+
+def test_drain_crash_mid_write_recovers_from_backup(spark, sf_dir,
+                                                    tmp_path_factory):
+    """Step-3 crash: the newest version was renamed to the pre-drain
+    backup and the repaired write never committed. Re-draining must
+    repair FROM THE BACKUP (current() alone would silently drop the
+    last merged batch) and converge to the full recompute."""
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    versions = maint.state.versions()
+    os.rename(os.path.join(maint.state.state_dir, f"v={versions[-1]}"),
+              os.path.join(maint.state.state_dir,
+                           f"pre_drain_v={versions[-1]}"))
+    assert maint.state.versions() != versions  # target torn/missing
+
+    assert maint.repair_from_dead_letter() > 0
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+    assert maint.dead_letter_backlog() == 0
+    assert maint._pre_drain_leaf() is None

@@ -51,6 +51,49 @@ def continuation_cutoff(ev: DataFrame, gap_s: float = GAP_S):
     return cont.agg(F.max("ts")).first()[0]
 
 
+def resessionize_atoms(atoms: DataFrame, gap_s: float = GAP_S) -> DataFrame:
+    """Gaps-and-islands over session ATOMS — rows shaped like the store
+    (user_id, session_start, session_end, sum_cents, event_count),
+    where a raw event is the degenerate atom [ts, ts] with its own
+    cents and count 1. Returns the same shape with overlapping /
+    within-gap atoms fused (boundary inclusive, matching
+    ``session_window``).
+
+    This is the repair primitive the dead-letter drain needs: a store's
+    sessions for one user are maximal runs separated by > gap, so
+    re-sessionizing {stored atoms} ∪ {late-event atoms} equals
+    re-sessionizing the user's full raw history — a late event can only
+    extend a session, open its own, or bridge two (it can never SPLIT
+    one), so no information beyond the stored partials is required.
+    Proven against the full recompute in
+    tests/test_session_store_stream.py.
+
+    Scale: one shuffle on user_id; the window runs over per-user atom
+    counts (store sessions + late events of that user — ingest-sized,
+    never corpus-sized). Island detection uses the RUNNING MAX of
+    prior ends, not lag, because a late atom can nest entirely inside
+    a stored span."""
+    w = Window.partitionBy("user_id").orderBy("session_start",
+                                              "session_end")
+    prev_max_end = F.max("session_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = atoms.withColumn(
+        "_new",
+        F.when(prev_max_end.isNull(), F.lit(1))
+        .when(F.col("session_start").cast("double")
+              - prev_max_end.cast("double") > gap_s, F.lit(1))
+        .otherwise(F.lit(0)))
+    islands = flagged.withColumn(
+        "_sid", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy("user_id", "_sid")
+            .agg(F.min("session_start").alias("session_start"),
+                 F.max("session_end").alias("session_end"),
+                 F.sum("sum_cents").alias("sum_cents"),
+                 F.sum("event_count").cast("long").alias("event_count"))
+            .drop("_sid"))
+
+
 def merge_session_store(store: DataFrame, fresh: DataFrame,
                         gap_s: float = GAP_S) -> DataFrame:
     """Merge a persisted session store with the sessions of a strictly

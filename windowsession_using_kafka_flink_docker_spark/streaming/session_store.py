@@ -39,6 +39,7 @@ _VersionedState, shared replay/crash semantics).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,6 +47,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from windowsession_using_kafka_flink_docker_spark.operators.session_store import (
     merge_session_store,
+    resessionize_atoms,
     sessions_full,
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
@@ -98,9 +100,127 @@ class IncrementalSessionStoreMaintainer:
             (batch_df.join(late_users, "user_id", "left_semi")
              .write.mode("overwrite")
              .parquet(os.path.join(self.dead_letter_dir, f"b={batch_id}")))
+            # Surface the backlog (r14 ADVICE: silently-stale store rows
+            # otherwise degrade the served table with no signal): the
+            # continuous job reads dead_letter_backlog() and alerts /
+            # schedules repair_from_dead_letter() on non-empty.
+            print(f"session_store: batch {batch_id} quarantined "
+                  f"{n_late} late user(s); backlog now "
+                  f"{self.dead_letter_backlog()} row(s) pending "
+                  "repair_from_dead_letter()")
             fresh = (fresh.join(late_users, "user_id", "left_anti")
                      .localCheckpoint())
         self.state.write(batch_id, merge_session_store(prev, fresh))
+
+    def _dead_letter_batches(self) -> list[str]:
+        if not self.dead_letter_dir \
+                or not os.path.isdir(self.dead_letter_dir):
+            return []
+        return sorted(d for d in os.listdir(self.dead_letter_dir)
+                      if d.startswith("b="))
+
+    def dead_letter_backlog(self) -> int:
+        """Quarantined event rows pending repair — derived from DISK
+        (not an in-memory counter), so a restarted job still sees the
+        backlog; 0 when no dead letters exist. The serving-health
+        signal to alert on alongside ``current()``."""
+        dirs = self._dead_letter_batches()
+        if not dirs:
+            return 0
+        return self.spark.read.parquet(
+            *[os.path.join(self.dead_letter_dir, d) for d in dirs]).count()
+
+    _PRE_DRAIN = "pre_drain_v"
+
+    def _pre_drain_leaf(self) -> str | None:
+        names = [n for n in os.listdir(self.state.state_dir)
+                 if n.startswith(self._PRE_DRAIN + "=")]
+        return names[0] if names else None
+
+    def repair_from_dead_letter(self) -> int:
+        """Drain the quarantine back into the store (run while the
+        streaming query is stopped — the maintain-job-restart moment).
+        Each quarantined user's stored session rows are re-sessionized
+        TOGETHER with their quarantined raw events as interval atoms
+        (operators/session_store.py:resessionize_atoms — equivalent to
+        re-sessionizing the user's full raw history, because stored
+        sessions are maximal > gap-separated runs and a late event can
+        only extend, open, or bridge, never split). Untouched users'
+        rows are copied, never recomputed. Returns the number of late
+        events drained (0 for a clean quarantine).
+
+        Crash-safety — the repaired table REPLACES the newest state
+        version in place (so the version space stays aligned with the
+        stream's batch ids: the next batch's ``latest_before`` sees the
+        repaired store), made safe by a rename protocol:
+
+        1. materialize the repaired table (localCheckpoint — no file
+           dependency on the state dir);
+        2. rename ``v=N`` -> ``pre_drain_v=N`` (atomic; the name does
+           not start with ``v=`` so version listing never parses it);
+        3. write the repaired table to a fresh ``v=N`` (torn write =>
+           no ``_SUCCESS`` => invisible);
+        4. delete the letter dirs, THEN the pre-drain backup.
+
+        Every crash point re-enters cleanly on the next drain call: a
+        committed ``v=N`` beside a surviving backup means step 4 was
+        interrupted (finish the deletes — the letters are already
+        folded, so they are NOT re-applied and can never double-count);
+        a torn/missing ``v=N`` beside a backup means step 3 was
+        interrupted (re-repair FROM THE BACKUP, which still carries its
+        committed ``_SUCCESS`` from its life as ``v=N``)."""
+        dirs = self._dead_letter_batches()
+        pre_leaf = self._pre_drain_leaf()
+        if pre_leaf is None and not dirs:
+            return 0
+
+        if pre_leaf is not None:
+            target = int(pre_leaf.split("=")[1])
+            pre_path = os.path.join(self.state.state_dir, pre_leaf)
+            if target in self.state.versions():
+                # step-4 crash: repaired v=N committed, cleanup pending —
+                # the letters are folded already; just finish deleting.
+                for d in dirs:
+                    shutil.rmtree(os.path.join(self.dead_letter_dir, d),
+                                  ignore_errors=True)
+                shutil.rmtree(pre_path, ignore_errors=True)
+                return 0
+            base = self.spark.read.schema(self._SCHEMA).parquet(pre_path)
+        else:
+            versions = self.state.versions()
+            target = versions[-1] if versions else 0
+            pre_path = None
+            base = self.state.current()
+
+        late = self.spark.read.parquet(
+            *[os.path.join(self.dead_letter_dir, d) for d in dirs])
+        n_late = late.count()
+        affected = late.select("user_id").distinct()
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        late_atoms = late.select(
+            "user_id", F.col("ts").alias("session_start"),
+            F.col("ts").alias("session_end"), cents.alias("sum_cents"),
+            F.lit(1).cast("long").alias("event_count"))
+        touched = base.join(affected, "user_id", "left_semi")
+        repaired = resessionize_atoms(touched.unionByName(late_atoms))
+        full = (base.join(affected, "user_id", "left_anti")
+                .unionByName(repaired)
+                .localCheckpoint(eager=True))  # step 1: no state-file deps
+
+        if pre_path is None:
+            pre_path = os.path.join(self.state.state_dir,
+                                    f"{self._PRE_DRAIN}={target}")
+            cur = os.path.join(self.state.state_dir, f"v={target}")
+            if os.path.isdir(cur):
+                os.rename(cur, pre_path)  # step 2: atomic backup
+            else:
+                pre_path = None  # empty store: nothing to back up
+        self.state.write(target, full)  # step 3
+        for d in dirs:  # step 4: letters first, backup last
+            shutil.rmtree(os.path.join(self.dead_letter_dir, d))
+        if pre_path is not None:
+            shutil.rmtree(pre_path, ignore_errors=True)
+        return n_late
 
     @staticmethod
     def _late_users(store: DataFrame, fresh: DataFrame) -> DataFrame:
