@@ -1,0 +1,173 @@
+"""Maintainer #25 (streaming/bm25_index.py): the BM25 postings index
+kept live from a document stream. stream==batch parity against both a
+one-shot index and the batch bm25_topk operator, restart resume on the
+same checkpoint, replay idempotence keyed on batch_id, torn-increment
+detection + heal-by-redelivery, and empty-batch neutrality."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (
+    bm25_from_index,
+    bm25_index_export,
+    increments,
+)
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+from windowsession_using_kafka_flink_docker_spark.streaming import (
+    IncrementalBm25IndexMaintainer,
+    file_events_source,
+    streaming_bm25_index_maintenance,
+)
+
+_SCHEMA = "doc_id BIGINT, text STRING"
+_TERMS = ("merge", "window", "hash")
+_K = 10
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _chunks(spark, sf_dir, base, n=3):
+    """documents split into n disjoint files by doc_id (no time order to
+    respect — index increments are disjoint doc sets by construction)."""
+    docs = _docs(spark, sf_dir)
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    for i in range(n):
+        d = os.path.join(base, f"c{i}")
+        docs.where(F.pmod("doc_id", F.lit(n)) == i).coalesce(1) \
+            .write.parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+    return flat
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r)
+                  for r in df.select(*sorted(df.columns)).collect())
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_equals_batch_and_one_shot_index(spark, sf_dir,
+                                                tmp_path_factory):
+    """Three streamed document batches: the maintained index must serve
+    the SAME top-k as (a) a one-shot index over all documents and (b)
+    the batch bm25_topk operator — the index increments are invisible
+    in the result."""
+    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+        bm25_topk,
+    )
+
+    base = str(tmp_path_factory.mktemp("bm25_stream"))
+    flat = _chunks(spark, sf_dir, base)
+    maint = IncrementalBm25IndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("bm25_idx")))
+    _drain(streaming_bm25_index_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1),
+        maint, str(tmp_path_factory.mktemp("bm25_ckpt"))))
+
+    assert len(maint.committed_increments()) == 3
+    got = _rows(maint.search(_TERMS, _K))
+
+    one_shot = str(tmp_path_factory.mktemp("bm25_oneshot"))
+    bm25_index_export(spark, _docs(spark, sf_dir), one_shot)
+    assert got == _rows(bm25_from_index(spark, one_shot, _TERMS, _K))
+    assert got == _rows(bm25_topk(_docs(spark, sf_dir), _TERMS, k=_K))
+
+
+def test_restart_resumes_on_same_checkpoint(spark, sf_dir,
+                                            tmp_path_factory):
+    """Process two files, stop, add the third, resume with a FRESH
+    maintainer on the same checkpoint+index: the final search equals
+    the one-shot index over everything."""
+    base = str(tmp_path_factory.mktemp("bm25_restart"))
+    flat = _chunks(spark, sf_dir, base)
+    held = os.path.join(base, "held.parquet")
+    os.rename(os.path.join(flat, "02.parquet"), held)
+
+    idx = str(tmp_path_factory.mktemp("bm25_idx2"))
+    ckpt = str(tmp_path_factory.mktemp("bm25_ckpt2"))
+    maint = IncrementalBm25IndexMaintainer(spark, idx)
+    _drain(streaming_bm25_index_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint, ckpt))
+    assert len(maint.committed_increments()) == 2
+
+    os.rename(held, os.path.join(flat, "02.parquet"))
+    maint2 = IncrementalBm25IndexMaintainer(spark, idx)
+    _drain(streaming_bm25_index_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint2, ckpt))
+    assert len(maint2.committed_increments()) == 3
+
+    one_shot = str(tmp_path_factory.mktemp("bm25_oneshot2"))
+    bm25_index_export(spark, _docs(spark, sf_dir), one_shot)
+    assert _rows(maint2.search(_TERMS, _K)) == \
+        _rows(bm25_from_index(spark, one_shot, _TERMS, _K))
+
+
+def test_replayed_batch_overwrites_its_own_increment(spark, sf_dir,
+                                                     tmp_path_factory):
+    """A re-delivered batch (crash between foreachBatch and checkpoint
+    commit) re-appends under the SAME inc=batch_id — the overwrite
+    leaves the increment set and the served scores unchanged."""
+    docs = _docs(spark, sf_dir)
+    d0 = docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    d1 = docs.where(F.pmod("doc_id", F.lit(3)) == 1)
+    maint = IncrementalBm25IndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("bm25_idx3")))
+    maint.append_batch(d0, 0)
+    maint.append_batch(d1, 1)
+    once = _rows(maint.search(_TERMS, _K))
+    maint.append_batch(d1, 1)  # crash-replay of batch 1
+    assert maint.committed_increments() == ["inc=00000", "inc=00001"]
+    assert _rows(maint.search(_TERMS, _K)) == once
+
+
+def test_torn_increment_detected_then_healed_by_redelivery(
+        spark, sf_dir, tmp_path_factory):
+    """An append interrupted between components (postings increment
+    landed, doclens increment missing) must fail the guard on read —
+    and the re-delivered batch must HEAL the index by overwriting both
+    components of its increment."""
+    docs = _docs(spark, sf_dir)
+    d0 = docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    d1 = docs.where(F.pmod("doc_id", F.lit(3)) == 1)
+    idx = str(tmp_path_factory.mktemp("bm25_idx4"))
+    maint = IncrementalBm25IndexMaintainer(spark, idx)
+    maint.append_batch(d0, 0)
+    maint.append_batch(d1, 1)
+    want = _rows(maint.search(_TERMS, _K))
+
+    shutil.rmtree(os.path.join(idx, "doclens", "inc=00001"))
+    with pytest.raises(ValueError, match="mismatched increments"):
+        maint.search(_TERMS, _K)
+
+    maint.append_batch(d1, 1)  # redelivery heals both components
+    assert _rows(maint.search(_TERMS, _K)) == want
+
+
+def test_empty_batch_writes_no_increment(spark, sf_dir,
+                                         tmp_path_factory):
+    docs = _docs(spark, sf_dir)
+    maint = IncrementalBm25IndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("bm25_idx5")))
+    maint.append_batch(docs, 0)
+    before = _rows(maint.search(_TERMS, _K))
+    maint.append_batch(docs.where(F.lit(False)), 1)
+    assert increments(maint.index_dir, "postings") == ["inc=00000"]
+    assert _rows(maint.search(_TERMS, _K)) == before

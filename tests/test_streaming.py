@@ -79,6 +79,23 @@ def _rows(df, exclude_sentinel: bool = True):
     )
 
 
+def _chrono_day_slices(ev, bounds=((1, 10), (11, 20), (21, 31))):
+    """CHRONOLOGICAL slices by day-of-month — only chronological
+    because the synthetic events span ONE calendar month (r14 ADVICE:
+    on multi-month data these interleave months and violate the
+    maintainers' per-user monotonicity contract). The span assertion
+    makes that fixture dependency explicit, so a future testdata change
+    fails loudly here instead of tripping the late-arrival guard
+    somewhere downstream."""
+    r = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    assert (r.lo.year, r.lo.month) == (r.hi.year, r.hi.month), (
+        "events fixture spans multiple months — replace the dayofmonth "
+        "slicing with absolute ts bounds (the _write_chunks pattern in "
+        "tests/test_session_store_stream.py)")
+    return [ev.where(F.dayofmonth("ts").between(lo, hi))
+            for lo, hi in bounds]
+
+
 def _run_stream(spark, df, name: str, tmp_path) -> None:
     q = memory_sink(df, name)
     try:
@@ -1547,10 +1564,9 @@ class TestStreamingLedgerMaintenance:
         # CHRONOLOGICAL slices — the ledger assumption is in-order
         # arrival per user, unlike the hash-slice batches of the
         # order-independent join-view maintainer
-        for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
+        for i, chunk in enumerate(_chrono_day_slices(ev)):
             d = os.path.join(base, f"c{i}")
-            ev.where(F.dayofmonth("ts").between(lo, hi)) \
-                .coalesce(1).write.parquet(d)
+            chunk.coalesce(1).write.parquet(d)
             for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
                 shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
         return flat
@@ -3284,8 +3300,7 @@ class TestMaintainerStatePersistence:
 
         events = load_table(spark, sf_dir, "events").select(
             "ts", "user_id", "value")
-        slices = [events.where(F.dayofmonth("ts").between(lo, hi))
-                  for lo, hi in [(1, 10), (11, 20), (21, 31)]]
+        slices = _chrono_day_slices(events)
 
         ref = cls(spark, str(tmp_path_factory.mktemp("sess_ref")))
         for i, sl in enumerate(slices):
@@ -3534,8 +3549,7 @@ class TestCrashMidBatchDurability:
         return [
             # ledger: CHRONOLOGICAL slices (in-order-arrival contract)
             ("ledger", IncrementalLedgerMaintainer,
-             [events.where(F.dayofmonth("ts").between(lo, hi))
-              for lo, hi in [(1, 10), (11, 20), (21, 31)]],
+             _chrono_day_slices(events),
              "ts TIMESTAMP, user_id BIGINT, event_id BIGINT, "
              "event_type STRING, value DOUBLE"),
             ("contingency", IncrementalContingencyMaintainer,
@@ -3549,8 +3563,7 @@ class TestCrashMidBatchDurability:
              "doc_id BIGINT"),
             # session store: CHRONOLOGICAL slices (monotonicity contract)
             ("session_store", IncrementalSessionStoreMaintainer,
-             [events.where(F.dayofmonth("ts").between(lo, hi))
-              for lo, hi in [(1, 10), (11, 20), (21, 31)]],
+             _chrono_day_slices(events),
              "ts TIMESTAMP, user_id BIGINT, event_id BIGINT, "
              "event_type STRING, value DOUBLE"),
         ]

@@ -1,0 +1,83 @@
+"""Maintainer #25 — the streaming BM25 POSTINGS INDEX.
+
+The third serving index kept live by a stream, completing the
+maintained-index family the way maintainer #24 (streaming/
+session_store.py) completed sessionization: #24 maintains the session
+table (events), the staged ``incremental_neardup_probe`` maintains the
+LSH near-dup index (dedup), and this maintainer keeps the persisted
+BM25 postings index (operators/bm25_index.py) current as documents
+stream in — each micro-batch appends ITS OWN versioned increment, the
+corpus is never re-tokenized, and queries are served from the index
+alone with partition-pruned postings reads.
+
+Replay-idempotence comes from keying the increment on the BATCH ID
+(``inc=<batch_id>``): a crash between the foreachBatch write and the
+checkpoint commit re-delivers the batch, whose re-append OVERWRITES the
+same increment directories with identical recomputed content — the
+``_VersionedState`` discipline (streaming/analytics_twins.py) applied
+to an index instead of a state table. An append interrupted between
+the postings and doclens components is caught by the reader's
+torn-index guard (operators/bm25_index.py:check_index_committed), so a
+torn increment can never silently mis-score; the re-delivered batch
+heals it by overwriting both components.
+
+Reference anchor: the reference keeps no search index
+(flink_stream_task1.py:30-41 is session windows); this is the
+commissioned LLM-pipeline extension surface (SURVEY.md §2.11) taken
+incremental. Scale: per batch the work is tokenizing ONE ingest and
+two partitioned parquet appends; a query reads <= |q| bucket
+directories per increment and never touches document text. Increment
+count grows with batches — a production deployment compacts old
+increments (read N, write 1, swap) on a cadence; the guard semantics
+are unchanged by compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (
+    bm25_from_index,
+    bm25_index_append,
+    check_index_committed,
+)
+
+
+class IncrementalBm25IndexMaintainer:
+    """Keeps a persisted BM25 postings index live from a document
+    stream. ``search(terms, k)`` from the maintained index equals the
+    from-scratch single-pass BM25 over every ingested document
+    (stream==batch, asserted in tests/test_bm25_index_stream.py)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def append_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # An empty micro-batch writes no increment: an empty inc=<n>
+        # pair would be value-neutral but adds two empty directories
+        # per idle trigger for the reader to list.
+        if batch_df.isEmpty():
+            return
+        bm25_index_append(self.spark, self.index_dir, batch_df,
+                          inc=batch_id)
+
+    def committed_increments(self) -> list[str]:
+        """The committed ``inc=<n>`` leaves (guard-checked) — the
+        serving-health signal: monotonically growing with batches."""
+        return check_index_committed(self.index_dir)
+
+    def search(self, terms: tuple[str, ...], k: int = 10) -> DataFrame:
+        """Serve a query from the index alone (runs the torn guard)."""
+        return bm25_from_index(self.spark, self.index_dir, terms, k)
+
+
+def streaming_bm25_index_maintenance(
+        docs: DataFrame, maintainer: IncrementalBm25IndexMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return (docs.writeStream
+            .queryName("bm25_index_maintenance")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(maintainer.append_batch)
+            .start())
