@@ -55,8 +55,13 @@ fixed-memory token-state variant):
 - ``IncrementalSessionStoreMaintainer`` (#24) on the same events
   stream — the 10-minute-gap session table maintained by per-user tail
   merge (streaming/session_store.py); late-arrival slices quarantine
-  to a dead-letter dir (drained offline via the repair path) so one
-  late drop-file cannot wedge the job;
+  to a dead-letter dir so one late drop-file cannot wedge the job, the
+  backlog is logged per batch and at startup, and the job DRAINS the
+  quarantine through ``repair_from_dead_letter`` before each resume;
+- ``IncrementalBm25IndexMaintainer`` (#25) on the same documents
+  stream — the persisted BM25 postings index appended one versioned
+  increment per batch (streaming/bm25_index.py); queries serve from
+  the index alone with bucket-pruned postings reads;
 - ``IncrementalUserSpendMaintainer`` over an events drop-dir —
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
@@ -96,6 +101,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalTokenFrequencyMaintainer,
     IncrementalCupedMaintainer,
     IncrementalFeatureMomentsMaintainer,
+    IncrementalBm25IndexMaintainer,
     IncrementalJpegFingerprintMaintainer,
     IncrementalSessionStoreMaintainer,
     IncrementalTrendMaintainer,
@@ -115,6 +121,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_cuped_maintenance,
     streaming_feature_moments_maintenance,
     streaming_jpeg_fingerprint_maintenance,
+    streaming_bm25_index_maintenance,
     streaming_session_store_maintenance,
     streaming_trend_maintenance,
     streaming_user_spend_maintenance,
@@ -261,6 +268,18 @@ def main() -> None:
             spark, os.path.join(args.state_root, "session_store"),
             dead_letter_dir=os.path.join(args.state_root,
                                          "session_store_dead_letter"))
+        # Drain dead letters left by a previous run BEFORE the stream
+        # resumes — the quiescent moment the crash-safe drain protocol
+        # is designed for (streaming/session_store.py:
+        # repair_from_dead_letter); the backlog is logged either way so
+        # a persistent late-arrival source is visible, never silent.
+        pending = sess.dead_letter_backlog()
+        if pending:
+            drained = sess.repair_from_dead_letter()
+            print(f"session_store: drained {drained} quarantined late "
+                  "event(s) into the store before resuming")
+        else:
+            print("session_store: dead-letter quarantine empty at start")
         queries.append(streaming_session_store_maintenance(
             events, sess, os.path.join(args.checkpoint_root,
                                        "session_store")))
@@ -301,6 +320,15 @@ def main() -> None:
         queries.append(streaming_jpeg_fingerprint_maintenance(
             docs, jfp, os.path.join(args.checkpoint_root,
                                     "jpeg_fingerprint")))
+        # maintainer #25 shares the documents stream: the persisted
+        # BM25 postings index appended one versioned increment per
+        # batch (inc=batch_id, replay-idempotent; queries serve from
+        # the index alone with bucket-pruned postings reads)
+        bmi = IncrementalBm25IndexMaintainer(
+            spark, os.path.join(args.state_root, "bm25_index"))
+        queries.append(streaming_bm25_index_maintenance(
+            docs, bmi, os.path.join(args.checkpoint_root,
+                                    "bm25_index")))
     if args.lineitem:
         li = (spark.readStream
               .schema("l_partkey BIGINT, l_suppkey BIGINT, "
