@@ -171,3 +171,139 @@ def test_empty_batch_writes_no_increment(spark, sf_dir,
     maint.append_batch(docs.where(F.lit(False)), 1)
     assert increments(maint.index_dir, "postings") == ["inc=00000"]
     assert _rows(maint.search(_TERMS, _K)) == before
+
+
+class TestCompaction:
+    """compact_index folds all increments but the newest (the only one
+    a crash-replayed batch can overwrite) into inc=00000 — the
+    read-amplification control for a long-running stream. Scores must
+    be bit-identical across compaction, and every crash point of the
+    tmp-then-swap protocol must re-enter cleanly."""
+
+    def _indexed(self, spark, sf_dir, tmp_path_factory, n=4):
+        docs = _docs(spark, sf_dir)
+        maint = IncrementalBm25IndexMaintainer(
+            spark, str(tmp_path_factory.mktemp("bm25_cmp")))
+        for i in range(n):
+            maint.append_batch(
+                docs.where(F.pmod("doc_id", F.lit(n)) == i), i)
+        return maint
+
+    def test_compact_preserves_scores_and_layout(self, spark, sf_dir,
+                                                 tmp_path_factory):
+        from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (
+            compact_index,
+        )
+
+        maint = self._indexed(spark, sf_dir, tmp_path_factory)
+        want = _rows(maint.search(_TERMS, _K))
+        assert maint.committed_increments() == [
+            "inc=00000", "inc=00001", "inc=00002", "inc=00003"]
+
+        assert maint.compact() == 3
+        assert maint.committed_increments() == ["inc=00000", "inc=00003"]
+        assert _rows(maint.search(_TERMS, _K)) == want
+
+        # idempotent: a second compact folds the (already single)
+        # non-newest increment set — a no-op
+        assert compact_index(spark, maint.index_dir) == 0
+        assert _rows(maint.search(_TERMS, _K)) == want
+
+    def test_append_after_compact_keeps_serving(self, spark, sf_dir,
+                                                tmp_path_factory):
+        """Post-compaction appends (higher batch ids) coexist with the
+        folded increment; the final scores equal a never-compacted
+        one-shot index over everything."""
+        docs = _docs(spark, sf_dir)
+        maint = IncrementalBm25IndexMaintainer(
+            spark, str(tmp_path_factory.mktemp("bm25_cmp2")))
+        for i in range(3):
+            maint.append_batch(
+                docs.where(F.pmod("doc_id", F.lit(4)) == i), i)
+        maint.compact()
+        maint.append_batch(docs.where(F.pmod("doc_id", F.lit(4)) == 3), 3)
+        assert maint.committed_increments() == [
+            "inc=00000", "inc=00002", "inc=00003"]
+
+        one_shot = str(tmp_path_factory.mktemp("bm25_cmp_ref"))
+        bm25_index_export(spark, docs, one_shot)
+        assert _rows(maint.search(_TERMS, _K)) == \
+            _rows(bm25_from_index(spark, one_shot, _TERMS, _K))
+
+    def test_crash_with_committed_tmp_resumes(self, spark, sf_dir,
+                                              tmp_path_factory):
+        """Crash after the tmp pair committed but before any delete /
+        rename: the next compact call must finish the swap without
+        re-reading the corpus, and scores are unchanged."""
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            bm25_index as B,
+        )
+
+        maint = self._indexed(spark, sf_dir, tmp_path_factory)
+        want = _rows(maint.search(_TERMS, _K))
+        idx = maint.index_dir
+
+        # build the tmp pair exactly as compact would, then "crash"
+        incs = B.check_index_committed(idx)
+        folded = incs[:-1]
+        postings = (spark.read
+                    .option("basePath", os.path.join(idx, "postings"))
+                    .parquet(*[os.path.join(idx, "postings", x)
+                               for x in folded]).drop("inc"))
+        doclens = (spark.read
+                   .option("basePath", os.path.join(idx, "doclens"))
+                   .parquet(*[os.path.join(idx, "doclens", x)
+                              for x in folded]).drop("inc"))
+        (postings.write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(idx, "postings", "compact_tmp")))
+        (doclens.write.mode("overwrite")
+         .parquet(os.path.join(idx, "doclens", "compact_tmp")))
+
+        assert B.compact_index(spark, idx) == 3
+        assert maint.committed_increments() == ["inc=00000", "inc=00003"]
+        assert _rows(maint.search(_TERMS, _K)) == want
+
+    def test_crash_mid_rename_fails_closed_then_heals(self, spark,
+                                                      sf_dir,
+                                                      tmp_path_factory):
+        """Crash between the postings rename and the doclens rename:
+        the components mismatch, so queries FAIL CLOSED (never silently
+        mis-score), and the next compact call completes the doclens
+        half and restores identical scores."""
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            bm25_index as B,
+        )
+
+        maint = self._indexed(spark, sf_dir, tmp_path_factory)
+        want = _rows(maint.search(_TERMS, _K))
+        idx = maint.index_dir
+        # run a REAL compaction, then resurrect the mid-rename state:
+        # move postings/inc=00000 back to "renamed already", and
+        # reconstruct doclens as {folded dirs deleted, tmp committed}
+        # by moving its compacted inc=00000 back to compact_tmp
+        assert maint.compact() == 3
+        os.rename(os.path.join(idx, "doclens", "inc=00000"),
+                  os.path.join(idx, "doclens", "compact_tmp"))
+
+        with pytest.raises(ValueError, match="mismatched increments"):
+            maint.search(_TERMS, _K)
+
+        assert B.compact_index(spark, idx) == 0  # finishes the rename
+        assert maint.committed_increments() == ["inc=00000", "inc=00003"]
+        assert _rows(maint.search(_TERMS, _K)) == want
+
+    def test_half_written_tmp_is_discarded(self, spark, sf_dir,
+                                           tmp_path_factory):
+        """A tmp pair without commit markers (crash mid-build) is
+        discarded and compaction restarts from the intact increments."""
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            bm25_index as B,
+        )
+
+        maint = self._indexed(spark, sf_dir, tmp_path_factory)
+        want = _rows(maint.search(_TERMS, _K))
+        idx = maint.index_dir
+        for comp in ("postings", "doclens"):
+            os.makedirs(os.path.join(idx, comp, "compact_tmp"))
+        assert B.compact_index(spark, idx) == 3
+        assert _rows(maint.search(_TERMS, _K)) == want

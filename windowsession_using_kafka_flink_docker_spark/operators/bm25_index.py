@@ -35,6 +35,7 @@ near-dup LSH index, BM25 postings).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,6 +130,94 @@ def check_index_committed(path: str) -> list[str]:
                     f"marker for {comp}/{x} — the increment write was "
                     "interrupted; re-drive it before querying")
     return p_incs
+
+
+#: Compaction always folds into the fixed first increment id. Batch 0
+#: is committed long before a later compaction runs, so no replayed
+#: batch can ever overwrite the compacted increment (Structured
+#: Streaming only re-delivers the single newest uncommitted batch).
+_COMPACT_TARGET = "inc=00000"
+_COMPACT_TMP = "compact_tmp"  # does not start with "inc=": never listed
+
+
+def compact_index(spark: SparkSession, path: str) -> int:
+    """Fold all increments EXCEPT THE NEWEST into one — the
+    read-amplification control: every query lists and reads all
+    increments, so a long-running stream (one increment per batch)
+    linearly inflates the postings scan until compaction runs. Run at
+    quiescence (the maintain-job-restart moment, like the session
+    store's dead-letter drain). Returns the number of increments
+    folded (0 = nothing to do).
+
+    The newest increment is deliberately left alone: it is the only
+    one a crash-replayed micro-batch can overwrite (committed batches
+    never re-deliver), and folding it would double its documents when
+    the replay re-appended them.
+
+    Crash-safe by construction, same fail-closed discipline as the
+    reader guard: the folded union is written to a ``compact_tmp``
+    component pair first (committed via ``_SUCCESS``); only then are
+    the folded ``inc=`` dirs deleted and the tmp pair renamed to
+    ``inc=00000`` (postings first). Every crash point re-enters: a
+    half-written tmp is discarded and the untouched increments still
+    guard-pass; a committed tmp resumes the delete+rename; a
+    mid-rename crash leaves the components mismatched — queries fail
+    closed until the next compact call finishes the second rename."""
+    tmp_p = os.path.join(path, "postings", _COMPACT_TMP)
+    tmp_d = os.path.join(path, "doclens", _COMPACT_TMP)
+
+    def _committed(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if _committed(tmp_d) and not os.path.isdir(tmp_p):
+        # crash between the two renames: postings/inc=00000 is the
+        # already-renamed tmp; finish the doclens half only.
+        _finish_compaction(path, tmp_p, tmp_d)
+        return 0
+    if _committed(tmp_p) and _committed(tmp_d):
+        n = max(len(increments(path, "postings")) - 1, 0)  # best effort
+        _finish_compaction(path, tmp_p, tmp_d)
+        return n
+    # half-written tmp from an interrupted build: discard and restart
+    for t in (tmp_p, tmp_d):
+        if os.path.isdir(t):
+            shutil.rmtree(t)
+
+    incs = check_index_committed(path)
+    folded = incs[:-1]
+    if not folded or folded == [_COMPACT_TARGET]:
+        return 0
+    postings = (spark.read
+                .option("basePath", os.path.join(path, "postings"))
+                .parquet(*[os.path.join(path, "postings", x)
+                           for x in folded])
+                .drop("inc"))
+    doclens = (spark.read
+               .option("basePath", os.path.join(path, "doclens"))
+               .parquet(*[os.path.join(path, "doclens", x)
+                          for x in folded])
+               .drop("inc"))
+    (postings.write.mode("overwrite").partitionBy("bucket")
+     .parquet(tmp_p))
+    doclens.write.mode("overwrite").parquet(tmp_d)
+    _finish_compaction(path, tmp_p, tmp_d)
+    return len(folded)
+
+
+def _finish_compaction(path: str, tmp_p: str, tmp_d: str) -> None:
+    """Delete every folded increment (all but the newest) and rename
+    the committed tmp pair into ``inc=00000`` — postings first, so a
+    mid-rename crash is detectable (mismatched components fail closed)
+    and the next call completes only the missing half."""
+    for comp, tmp in (("postings", tmp_p), ("doclens", tmp_d)):
+        if not os.path.isdir(tmp):
+            continue  # this half already renamed by a prior attempt
+        incs = increments(path, comp)
+        newest = incs[-1] if incs else None
+        for leaf in incs:
+            if leaf != newest:
+                shutil.rmtree(os.path.join(path, comp, leaf))
+        os.rename(tmp, os.path.join(path, comp, _COMPACT_TARGET))
 
 
 def bm25_from_index(spark: SparkSession, path: str,

@@ -41,6 +41,7 @@ from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (
     bm25_from_index,
     bm25_index_append,
     check_index_committed,
+    compact_index,
 )
 
 
@@ -71,6 +72,14 @@ class IncrementalBm25IndexMaintainer:
     def search(self, terms: tuple[str, ...], k: int = 10) -> DataFrame:
         """Serve a query from the index alone (runs the torn guard)."""
         return bm25_from_index(self.spark, self.index_dir, terms, k)
+
+    def compact(self) -> int:
+        """Fold all increments but the newest into one (run while the
+        stream is stopped — the job-restart moment, like the session
+        store's dead-letter drain). The newest increment stays
+        un-folded because a crash-replayed batch may overwrite it.
+        Returns the number of increments folded."""
+        return compact_index(self.spark, self.index_dir)
 
 
 def streaming_bm25_index_maintenance(
