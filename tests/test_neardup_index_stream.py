@@ -1,0 +1,191 @@
+"""Maintainer #26 (streaming/neardup_index.py): continuous dedup — the
+MinHash-LSH index maintained probe-then-append over a document stream.
+stream==batch pair parity (N-batch vs 1-batch invariance), restart
+resume, replay idempotence with the before_inc view restriction, torn
+batch detect+heal, empty-batch neutrality, and ad-hoc probe serving."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+from windowsession_using_kafka_flink_docker_spark.streaming import (
+    IncrementalNearDupIndexMaintainer,
+    file_events_source,
+    streaming_neardup_index_maintenance,
+)
+
+_SCHEMA = "doc_id BIGINT, text STRING"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r)
+                  for r in df.select("id_a", "id_b", "jaccard").collect())
+
+
+def _chunks(spark, sf_dir, base, n=3):
+    docs = _docs(spark, sf_dir)
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    for i in range(n):
+        d = os.path.join(base, f"c{i}")
+        docs.where(F.pmod("doc_id", F.lit(n)) == i).coalesce(1) \
+            .write.parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+    return flat
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _from_scratch_pairs(spark, sf_dir, tmp_path_factory):
+    """Reference: ALL documents in one batch — every pair surfaces in
+    that single within-batch self-join."""
+    ref = IncrementalNearDupIndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("nd_ref")))
+    ref.process_batch(_docs(spark, sf_dir), 0)
+    return _rows(ref.current_pairs())
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Three streamed batches: the union of per-batch probe findings
+    must equal the from-scratch pairs over all documents — every pair
+    has a latest member whose batch probed it, so batching is
+    invisible. Cross pairs must exist (the index path provably ran)."""
+    base = str(tmp_path_factory.mktemp("nd_stream"))
+    flat = _chunks(spark, sf_dir, base)
+    maint = IncrementalNearDupIndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("nd_idx")))
+    _drain(streaming_neardup_index_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1),
+        maint, str(tmp_path_factory.mktemp("nd_ckpt"))))
+
+    assert len(maint.committed_increments()) == 3
+    assert maint.current_pairs().where("is_cross").count() >= 1
+    assert _rows(maint.current_pairs()) == \
+        _from_scratch_pairs(spark, sf_dir, tmp_path_factory)
+
+
+def test_restart_resumes_on_same_checkpoint(spark, sf_dir,
+                                            tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("nd_restart"))
+    flat = _chunks(spark, sf_dir, base)
+    held = os.path.join(base, "held.parquet")
+    os.rename(os.path.join(flat, "02.parquet"), held)
+
+    idx = str(tmp_path_factory.mktemp("nd_idx2"))
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt2"))
+    maint = IncrementalNearDupIndexMaintainer(spark, idx)
+    _drain(streaming_neardup_index_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint, ckpt))
+    assert len(maint.committed_increments()) == 2
+
+    os.rename(held, os.path.join(flat, "02.parquet"))
+    maint2 = IncrementalNearDupIndexMaintainer(spark, idx)
+    _drain(streaming_neardup_index_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint2, ckpt))
+    assert len(maint2.committed_increments()) == 3
+    assert _rows(maint2.current_pairs()) == \
+        _from_scratch_pairs(spark, sf_dir, tmp_path_factory)
+
+
+def test_replayed_batch_recomputes_identical_pairs(spark, sf_dir,
+                                                   tmp_path_factory):
+    """A crash-replayed batch finds its OWN increment already indexed;
+    before_inc=batch_id must hide it, so the recomputed pairs (and the
+    overwritten increments) are identical — no self-pairs, no
+    duplicated cross pairs."""
+    docs = _docs(spark, sf_dir)
+    maint = IncrementalNearDupIndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("nd_idx3")))
+    d0 = docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    d1 = docs.where(F.pmod("doc_id", F.lit(3)) == 1)
+    maint.process_batch(d0, 0)
+    maint.process_batch(d1, 1)
+    once = _rows(maint.current_pairs())
+    maint.process_batch(d1, 1)  # crash-replay of batch 1
+    assert len(maint.committed_increments()) == 2
+    got = maint.current_pairs()
+    assert _rows(got) == once
+    assert got.where("id_a = id_b").count() == 0
+
+
+def test_torn_batch_detected_then_healed(spark, sf_dir,
+                                         tmp_path_factory):
+    """A batch interrupted between the pair write and the index append
+    (or between index components) must fail closed on read, then heal
+    when the batch is re-delivered."""
+    docs = _docs(spark, sf_dir)
+    idx = str(tmp_path_factory.mktemp("nd_idx4"))
+    maint = IncrementalNearDupIndexMaintainer(spark, idx)
+    d0 = docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    d1 = docs.where(F.pmod("doc_id", F.lit(3)) == 1)
+    maint.process_batch(d0, 0)
+    maint.process_batch(d1, 1)
+    want = _rows(maint.current_pairs())
+
+    # crash between pairs write and index append: drop the index half
+    for comp in ("bands", "bucket_counts", "shingles"):
+        shutil.rmtree(os.path.join(idx, comp, "inc=00001"))
+    with pytest.raises(ValueError, match="pairs"):
+        maint.current_pairs()
+
+    maint.process_batch(d1, 1)  # redelivery heals all components
+    assert _rows(maint.current_pairs()) == want
+
+    # crash between index components: counts increment missing
+    shutil.rmtree(os.path.join(idx, "bucket_counts", "inc=00001"))
+    with pytest.raises(ValueError, match="mismatched increments"):
+        maint.current_pairs()
+    maint.process_batch(d1, 1)
+    assert _rows(maint.current_pairs()) == want
+
+
+def test_empty_batch_is_invisible(spark, sf_dir, tmp_path_factory):
+    docs = _docs(spark, sf_dir)
+    maint = IncrementalNearDupIndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("nd_idx5")))
+    maint.process_batch(docs, 0)
+    before = _rows(maint.current_pairs())
+    maint.process_batch(docs.where(F.lit(False)), 1)
+    assert len(maint.committed_increments()) == 1
+    assert _rows(maint.current_pairs()) == before
+
+
+def test_adhoc_probe_serves_without_appending(spark, sf_dir,
+                                              tmp_path_factory):
+    """probe() answers 'are these near-dups of the corpus?' without
+    mutating the index — same increments before and after, and a probe
+    of an already-ingested document finds its corpus twin as a cross
+    pair."""
+    docs = _docs(spark, sf_dir)
+    maint = IncrementalNearDupIndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("nd_idx6")))
+    maint.process_batch(docs, 0)
+
+    # re-probe a doc that IS in the corpus under a fresh id: its
+    # shingle set is identical, so the probe must emit a jaccard-1.0
+    # cross pair against the corpus copy
+    some = docs.orderBy("doc_id").limit(1)
+    twin = some.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                       "text")
+    found = maint.probe(twin)
+    assert found.where("is_cross AND jaccard = 1.0").count() >= 1
+    assert len(maint.committed_increments()) == 1

@@ -270,7 +270,10 @@ def test_neardup_probe_layout_and_nonvacuity(spark, sf_dir, tmp_path):
     path = str(tmp_path / "ndidx")
     M.neardup_index_export(spark, corpus, path)
     assert sorted(os.listdir(path)) == ["bands", "bucket_counts", "shingles"]
-    band_dirs = [d for d in os.listdir(os.path.join(path, "bands"))
+    # the corpus lands as a committed increment 0 (versioned layout,
+    # operators/neardup_index.py) with band_id= partition dirs inside
+    band_dirs = [d for d in os.listdir(
+                     os.path.join(path, "bands", "inc=00000"))
                  if d.startswith("band_id=")]
     assert len(band_dirs) == M._MH_BANDS
 
@@ -294,7 +297,7 @@ def test_neardup_probe_rejects_torn_export(spark, sf_dir, tmp_path):
     delta = docs.where(F.col("doc_id") % M._DELTA_MOD == M._DELTA_OFF)
     path = str(tmp_path / "torn")
     M.neardup_index_export(spark, corpus, path)
-    os.remove(os.path.join(path, "bucket_counts", "_SUCCESS"))
+    os.remove(os.path.join(path, "bucket_counts", "inc=00000", "_SUCCESS"))
     with pytest.raises(ValueError, match="bucket_counts"):
         M.neardup_index_probe(spark, path, delta)
 
@@ -445,17 +448,22 @@ def test_neardup_probe_combined_bucket_cap(spark, tmp_path):
     path = str(tmp_path / "capidx")
     M.neardup_index_export(spark, corpus, path)
 
-    orig = M._MH_CAP
+    # the cap constant lives in the shared operators module now
+    from windowsession_using_kafka_flink_docker_spark.operators import (
+        neardup_index as NI,
+    )
+
+    orig = NI.MH_CAP
     try:
-        M._MH_CAP = 3
+        NI.MH_CAP = 3
         assert M.neardup_index_probe(spark, path, delta).count() == 0
-        M._MH_CAP = 4
+        NI.MH_CAP = 4
         got = M.neardup_index_probe(spark, path, delta)
         pairs = {(r.id_a, r.id_b) for r in got.collect()}
         assert pairs == {(10, 17), (17, 20), (17, 30)}
         assert all(r.jaccard == 1.0 for r in got.collect())
     finally:
-        M._MH_CAP = orig
+        NI.MH_CAP = orig
 
 
 def test_bm25_index_pruning_increment_and_torn_guard(spark, sf_dir,

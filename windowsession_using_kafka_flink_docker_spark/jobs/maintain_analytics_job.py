@@ -62,6 +62,11 @@ fixed-memory token-state variant):
   stream — the persisted BM25 postings index appended one versioned
   increment per batch (streaming/bm25_index.py); queries serve from
   the index alone with bucket-pruned postings reads;
+- ``IncrementalNearDupIndexMaintainer`` (#26) on the same documents
+  stream — continuous dedup: each batch probed against the
+  MinHash-LSH index of everything ingested so far (near-dup pairs
+  persisted per batch), then appended as its own increment
+  (streaming/neardup_index.py);
 - ``IncrementalUserSpendMaintainer`` over an events drop-dir —
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
@@ -103,6 +108,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalFeatureMomentsMaintainer,
     IncrementalBm25IndexMaintainer,
     IncrementalJpegFingerprintMaintainer,
+    IncrementalNearDupIndexMaintainer,
     IncrementalSessionStoreMaintainer,
     IncrementalTrendMaintainer,
     IncrementalUserSpendMaintainer,
@@ -122,6 +128,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_feature_moments_maintenance,
     streaming_jpeg_fingerprint_maintenance,
     streaming_bm25_index_maintenance,
+    streaming_neardup_index_maintenance,
     streaming_session_store_maintenance,
     streaming_trend_maintenance,
     streaming_user_spend_maintenance,
@@ -329,6 +336,15 @@ def main() -> None:
         queries.append(streaming_bm25_index_maintenance(
             docs, bmi, os.path.join(args.checkpoint_root,
                                     "bm25_index")))
+        # maintainer #26 shares the documents stream: continuous dedup
+        # — each batch is probed against the MinHash-LSH index of
+        # everything ingested so far (near-dup pairs persisted per
+        # batch), then appended as its own increment
+        ndi = IncrementalNearDupIndexMaintainer(
+            spark, os.path.join(args.state_root, "neardup_index"))
+        queries.append(streaming_neardup_index_maintenance(
+            docs, ndi, os.path.join(args.checkpoint_root,
+                                    "neardup_index")))
     if args.lineitem:
         li = (spark.readStream
               .schema("l_partkey BIGINT, l_suppkey BIGINT, "

@@ -519,139 +519,29 @@ STAGED = {
 # with delta counts to match the full run's pruning exactly.
 
 _DELTA_MOD, _DELTA_OFF = 10, 7     # ~10% of docs arrive as the delta
-_MH_HASHES, _MH_BANDS, _MH_ROWS = 64, 16, 4
-_MH_CAP = 1000
-_MH_THRESHOLD = 0.5
 
-
-def _portable_bands(sig_df: DataFrame) -> DataFrame:
-    """(_id, band_id, band_hash) in portable md5 mode — the same band
-    key operators/dedup.py:minhash_lsh_pairs derives (md5 over the
-    comma-joined 4-minhash slice), factored here for the split
-    build/probe paths."""
-    def band_hash(b: int) -> F.Column:
-        sl = F.slice(F.col("_sig"), b * _MH_ROWS + 1, _MH_ROWS)
-        return F.md5(F.array_join(
-            F.transform(sl, lambda x: x.cast("string")), ",").cast("binary"))
-
-    band_cols = F.array(*[
-        F.struct(F.lit(b).alias("band_id"), band_hash(b).alias("band_hash"))
-        for b in range(_MH_BANDS)])
-    return (sig_df.select("_id", F.explode(band_cols).alias("bh"))
-            .select("_id", "bh.band_id", "bh.band_hash"))
-
-
-def _portable_signatures(shingles: DataFrame) -> DataFrame:
-    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
-
-    return (shingles
-            .select("_id", D.base_hashes_md5_expr(F.col("_sh")).alias("_base"))
-            .select("_id", D.minhash_signature_udf(_MH_HASHES)(F.col("_base"))
-                    .alias("_sig")))
+# The index primitives live in operators/neardup_index.py (shared with
+# the streaming near-dup index maintainer #26, which must not import
+# the plans layer — the operators/session_store.py precedent); the
+# staging names below are the same objects, with the single-export
+# layout generalized to versioned inc=<n> increments (bm25_index.py
+# discipline). Constants re-exported for the oracle and the tests.
+from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (  # noqa: E402
+    MH_BANDS as _MH_BANDS,
+    MH_CAP as _MH_CAP,
+    MH_HASHES as _MH_HASHES,
+    MH_ROWS as _MH_ROWS,
+    MH_THRESHOLD as _MH_THRESHOLD,
+    neardup_index_append,
+    neardup_index_probe,
+)
 
 
 def neardup_index_export(spark: SparkSession, corpus: DataFrame,
                          path: str) -> None:
-    """Persist the corpus near-dup index: band table PARTITIONED BY
-    band_id, per-bucket counts (the O(1) cap ledger a serving tier
-    needs), and the shingle store for exact-Jaccard verification. At
-    100 TB the shingle store is the big one — but it is fetched by id
-    join only for surviving candidates, never scanned."""
-    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
-
-    shingles = D.shingle_table(corpus)
-    try:
-        bands = _portable_bands(_portable_signatures(shingles))
-        (bands.write.mode("overwrite").partitionBy("band_id")
-         .parquet(os.path.join(path, "bands")))
-        # Derive the count ledger from the JUST-WRITTEN parquet, not the
-        # lazy bands frame — re-deriving would run the whole Arrow
-        # minhash + 16-band-md5 pipeline a second time (the most
-        # expensive stage of the export).
-        (spark.read.parquet(os.path.join(path, "bands"))
-         .groupBy("band_id", "band_hash")
-         .agg(F.count(F.lit(1)).alias("n"))
-         .write.mode("overwrite").parquet(os.path.join(path, "bucket_counts")))
-        (shingles.write.mode("overwrite")
-         .parquet(os.path.join(path, "shingles")))
-    finally:
-        shingles.unpersist()
-
-
-def neardup_index_probe(spark: SparkSession, path: str,
-                        delta: DataFrame) -> DataFrame:
-    """Probe the persisted index with a new document batch: signatures
-    are computed for the DELTA ONLY; candidates come from (delta band x
-    index band) plus the delta's internal self-join; the bucket cap
-    applies to COMBINED (index + delta) bucket sizes, exactly as a
-    from-scratch run over corpus+delta would size them. Returns every
-    near-dup pair involving a delta doc: (id_a, id_b, jaccard,
-    is_cross) with id_a < id_b."""
-    from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
-
-    # Torn-export guard (the export writes bands -> counts -> shingles;
-    # an interrupted export leaves a prefix): all three components must
-    # be present-and-committed before any probe math runs. Without the
-    # counts ledger the cap would silently under-prune; without the
-    # shingle store verification would silently drop cross pairs.
-    for comp in ("bands", "bucket_counts", "shingles"):
-        if not os.path.exists(os.path.join(path, comp, "_SUCCESS")):
-            raise ValueError(
-                f"near-dup index under {path} is missing a committed "
-                f"{comp!r} component — the export was interrupted; "
-                "re-export from the corpus before probing")
-
-    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
-    idx_counts = spark.read.parquet(os.path.join(path, "bucket_counts"))
-    idx_shingles = spark.read.parquet(os.path.join(path, "shingles"))
-
-    d_shingles = D.shingle_table(delta)
-    d_bands = _portable_bands(_portable_signatures(d_shingles)) \
-        .localCheckpoint()
-
-    d_counts = d_bands.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("dn"))
-    over_cap = (idx_counts.join(d_counts, ["band_id", "band_hash"], "full")
-                .where(F.coalesce(F.col("n"), F.lit(0))
-                       + F.coalesce(F.col("dn"), F.lit(0)) > _MH_CAP)
-                .select("band_id", "band_hash",
-                        F.lit(True).alias("_skip")))
-    d_ok = (d_bands.join(F.broadcast(over_cap), ["band_id", "band_hash"],
-                         "left")
-            .where(F.col("_skip").isNull()).drop("_skip"))
-    idx_ok = (idx_bands.join(F.broadcast(over_cap),
-                             ["band_id", "band_hash"], "left")
-              .where(F.col("_skip").isNull()).drop("_skip"))
-
-    cross = (d_ok.alias("d").join(idx_ok.alias("i"),
-                                  ["band_id", "band_hash"])
-             .select(F.least("d._id", "i._id").alias("id_a"),
-                     F.greatest("d._id", "i._id").alias("id_b")))
-    within = (d_ok.alias("x").join(d_ok.alias("y"),
-                                   ["band_id", "band_hash"])
-              .where(F.col("x._id") < F.col("y._id"))
-              .select(F.col("x._id").alias("id_a"),
-                      F.col("y._id").alias("id_b")))
-    cand = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
-
-    all_sh = idx_shingles.unionByName(d_shingles)
-    verified = (cand
-                .join(all_sh.select(F.col("_id").alias("id_a"),
-                                    F.col("_sh").alias("_sh_a")), "id_a")
-                .join(all_sh.select(F.col("_id").alias("id_b"),
-                                    F.col("_sh").alias("_sh_b")), "id_b"))
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    is_delta = (F.col("id_a") % _DELTA_MOD == _DELTA_OFF)
-    is_delta_b = (F.col("id_b") % _DELTA_MOD == _DELTA_OFF)
-    out = (verified.withColumn("jaccard", F.round(jac, 4))
-           .where(F.col("jaccard") >= _MH_THRESHOLD)
-           .select("id_a", "id_b", "jaccard",
-                   (is_delta != is_delta_b).alias("is_cross"))
-           .localCheckpoint(eager=True))
-    d_shingles.unpersist()
-    return out
+    """Build the corpus near-dup index as increment 0 (see
+    operators/neardup_index.py for the layout and guard contract)."""
+    neardup_index_append(spark, corpus, path, inc=0)
 
 
 def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
