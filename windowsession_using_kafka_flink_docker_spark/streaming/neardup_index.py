@@ -15,7 +15,12 @@ component, one ``inc=<batch_id>`` increment per batch, so
 (the union of every batch's findings — exactly the pairs a
 from-scratch run over all ingested documents would emit, because every
 pair has a latest member whose batch probed it; 1-batch vs N-batch
-invariance asserted in tests/test_neardup_index_stream.py).
+invariance asserted in tests/test_neardup_index_stream.py). One honest
+caveat: the bucket cap is evaluated at PROBE time (index counts so far
+plus the batch's own), so a bucket that only overflows after LATER
+ingests keeps the pairs its earlier batches already emitted, where a
+from-scratch run would have pruned them — the cap is a cost control,
+not a semantic contract, and below it the two views coincide exactly.
 
 Replay-idempotence has a subtlety the other maintainers lack: a
 crash-replayed batch finds ITS OWN increment already in the index. The
