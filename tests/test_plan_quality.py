@@ -718,7 +718,14 @@ def test_bpe_rewrite_broadcasts_best_pair_no_shuffle(spark, sf_dir):
     )
 
     store = spark._jsparkSession.sharedState().statusStore()
-    before = store.executionsCount()
+    # Watermark on the MAX executionId, not executionsCount(): after the
+    # status store evicts (long shared-JVM sessions exceed
+    # retainedExecutions), count lags the id sequence and an id >= count
+    # filter would sweep in earlier tests' BPE runs (saw 25 == 8 in the
+    # r15 full-suite run).
+    _execs = store.executionsList()
+    before = 1 + max((_execs.apply(i).executionId()
+                      for i in range(_execs.size())), default=-1)
     CATALOG["bpe_tokenizer_train"].spark(spark, sf_dir)
 
     def _rewrite_plans():

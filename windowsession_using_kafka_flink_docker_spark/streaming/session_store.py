@@ -82,7 +82,11 @@ class IncrementalSessionStoreMaintainer:
         if prev is None:
             self.state.write(batch_id, fresh)
             return
-        late_users = self._late_users(prev, fresh)
+        # One materialization serves the guard count AND both joins
+        # below (r14 VERDICT minor: the un-checkpointed frame re-ran
+        # the two-aggregate join once per consumer — three times on a
+        # quarantining batch).
+        late_users = self._late_users(prev, fresh).localCheckpoint()
         n_late = late_users.count()
         if n_late:
             if self.dead_letter_dir is None:
