@@ -189,3 +189,96 @@ def test_adhoc_probe_serves_without_appending(spark, sf_dir,
     found = maint.probe(twin)
     assert found.where("is_cross AND jaccard = 1.0").count() >= 1
     assert len(maint.committed_increments()) == 1
+
+
+class TestNearDupCompaction:
+    """maintainer.compact() folds all-but-newest increments across ALL
+    FOUR components in lockstep (shared tmp-then-swap protocol,
+    operators/versioned_index.py). Pairs, probe results, and ad-hoc
+    serving must be unchanged across compaction, and the crash points
+    must re-enter cleanly."""
+
+    def _ingested(self, spark, sf_dir, tmp_path_factory, n=4):
+        docs = _docs(spark, sf_dir)
+        maint = IncrementalNearDupIndexMaintainer(
+            spark, str(tmp_path_factory.mktemp("nd_cpt")))
+        for i in range(n):
+            maint.process_batch(
+                docs.where(F.pmod("doc_id", F.lit(n)) == i), i)
+        return maint
+
+    def test_compact_preserves_pairs_and_serving(self, spark, sf_dir,
+                                                 tmp_path_factory):
+        maint = self._ingested(spark, sf_dir, tmp_path_factory)
+        want = _rows(maint.current_pairs())
+        assert maint.committed_increments() == [
+            "inc=00000", "inc=00001", "inc=00002", "inc=00003"]
+
+        assert maint.compact() == 3
+        assert maint.committed_increments() == ["inc=00000", "inc=00003"]
+        assert _rows(maint.current_pairs()) == want
+        assert maint.compact() == 0  # idempotent no-op
+
+        # post-compaction ingest + probe still serve correctly
+        docs = _docs(spark, sf_dir)
+        some = docs.orderBy("doc_id").limit(1)
+        twin = some.select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                           "text")
+        assert maint.probe(twin).where(
+            "is_cross AND jaccard = 1.0").count() >= 1
+
+    def test_compact_crash_points_reenter(self, spark, sf_dir,
+                                          tmp_path_factory):
+        """Committed-tmp resume and mid-rename fail-closed-then-heal,
+        on the four-component layout (the rename sequence is longer
+        than BM25's, so the suffix-resume path is exercised for real)."""
+        import os as _os
+
+        maint = self._ingested(spark, sf_dir, tmp_path_factory)
+        want = _rows(maint.current_pairs())
+        idx = maint.index_dir
+
+        # crash after the first TWO component renames: resurrect by
+        # compacting for real, then moving the LAST two components'
+        # compacted inc=00000 back to committed tmps
+        assert maint.compact() == 3
+        for comp in ("shingles", "pairs"):
+            _os.rename(_os.path.join(idx, comp, "inc=00000"),
+                       _os.path.join(idx, comp, "compact_tmp"))
+        with pytest.raises(ValueError, match="mismatched increments"):
+            maint.current_pairs()
+        assert maint.compact() == 0  # finishes the remaining renames
+        assert maint.committed_increments() == ["inc=00000", "inc=00003"]
+        assert _rows(maint.current_pairs()) == want
+
+    def test_half_written_tmp_prefix_is_discarded(self, spark, sf_dir,
+                                                  tmp_path_factory):
+        """A committed tmp PREFIX (crash between tmp writes — the
+        ambiguity that would wedge a naive resume: nothing was deleted
+        yet, so resuming the rename would desync the components) must
+        be discarded and compaction restarted from the intact
+        increments."""
+        import os as _os
+
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            neardup_index as NI,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.versioned_index import (
+            read_component,
+        )
+
+        maint = self._ingested(spark, sf_dir, tmp_path_factory, n=3)
+        want = _rows(maint.current_pairs())
+        idx = maint.index_dir
+
+        # build a COMMITTED tmp for the first component only (bands),
+        # exactly as a crash between tmp writes leaves it
+        incs = NI.check_index_committed(idx)
+        folded = incs[:-1]
+        bands = read_component(spark, idx, "bands", folded)
+        (bands.write.mode("overwrite").partitionBy("band_id")
+         .parquet(_os.path.join(idx, "bands", "compact_tmp")))
+
+        assert maint.compact() == 2  # discarded the prefix, ran fresh
+        assert maint.committed_increments() == ["inc=00000", "inc=00002"]
+        assert _rows(maint.current_pairs()) == want

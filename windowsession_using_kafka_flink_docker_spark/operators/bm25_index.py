@@ -35,7 +35,6 @@ near-dup LSH index, BM25 postings).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,31 +65,40 @@ def bm25_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return postings, doclens
 
 
-def _write_increment(postings: DataFrame, doclens: DataFrame,
-                     path: str, inc: int) -> None:
+from windowsession_using_kafka_flink_docker_spark.operators.versioned_index import (  # noqa: E402
+    check_components_committed,
+    compact_components,
+    increments,
+    next_increment,
+    write_increment,
+)
+
+__all__ = [
+    "BM25_BUCKETS", "BM25_K1", "BM25_B", "bm25_postings",
+    "bm25_index_export", "bm25_index_append", "bm25_from_index",
+    "check_index_committed", "compact_index", "increments",
+]
+
+#: Component layout (name -> partition columns) — the versioned_index
+#: discipline instance for this index.
+_COMPONENTS = {"postings": ("bucket",), "doclens": ()}
+
+
+def _write_both(postings: DataFrame, doclens: DataFrame,
+                path: str, inc: int) -> None:
     """One increment = its own ``inc=<n>`` directory under BOTH
-    components, each with its own ``_SUCCESS`` marker (module
-    docstring has the torn-append argument)."""
-    inc_leaf = f"inc={inc:05d}"
-    (postings.write.mode("overwrite").partitionBy("bucket")
-     .parquet(os.path.join(path, "postings", inc_leaf)))
-    (doclens.write.mode("overwrite")
-     .parquet(os.path.join(path, "doclens", inc_leaf)))
-
-
-def increments(path: str, comp: str) -> list[str]:
-    """Sorted ``inc=<n>`` leaf names present under a component."""
-    d = os.path.join(path, comp)
-    if not os.path.isdir(d):
-        return []
-    return sorted(x for x in os.listdir(d) if x.startswith("inc="))
+    components, each with its own ``_SUCCESS`` marker (see
+    operators/versioned_index.py for the torn-append argument)."""
+    write_increment(postings, path, "postings", inc,
+                    partition_by=("bucket",))
+    write_increment(doclens, path, "doclens", inc)
 
 
 def bm25_index_export(spark: SparkSession, docs: DataFrame,
                       path: str) -> None:
     """Build and persist the postings index for a corpus (increment 0)."""
     postings, doclens = bm25_postings(docs)
-    _write_increment(postings, doclens, path, 0)
+    _write_both(postings, doclens, path, 0)
 
 
 def bm25_index_append(spark: SparkSession, path: str, delta: DataFrame,
@@ -102,42 +110,15 @@ def bm25_index_append(spark: SparkSession, path: str, delta: DataFrame,
     idempotent (the streaming maintainer passes its batch_id); default
     is one past the newest committed increment."""
     if inc is None:
-        incs = increments(path, "postings")
-        inc = 1 + max((int(x.split("=")[1]) for x in incs), default=-1)
+        inc = next_increment(path, "postings")
     postings, doclens = bm25_postings(delta)
-    _write_increment(postings, doclens, path, inc)
+    _write_both(postings, doclens, path, inc)
 
 
 def check_index_committed(path: str) -> list[str]:
-    """Torn-index guard: EVERY increment must be committed in BOTH
-    components — the postings and doclens increment sets must match
-    exactly and each ``inc=<n>`` directory must carry its ``_SUCCESS``
-    marker, so an ingest interrupted between the two writes (or
-    mid-write) is detected instead of silently mis-scoring. Returns
-    the committed increment leaves."""
-    p_incs, d_incs = increments(path, "postings"), increments(path, "doclens")
-    if not p_incs or p_incs != d_incs:
-        raise ValueError(
-            f"bm25 index under {path} has mismatched increments "
-            f"(postings={p_incs}, doclens={d_incs}) — an export or "
-            "append was interrupted between components; re-drive the "
-            "increment before querying")
-    for comp in ("postings", "doclens"):
-        for x in p_incs:
-            if not os.path.exists(os.path.join(path, comp, x, "_SUCCESS")):
-                raise ValueError(
-                    f"bm25 index under {path} is missing the commit "
-                    f"marker for {comp}/{x} — the increment write was "
-                    "interrupted; re-drive it before querying")
-    return p_incs
-
-
-#: Compaction always folds into the fixed first increment id. Batch 0
-#: is committed long before a later compaction runs, so no replayed
-#: batch can ever overwrite the compacted increment (Structured
-#: Streaming only re-delivers the single newest uncommitted batch).
-_COMPACT_TARGET = "inc=00000"
-_COMPACT_TMP = "compact_tmp"  # does not start with "inc=": never listed
+    """Torn-index guard — every increment committed in BOTH components
+    (operators/versioned_index.py:check_components_committed)."""
+    return check_components_committed(path, tuple(_COMPONENTS), "bm25")
 
 
 def compact_index(spark: SparkSession, path: str) -> int:
@@ -147,77 +128,12 @@ def compact_index(spark: SparkSession, path: str) -> int:
     linearly inflates the postings scan until compaction runs. Run at
     quiescence (the maintain-job-restart moment, like the session
     store's dead-letter drain). Returns the number of increments
-    folded (0 = nothing to do).
-
-    The newest increment is deliberately left alone: it is the only
-    one a crash-replayed micro-batch can overwrite (committed batches
-    never re-deliver), and folding it would double its documents when
-    the replay re-appended them.
-
-    Crash-safe by construction, same fail-closed discipline as the
-    reader guard: the folded union is written to a ``compact_tmp``
-    component pair first (committed via ``_SUCCESS``); only then are
-    the folded ``inc=`` dirs deleted and the tmp pair renamed to
-    ``inc=00000`` (postings first). Every crash point re-enters: a
-    half-written tmp is discarded and the untouched increments still
-    guard-pass; a committed tmp resumes the delete+rename; a
-    mid-rename crash leaves the components mismatched — queries fail
-    closed until the next compact call finishes the second rename."""
-    tmp_p = os.path.join(path, "postings", _COMPACT_TMP)
-    tmp_d = os.path.join(path, "doclens", _COMPACT_TMP)
-
-    def _committed(d: str) -> bool:
-        return os.path.exists(os.path.join(d, "_SUCCESS"))
-
-    if _committed(tmp_d) and not os.path.isdir(tmp_p):
-        # crash between the two renames: postings/inc=00000 is the
-        # already-renamed tmp; finish the doclens half only.
-        _finish_compaction(path, tmp_p, tmp_d)
-        return 0
-    if _committed(tmp_p) and _committed(tmp_d):
-        n = max(len(increments(path, "postings")) - 1, 0)  # best effort
-        _finish_compaction(path, tmp_p, tmp_d)
-        return n
-    # half-written tmp from an interrupted build: discard and restart
-    for t in (tmp_p, tmp_d):
-        if os.path.isdir(t):
-            shutil.rmtree(t)
-
-    incs = check_index_committed(path)
-    folded = incs[:-1]
-    if not folded or folded == [_COMPACT_TARGET]:
-        return 0
-    postings = (spark.read
-                .option("basePath", os.path.join(path, "postings"))
-                .parquet(*[os.path.join(path, "postings", x)
-                           for x in folded])
-                .drop("inc"))
-    doclens = (spark.read
-               .option("basePath", os.path.join(path, "doclens"))
-               .parquet(*[os.path.join(path, "doclens", x)
-                          for x in folded])
-               .drop("inc"))
-    (postings.write.mode("overwrite").partitionBy("bucket")
-     .parquet(tmp_p))
-    doclens.write.mode("overwrite").parquet(tmp_d)
-    _finish_compaction(path, tmp_p, tmp_d)
-    return len(folded)
-
-
-def _finish_compaction(path: str, tmp_p: str, tmp_d: str) -> None:
-    """Delete every folded increment (all but the newest) and rename
-    the committed tmp pair into ``inc=00000`` — postings first, so a
-    mid-rename crash is detectable (mismatched components fail closed)
-    and the next call completes only the missing half."""
-    for comp, tmp in (("postings", tmp_p), ("doclens", tmp_d)):
-        if not os.path.isdir(tmp):
-            continue  # this half already renamed by a prior attempt
-        incs = increments(path, comp)
-        newest = incs[-1] if incs else None
-        for leaf in incs:
-            if leaf != newest:
-                shutil.rmtree(os.path.join(path, comp, leaf))
-        os.rename(tmp, os.path.join(path, comp, _COMPACT_TARGET))
+    folded (0 = nothing to do). Crash-safety: the shared tmp-then-swap
+    protocol (operators/versioned_index.py:compact_components — the
+    newest increment stays un-folded because a crash-replayed batch
+    may overwrite it; a mid-rename crash fails closed at the reader
+    guard until the next call completes the swap)."""
+    return compact_components(spark, path, _COMPONENTS, "bm25")
 
 
 def bm25_from_index(spark: SparkSession, path: str,

@@ -73,45 +73,34 @@ def portable_signatures(shingles: DataFrame) -> DataFrame:
                     .alias("_sig")))
 
 
-_COMPONENTS = ("bands", "bucket_counts", "shingles")
+#: Component layout (name -> partition columns) — the versioned_index
+#: discipline instance for this index. The streaming maintainer adds a
+#: fourth ``pairs`` component (its probe results) kept in lockstep.
+_COMPONENTS = {"bands": ("band_id",), "bucket_counts": (),
+               "shingles": ()}
 
-
-def increments(path: str, comp: str) -> list[str]:
-    d = os.path.join(path, comp)
-    if not os.path.isdir(d):
-        return []
-    return sorted(x for x in os.listdir(d) if x.startswith("inc="))
+from windowsession_using_kafka_flink_docker_spark.operators.versioned_index import (  # noqa: E402
+    check_components_committed,
+    increments,
+    next_increment,
+    read_component as _read_component_impl,
+    write_increment,
+)
 
 
 def check_index_committed(path: str,
                           before_inc: int | None = None) -> list[str]:
     """All three components must hold the SAME committed increment set
     — a missing counts increment would silently under-prune, a missing
-    shingle increment would silently drop cross pairs. Fail closed.
+    shingle increment would silently drop cross pairs. Fail closed
+    (operators/versioned_index.py:check_components_committed).
 
     ``before_inc`` scopes the check to increments strictly below it —
     the replay path: a crash-replayed batch's OWN increment may be torn
     (that is exactly what the replay heals by overwriting), so only the
     increments the probe will actually read are validated."""
-    sets = {c: [x for x in increments(path, c)
-                if before_inc is None
-                or int(x.split("=")[1]) < before_inc]
-            for c in _COMPONENTS}
-    first = sets[_COMPONENTS[0]]
-    if any(s != first for s in sets.values()):
-        raise ValueError(
-            f"near-dup index under {path} has mismatched increments "
-            f"({ {c: s for c, s in sets.items()} }) — an append was "
-            "interrupted between components; re-drive the increment "
-            "before probing")
-    for c in _COMPONENTS:
-        for x in first:
-            if not os.path.exists(os.path.join(path, c, x, "_SUCCESS")):
-                raise ValueError(
-                    f"near-dup index under {path} is missing the commit "
-                    f"marker for {c}/{x} — the increment write was "
-                    "interrupted; re-drive it before probing")
-    return first
+    return check_components_committed(path, tuple(_COMPONENTS),
+                                      "near-dup", before_inc)
 
 
 def neardup_index_append(spark: SparkSession, batch: DataFrame,
@@ -124,24 +113,21 @@ def neardup_index_append(spark: SparkSession, batch: DataFrame,
     from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
 
     if inc is None:
-        incs = increments(path, "bands")
-        inc = 1 + max((int(x.split("=")[1]) for x in incs), default=-1)
+        inc = next_increment(path, "bands")
     leaf = f"inc={inc:05d}"
     shingles = D.shingle_table(batch)
     try:
         bands = portable_bands(portable_signatures(shingles))
-        (bands.write.mode("overwrite").partitionBy("band_id")
-         .parquet(os.path.join(path, "bands", leaf)))
+        write_increment(bands, path, "bands", inc,
+                        partition_by=("band_id",))
         # Derive the count ledger from the JUST-WRITTEN parquet, not
         # the lazy bands frame — re-deriving would run the Arrow
         # minhash + 16-band-md5 pipeline a second time.
-        (spark.read.parquet(os.path.join(path, "bands", leaf))
-         .groupBy("band_id", "band_hash")
-         .agg(F.count(F.lit(1)).alias("n"))
-         .write.mode("overwrite")
-         .parquet(os.path.join(path, "bucket_counts", leaf)))
-        (shingles.write.mode("overwrite")
-         .parquet(os.path.join(path, "shingles", leaf)))
+        counts = (spark.read.parquet(os.path.join(path, "bands", leaf))
+                  .groupBy("band_id", "band_hash")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        write_increment(counts, path, "bucket_counts", inc)
+        write_increment(shingles, path, "shingles", inc)
     finally:
         shingles.unpersist()
 
@@ -150,13 +136,7 @@ def _read_component(spark: SparkSession, path: str, comp: str,
                     incs: list[str], before_inc: int | None):
     """Read a component across increments (None when the filtered set
     is empty — first batch / empty index)."""
-    if before_inc is not None:
-        incs = [x for x in incs if int(x.split("=")[1]) < before_inc]
-    if not incs:
-        return None
-    return (spark.read.option("basePath", os.path.join(path, comp))
-            .parquet(*[os.path.join(path, comp, x) for x in incs])
-            .drop("inc"))
+    return _read_component_impl(spark, path, comp, incs, before_inc)
 
 
 def neardup_index_probe(spark: SparkSession, path: str,

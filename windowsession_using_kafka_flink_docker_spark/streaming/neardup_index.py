@@ -48,10 +48,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (
+    _COMPONENTS,
     check_index_committed,
     increments,
     neardup_index_append,
     neardup_index_probe,
+)
+from windowsession_using_kafka_flink_docker_spark.operators.versioned_index import (
+    compact_components,
 )
 
 _PAIRS_SCHEMA = ("id_a BIGINT, id_b BIGINT, jaccard DOUBLE, "
@@ -118,6 +122,20 @@ class IncrementalNearDupIndexMaintainer:
         """Serve an ad-hoc dedup query against the full index (no
         append) — 'would these documents be near-dups of the corpus?'"""
         return neardup_index_probe(self.spark, self.index_dir, delta)
+
+    def compact(self) -> int:
+        """Fold all increments but the newest into one, across ALL
+        FOUR components — bands / bucket_counts / shingles AND the
+        pairs results, kept in lockstep so the mismatched-set guard
+        stays meaningful (run while the stream is stopped, the
+        job-restart moment). Folding preserves every read: band and
+        shingle rows union, per-increment bucket counts still SUM to
+        the same ledger, and current_pairs() is a union either way.
+        The newest increment stays un-folded because a crash-replayed
+        batch may overwrite it. Returns the number folded."""
+        return compact_components(
+            self.spark, self.index_dir,
+            {**_COMPONENTS, "pairs": ()}, "near-dup")
 
 
 def streaming_neardup_index_maintenance(
