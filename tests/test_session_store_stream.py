@@ -355,3 +355,60 @@ def test_drain_crash_mid_write_recovers_from_backup(spark, sf_dir,
     assert _rows(maint.current()) == _rows(_sessions_full(ev))
     assert maint.dead_letter_backlog() == 0
     assert maint._pre_drain_leaf() is None
+
+
+@pytest.mark.usefixtures("spark")
+class TestAtomRepairProperties:
+    """Randomized equivalence for resessionize_atoms: for ANY event set
+    and ANY late subset, {sessions of the ontime events} ∪ {late events
+    as degenerate atoms} re-sessionized must equal sessionizing all
+    events from scratch. Deltas biased around the 600 s gap boundary
+    and a nesting-heavy shape (tiny deltas put late events INSIDE
+    stored spans — the case the running-max window exists for)."""
+
+    import datetime as _dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _BASE = _dt.datetime(2024, 5, 1, 6, 0, 0)
+    _delta_s = st.one_of(
+        st.integers(min_value=0, max_value=1800),
+        st.sampled_from([0, 1, 5, 599, 600, 601]),
+    )
+    _raw = st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),    # user
+                  _delta_s,
+                  st.integers(min_value=-500, max_value=500),  # cents
+                  st.booleans()),                          # is_late
+        min_size=1, max_size=25,
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(raw=_raw)
+    def test_any_late_subset_repairs_to_full_recompute(self, spark, raw):
+        import datetime
+
+        from windowsession_using_kafka_flink_docker_spark.operators.session_store import (
+            resessionize_atoms,
+            sessions_full,
+        )
+
+        rows, clocks = [], {}
+        for i, (uid, delta_s, cents, late) in enumerate(raw):
+            clocks[uid] = clocks.get(uid, self._BASE) \
+                + datetime.timedelta(seconds=delta_s)
+            rows.append((i, clocks[uid], uid, cents / 100.0, late))
+        ev = spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                  "value DOUBLE, late BOOLEAN")
+        ontime = ev.where(~F.col("late")).drop("late")
+        late = ev.where(F.col("late")).drop("late")
+        if ontime.isEmpty():
+            ontime = ev.limit(0).drop("late")  # all-late degenerate case
+
+        atoms = sessions_full(ontime).unionByName(_cents_atoms(late))
+        got = _rows(resessionize_atoms(atoms))
+        want = _rows(sessions_full(ev.drop("late")))
+        assert got == want
