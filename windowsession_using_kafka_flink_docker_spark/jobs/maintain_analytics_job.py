@@ -333,6 +333,21 @@ def main() -> None:
         # the index alone with bucket-pruned postings reads)
         bmi = IncrementalBm25IndexMaintainer(
             spark, os.path.join(args.state_root, "bm25_index"))
+        # Compact at the quiescent restart moment (same rationale as
+        # the session-store drain above): one increment lands per
+        # micro-batch and every query lists/reads all of them, so a
+        # long-running stream linearly inflates the pruned postings
+        # read until the fold runs.
+        try:
+            folded = bmi.compact()
+            if folded:
+                print(f"bm25_index: compacted {folded} increment(s) "
+                      "before resuming")
+        except ValueError as e:
+            # a torn LAST batch is healed by the stream's redelivery,
+            # not by failing the job before the stream can start
+            print(f"bm25_index: skipping compaction ({e}); the "
+                  "re-delivered batch will overwrite the torn increment")
         queries.append(streaming_bm25_index_maintenance(
             docs, bmi, os.path.join(args.checkpoint_root,
                                     "bm25_index")))
@@ -342,6 +357,14 @@ def main() -> None:
         # batch), then appended as its own increment
         ndi = IncrementalNearDupIndexMaintainer(
             spark, os.path.join(args.state_root, "neardup_index"))
+        try:
+            folded = ndi.compact()
+            if folded:
+                print(f"neardup_index: compacted {folded} increment(s) "
+                      "before resuming")
+        except ValueError as e:
+            print(f"neardup_index: skipping compaction ({e}); the "
+                  "re-delivered batch will overwrite the torn increment")
         queries.append(streaming_neardup_index_maintenance(
             docs, ndi, os.path.join(args.checkpoint_root,
                                     "neardup_index")))
