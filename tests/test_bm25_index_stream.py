@@ -307,3 +307,20 @@ class TestCompaction:
             os.makedirs(os.path.join(idx, comp, "compact_tmp"))
         assert B.compact_index(spark, idx) == 3
         assert _rows(maint.search(_TERMS, _K)) == want
+
+
+def test_reset_checkpoint_against_kept_index_fails_fast(
+        spark, sf_dir, tmp_path_factory):
+    """r15 review finding: a reset checkpoint restarts batch ids at 0;
+    without a guard, batch 0 would overwrite inc=00000 — which after a
+    compaction holds the folded FULL history — silently dropping the
+    older corpus from every search. Replay of the newest batch must
+    still pass."""
+    docs = _docs(spark, sf_dir)
+    maint = IncrementalBm25IndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("bm25_guard")))
+    maint.append_batch(docs.where(F.pmod("doc_id", F.lit(2)) == 0), 0)
+    maint.append_batch(docs.where(F.pmod("doc_id", F.lit(2)) == 1), 1)
+    maint.append_batch(docs.where(F.pmod("doc_id", F.lit(2)) == 1), 1)
+    with pytest.raises(ValueError, match="reset together"):
+        maint.append_batch(docs, 0)

@@ -282,3 +282,19 @@ class TestNearDupCompaction:
         assert maint.compact() == 2  # discarded the prefix, ran fresh
         assert maint.committed_increments() == ["inc=00000", "inc=00002"]
         assert _rows(maint.current_pairs()) == want
+
+
+def test_reset_checkpoint_against_kept_index_fails_fast(
+        spark, sf_dir, tmp_path_factory):
+    """r15 review finding: a reset checkpoint restarts batch ids at 0;
+    without a guard, batch 0 would probe an artificially empty
+    before_inc=0 view (missing every cross pair) and overwrite
+    inc=00000. Replay of the newest batch must still pass."""
+    docs = _docs(spark, sf_dir)
+    maint = IncrementalNearDupIndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("nd_guard")))
+    maint.process_batch(docs.where(F.pmod("doc_id", F.lit(2)) == 0), 0)
+    maint.process_batch(docs.where(F.pmod("doc_id", F.lit(2)) == 1), 1)
+    maint.process_batch(docs.where(F.pmod("doc_id", F.lit(2)) == 1), 1)
+    with pytest.raises(ValueError, match="reset together"):
+        maint.process_batch(docs, 0)

@@ -323,14 +323,18 @@ def test_drain_crash_after_commit_never_double_counts(spark, sf_dir,
     want = _rows(_sessions_full(ev))
     assert _rows(maint.current()) == want
 
-    # resurrect the crash state: letters back + backup beside v=N
+    # resurrect the crash state: letters back + backup (with its fold
+    # manifest, as a real step-5 crash leaves it) beside committed v=N
     for d in letters:
         sh.copytree(os.path.join(saved, d),
                     os.path.join(maint.dead_letter_dir, d))
     versions = maint.state.versions()
+    pre = os.path.join(maint.state.state_dir,
+                       f"pre_drain_v={versions[-1]}")
     sh.copytree(os.path.join(maint.state.state_dir, f"v={versions[-1]}"),
-                os.path.join(maint.state.state_dir,
-                             f"pre_drain_v={versions[-1]}"))
+                pre)
+    with open(os.path.join(pre, "_folded.txt"), "w") as fh:
+        fh.write("\n".join(letters))
 
     assert maint.repair_from_dead_letter() == 0  # folded already
     assert _rows(maint.current()) == want        # no double count
@@ -412,3 +416,87 @@ class TestAtomRepairProperties:
         got = _rows(resessionize_atoms(atoms))
         want = _rows(sessions_full(ev.drop("late")))
         assert got == want
+
+
+def test_drain_defers_letters_of_uncommitted_batches(spark, sf_dir,
+                                                     tmp_path_factory):
+    """r15 review finding: a letter whose batch's state version never
+    committed belongs to a batch the stream will RE-DELIVER; draining
+    it first would let the replay re-quarantine the same users and a
+    second drain double-count them. The drain must DEFER such letters
+    (backlog still reports them) and fold them once their version
+    exists."""
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    # resurrect the pre-write crash: b=1 exists but v=1 does not
+    import shutil as sh
+    sh.rmtree(os.path.join(maint.state.state_dir, "v=1"))
+
+    pending = maint.dead_letter_backlog()
+    assert pending > 0
+    assert maint.repair_from_dead_letter() == 0  # deferred, not folded
+    assert maint.dead_letter_backlog() == pending  # letter untouched
+
+    # the stream re-delivers batch 1: overwrites its own quarantine and
+    # commits v=1 — now the letter is drainable exactly once
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    maint.merge_batch(ev.where(F.col("ts") < F.lit(cutoff)), 1)
+    assert maint.repair_from_dead_letter() == pending
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+    assert maint.dead_letter_backlog() == 0
+
+
+def test_orphan_backup_never_deletes_unfolded_letters(spark, sf_dir,
+                                                      tmp_path_factory):
+    """r15 review finding: a step-5 crash after all letters were
+    deleted but before the backup was — then NEW letters arrive — must
+    not blind-delete the new letters on the next drain (the old code
+    rmtree'd every b=* dir when it saw a committed target beside a
+    backup). The fold manifest confines deletion to exactly the folded
+    set; the new letter must drain normally afterwards."""
+    import shutil as sh
+
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    assert maint.repair_from_dead_letter() > 0
+    # orphan backup with an EMPTY manifest (its letters were all
+    # deleted before the crash), beside the committed target
+    versions = maint.state.versions()
+    pre = os.path.join(maint.state.state_dir,
+                       f"pre_drain_v={versions[-1]}")
+    sh.copytree(os.path.join(maint.state.state_dir, f"v={versions[-1]}"),
+                pre)
+    with open(os.path.join(pre, "_folded.txt"), "w") as fh:
+        fh.write("")
+
+    # a NEW late batch quarantines after the crash (disjoint users, so
+    # the expected post-drain store is simply the union)
+    new_late = (load_table(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        (F.col("user_id") + 10_000_000).alias("user_id"), "value")
+        .orderBy("ts").limit(500).localCheckpoint())
+    (new_late.write.mode("overwrite")
+     .parquet(os.path.join(maint.dead_letter_dir, "b=0")))
+    n_new = new_late.count()
+
+    drained = maint.repair_from_dead_letter()
+    assert drained == n_new  # the new letter survived the cleanup
+    want = _rows(_sessions_full(ev).unionByName(_sessions_full(new_late)))
+    assert _rows(maint.current()) == want
+    assert maint.dead_letter_backlog() == 0
+    assert maint._pre_drain_leaf() is None
+
+
+def test_torn_quarantine_dir_is_ignored_not_fatal(spark, sf_dir,
+                                                  tmp_path_factory):
+    """r15 review finding: a crash mid-quarantine leaves a b=<id> dir
+    with no _SUCCESS (possibly no readable footer at all); the backlog
+    check and the drain must IGNORE it — reading it would crash-loop
+    the job at startup — and the re-delivered batch overwrites it."""
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    torn = os.path.join(maint.dead_letter_dir, "b=9")
+    os.makedirs(os.path.join(torn, "_temporary"))
+
+    pending = maint.dead_letter_backlog()  # must not raise
+    assert pending > 0
+    assert maint.repair_from_dead_letter() == pending
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+    assert os.path.isdir(torn)  # left for the redelivery to overwrite

@@ -283,8 +283,11 @@ def main() -> None:
         pending = sess.dead_letter_backlog()
         if pending:
             drained = sess.repair_from_dead_letter()
-            print(f"session_store: drained {drained} quarantined late "
-                  "event(s) into the store before resuming")
+            print(f"session_store: drained {drained} of {pending} "
+                  "quarantined late event(s) into the store before "
+                  "resuming (a remainder belongs to the newest batch — "
+                  "it defers one restart so a crash replay can never "
+                  "double-count)")
         else:
             print("session_store: dead-letter quarantine empty at start")
         queries.append(streaming_session_store_maintenance(

@@ -145,7 +145,14 @@ def bm25_from_index(spark: SparkSession, path: str,
     frame (a serving tier keeps them precomputed); df/idf come from
     the pruned postings. Same score expression + ROUND(.,4)-then-id
     ordering as operators/text_analysis.py:bm25_topk. Runs the
-    torn-index guard first (:func:`check_index_committed`)."""
+    torn-index guard first (:func:`check_index_committed`).
+
+    Duplicate query terms are collapsed to SET semantics (the postings
+    filter matches a term once regardless of multiplicity); the batch
+    ``bm25_topk`` operator weights a repeated term's contribution by
+    its query multiplicity instead, so the index==batch equality holds
+    for distinct-term queries — pass distinct terms when comparing."""
+    terms = tuple(dict.fromkeys(terms))
     incs = check_index_committed(path)
     # bucket ids for the query terms, computed with the SAME hash the
     # writer used (one tiny Spark job; |terms| rows)

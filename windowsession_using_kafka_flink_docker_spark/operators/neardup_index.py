@@ -104,20 +104,30 @@ def check_index_committed(path: str,
 
 
 def neardup_index_append(spark: SparkSession, batch: DataFrame,
-                         path: str, inc: int | None = None) -> None:
+                         path: str, inc: int | None = None,
+                         shingles: DataFrame | None = None,
+                         bands: DataFrame | None = None) -> None:
     """Append one document batch's band rows, bucket counts, and
     shingles as a fresh versioned increment — the existing corpus is
     never re-hashed. Pass ``inc`` explicitly for replay idempotence
     (the streaming maintainer passes its batch_id); default is one past
-    the newest committed increment."""
+    the newest committed increment. ``shingles``/``bands`` accept the
+    batch's ALREADY-MATERIALIZED frames (the maintainer computes them
+    once and shares them with the probe — without this the hot
+    streaming path paid the regex-normalize + Arrow-minhash +
+    16-band-md5 pipeline twice per batch, r15 review finding); the
+    caller owns their persist/unpersist when provided."""
     from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
 
     if inc is None:
         inc = next_increment(path, "bands")
     leaf = f"inc={inc:05d}"
-    shingles = D.shingle_table(batch)
+    own = shingles is None
+    if own:
+        shingles = D.shingle_table(batch)
     try:
-        bands = portable_bands(portable_signatures(shingles))
+        if bands is None:
+            bands = portable_bands(portable_signatures(shingles))
         write_increment(bands, path, "bands", inc,
                         partition_by=("band_id",))
         # Derive the count ledger from the JUST-WRITTEN parquet, not
@@ -129,7 +139,8 @@ def neardup_index_append(spark: SparkSession, batch: DataFrame,
         write_increment(counts, path, "bucket_counts", inc)
         write_increment(shingles, path, "shingles", inc)
     finally:
-        shingles.unpersist()
+        if own:
+            shingles.unpersist()
 
 
 def _read_component(spark: SparkSession, path: str, comp: str,
@@ -141,7 +152,9 @@ def _read_component(spark: SparkSession, path: str, comp: str,
 
 def neardup_index_probe(spark: SparkSession, path: str,
                         delta: DataFrame,
-                        before_inc: int | None = None) -> DataFrame:
+                        before_inc: int | None = None,
+                        shingles: DataFrame | None = None,
+                        bands: DataFrame | None = None) -> DataFrame:
     """Probe the persisted index with a new document batch: signatures
     are computed for the DELTA ONLY; candidates come from (delta band x
     index band) plus the delta's internal self-join; the bucket cap
@@ -154,7 +167,11 @@ def neardup_index_probe(spark: SparkSession, path: str,
     ``before_inc`` restricts the index view to increments strictly
     below it: the streaming maintainer passes its batch_id, so a
     crash-replayed batch (whose own increment already landed) probes
-    exactly the first delivery's view and recomputes identical pairs."""
+    exactly the first delivery's view and recomputes identical pairs.
+    ``shingles``/``bands`` accept the delta's already-materialized
+    frames (shared with the append on the streaming hot path — see
+    :func:`neardup_index_append`); the caller owns their lifecycle
+    when provided."""
     from windowsession_using_kafka_flink_docker_spark.operators import dedup as D
 
     incs = check_index_committed(path, before_inc)
@@ -164,9 +181,10 @@ def neardup_index_probe(spark: SparkSession, path: str,
     idx_shingles = _read_component(spark, path, "shingles", incs,
                                    before_inc)
 
-    d_shingles = D.shingle_table(delta)
-    d_bands = portable_bands(portable_signatures(d_shingles)) \
-        .localCheckpoint()
+    own = shingles is None
+    d_shingles = D.shingle_table(delta) if own else shingles
+    d_bands = bands if bands is not None else \
+        portable_bands(portable_signatures(d_shingles)).localCheckpoint()
 
     d_counts = d_bands.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("dn"))
@@ -231,5 +249,6 @@ def neardup_index_probe(spark: SparkSession, path: str,
                     != F.coalesce(F.col("_db"), F.lit(False)))
                    .alias("is_cross"))
            .localCheckpoint(eager=True))
-    d_shingles.unpersist()
+    if own:
+        d_shingles.unpersist()
     return out

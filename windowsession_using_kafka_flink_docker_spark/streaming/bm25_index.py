@@ -56,6 +56,7 @@ class IncrementalBm25IndexMaintainer:
         self.index_dir = index_dir
 
     def append_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._guard(batch_id)
         # An empty micro-batch writes no increment: an empty inc=<n>
         # pair would be value-neutral but adds two empty directories
         # per idle trigger for the reader to list.
@@ -63,6 +64,24 @@ class IncrementalBm25IndexMaintainer:
             return
         bm25_index_append(self.spark, self.index_dir, batch_df,
                           inc=batch_id)
+
+    def _guard(self, batch_id: int) -> None:
+        """The _VersionedState lifecycle guard, index-shaped (r15
+        review finding): a RESET checkpoint against a kept index dir
+        restarts batch ids at 0, and inc=00000 — which after a
+        compaction holds the folded FULL history — would be silently
+        overwritten by one batch's postings. Fail fast instead; a
+        replay of the newest batch (inc == batch_id) still passes."""
+        from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (
+            increments,
+        )
+
+        incs = increments(self.index_dir, "postings")
+        if incs and int(incs[-1].split("=")[1]) > batch_id:
+            raise ValueError(
+                f"index_dir {self.index_dir} already holds increment "
+                f"{incs[-1]} > incoming batch_id {batch_id}; "
+                "checkpoint_dir and index_dir must be reset together")
 
     def committed_increments(self) -> list[str]:
         """The committed ``inc=<n>`` leaves (guard-checked) — the

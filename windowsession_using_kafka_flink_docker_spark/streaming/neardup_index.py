@@ -49,7 +49,6 @@ from pyspark.sql.streaming import StreamingQuery
 
 from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (
     _COMPONENTS,
-    check_index_committed,
     increments,
     neardup_index_append,
     neardup_index_probe,
@@ -72,39 +71,64 @@ class IncrementalNearDupIndexMaintainer:
         self.index_dir = index_dir
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._guard(batch_id)
         if batch_df.isEmpty():
             return
-        # Probe BEFORE appending, against increments strictly below
-        # this batch id — on first delivery that is "everything so
-        # far"; on a crash replay it excludes the batch's own landed
-        # increment, reproducing the first delivery's view exactly.
-        pairs = neardup_index_probe(self.spark, self.index_dir, batch_df,
-                                    before_inc=batch_id)
-        (pairs.write.mode("overwrite")
-         .parquet(os.path.join(self.index_dir, "pairs",
-                               f"inc={batch_id:05d}")))
-        neardup_index_append(self.spark, batch_df, self.index_dir,
-                             inc=batch_id)
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            dedup as D,
+        )
+        from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (
+            portable_bands,
+            portable_signatures,
+        )
+
+        # ONE shingle/minhash/band pipeline per batch, shared by the
+        # probe and the append (r15 review finding: building them
+        # independently paid the dominant per-batch cost twice).
+        shingles = D.shingle_table(batch_df)
+        try:
+            bands = portable_bands(portable_signatures(shingles)) \
+                .localCheckpoint()
+            # Probe BEFORE appending, against increments strictly below
+            # this batch id — on first delivery that is "everything so
+            # far"; on a crash replay it excludes the batch's own landed
+            # increment, reproducing the first delivery's view exactly.
+            pairs = neardup_index_probe(self.spark, self.index_dir,
+                                        batch_df, before_inc=batch_id,
+                                        shingles=shingles, bands=bands)
+            (pairs.write.mode("overwrite")
+             .parquet(os.path.join(self.index_dir, "pairs",
+                                   f"inc={batch_id:05d}")))
+            neardup_index_append(self.spark, batch_df, self.index_dir,
+                                 inc=batch_id, shingles=shingles,
+                                 bands=bands)
+        finally:
+            shingles.unpersist()
+
+    def _guard(self, batch_id: int) -> None:
+        """The _VersionedState lifecycle guard, index-shaped (r15
+        review finding): a RESET checkpoint against a kept index dir
+        restarts batch ids at 0, probing an artificially empty
+        before_inc=0 view (missing every cross pair) and overwriting
+        inc=00000 — which after a compaction holds the folded FULL
+        history. Fail fast; a replay of the newest batch still passes."""
+        incs = increments(self.index_dir, "bands")
+        if incs and int(incs[-1].split("=")[1]) > batch_id:
+            raise ValueError(
+                f"index_dir {self.index_dir} already holds increment "
+                f"{incs[-1]} > incoming batch_id {batch_id}; "
+                "checkpoint_dir and index_dir must be reset together")
 
     def committed_increments(self) -> list[str]:
         """Committed increments across ALL components including pairs
-        (guard-checked, fail-closed on any mismatch)."""
-        idx = check_index_committed(self.index_dir)
-        pairs = increments(self.index_dir, "pairs")
-        if pairs != idx:
-            raise ValueError(
-                f"near-dup index under {self.index_dir} has pairs "
-                f"increments {pairs} but index increments {idx} — a "
-                "batch was interrupted between the pair write and the "
-                "index append; re-drive it before reading")
-        for x in pairs:
-            if not os.path.exists(os.path.join(
-                    self.index_dir, "pairs", x, "_SUCCESS")):
-                raise ValueError(
-                    f"near-dup index under {self.index_dir} is missing "
-                    f"the commit marker for pairs/{x}; re-drive the "
-                    "batch before reading")
-        return idx
+        (fail-closed on any mismatch — one shared guard
+        implementation, operators/versioned_index.py)."""
+        from windowsession_using_kafka_flink_docker_spark.operators.versioned_index import (
+            check_components_committed,
+        )
+
+        return check_components_committed(
+            self.index_dir, (*_COMPONENTS, "pairs"), "near-dup")
 
     def current_pairs(self) -> DataFrame:
         """The maintained near-dup pair table (union of every batch's

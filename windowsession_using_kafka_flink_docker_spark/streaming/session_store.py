@@ -120,13 +120,38 @@ class IncrementalSessionStoreMaintainer:
         if not self.dead_letter_dir \
                 or not os.path.isdir(self.dead_letter_dir):
             return []
-        return sorted(d for d in os.listdir(self.dead_letter_dir)
-                      if d.startswith("b="))
+        # COMMITTED quarantine dirs only: a crash mid-quarantine leaves
+        # a torn b=<id> (no _SUCCESS, possibly no readable footer at
+        # all) that the re-delivered batch will overwrite — reading it
+        # here would crash-loop the job at startup, the exact wedge the
+        # dead-letter path exists to prevent (r15 review finding).
+        return sorted(
+            d for d in os.listdir(self.dead_letter_dir)
+            if d.startswith("b=") and os.path.exists(
+                os.path.join(self.dead_letter_dir, d, "_SUCCESS")))
+
+    def _drainable_batches(self) -> list[str]:
+        """Committed quarantine dirs SAFE to fold: only batches whose
+        state version committed (``b=K`` with ``v=K`` on disk, i.e.
+        K <= newest). A letter newer than the newest version belongs to
+        a batch whose foreachBatch never completed — the stream will
+        RE-DELIVER it, and a batch replayed after its letters were
+        folded re-quarantines the same users (their folded events
+        extend the stored tails, so the guard re-flags them), which a
+        second drain would then double-count (r15 review finding).
+        Deferring the letter one restart closes that window: by the
+        next drain, v=K exists and the letter is safe."""
+        versions = self.state.versions()
+        newest = versions[-1] if versions else None
+        dirs = self._dead_letter_batches()
+        if newest is None:
+            return dirs  # no committed batch can re-deliver over these
+        return [d for d in dirs if int(d.split("=")[1]) <= newest]
 
     def dead_letter_backlog(self) -> int:
-        """Quarantined event rows pending repair — derived from DISK
-        (not an in-memory counter), so a restarted job still sees the
-        backlog; 0 when no dead letters exist. The serving-health
+        """Quarantined event rows pending repair (committed quarantine
+        dirs only) — derived from DISK, so a restarted job still sees
+        the backlog; 0 when no dead letters exist. The serving-health
         signal to alert on alongside ``current()``."""
         dirs = self._dead_letter_batches()
         if not dirs:
@@ -135,6 +160,7 @@ class IncrementalSessionStoreMaintainer:
             *[os.path.join(self.dead_letter_dir, d) for d in dirs]).count()
 
     _PRE_DRAIN = "pre_drain_v"
+    _FOLDED = "_folded.txt"
 
     def _pre_drain_leaf(self) -> str | None:
         names = [n for n in os.listdir(self.state.state_dir)
@@ -150,8 +176,10 @@ class IncrementalSessionStoreMaintainer:
         re-sessionizing the user's full raw history, because stored
         sessions are maximal > gap-separated runs and a late event can
         only extend, open, or bridge, never split). Untouched users'
-        rows are copied, never recomputed. Returns the number of late
-        events drained (0 for a clean quarantine).
+        rows are copied, never recomputed. Only DRAINABLE letters fold
+        (see ``_drainable_batches``: the newest batch's letter defers
+        one restart so a crash-replay can never double-count). Returns
+        the number of late events drained (0 for a clean quarantine).
 
         Crash-safety — the repaired table REPLACES the newest state
         version in place (so the version space stays aligned with the
@@ -161,41 +189,73 @@ class IncrementalSessionStoreMaintainer:
         1. materialize the repaired table (localCheckpoint — no file
            dependency on the state dir);
         2. rename ``v=N`` -> ``pre_drain_v=N`` (atomic; the name does
-           not start with ``v=`` so version listing never parses it);
-        3. write the repaired table to a fresh ``v=N`` (torn write =>
+           not start with ``v=`` so version listing never parses it;
+           an empty store gets an empty sentinel backup instead);
+        3. record the letters being folded in ``_folded.txt`` INSIDE
+           the backup (underscore prefix: invisible to parquet reads);
+        4. write the repaired table to a fresh ``v=N`` (torn write =>
            no ``_SUCCESS`` => invisible);
-        4. delete the letter dirs, THEN the pre-drain backup.
+        5. delete exactly the manifested letter dirs, THEN the backup.
 
         Every crash point re-enters cleanly on the next drain call: a
-        committed ``v=N`` beside a surviving backup means step 4 was
-        interrupted (finish the deletes — the letters are already
-        folded, so they are NOT re-applied and can never double-count);
-        a torn/missing ``v=N`` beside a backup means step 3 was
-        interrupted (re-repair FROM THE BACKUP, which still carries its
-        committed ``_SUCCESS`` from its life as ``v=N``)."""
-        dirs = self._dead_letter_batches()
+        committed ``v=N`` beside a surviving backup+manifest means step
+        5 was interrupted — finish deleting exactly the MANIFESTED
+        letters (letters quarantined after the crash survive untouched;
+        deleting blindly would silently drop them — r15 review
+        finding); a missing/torn ``v=N`` beside a backup means step 4
+        was interrupted — re-repair FROM THE BACKUP (which still
+        carries its committed ``_SUCCESS`` from its life as ``v=N``),
+        since ``current()`` alone would silently drop the last merged
+        batch."""
         pre_leaf = self._pre_drain_leaf()
-        if pre_leaf is None and not dirs:
-            return 0
-
         if pre_leaf is not None:
             target = int(pre_leaf.split("=")[1])
             pre_path = os.path.join(self.state.state_dir, pre_leaf)
-            if target in self.state.versions():
-                # step-4 crash: repaired v=N committed, cleanup pending —
-                # the letters are folded already; just finish deleting.
-                for d in dirs:
+            manifest = os.path.join(pre_path, self._FOLDED)
+            if target in self.state.versions() \
+                    and os.path.exists(manifest):
+                # step-5 crash: the fold committed; delete exactly the
+                # letters the manifest names, then the backup, then
+                # fall through to drain any newer safe letters fresh.
+                with open(manifest) as fh:
+                    folded = [x for x in fh.read().split("\n") if x]
+                for d in folded:
                     shutil.rmtree(os.path.join(self.dead_letter_dir, d),
                                   ignore_errors=True)
                 shutil.rmtree(pre_path, ignore_errors=True)
-                return 0
-            base = self.spark.read.schema(self._SCHEMA).parquet(pre_path)
-        else:
-            versions = self.state.versions()
-            target = versions[-1] if versions else 0
-            pre_path = None
-            base = self.state.current()
+            else:
+                # step-3/4 crash: the fold never committed — re-repair
+                # from the backup over the currently-drainable letters
+                # bounded by the original target.
+                dirs = [d for d in self._dead_letter_batches()
+                        if int(d.split("=")[1]) <= target]
+                if not dirs:  # nothing left to fold: restore the backup
+                    if os.path.exists(os.path.join(pre_path, "_SUCCESS")):
+                        if os.path.exists(manifest):
+                            os.remove(manifest)
+                        os.rename(pre_path, os.path.join(
+                            self.state.state_dir, f"v={target}"))
+                    else:
+                        shutil.rmtree(pre_path, ignore_errors=True)
+                    return 0
+                if os.path.exists(os.path.join(pre_path, "_SUCCESS")):
+                    base = self.spark.read.schema(self._SCHEMA) \
+                        .parquet(pre_path)
+                else:  # empty-store sentinel backup
+                    base = self.spark.createDataFrame([], self._SCHEMA)
+                return self._fold(base, target, pre_path, dirs,
+                                  pre_exists=True)
 
+        dirs = self._drainable_batches()
+        if not dirs:
+            return 0
+        versions = self.state.versions()
+        target = versions[-1] if versions else 0
+        return self._fold(self.state.current(), target, None, dirs,
+                          pre_exists=False)
+
+    def _fold(self, base: DataFrame, target: int, pre_path: str | None,
+              dirs: list[str], pre_exists: bool) -> int:
         late = self.spark.read.parquet(
             *[os.path.join(self.dead_letter_dir, d) for d in dirs])
         n_late = late.count()
@@ -211,19 +271,20 @@ class IncrementalSessionStoreMaintainer:
                 .unionByName(repaired)
                 .localCheckpoint(eager=True))  # step 1: no state-file deps
 
-        if pre_path is None:
+        if not pre_exists:
             pre_path = os.path.join(self.state.state_dir,
                                     f"{self._PRE_DRAIN}={target}")
             cur = os.path.join(self.state.state_dir, f"v={target}")
             if os.path.isdir(cur):
                 os.rename(cur, pre_path)  # step 2: atomic backup
             else:
-                pre_path = None  # empty store: nothing to back up
-        self.state.write(target, full)  # step 3
-        for d in dirs:  # step 4: letters first, backup last
+                os.makedirs(pre_path)  # empty-store sentinel backup
+        with open(os.path.join(pre_path, self._FOLDED), "w") as fh:
+            fh.write("\n".join(dirs))  # step 3: fold manifest
+        self.state.write(target, full)  # step 4
+        for d in dirs:  # step 5: manifested letters first, backup last
             shutil.rmtree(os.path.join(self.dead_letter_dir, d))
-        if pre_path is not None:
-            shutil.rmtree(pre_path, ignore_errors=True)
+        shutil.rmtree(pre_path, ignore_errors=True)
         return n_late
 
     @staticmethod
