@@ -500,3 +500,73 @@ def test_torn_quarantine_dir_is_ignored_not_fatal(spark, sf_dir,
     assert maint.repair_from_dead_letter() == pending
     assert _rows(maint.current()) == _rows(_sessions_full(ev))
     assert os.path.isdir(torn)  # left for the redelivery to overwrite
+
+
+def test_stream_quarantine_drain_resume_lifecycle(spark, sf_dir,
+                                                  tmp_path_factory):
+    """The continuous job's real lifecycle end-to-end: a stream with a
+    dead-letter dir ingests a LATE file mid-stream (quarantines its
+    overlapping users), stops; the restart-moment drain folds the
+    quarantine (all letter versions committed by then); the stream then
+    RESUMES on the same checkpoint with a brand-new later file and
+    keeps maintaining the repaired store. Final store == sessionizing
+    every event ever ingested."""
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    c_mid = ev.where((F.col("ts") >= F.lit(lo + span))
+                     & (F.col("ts") < F.lit(lo + 2 * span)))
+    c_early = ev.where(F.col("ts") < F.lit(lo + span))      # arrives LATE
+    c_last = ev.where(F.col("ts") >= F.lit(lo + 2 * span))
+
+    base = str(tmp_path_factory.mktemp("lifecycle"))
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    for i, chunk in enumerate((c_mid, c_early, c_last)):
+        d = os.path.join(base, f"c{i}")
+        chunk.coalesce(1).write.parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+    now = time.time()  # FileStreamSource orders by modification time
+    for i in range(3):
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"),
+                 (now + i, now + i))
+
+    dlq = str(tmp_path_factory.mktemp("lifecycle_dlq"))
+    state = str(tmp_path_factory.mktemp("lifecycle_state"))
+    ckpt = str(tmp_path_factory.mktemp("lifecycle_ckpt"))
+    maint = IncrementalSessionStoreMaintainer(spark, state,
+                                              dead_letter_dir=dlq)
+    _drain(streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint, ckpt))
+    assert maint.dead_letter_backlog() > 0  # the early file quarantined
+
+    # the job-restart moment: drain, then resume on the SAME checkpoint
+    drained = maint.repair_from_dead_letter()
+    assert drained > 0
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+    assert maint.dead_letter_backlog() == 0
+
+    # a brand-new later file arrives; the resumed stream merges it
+    # against the REPAIRED store
+    import datetime
+    c_new = ev.where(F.col("ts") >= F.lit(lo + 2 * span)).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 40 DAYS")).alias("ts"),
+        "user_id", "value").localCheckpoint()
+    c_new.coalesce(1).write.parquet(os.path.join(base, "c3"))
+    for f in sorted(glob.glob(os.path.join(base, "c3", "*.parquet"))):
+        shutil.copy(f, os.path.join(flat, "03.parquet"))
+    os.utime(os.path.join(flat, "03.parquet"), (now + 10, now + 10))
+
+    maint2 = IncrementalSessionStoreMaintainer(spark, state,
+                                               dead_letter_dir=dlq)
+    _drain(streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint2, ckpt))
+    want = _rows(_sessions_full(ev.unionByName(c_new)))
+    assert _rows(maint2.current()) == want
+    assert maint2.dead_letter_backlog() == 0
