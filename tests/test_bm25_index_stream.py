@@ -258,6 +258,10 @@ class TestCompaction:
          .parquet(os.path.join(idx, "postings", "compact_tmp")))
         (doclens.write.mode("overwrite")
          .parquet(os.path.join(idx, "doclens", "compact_tmp")))
+        for comp in ("postings", "doclens"):  # the fold manifest (r16)
+            with open(os.path.join(idx, comp, "compact_tmp",
+                                   "_folded.txt"), "w") as fh:
+                fh.write("\n".join(folded))
 
         assert B.compact_index(spark, idx) == 3
         assert maint.committed_increments() == ["inc=00000", "inc=00003"]
@@ -284,6 +288,11 @@ class TestCompaction:
         assert maint.compact() == 3
         os.rename(os.path.join(idx, "doclens", "inc=00000"),
                   os.path.join(idx, "doclens", "compact_tmp"))
+        # a real mid-rename crash leaves the fold manifest inside the
+        # tmp (it is removed only after the rename commits)
+        with open(os.path.join(idx, "doclens", "compact_tmp",
+                               "_folded.txt"), "w") as fh:
+            fh.write("\n".join(["inc=00000", "inc=00001", "inc=00002"]))
 
         with pytest.raises(ValueError, match="mismatched increments"):
             maint.search(_TERMS, _K)
@@ -291,6 +300,63 @@ class TestCompaction:
         assert B.compact_index(spark, idx) == 0  # finishes the rename
         assert maint.committed_increments() == ["inc=00000", "inc=00003"]
         assert _rows(maint.search(_TERMS, _K)) == want
+
+    def test_increment_landed_mid_compaction_fails_loudly(
+            self, spark, sf_dir, tmp_path_factory):
+        """r15 ADVICE: an ingest that lands between the fold and the
+        finish (a violated quiescence contract) must never be rmtree'd
+        — the pre-r16 finish deleted 'all but newest' and silently
+        dropped the previously-newest UNFOLDED increment. With the fold
+        manifest, the finish detects the extra increments, fails
+        loudly, and leaves every increment AND the committed tmp
+        intact; queries keep serving the full corpus."""
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            bm25_index as B,
+        )
+
+        docs = _docs(spark, sf_dir)
+        maint = self._indexed(spark, sf_dir, tmp_path_factory)
+        idx = maint.index_dir
+
+        # committed tmp pair with manifests, exactly as a crash between
+        # the fold and the finish leaves it
+        incs = B.check_index_committed(idx)
+        folded = incs[:-1]
+        for comp, parts in (("postings", ("bucket",)), ("doclens", ())):
+            df = (spark.read.option("basePath", os.path.join(idx, comp))
+                  .parquet(*[os.path.join(idx, comp, x) for x in folded])
+                  .drop("inc"))
+            w = df.write.mode("overwrite")
+            if parts:
+                w = w.partitionBy(*parts)
+            w.parquet(os.path.join(idx, comp, "compact_tmp"))
+            with open(os.path.join(idx, comp, "compact_tmp",
+                                   "_folded.txt"), "w") as fh:
+                fh.write("\n".join(folded))
+
+        # the quiescence violation: a new ingest lands before the swap
+        maint.append_batch(docs.where(F.pmod("doc_id", F.lit(7)) == 0), 4)
+        want = _rows(maint.search(_TERMS, _K))
+
+        with pytest.raises(ValueError, match="quiescence"):
+            B.compact_index(spark, idx)
+        # nothing was deleted: every increment survives and serves
+        assert maint.committed_increments() == [
+            "inc=00000", "inc=00001", "inc=00002", "inc=00003",
+            "inc=00004"]
+        assert _rows(maint.search(_TERMS, _K)) == want
+
+    def test_search_on_fresh_empty_index_returns_empty(
+            self, spark, tmp_path_factory):
+        """r15 ADVICE: bm25_from_index on a fresh index (no increments
+        yet) must return an empty typed frame, not crash on a
+        zero-path parquet read — matching the neardup maintainer's
+        current_pairs empty-case contract."""
+        maint = IncrementalBm25IndexMaintainer(
+            spark, str(tmp_path_factory.mktemp("bm25_empty")))
+        got = maint.search(_TERMS, _K)
+        assert got.columns == ["doc_id", "bm25"]
+        assert got.count() == 0
 
     def test_half_written_tmp_is_discarded(self, spark, sf_dir,
                                            tmp_path_factory):

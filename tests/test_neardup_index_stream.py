@@ -245,6 +245,12 @@ class TestNearDupCompaction:
         for comp in ("shingles", "pairs"):
             _os.rename(_os.path.join(idx, comp, "inc=00000"),
                        _os.path.join(idx, comp, "compact_tmp"))
+            # a real mid-rename crash leaves the fold manifest inside
+            # the tmp (removed only after the rename commits)
+            with open(_os.path.join(idx, comp, "compact_tmp",
+                                    "_folded.txt"), "w") as fh:
+                fh.write("\n".join(["inc=00000", "inc=00001",
+                                    "inc=00002"]))
         with pytest.raises(ValueError, match="mismatched increments"):
             maint.current_pairs()
         assert maint.compact() == 0  # finishes the remaining renames

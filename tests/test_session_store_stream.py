@@ -445,6 +445,38 @@ def test_drain_defers_letters_of_uncommitted_batches(spark, sf_dir,
     assert maint.dead_letter_backlog() == 0
 
 
+def test_replay_after_drain_preserves_repaired_store(spark, sf_dir,
+                                                     tmp_path_factory):
+    """r15 ADVICE (high): crash between state.write(N) and the
+    streaming checkpoint commit, so the restart-moment drain folds
+    older letters (b=K, K<N) into v=N and deletes them — and THEN the
+    stream re-delivers batch N. The replayed merge must be a no-op
+    (v=N already committed; it may be the repaired version): the old
+    recompute-from-v=N-1 overwrote the repair, and the deleted letters'
+    late events were silently and permanently lost."""
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    # batch 2: strictly later events for every user (clean tail merge);
+    # v=2 commits but — in this scenario — the checkpoint does not
+    batch2 = ev.select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+        "user_id", "value").localCheckpoint()
+    maint.merge_batch(batch2, 2)
+
+    # restart-moment drain: b=1 (K=1 < N=2) folds into v=2 and is gone
+    assert maint.repair_from_dead_letter() > 0
+    want = _rows(_sessions_full(ev).unionByName(_sessions_full(batch2)))
+    assert _rows(maint.current()) == want
+    assert maint.dead_letter_backlog() == 0
+
+    # the stream re-delivers batch 2 with identical data: the repaired
+    # v=2 must survive (the old code recomputed from v=1 and lost b=1)
+    maint.merge_batch(batch2, 2)
+    assert _rows(maint.current()) == want
+    assert maint.dead_letter_backlog() == 0
+    assert maint.repair_from_dead_letter() == 0
+
+
 def test_orphan_backup_never_deletes_unfolded_letters(spark, sf_dir,
                                                       tmp_path_factory):
     """r15 review finding: a step-5 crash after all letters were

@@ -154,6 +154,11 @@ def bm25_from_index(spark: SparkSession, path: str,
     for distinct-term queries — pass distinct terms when comparing."""
     terms = tuple(dict.fromkeys(terms))
     incs = check_index_committed(path)
+    if not incs:
+        # Fresh index, no increments yet: an empty result, not a
+        # zero-path spark.read crash (r15 ADVICE — matches the neardup
+        # maintainer's empty-case handling in current_pairs).
+        return spark.createDataFrame([], "doc_id BIGINT, bm25 DOUBLE")
     # bucket ids for the query terms, computed with the SAME hash the
     # writer used (one tiny Spark job; |terms| rows)
     buckets = [r.b for r in spark.createDataFrame(

@@ -15,15 +15,21 @@ maintainer #26) — follow the same on-disk discipline:
   streaming maintainers key ``inc`` on batch_id);
 - COMPACTION folds all increments EXCEPT THE NEWEST into the fixed
   ``inc=00000`` via tmp-then-swap: the folded union of every component
-  is written to a ``compact_tmp`` sibling first (committed), then the
-  folded ``inc=`` dirs are deleted and the tmp dirs renamed in
+  is written to a ``compact_tmp`` sibling first (committed, with a
+  ``_folded.txt`` manifest naming exactly the folded leaves), then the
+  MANIFESTED ``inc=`` dirs are deleted and the tmp dirs renamed in
   component order. The newest increment is deliberately left alone —
   it is the only one a crash-replayed micro-batch can overwrite, and
   folding it would double its rows on redelivery. Every crash point
   re-enters: a half-written tmp set is discarded (increments intact);
   a fully committed tmp set resumes the delete+rename; a mid-rename
   crash leaves components mismatched — reads FAIL CLOSED until the
-  next compact call completes the remaining renames.
+  next compact call completes the remaining renames. The manifest is
+  what makes the swap safe against a VIOLATED quiescence contract
+  (r15 ADVICE): deletion is confined to the leaves actually folded
+  into the tmp, so an increment that lands between the fold and the
+  finish is never rmtree'd — the finish detects it (more than one
+  non-manifested leaf) and fails loudly instead of guessing.
 
 This module is the single implementation of that discipline; the index
 modules contribute only their component list, per-component partition
@@ -39,6 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 COMPACT_TARGET = "inc=00000"
 _COMPACT_TMP = "compact_tmp"  # does not start with "inc=": never listed
+_FOLDED = "_folded.txt"  # underscore prefix: invisible to parquet reads
+
+
+def _read_manifest(tmp_dir: str) -> list[str]:
+    with open(os.path.join(tmp_dir, _FOLDED)) as fh:
+        return [x for x in fh.read().split("\n") if x]
 
 
 def increments(path: str, comp: str) -> list[str]:
@@ -119,7 +131,12 @@ def compact_components(
         return os.path.join(path, c, _COMPACT_TMP)
 
     def committed(c: str) -> bool:
-        return os.path.exists(os.path.join(tmp(c), "_SUCCESS"))
+        # A tmp is committed only once BOTH the Spark marker and the
+        # fold manifest exist — a crash between them leaves a tmp whose
+        # folded set is unknowable, which must be discarded (safe:
+        # nothing is deleted until _finish_compaction).
+        return (os.path.exists(os.path.join(tmp(c), "_SUCCESS"))
+                and os.path.exists(os.path.join(tmp(c), _FOLDED)))
 
     present = [c for c in names if os.path.isdir(tmp(c))]
     # Recovery disambiguation relies on the FIXED component order used
@@ -141,7 +158,7 @@ def compact_components(
             shutil.rmtree(tmp(c))
         present = []
     if present:
-        n = max(len(increments(path, names[0])) - 1, 0)
+        n = len(_read_manifest(tmp(present[0])))
         _finish_compaction(path, comps)
         return n if len(present) == len(names) else 0
 
@@ -155,23 +172,48 @@ def compact_components(
         if parts:
             w = w.partitionBy(*parts)
         w.parquet(tmp(c))
+        # Manifest AFTER the Spark write (overwrite wipes the dir):
+        # records exactly which leaves this tmp folded, so the finish
+        # deletes those and only those.
+        with open(os.path.join(tmp(c), _FOLDED), "w") as fh:
+            fh.write("\n".join(folded))
     _finish_compaction(path, comps)
     return len(folded)
 
 
 def _finish_compaction(path: str,
                        comps: dict[str, tuple[str, ...]]) -> None:
-    """Delete every folded increment (all but the newest) and rename
-    each committed tmp into ``inc=00000``, in component order — a
-    mid-sequence crash is detectable (mismatched components fail
-    closed) and the next call completes only the missing renames."""
+    """Delete exactly the MANIFESTED increments (the leaves actually
+    folded into each tmp) and rename each committed tmp into
+    ``inc=00000``, in component order — a mid-sequence crash is
+    detectable (mismatched components fail closed) and the next call
+    completes only the missing renames. Deleting 'all but newest' at
+    finish time instead (the pre-r16 behavior) silently dropped any
+    increment that landed between the fold and the finish: the
+    previously-newest UNFOLDED leaf became non-newest and was rmtree'd
+    (r15 ADVICE). A violated quiescence contract now fails loudly: at
+    fold time exactly one leaf (the then-newest) stays outside the
+    fold, so more than one non-manifested leaf means increments landed
+    mid-compaction — refuse to swap rather than guess."""
     for c in comps:
         tmp = os.path.join(path, c, _COMPACT_TMP)
         if not os.path.isdir(tmp):
             continue  # this component already renamed by a prior attempt
-        incs = increments(path, c)
-        newest = incs[-1] if incs else None
-        for leaf in incs:
-            if leaf != newest:
-                shutil.rmtree(os.path.join(path, c, leaf))
+        folded = _read_manifest(tmp)
+        extras = [x for x in increments(path, c) if x not in folded]
+        if len(extras) > 1:
+            raise ValueError(
+                f"compaction of {path}/{c} found increments {extras} "
+                "beyond the fold manifest — ingests ran while the "
+                "compaction was in flight, violating its quiescence "
+                "contract; refusing to swap (increments and the "
+                "committed tmp are both intact)")
+        for leaf in folded:
+            shutil.rmtree(os.path.join(path, c, leaf),
+                          ignore_errors=True)  # resume-safe re-delete
+        # The manifest rides into inc=00000 through the atomic rename
+        # (removing it first would open a crash window where folded
+        # leaves are deleted but the tmp looks uncommitted and gets
+        # discarded); underscore files are invisible to parquet reads.
         os.rename(tmp, os.path.join(path, c, COMPACT_TARGET))
+        os.remove(os.path.join(path, c, COMPACT_TARGET, _FOLDED))

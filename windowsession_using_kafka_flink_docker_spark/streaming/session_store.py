@@ -77,6 +77,18 @@ class IncrementalSessionStoreMaintainer:
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self.state.guard(batch_id)
+        if batch_id in self.state.versions():
+            # Replay of a batch whose state version COMMITTED but whose
+            # streaming checkpoint did not (the crash landed between
+            # state.write(batch_id) and the checkpoint commit). The
+            # replay carries identical source data, and the committed
+            # v=batch_id may since have become the REPAIRED version a
+            # startup drain folded dead letters into — recomputing from
+            # latest_before(batch_id) here would overwrite that repair
+            # and permanently lose every letter b=K (K < batch_id) the
+            # drain already deleted (r15 ADVICE, high). The existing
+            # version IS this batch's (possibly repaired) result: skip.
+            return
         fresh = sessions_full(batch_df).localCheckpoint()
         prev = self.state.latest_before(batch_id)
         if prev is None:
@@ -104,14 +116,16 @@ class IncrementalSessionStoreMaintainer:
             (batch_df.join(late_users, "user_id", "left_semi")
              .write.mode("overwrite")
              .parquet(os.path.join(self.dead_letter_dir, f"b={batch_id}")))
-            # Surface the backlog (r14 ADVICE: silently-stale store rows
-            # otherwise degrade the served table with no signal): the
-            # continuous job reads dead_letter_backlog() and alerts /
-            # schedules repair_from_dead_letter() on non-empty.
+            # Surface the quarantine (r14 ADVICE: silently-stale store
+            # rows otherwise degrade the served table with no signal):
+            # the continuous job reads dead_letter_backlog() and alerts
+            # / schedules repair_from_dead_letter() on non-empty. Log
+            # only this batch's count here — the full backlog is an
+            # O(backlog) disk scan that does not belong on the per-batch
+            # hot path (r15 ADVICE); the startup drain computes it.
             print(f"session_store: batch {batch_id} quarantined "
-                  f"{n_late} late user(s); backlog now "
-                  f"{self.dead_letter_backlog()} row(s) pending "
-                  "repair_from_dead_letter()")
+                  f"{n_late} late user(s); run dead_letter_backlog() / "
+                  "repair_from_dead_letter() to inspect and drain")
             fresh = (fresh.join(late_users, "user_id", "left_anti")
                      .localCheckpoint())
         self.state.write(batch_id, merge_session_store(prev, fresh))
