@@ -64,48 +64,56 @@ def test_no_half_cent_rounding_ties_at_driver_scale(spark, sf_dir):
         "see BASELINE.md 'Round 13 (close)' before certifying")
 
 
-def test_no_quality_score_rounding_ties_at_driver_scale(spark, sf_dir):
-    """Tripwire for the r15 sf0.1 sweep's second rounding-tie family:
-    quality_scores ROUND(score, 4) landed one sf0.1 document on an
-    exact .xxxx5 decimal boundary (0.94525 -> Spark 0.9452 vs DuckDB
-    0.9453 — the same shortest-decimal-half-up vs binary-double split
-    as the session half-cent family, BASELINE round-13 close). No such
-    tie exists in the driver's sf0.01 data today; this fails LOUDLY
-    before the driver would. The exact-e4 integer-division rewrite
-    (the repo's established fix for this class) is queued for r16 when
-    the window can absorb the changed-entry recertification."""
-    from decimal import ROUND_HALF_UP, Decimal
+def test_quality_scores_exact_matches_python_rational(spark, sf_dir):
+    """The r16 exact-e4 quality_scores entry (landed from the r15
+    REWRITES queue after the sf0.1 sweep found a .xxxx5 ROUND(x,4)
+    boundary split) must emit TRUE half-up 4-decimal rounding of the
+    exact rational score — verified here against Python Fraction
+    arithmetic, an oracle independent of BOTH engines' float paths.
+    The feature counts (n, a, p, toks) come from the same Spark
+    expressions the entry uses (regex parity between the engines is
+    the DuckDB oracle's job); this test pins the rounding arithmetic,
+    the class the old double pipeline got wrong on ties."""
+    from fractions import Fraction
 
     from pyspark.sql import functions as F
 
     from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
-        char_ratio,
         token_count,
+    )
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import (
+        CATALOG as _CAT,
     )
     from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    # the quality_score expression WITHOUT the final round (kept in
-    # lockstep with operators/text_analysis.py:quality_score)
     t = F.col("text")
-    n = F.length(t)
-    toks = token_count(t)
-    mean_word = F.when(toks == 0, F.lit(0.0)).otherwise(n / toks)
-    raw = (0.3 * (F.when(n < 20, F.lit(0.0)).when(n < 100, F.lit(0.5))
-                  .otherwise(F.lit(1.0)))
-           + 0.3 * char_ratio(t, r"[A-Za-z]")
-           + 0.2 * (1 - F.least(char_ratio(t, r"[^\w\s]") * 5, F.lit(1.0)))
-           + 0.2 * F.when((mean_word >= 3) & (mean_word <= 12),
-                          F.lit(1.0)).otherwise(F.lit(0.5)))
-    ties = []
-    for r in docs.select(raw.alias("raw")).collect():
-        v = r.raw
-        string_half_up = Decimal(str(v)).quantize(
-            Decimal("0.0001"), rounding=ROUND_HALF_UP)
-        binary_round = Decimal(repr(round(v, 4)))
-        if string_half_up != binary_round:
-            ties.append(v)
-    assert not ties, (
-        f"{len(ties)} quality scores land on 1e-4 rounding ties "
-        f"(e.g. {ties[:3]}); Spark and DuckDB will round these apart — "
-        "land the exact-e4 rewrite before certifying")
+    n_ = F.length(t).cast("long")
+    feats = docs.select(
+        "doc_id", n_.alias("n"),
+        (n_ - F.length(F.regexp_replace(t, r"[A-Za-z]", "")))
+        .cast("long").alias("a"),
+        (n_ - F.length(F.regexp_replace(t, r"[^\w\s]", "")))
+        .cast("long").alias("p"),
+        token_count(t).cast("long").alias("toks")).collect()
+
+    want = {}
+    for r in feats:
+        if r.n == 0:
+            q_e4 = 3000
+        else:
+            L = 0 if r.n < 20 else (1 if r.n < 100 else 2)
+            W = 2 if (r.toks > 0 and 3 * r.toks <= r.n <= 12 * r.toks) \
+                else 1
+            score = Fraction(3 * L * r.n + 6 * r.a
+                             + 4 * (r.n - min(5 * r.p, r.n))
+                             + 2 * W * r.n, 20 * r.n)
+            scaled = score * 10_000
+            # true half-up: floor(x + 1/2) on the exact rational
+            q_e4 = (scaled + Fraction(1, 2)).__floor__()
+        if q_e4 >= 5000:
+            want[r.doc_id] = q_e4
+
+    got = {r.doc_id: round(r.quality * 10_000)
+           for r in _CAT["quality_scores"].spark(spark, sf_dir).collect()}
+    assert got == want

@@ -58,36 +58,10 @@ def test_staged_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
 
-def test_queued_rewrites_oracle_exact_and_tie_confined(spark, sf_dir):
-    """The r16-queued quality_scores exact-e4 rewrite (drafted after
-    the r15 sf0.1 sweep found its ROUND(x,4) boundary split) must pass
-    its OWN exact oracle, and its differences vs the registered double
-    form must be CONFINED to the rounding-boundary class: same doc
-    membership, and every differing score moves by exactly one 1e-4
-    step (the double pipelines land a .xxxx5-boundary value on the
-    mathematically-wrong side — at sf0.001 two docs sit at raw 0.94375,
-    where Spark AND DuckDB both emit 0.9437 but true half-up is
-    0.9438; the exact form corrects them and is engine-identical by
-    construction)."""
-    from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
-    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import REWRITES
-
-    assert set(REWRITES) <= set(CATALOG), "rewrites must target registered entries"
-    for name, (fn, oracle) in REWRITES.items():
-        ok, msg = compare(fn(spark, sf_dir), oracle, sf_dir)
-        assert ok, f"{name} rewrite vs its own oracle: {msg}"
-        old = {r[0]: r[1:] for r in CATALOG[name].spark(spark, sf_dir).collect()}
-        new = {r[0]: r[1:] for r in fn(spark, sf_dir).collect()}
-        assert set(old) == set(new), f"{name} rewrite changed membership"
-        moved = {k for k in old if old[k] != new[k]}
-        for k in moved:
-            (ov,), (nv,) = old[k], new[k]
-            assert abs(round(nv - ov, 6)) == 0.0001, (
-                f"{name} doc {k}: {ov} -> {nv} is not a one-step "
-                "boundary correction")
-        assert len(moved) <= max(2, len(old) // 100), (
-            f"{name}: {len(moved)} docs moved — more than the tie "
-            "class plausibly explains")
+# The quality_scores exact-e4 rewrite LANDED in r16 (the REWRITES queue
+# is deleted); its rounding arithmetic is now pinned against an
+# engine-independent Python Fraction oracle in
+# tests/test_oracle_parity.py::test_quality_scores_exact_matches_python_rational.
 
 
 def _collect_sessions(df):

@@ -339,35 +339,77 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH feats AS (
   SELECT doc_id,
-         length(text) AS n,
-         CASE WHEN length(text) = 0 THEN 0.0
-              ELSE (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text) END AS alpha_ratio,
-         CASE WHEN length(text) = 0 THEN 0.0
-              ELSE (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text) END AS punct_ratio,
-         """ + _TOKC_SQL + r""" AS toks
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS a,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS p,
+         CAST(""" + _TOKC_SQL + r""" AS BIGINT) AS toks
   FROM documents
 ),
 scored AS (
   SELECT doc_id,
-         ROUND(
-           0.3 * (CASE WHEN n < 20 THEN 0.0 WHEN n < 100 THEN 0.5 ELSE 1.0 END)
-         + 0.3 * alpha_ratio
-         + 0.2 * (1 - LEAST(punct_ratio * 5, 1.0))
-         + 0.2 * (CASE WHEN toks > 0 AND (n * 1.0 / toks) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 4) AS quality
+         CASE WHEN n = 0 THEN CAST(3000 AS BIGINT) ELSE
+           (2 * (3 * (CASE WHEN n < 20 THEN 0 WHEN n < 100 THEN 1 ELSE 2 END) * n
+                 + 6 * a
+                 + 4 * (n - LEAST(5 * p, n))
+                 + 2 * (CASE WHEN toks > 0 AND n >= 3 * toks AND n <= 12 * toks
+                             THEN 2 ELSE 1 END) * n) * 10000
+            + 20 * n) // (40 * n)
+         END AS q_e4
   FROM feats
 )
-SELECT doc_id, quality FROM scored WHERE quality >= 0.5
+SELECT doc_id, q_e4 / 10000.0 AS quality
+FROM scored WHERE q_e4 >= 5000
 """,
     description="Surface-statistics quality scoring (length band, alpha "
-                "ratio, punctuation ratio, mean word length); filter >= 0.5",
+                "ratio, punctuation ratio, mean word length) on EXACT "
+                "int64 arithmetic; filter >= 0.5",
     tags=("llm", "text"),
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-e4 form (landed r16 from the staging_r15 REWRITES queue).
+
+    The r15 sf0.1 window sweep found the previous double pipeline's
+    ROUND(score, 4) landing a document on an exact .xxxx5 boundary
+    (0.94525 -> Spark 0.9452 vs DuckDB 0.9453 — the shortest-decimal
+    half-up vs binary-double split, same class as the session
+    half-cent family), so the rounded value is now derived by EXACT
+    integer division (the SURVEY §2.52 discipline):
+
+    score = 0.3·lb + 0.3·a/n + 0.2·(1 − min(5p/n, 1)) + 0.2·wb with
+    lb ∈ {0, ½, 1} = L/2, wb ∈ {½, 1} = W/2 and integer counts a
+    (alpha chars), p (punct chars), n (length) is the exact rational
+    num/(20n), num = 3Ln + 6a + 4(n − min(5p, n)) + 2Wn; half-up
+    4-decimal rounding is q_e4 = (2·num·10⁴ + 20n) div (40n) — every
+    operand far inside int64 at any document size. The word band's
+    3 ≤ n/toks ≤ 12 test becomes 3·toks ≤ n ≤ 12·toks (equivalent
+    for positive ints, no IEEE division at all). This is a boundary
+    CORRECTION, not a value-identical swap: on .xxxx5-boundary docs
+    both double engines agreed with each other on the mathematically
+    wrong side; the exact form emits true half-up (one 1e-4 step
+    apart on exactly those docs — blast radius pinned by
+    tests/test_oracle_parity.py's tie-confinement test)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", T.quality_score("text").alias("quality"))
-        .where(F.col("quality") >= 0.5)
-    )
+    t = F.col("text")
+    n = F.length(t).cast("long")
+    feats = docs.select(
+        "doc_id", n.alias("n"),
+        (n - F.length(F.regexp_replace(t, r"[A-Za-z]", "")))
+        .cast("long").alias("a"),
+        (n - F.length(F.regexp_replace(t, r"[^\w\s]", "")))
+        .cast("long").alias("p"),
+        T.token_count(t).cast("long").alias("toks"))
+    # exact int64 `div` — the §2.52 idiom (never a double divide+floor)
+    q_e4 = F.expr(
+        "CASE WHEN n = 0 THEN 3000L ELSE "
+        "(2 * (3 * (CASE WHEN n < 20 THEN 0L WHEN n < 100 THEN 1L "
+        "           ELSE 2L END) * n"
+        "      + 6 * a + 4 * (n - LEAST(5 * p, n))"
+        "      + 2 * (CASE WHEN toks > 0 AND n >= 3 * toks "
+        "                  AND n <= 12 * toks THEN 2L ELSE 1L END) * n)"
+        " * 10000 + 20 * n) div (40 * n) END")
+    return (feats.select("doc_id",
+                         (q_e4 / F.lit(10_000.0)).alias("quality"))
+            .where(F.col("quality") >= 0.5))
 
 
 @register(

@@ -465,99 +465,12 @@ LEFT JOIN before b ON b.user_id = l.user_id
 # changed-fingerprint front-loads it into the r15 driver window.
 
 
-def quality_scores_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-e4 rewrite of the registered ``quality_scores``, queued
-    for r16 — the r15 sf0.1 window sweep found the entry's
-    ROUND(score, 4) landing one document on an exact .xxxx5 boundary
-    (0.9452 vs 0.9453; 9 tie-candidate raw values at sf0.1, zero at the
-    driver's sf0.01, tripwired in tests/test_oracle_parity.py) — the
-    same shortest-decimal-half-up vs binary-double split as the session
-    half-cent family, fixed with the repo's established discipline
-    (SURVEY §2.52): derive the rounded value by EXACT integer division.
-
-    score = 0.3·lb + 0.3·a/n + 0.2·(1 − min(5p/n, 1)) + 0.2·wb with
-    lb ∈ {0, ½, 1} = L/2, wb ∈ {½, 1} = W/2 and integer counts a
-    (alpha chars), p (punct chars), n (length) is the exact rational
-    num/(20n), num = 3Ln + 6a + 4(n − min(5p, n)) + 2Wn; the half-up
-    4-decimal rounding is q_e4 = (2·num·10⁴ + 20n) div (40n) — every
-    operand far inside int64 at any document size. The word band's
-    3 ≤ n/toks ≤ 12 test becomes 3·toks ≤ n ≤ 12·toks (equivalent for
-    positive ints, no IEEE division at all). Both sides rewritten
-    together, so the oracle is exact too — landing this flags the
-    entry changed into the r16 window (zero slack remained in r15).
-
-    This is a boundary CORRECTION, not a value-identical swap: on
-    .xxxx5-boundary docs the double pipelines land on the
-    mathematically-wrong side even when the engines agree with each
-    other — the exact form emits true half-up (one 1e-4 step apart on
-    exactly those docs; the tie-confinement test pins the blast
-    radius)."""
-    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
-        token_count,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    n = F.length(t).cast("long")
-    feats = docs.select(
-        "doc_id", n.alias("n"),
-        (n - F.length(F.regexp_replace(t, r"[A-Za-z]", "")))
-        .cast("long").alias("a"),
-        (n - F.length(F.regexp_replace(t, r"[^\w\s]", "")))
-        .cast("long").alias("p"),
-        token_count(t).cast("long").alias("toks"))
-    # exact int64 `div` — the §2.52 idiom (never a double divide+floor)
-    q_e4 = F.expr(
-        "CASE WHEN n = 0 THEN 3000L ELSE "
-        "(2 * (3 * (CASE WHEN n < 20 THEN 0L WHEN n < 100 THEN 1L "
-        "           ELSE 2L END) * n"
-        "      + 6 * a + 4 * (n - LEAST(5 * p, n))"
-        "      + 2 * (CASE WHEN toks > 0 AND n >= 3 * toks "
-        "                  AND n <= 12 * toks THEN 2L ELSE 1L END) * n)"
-        " * 10000 + 20 * n) div (40 * n) END")
-    return (feats.select("doc_id",
-                         (q_e4 / F.lit(10_000.0)).alias("quality"))
-            .where(F.col("quality") >= 0.5))
-
-
-QUALITY_SCORES_EXACT_ORACLE = r"""
-WITH feats AS (
-  SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n,
-         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS a,
-         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS p,
-         CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
-  FROM documents
-),
-scored AS (
-  SELECT doc_id,
-         CASE WHEN n = 0 THEN CAST(3000 AS BIGINT) ELSE
-           (2 * (3 * (CASE WHEN n < 20 THEN 0 WHEN n < 100 THEN 1 ELSE 2 END) * n
-                 + 6 * a
-                 + 4 * (n - LEAST(5 * p, n))
-                 + 2 * (CASE WHEN toks > 0 AND n >= 3 * toks AND n <= 12 * toks
-                             THEN 2 ELSE 1 END) * n) * 10000
-            + 20 * n) // (40 * n)
-         END AS q_e4
-  FROM feats
-)
-SELECT doc_id, q_e4 / 10000.0 AS quality
-FROM scored WHERE q_e4 >= 5000
-"""
-
-#: Registered-entry rewrites queued for r16 (name -> (replacement fn,
-#: replacement oracle)). The exact form is a BOUNDARY CORRECTION, not
-#: value-identical: on .xxxx5-boundary docs the double pipelines land
-#: on the mathematically-wrong side (at sf0.001, docs 40/378 sit at raw
-#: 0.94375 where BOTH engines emit 0.9437; true half-up is 0.9438) —
-#: the rewrite moves exactly those docs by one 1e-4 step and is
-#: engine-identical at every scale by integer construction
-#: (tests/test_staging_r15.py::test_queued_rewrites_oracle_exact_and_tie_confined).
-#: Landing it flags the entry changed into the r16 driver window.
-REWRITES: dict = {
-    "quality_scores": (quality_scores_exact, QUALITY_SCORES_EXACT_ORACLE),
-}
+# The quality_scores exact-e4 rewrite LANDED in r16: the registered
+# entry in plans/llm_pipeline.py now IS the exact-int64 form (the
+# .xxxx5 ROUND(x,4) boundary family the r15 sf0.1 sweep found is
+# closed by construction); the staged draft and the REWRITES queue
+# are deleted, and the entry's changed fingerprint front-loads it
+# into the r16 driver window.
 
 
 #: name -> (spark_fn, oracle_sql, description, tags) — the exact shape
