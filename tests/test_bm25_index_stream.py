@@ -230,6 +230,32 @@ class TestCompaction:
         assert _rows(maint.search(_TERMS, _K)) == \
             _rows(bm25_from_index(spark, one_shot, _TERMS, _K))
 
+    def test_count_triggered_compaction_is_invisible(
+            self, spark, sf_dir, tmp_path_factory):
+        """compact_every=2 (r16: the continuous job's in-stream
+        read-amp control): the fold runs inside append_batch once the
+        increment count reaches the threshold — the increment list
+        stays bounded, scores are unchanged vs a never-compacted
+        one-shot index, and a crash-replay of the LAST batch after an
+        inline fold overwrites its still-unfolded increment."""
+        docs = _docs(spark, sf_dir)
+        maint = IncrementalBm25IndexMaintainer(
+            spark, str(tmp_path_factory.mktemp("bm25_cmp_every")),
+            compact_every=2)
+        parts = [docs.where(F.pmod("doc_id", F.lit(4)) == i)
+                 for i in range(4)]
+        for i, p in enumerate(parts):
+            maint.append_batch(p, i)
+            assert len(maint.committed_increments()) <= 2
+
+        one_shot = str(tmp_path_factory.mktemp("bm25_cmp_every_ref"))
+        bm25_index_export(spark, docs, one_shot)
+        want = _rows(bm25_from_index(spark, one_shot, _TERMS, _K))
+        assert _rows(maint.search(_TERMS, _K)) == want
+
+        maint.append_batch(parts[3], 3)  # crash-replay after the fold
+        assert _rows(maint.search(_TERMS, _K)) == want
+
     def test_crash_with_committed_tmp_resumes(self, spark, sf_dir,
                                               tmp_path_factory):
         """Crash after the tmp pair committed but before any delete /

@@ -127,6 +127,33 @@ def test_replayed_batch_recomputes_identical_pairs(spark, sf_dir,
     assert got.where("id_a = id_b").count() == 0
 
 
+def test_count_triggered_compaction_is_invisible(spark, sf_dir,
+                                                 tmp_path_factory):
+    """compact_every=2 (r16: the continuous job's in-stream read-amp
+    control): the fold runs inside process_batch after each append once
+    the increment count reaches the threshold — the increment list
+    stays bounded, and the maintained pairs still equal the
+    from-scratch single-batch run. Then a crash-replay of the LAST
+    batch after an inline compact: before_inc=batch_id now resolves to
+    the folded inc=00000 — a value-identical view of 'everything
+    strictly below me' — so the recomputed pairs are unchanged."""
+    docs = _docs(spark, sf_dir)
+    maint = IncrementalNearDupIndexMaintainer(
+        spark, str(tmp_path_factory.mktemp("nd_cmp_every")),
+        compact_every=2)
+    parts = [docs.where(F.pmod("doc_id", F.lit(4)) == i)
+             for i in range(4)]
+    for i, p in enumerate(parts):
+        maint.process_batch(p, i)
+        assert len(maint.committed_increments()) <= 2
+    once = _rows(maint.current_pairs())
+    assert once == _from_scratch_pairs(spark, sf_dir, tmp_path_factory)
+
+    maint.process_batch(parts[3], 3)  # crash-replay after the fold
+    assert _rows(maint.current_pairs()) == once
+    assert maint.current_pairs().where("id_a = id_b").count() == 0
+
+
 def test_torn_batch_detected_then_healed(spark, sf_dir,
                                          tmp_path_factory):
     """A batch interrupted between the pair write and the index append

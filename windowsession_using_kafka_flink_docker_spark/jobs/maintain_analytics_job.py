@@ -176,6 +176,14 @@ def main() -> None:
                          "(maintainer #14) instead of the exact "
                          "vocabulary-bounded one — the extreme-scale "
                          "drop-in where even Heaps-law state is too big")
+    ap.add_argument("--compact-every", type=int, default=16,
+                    help="fold the serving indexes (#25/#26) whenever "
+                         "their increment count reaches N — runs inside "
+                         "the foreachBatch thread (the only writer, so "
+                         "the compaction quiescence contract holds); "
+                         "bounds per-query read amplification on a "
+                         "long-running stream. 0 disables the trigger "
+                         "(restart-only compaction)")
     ap.add_argument("--state-root", default="/tmp/analytics_state")
     ap.add_argument("--checkpoint-root", default="/tmp/ckpt/analytics")
     args = ap.parse_args()
@@ -335,12 +343,12 @@ def main() -> None:
         # batch (inc=batch_id, replay-idempotent; queries serve from
         # the index alone with bucket-pruned postings reads)
         bmi = IncrementalBm25IndexMaintainer(
-            spark, os.path.join(args.state_root, "bm25_index"))
-        # Compact at the quiescent restart moment (same rationale as
-        # the session-store drain above): one increment lands per
-        # micro-batch and every query lists/reads all of them, so a
-        # long-running stream linearly inflates the pruned postings
-        # read until the fold runs.
+            spark, os.path.join(args.state_root, "bm25_index"),
+            compact_every=args.compact_every or None)
+        # Compact at the quiescent restart moment too (same rationale
+        # as the session-store drain above) — it also HEALS a torn
+        # mid-compaction state left by a crash, which the count trigger
+        # would otherwise hit as a fail-closed read on the next batch.
         try:
             folded = bmi.compact()
             if folded:
@@ -359,7 +367,8 @@ def main() -> None:
         # everything ingested so far (near-dup pairs persisted per
         # batch), then appended as its own increment
         ndi = IncrementalNearDupIndexMaintainer(
-            spark, os.path.join(args.state_root, "neardup_index"))
+            spark, os.path.join(args.state_root, "neardup_index"),
+            compact_every=args.compact_every or None)
         try:
             folded = ndi.compact()
             if folded:

@@ -51,9 +51,19 @@ class IncrementalBm25IndexMaintainer:
     from-scratch single-pass BM25 over every ingested document
     (stream==batch, asserted in tests/test_bm25_index_stream.py)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 compact_every: int | None = None):
+        """``compact_every=N`` folds the index whenever the increment
+        count reaches N, INSIDE the foreachBatch thread right after the
+        append — quiescent by construction, because that thread is the
+        index's only writer (the compaction's quiescence contract needs
+        no external coordination). Without it a long-running stream
+        only compacts at restart and the per-query read amplification
+        grows linearly with uptime (r15 VERDICT item 5). None keeps
+        the restart-only behavior."""
         self.spark = spark
         self.index_dir = index_dir
+        self.compact_every = compact_every
 
     def append_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._guard(batch_id)
@@ -64,6 +74,25 @@ class IncrementalBm25IndexMaintainer:
             return
         bm25_index_append(self.spark, self.index_dir, batch_df,
                           inc=batch_id)
+        self._maybe_compact()
+
+    def _maybe_compact(self) -> None:
+        """Count-triggered fold after an append. The just-written
+        newest increment stays un-folded (the compact contract), so a
+        crash between this fold and the checkpoint commit replays a
+        batch whose own increment is still overwritable in place —
+        replay-idempotence is unchanged."""
+        from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (
+            increments,
+        )
+
+        if self.compact_every and len(
+                increments(self.index_dir, "postings")) \
+                >= self.compact_every:
+            folded = self.compact()
+            if folded:
+                print(f"bm25_index: compacted {folded} increment(s) "
+                      f"(compact_every={self.compact_every})")
 
     def _guard(self, batch_id: int) -> None:
         """The _VersionedState lifecycle guard, index-shaped (r15
