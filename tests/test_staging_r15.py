@@ -70,6 +70,58 @@ def _collect_sessions(df):
          r.event_count) for r in df.collect())
 
 
+def test_isotonic_fit_properties(spark, sf_dir):
+    """The r16-drafted isotonic draft beyond oracle parity (which
+    already proves PAV == minimax on real data at three SFs): the
+    fitted sequence must be NON-DECREASING over the month index
+    (compared by exact cross-multiplication, never doubles), and PAV
+    must conserve weighted mass — sum(n_m * fitted_m) == sum of all
+    cents — since each pooled block's fitted value is exactly its
+    block mean."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+        isotonic_monthly_revenue,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    rows = sorted(isotonic_monthly_revenue(spark, sf_dir).collect(),
+                  key=lambda r: r.month_idx)
+    assert len(rows) >= 3
+    for a, b in zip(rows, rows[1:]):
+        assert a.fitted_num * b.fitted_den <= b.fitted_num * a.fitted_den, (
+            f"fit decreases {a.month_idx} -> {b.month_idx}")
+    mass = sum(Fraction(r.fitted_num, r.fitted_den) * r.n_orders
+               for r in rows)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    total = load_table(spark, sf_dir, "orders").agg(
+        F.sum(cents)).first()[0]
+    assert mass == total
+
+
+def test_semantic_rrf_plan_shape_and_fusion(spark, sf_dir):
+    """The semantic-leg draft's scale promises: no cartesian product,
+    no Python stage (the cosine leg is a broadcast of ONE query
+    vector, never a corpus shuffle); and the fusion is non-trivial —
+    the top-10 must contain a doc ranked by only one of the two legs
+    (the whole point of RRF)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+        semantic_rrf_hybrid_search,
+    )
+
+    df = semantic_rrf_hybrid_search(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("extended")
+    p = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    got = df.collect()
+    assert len(got) == 10
+    assert any(r.r_bm25 is None or r.r_sem is None for r in got)
+
+
 def test_incremental_merge_equals_full_recompute_at_every_cutoff(spark):
     """Property: for EVERY possible cutoff position over a crafted event
     set — covering straddling sessions, exact-boundary gaps (Spark
