@@ -801,3 +801,16 @@ def test_session_topn_plan_shapes(spark, sf_dir):
     topu = _plan(spark, "session_top2_per_user", sf_dir, "simple")
     assert topu.count("Exchange hashpartitioning") == 1, topu[:2000]
     assert "WindowGroupLimit" in topu, topu[:2000]
+
+
+def test_big_customer_alert_single_exchange(spark, sf_dir):
+    """The r16 bisect of the r15 bench delta ended by PROVING the plan
+    optimal and attributing the delta to host jitter (SURVEY 2.109) —
+    this pin keeps it optimal: ONE hashpartitioning exchange on user_id
+    reused by both the session aggregation and the first-per-user rank
+    window, with WindowGroupLimit pushing the top-1 ahead of the full
+    Window. A second exchange or a lost group-limit is a real
+    regression; a bench wobble is not."""
+    p = _plan(spark, "big_customer_alert", sf_dir, "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert "WindowGroupLimit" in p, p[:2000]

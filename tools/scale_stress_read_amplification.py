@@ -55,12 +55,35 @@ def _warm_search(spark, idx, k=10, runs=3) -> float:
     return round(best, 3)
 
 
+def _warm_probe(spark, idx, delta, runs=3) -> float:
+    from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (
+        neardup_index_probe,
+    )
+
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        neardup_index_probe(spark, idx, delta).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("scale-stress-read-amplification")
     from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (
         bm25_index_append,
         compact_index,
+    )
+    from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (
+        _COMPONENTS as _ND_COMPONENTS,
+    )
+    from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (
+        neardup_index_append,
+    )
+    from windowsession_using_kafka_flink_docker_spark.operators.versioned_index import (
+        compact_components,
     )
 
     docs = (load_table(spark, sf_dir, "documents")
@@ -69,7 +92,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="idx_readamp_")
     idx = os.path.join(root, "bm25")
     out: dict = {"n_docs": n_docs, "sf_dir": sf_dir,
-                 "search_sec_at": {}}
+                 "search_sec_at": {}, "probe_sec_at": {}}
     try:
         for i in range(N_INCREMENTS):
             bm25_index_append(
@@ -82,6 +105,28 @@ def main() -> None:
         out["folded"] = compact_index(spark, idx)
         out["compact_sec"] = round(time.perf_counter() - t0, 3)
         out["search_sec_after_compact"] = _warm_search(spark, idx)
+
+        # The near-dup twin: append-only increments (no per-batch probe
+        # — this isolates READ amplification), then the ad-hoc probe of
+        # a fixed ~1% delta timed at the same checkpoints. The pairs
+        # component is maintainer-side state, so the fold here covers
+        # the three probe-path components.
+        nd = os.path.join(root, "neardup")
+        delta = docs.where(F.pmod("doc_id", F.lit(97)) == 0) \
+            .localCheckpoint()
+        for i in range(N_INCREMENTS):
+            neardup_index_append(
+                spark,
+                docs.where(F.pmod("doc_id", F.lit(N_INCREMENTS)) == i),
+                nd, inc=i)
+            if (i + 1) in CHECKPOINTS:
+                out["probe_sec_at"][str(i + 1)] = _warm_probe(
+                    spark, nd, delta)
+        t0 = time.perf_counter()
+        out["nd_folded"] = compact_components(
+            spark, nd, _ND_COMPONENTS, "near-dup")
+        out["nd_compact_sec"] = round(time.perf_counter() - t0, 3)
+        out["probe_sec_after_compact"] = _warm_probe(spark, nd, delta)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
