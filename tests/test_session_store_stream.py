@@ -477,6 +477,79 @@ def test_replay_after_drain_preserves_repaired_store(spark, sf_dir,
     assert maint.repair_from_dead_letter() == 0
 
 
+def test_stream_crash_drain_replay_lifecycle(spark, sf_dir,
+                                             tmp_path_factory):
+    """The r15 ADVICE (high) scenario end-to-end through a REAL
+    checkpointed query (the checkpoint's offset/commit split is the
+    thing under test, not a hand-driven replay): batch 0 ingests the
+    time-late half, batch 1's early half quarantines (b=1), batch 2
+    merges clean later events but the job CRASHES between
+    state.write(v=2) and the checkpoint commit. The restart-moment
+    drain folds b=1 into v=2 and deletes the letter; the stream then
+    resumes on the same checkpoint and RE-DELIVERS batch 2 — whose
+    merge must skip (v=2 committed), preserving the repaired store.
+    The pre-r16 recompute-from-v=1 lost the folded letter forever."""
+    import time
+
+    from tests.test_streaming import TestCrashMidBatchDurability as TC
+
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    late_half = ev.where(F.col("ts") >= F.lit(cutoff))
+    early_half = ev.where(F.col("ts") < F.lit(cutoff))
+    c_new = ev.select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+        "user_id", "value").localCheckpoint()
+
+    base = str(tmp_path_factory.mktemp("crash_drain"))
+    flat = os.path.join(base, "flat")
+    os.makedirs(flat)
+    for i, chunk in enumerate((late_half, early_half, c_new)):
+        d = os.path.join(base, f"c{i}")
+        chunk.coalesce(1).write.parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+    now = time.time()  # FileStreamSource orders by modification time
+    for i in range(3):
+        os.utime(os.path.join(flat, f"{i:02d}.parquet"),
+                 (now + i, now + i))
+
+    state = str(tmp_path_factory.mktemp("crash_drain_state"))
+    dlq = str(tmp_path_factory.mktemp("crash_drain_dlq"))
+    ckpt = str(tmp_path_factory.mktemp("crash_drain_ckpt"))
+
+    maint = IncrementalSessionStoreMaintainer(spark, state,
+                                              dead_letter_dir=dlq)
+    crashing = TC._CrashAfterStateWrite(maint, crash_batch=2)
+    q = (file_events_source(spark, flat, schema=_SCHEMA,
+                            max_files_per_trigger=1)
+         .writeStream.queryName("crash_drain_drill")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(crashing.merge_batch).start())
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    assert 2 in maint.state.versions()      # the orphaned version landed
+    assert maint.dead_letter_backlog() > 0  # b=1 still quarantined
+
+    # the restart moment: drain folds b=1 into the orphaned v=2
+    maint2 = IncrementalSessionStoreMaintainer(spark, state,
+                                               dead_letter_dir=dlq)
+    assert maint2.repair_from_dead_letter() > 0
+    want = _rows(_sessions_full(ev.unionByName(c_new)))
+    assert _rows(maint2.current()) == want
+
+    # resume on the SAME checkpoint: Spark re-delivers batch 2; the
+    # replay must not clobber the repaired v=2
+    _drain(streaming_session_store_maintenance(
+        file_events_source(spark, flat, schema=_SCHEMA,
+                           max_files_per_trigger=1), maint2, ckpt))
+    assert _rows(maint2.current()) == want
+    assert maint2.dead_letter_backlog() == 0
+
+
 def test_orphan_backup_never_deletes_unfolded_letters(spark, sf_dir,
                                                       tmp_path_factory):
     """r15 review finding: a step-5 crash after all letters were

@@ -58,10 +58,56 @@ def test_staged_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
 
-# The quality_scores exact-e4 rewrite LANDED in r16 (the REWRITES queue
-# is deleted); its rounding arithmetic is now pinned against an
+# The quality_scores exact-e4 rewrite LANDED in r16 (its queue slot is
+# cleared); its rounding arithmetic is now pinned against an
 # engine-independent Python Fraction oracle in
 # tests/test_oracle_parity.py::test_quality_scores_exact_matches_python_rational.
+# The queue was then REBUILT for the r17 exact-e2 session-family
+# rewrite (the repo's last known cross-engine rounding-tie class).
+
+
+def test_queued_session_rewrites_oracle_exact_and_tie_confined(
+        spark, sf_dir):
+    """Every queued exact-e2 session rewrite must pass its OWN exact
+    oracle, keep the registered entry's schema, and differ from the
+    registered double pipeline ONLY in session_avg and only by one
+    cent (the half-cent tie class; at the driver SFs no tie exists, so
+    this doubles as a value-identity proof at certification scale —
+    the sf0.1 tie counts are quantified in SURVEY 2.111)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
+    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import REWRITES
+
+    assert set(REWRITES) <= set(CATALOG), \
+        "rewrites must target registered entries"
+    for name, (fn, oracle) in REWRITES.items():
+        ok, msg = compare(fn(spark, sf_dir), oracle, sf_dir)
+        assert ok, f"{name} rewrite vs its own oracle: {msg}"
+
+        old_df = CATALOG[name].spark(spark, sf_dir)
+        new_df = fn(spark, sf_dir)
+        assert old_df.columns == new_df.columns, name
+        cols = old_df.columns
+        ai = cols.index("session_avg")
+
+        def keyed(df):
+            rows = [tuple(r) for r in df.collect()]
+            return sorted(rows,
+                          key=lambda t: (tuple(str(t[i]) for i in
+                                               range(len(t)) if i != ai),
+                                         t[ai]))
+
+        o, n = keyed(old_df), keyed(new_df)
+        assert len(o) == len(n), f"{name}: row count changed"
+        moved = 0
+        for a, b in zip(o, n):
+            assert all(a[i] == b[i] for i in range(len(a)) if i != ai), \
+                f"{name}: non-avg column moved: {a} -> {b}"
+            if a[ai] != b[ai]:
+                moved += 1
+                assert abs(round(b[ai] - a[ai], 6)) == 0.01, \
+                    f"{name}: {a[ai]} -> {b[ai]} not a one-cent tie move"
+        assert moved <= max(2, len(o) // 100), \
+            f"{name}: {moved} rows moved — more than the tie class"
 
 
 def _collect_sessions(df):

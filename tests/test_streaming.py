@@ -3500,8 +3500,11 @@ class TestCrashMidBatchDurability:
     the thing under test) for the four merge classes: ledger #6
     (non-associative clamp over in-order arrival), contingency #11
     (summable grid), JPEG fingerprints #23 (set-union), session store
-    #24 (order-dependent tail merge — a re-delivered batch must merge
-    against the PRE-crash version, which latest_before() guarantees)."""
+    #24 (order-dependent tail merge — since r16 the re-delivered batch
+    SKIPS outright when its committed version already exists, because
+    that version may since have been drain-repaired; recomputing from
+    latest_before() would overwrite the repair — the replay-after-drain
+    drill in tests/test_session_store_stream.py covers that window)."""
 
     class _CrashAfterStateWrite:
         """foreachBatch wrapper that dies between the state write and
