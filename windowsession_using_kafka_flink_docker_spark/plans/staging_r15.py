@@ -1210,3 +1210,79 @@ FROM ranked WHERE _rn = 1
 
 
 REWRITES: dict = _session_rewrites()
+
+
+# The r16 FULL-catalog sf0.1 sweep (197/201 exact) found the same avg
+# half-cent tie once more through the CAPPED sessionizer's own
+# presentation (operators/capped_sessionize.py — a separate fingerprint
+# closure from the 7-entry session_window family). Same exact-e2 cure;
+# queued as the EIGHTH rewrite. Landing split (slot arithmetic): the
+# 7-entry family lands r17 (exactly 7 free slots); this one lands r18
+# beside the staged promotions, together with its streaming twin
+# (streaming/stateful.py applyInPandasWithState — stream==batch pins
+# must move in the same commit).
+
+
+def _rw_capped_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """capped_sessionize with the exact-cents presentation."""
+    from pyspark.sql import Window as W
+
+    from windowsession_using_kafka_flink_docker_spark.plans.catalog import _events
+
+    events = _events(spark, sf_dir)
+    gap_us, cap_us = 30_000_000, 120_000_000
+    key, ts, value = "user_id", "ts", "value"
+    w = W.partitionBy(key).orderBy(ts)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col(ts))
+    prev_us = F.unix_micros(F.lag(ts).over(w))
+    brk = F.when(us - prev_us > gap_us, 1).otherwise(0)
+    gs = events.withColumn("_gs", F.sum(brk).over(cum))
+    gw = W.partitionBy(key, "_gs")
+    seg = (gs.withColumn("_gs_start", F.min(ts).over(gw))
+           .withColumn("_seg", ((us - F.unix_micros(F.col("_gs_start")))
+                                / F.lit(cap_us)).cast("long")))
+    cents = F.round(F.col(value) * 100, 0).cast("long")
+    return (seg.groupBy(key, "_gs", "_seg")
+            .agg(F.min(ts).alias("session_start"),
+                 F.max(ts).alias("session_end"),
+                 F.sum(cents).alias("_sc"),
+                 F.count(F.lit(1)).alias("event_count"))
+            .select(F.col(key), "session_start", "session_end",
+                    (F.col("_sc") / F.lit(100.0)).alias("session_sum"),
+                    F.col("event_count"),
+                    (F.expr("(2 * _sc + event_count) div "
+                            "(2 * event_count)")
+                     / F.lit(100.0)).alias("session_avg")))
+
+
+CAPPED_SESSIONIZATION_EXACT_ORACLE = """
+WITH brk AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30000000
+              THEN 1 ELSE 0 END AS b
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), gs AS (
+  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+), seg AS (
+  SELECT *,
+         (epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY user_id, g)))
+           // 120000000 AS s,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c
+  FROM gs
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       SUM(_c) / 100.0 AS session_sum,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       ((2 * SUM(_c) + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS session_avg
+FROM seg
+GROUP BY user_id, g, s
+"""
+
+REWRITES["capped_sessionization"] = (
+    _rw_capped_sessionization, CAPPED_SESSIONIZATION_EXACT_ORACLE)
