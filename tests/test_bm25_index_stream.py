@@ -327,15 +327,18 @@ class TestCompaction:
         assert maint.committed_increments() == ["inc=00000", "inc=00003"]
         assert _rows(maint.search(_TERMS, _K)) == want
 
-    def test_increment_landed_mid_compaction_fails_loudly(
+    def test_increment_landed_mid_compaction_self_heals(
             self, spark, sf_dir, tmp_path_factory):
         """r15 ADVICE: an ingest that lands between the fold and the
         finish (a violated quiescence contract) must never be rmtree'd
         — the pre-r16 finish deleted 'all but newest' and silently
-        dropped the previously-newest UNFOLDED increment. With the fold
-        manifest, the finish detects the extra increments, fails
-        loudly, and leaves every increment AND the committed tmp
-        intact; queries keep serving the full corpus."""
+        dropped the previously-newest UNFOLDED increment. r16 ADVICE
+        refinement: since the violation is detected BEFORE anything is
+        deleted, the stale committed tmps are discarded (not a
+        permanent ValueError that re-raises on every later compact,
+        failing the wired streaming job on every run) — increments all
+        survive, queries keep serving the full corpus, and the NEXT
+        compact folds everything including the mid-flight ingest."""
         from windowsession_using_kafka_flink_docker_spark.operators import (
             bm25_index as B,
         )
@@ -364,13 +367,66 @@ class TestCompaction:
         maint.append_batch(docs.where(F.pmod("doc_id", F.lit(7)) == 0), 4)
         want = _rows(maint.search(_TERMS, _K))
 
-        with pytest.raises(ValueError, match="quiescence"):
-            B.compact_index(spark, idx)
-        # nothing was deleted: every increment survives and serves
+        # the violated swap is aborted: stale tmps discarded, nothing
+        # deleted, every increment survives and serves
+        assert B.compact_index(spark, idx) == 0
+        for comp in ("postings", "doclens"):
+            assert not os.path.isdir(
+                os.path.join(idx, comp, "compact_tmp"))
         assert maint.committed_increments() == [
             "inc=00000", "inc=00001", "inc=00002", "inc=00003",
             "inc=00004"]
         assert _rows(maint.search(_TERMS, _K)) == want
+
+        # self-heal: the next compact folds everything including the
+        # mid-flight ingest (5 leaves -> fold the 4 oldest)
+        assert B.compact_index(spark, idx) == 4
+        assert maint.committed_increments() == ["inc=00000", "inc=00004"]
+        assert _rows(maint.search(_TERMS, _K)) == want
+
+    def test_violation_discovered_mid_rename_fails_loudly(
+            self, spark, sf_dir, tmp_path_factory):
+        """The one quiescence violation that CANNOT self-heal: extras
+        discovered after some components already renamed (their
+        manifested leaves are gone) — discarding the pending tmp would
+        leave the components permanently mismatched, so the finish must
+        raise with the manual recovery spelled out."""
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.operators import (
+            bm25_index as B,
+        )
+
+        docs = _docs(spark, sf_dir)
+        maint = self._indexed(spark, sf_dir, tmp_path_factory)
+        idx = maint.index_dir
+
+        incs = B.check_index_committed(idx)
+        folded = incs[:-1]
+        for comp, parts in (("postings", ("bucket",)), ("doclens", ())):
+            df = (spark.read.option("basePath", os.path.join(idx, comp))
+                  .parquet(*[os.path.join(idx, comp, x) for x in folded])
+                  .drop("inc"))
+            w = df.write.mode("overwrite")
+            if parts:
+                w = w.partitionBy(*parts)
+            w.parquet(os.path.join(idx, comp, "compact_tmp"))
+            with open(os.path.join(idx, comp, "compact_tmp",
+                                   "_folded.txt"), "w") as fh:
+                fh.write("\n".join(folded))
+
+        # complete the FIRST component's rename by hand (mid-rename
+        # crash point), then let an ingest land
+        for leaf in folded:
+            shutil.rmtree(os.path.join(idx, "postings", leaf))
+        os.rename(os.path.join(idx, "postings", "compact_tmp"),
+                  os.path.join(idx, "postings", "inc=00000"))
+        os.remove(os.path.join(idx, "postings", "inc=00000",
+                               "_folded.txt"))
+        maint.append_batch(docs.where(F.pmod("doc_id", F.lit(7)) == 0), 4)
+
+        with pytest.raises(ValueError, match="mid-rename"):
+            B.compact_index(spark, idx)
 
     def test_search_on_fresh_empty_index_returns_empty(
             self, spark, tmp_path_factory):

@@ -66,24 +66,48 @@ def gap_seconds_sql(user_col: str = "user_id") -> str:
     return "CASE " + " ".join(arms) + f" ELSE {TIER_DEFAULT_SECONDS} END"
 
 
+#: Sign-correct half-up cent quotient for ``session_avg`` (exact-e2,
+#: landed r17). ``avg = round_half_up(sum_cents / n)`` at cent
+#: resolution, computed as the exact integer ``(2*|sum| + n) div (2*n)``
+#: with the sign re-applied — the CASE keeps the integer-division
+#: operands nonnegative, where Spark's truncating ``div`` and DuckDB's
+#: flooring ``//`` coincide, so the presented double is
+#: engine-identical by construction (and half-up is away-from-zero for
+#: negative sums, matching Spark ROUND semantics). ``event_count >= 1``
+#: always (groupBy output), so the divisor cannot be zero — the
+#: reference's ``max(1, count)`` guard (flink_stream_task1.py:72) is
+#: vacuously honored.
+_AVG_CENTS_EXPR = (
+    "CASE WHEN _sc < 0 "
+    "THEN -((2 * (-_sc) + event_count) div (2 * event_count)) "
+    "ELSE (2 * _sc + event_count) div (2 * event_count) END"
+)
+
+
 def _aggregate(df: DataFrame, gap: Column | str, key: str, ts: str, value: str) -> DataFrame:
+    # Exact-e2 presentation (r16 VERDICT item 1, landed r17): derive BOTH
+    # presented doubles from the exact BIGINT cents sum. events.value is
+    # exact 2-decimal data (|v*100 - round(v*100)| <= 4e-12 at every SF),
+    # so sum_cents is the true sum and session_sum = _sc/100.0 is its
+    # nearest double on any engine; session_avg is a true half-up at cent
+    # resolution with no IEEE division before the final exact-integer
+    # quotient. This kills the ROUND(sum/count, 2) half-cent tie class
+    # where Spark's shortest-decimal half-up and DuckDB's binary-double
+    # rounding split by one cent (34.55/2 -> 17.28 vs 17.27).
+    cents = F.round(F.col(value) * 100, 0).cast("long")
     out = (
         df.groupBy(key, F.session_window(ts, gap))
         .agg(
-            F.sum(value).alias("session_sum"),
-            F.count("*").alias("event_count"),
+            F.sum(cents).alias("_sc"),
+            F.count(F.lit(1)).alias("event_count"),
         )
         .select(
             F.col(key),
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
-            F.round("session_sum", 2).alias("session_sum"),
+            (F.col("_sc") / F.lit(100.0)).alias("session_sum"),
             F.col("event_count"),
-            # avg guard max(1, count) per flink_stream_task1.py:72; count is
-            # always >= 1 here but we keep the reference's guard shape.
-            F.round(
-                F.col("session_sum") / F.greatest(F.col("event_count"), F.lit(1)), 2
-            ).alias("session_avg"),
+            (F.expr(_AVG_CENTS_EXPR) / F.lit(100.0)).alias("session_avg"),
         )
     )
     return out
@@ -119,12 +143,20 @@ def sessionize_oracle_sql(gap_seconds: int | str = 30, key: str = "user_id",
     equal timestamps so the lag and the cumulative sum agree on one order
     (tied rows never split a session, but a tie *after* a break point must
     land deterministically).
+
+    Presentation matches ``_aggregate``'s exact-e2 form: both doubles
+    derive from the exact BIGINT cents sum (DuckDB ``SUM(BIGINT)`` is
+    HUGEINT, so the half-up cross-products cannot overflow at any
+    scale); the avg CASE keeps the ``//`` operands nonnegative so
+    DuckDB's flooring division equals Spark's truncating ``div``.
+    ``having`` predicates see the islands' ``_c`` cents column.
     """
     gap = str(gap_seconds)
     having_clause = f"HAVING {having}" if having else ""
     return f"""
 WITH flagged AS (
-  SELECT {key}, {ts} AS _ts, {value} AS _v, {tiebreak} AS _tb,
+  SELECT {key}, {ts} AS _ts,
+         CAST(ROUND({value} * 100, 0) AS BIGINT) AS _c, {tiebreak} AS _tb,
          CASE WHEN lag({ts}) OVER w IS NULL THEN 1
               WHEN epoch_us({ts}) - epoch_us(lag({ts}) OVER w) > 1000000 * ({gap}) THEN 1
               ELSE 0 END AS _new_session
@@ -132,7 +164,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
 ),
 islands AS (
-  SELECT {key}, _ts, _v,
+  SELECT {key}, _ts, _c,
          SUM(_new_session) OVER (PARTITION BY {key} ORDER BY _ts, _tb
                                  ROWS UNBOUNDED PRECEDING) AS _sid
   FROM flagged
@@ -140,9 +172,12 @@ islands AS (
 SELECT {key},
        MIN(_ts) AS session_start,
        MAX(_ts) + to_seconds(({gap})::BIGINT) AS session_end,
-       ROUND(SUM(_v), 2) AS session_sum,
+       SUM(_c) / 100.0 AS session_sum,
        COUNT(*) AS event_count,
-       ROUND(SUM(_v) / GREATEST(COUNT(*), 1), 2) AS session_avg
+       (CASE WHEN SUM(_c) < 0
+             THEN -((2 * (-SUM(_c)) + COUNT(*)) // (2 * COUNT(*)))
+             ELSE (2 * SUM(_c) + COUNT(*)) // (2 * COUNT(*)) END
+       ) / 100.0 AS session_avg
 FROM islands
 GROUP BY {key}, _sid
 {having_clause}

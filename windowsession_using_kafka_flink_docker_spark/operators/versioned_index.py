@@ -29,7 +29,11 @@ maintainer #26) — follow the same on-disk discipline:
   (r15 ADVICE): deletion is confined to the leaves actually folded
   into the tmp, so an increment that lands between the fold and the
   finish is never rmtree'd — the finish detects it (more than one
-  non-manifested leaf) and fails loudly instead of guessing.
+  non-manifested leaf) BEFORE deleting anything and, when no rename
+  has happened yet, discards the stale tmps so the next fold rebuilds
+  with the extra increments included (self-healing, r16 ADVICE); only
+  a violation discovered mid-rename — a genuinely torn index — fails
+  loudly.
 
 This module is the single implementation of that discipline; the index
 modules contribute only their component list, per-component partition
@@ -159,8 +163,8 @@ def compact_components(
         present = []
     if present:
         n = len(_read_manifest(tmp(present[0])))
-        _finish_compaction(path, comps)
-        return n if len(present) == len(names) else 0
+        completed = _finish_compaction(path, comps)
+        return n if completed and len(present) == len(names) else 0
 
     incs = check_components_committed(path, names, kind)
     folded = incs[:-1]
@@ -177,12 +181,11 @@ def compact_components(
         # deletes those and only those.
         with open(os.path.join(tmp(c), _FOLDED), "w") as fh:
             fh.write("\n".join(folded))
-    _finish_compaction(path, comps)
-    return len(folded)
+    return len(folded) if _finish_compaction(path, comps) else 0
 
 
 def _finish_compaction(path: str,
-                       comps: dict[str, tuple[str, ...]]) -> None:
+                       comps: dict[str, tuple[str, ...]]) -> bool:
     """Delete exactly the MANIFESTED increments (the leaves actually
     folded into each tmp) and rename each committed tmp into
     ``inc=00000``, in component order — a mid-sequence crash is
@@ -191,29 +194,60 @@ def _finish_compaction(path: str,
     finish time instead (the pre-r16 behavior) silently dropped any
     increment that landed between the fold and the finish: the
     previously-newest UNFOLDED leaf became non-newest and was rmtree'd
-    (r15 ADVICE). A violated quiescence contract now fails loudly: at
-    fold time exactly one leaf (the then-newest) stays outside the
-    fold, so more than one non-manifested leaf means increments landed
-    mid-compaction — refuse to swap rather than guess."""
-    for c in comps:
-        tmp = os.path.join(path, c, _COMPACT_TMP)
-        if not os.path.isdir(tmp):
-            continue  # this component already renamed by a prior attempt
-        folded = _read_manifest(tmp)
+    (r15 ADVICE). A violated quiescence contract (at fold time exactly
+    one leaf — the then-newest — stays outside the fold, so more than
+    one non-manifested leaf means ingests ran mid-compaction) is
+    audited for EVERY pending component BEFORE anything is deleted:
+
+    - if no rename has happened yet (all components still hold their
+      tmps), the committed tmps are DISCARDED — increments are fully
+      intact, so this is safe, self-healing, and lets the next fold
+      rebuild with the extra increments included (r16 ADVICE: the
+      previous permanent ValueError re-raised on every later compact,
+      failing the wired streaming job on every run);
+    - mid-rename (some components already swapped), a violation is
+      genuinely torn — raise with the manual recovery spelled out.
+
+    Returns True when the swap completed, False when it was aborted by
+    the discard path (nothing changed on disk except the tmps).
+    """
+    names = tuple(comps)
+    pending = [c for c in names
+               if os.path.isdir(os.path.join(path, c, _COMPACT_TMP))]
+    violated = []
+    for c in pending:
+        folded = _read_manifest(os.path.join(path, c, _COMPACT_TMP))
         extras = [x for x in increments(path, c) if x not in folded]
         if len(extras) > 1:
-            raise ValueError(
-                f"compaction of {path}/{c} found increments {extras} "
-                "beyond the fold manifest — ingests ran while the "
-                "compaction was in flight, violating its quiescence "
-                "contract; refusing to swap (increments and the "
-                "committed tmp are both intact)")
+            violated.append((c, extras))
+    if violated:
+        if len(pending) == len(names):
+            # Nothing deleted or renamed yet: discarding the tmps is
+            # safe and restores the pre-compaction state exactly.
+            for c in pending:
+                shutil.rmtree(os.path.join(path, c, _COMPACT_TMP))
+            return False
+        raise ValueError(
+            f"compaction of {path} found increments beyond the fold "
+            f"manifest ({violated}) AFTER some components were already "
+            f"renamed (pending: {pending}) — ingests ran while a "
+            "mid-rename recovery was in flight; the index is torn. "
+            "Manual recovery: finish the pending components by hand "
+            "(delete each one's manifested inc= leaves, then rename "
+            "its compact_tmp to inc=00000), or restore from the "
+            "renamed components' inc=00000")
+    for c in pending:
+        tmp = os.path.join(path, c, _COMPACT_TMP)
+        folded = _read_manifest(tmp)
         for leaf in folded:
-            shutil.rmtree(os.path.join(path, c, leaf),
-                          ignore_errors=True)  # resume-safe re-delete
+            try:
+                shutil.rmtree(os.path.join(path, c, leaf))
+            except FileNotFoundError:
+                pass  # already deleted by a prior finish attempt
         # The manifest rides into inc=00000 through the atomic rename
         # (removing it first would open a crash window where folded
         # leaves are deleted but the tmp looks uncommitted and gets
         # discarded); underscore files are invisible to parquet reads.
         os.rename(tmp, os.path.join(path, c, COMPACT_TARGET))
         os.remove(os.path.join(path, c, COMPACT_TARGET, _FOLDED))
+    return True

@@ -59,7 +59,7 @@ def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "big_customer_alert",
     oracle=f"""
-WITH sessions AS ({sessionize_oracle_sql(30, having=f"ROUND(SUM(_v), 2) >= {ALERT_THRESHOLD}")}),
+WITH sessions AS ({sessionize_oracle_sql(30, having=f"SUM(_c) / 100.0 >= {ALERT_THRESHOLD}")}),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY session_start, session_end) AS _rn
@@ -173,7 +173,7 @@ def generated_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH events_gen AS ({generated_events_sql()}),
 sessions AS ({sessionize_oracle_sql(30, table="events_gen", tiebreak="transaction_id",
-                                    having=f"ROUND(SUM(_v), 2) >= {BIG_CUSTOMER_THRESHOLD}")}),
+                                    having=f"SUM(_c) / 100.0 >= {BIG_CUSTOMER_THRESHOLD}")}),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY session_start, session_end) AS _rn

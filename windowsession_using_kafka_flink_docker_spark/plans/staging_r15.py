@@ -1002,229 +1002,32 @@ STAGED["semantic_rrf_hybrid_search"] = (
 
 
 # --------------------------------------------------------------------
-# REWRITES queue, rebuilt (drafted r16, lands r17): the EXACT-E2
-# session family. The r16 sf0.1 window sweep re-confirmed the r13
-# "Round 13 (close)" finding as the repo's LAST known cross-engine
-# rounding-tie class: session_avg = ROUND(SUM(value)/count, 2) lands
-# on exact half-cent boundaries (e.g. 34.55 / 2 = 17.275) where
-# Spark's shortest-decimal half-up and DuckDB's binary-double rounding
-# split by one cent — 4 of the 50 window entries mismatch at sf0.1
-# (green at the driver's sf0.01, where no tie exists in the data).
-# The fix is the quality_scores r16 precedent applied to the family:
-# derive BOTH presented doubles from the exact BIGINT cents sum
-# (events.value is exact 2-decimal data, verified |v*100 - round| <=
-# 4e-12 at every SF): session_sum = sum_cents / 100.0 and session_avg
-# = ((2*sum_cents + n) div (2*n)) / 100.0 — true half-up, no IEEE
-# division before the final exact-integer quotient, engine-identical
-# by construction. PROVABLY confined to ties: a non-tie avg is a
-# rational >= 1/(2n) cents from any half-cent boundary (>= 5e-8
-# dollars at n <= 10^5) while the double pipeline's error is ~1e-12,
-# so non-tie rows cannot move; sums are integer cents and have no
-# boundary at all. Landing day (r17 — the projection shows EXACTLY 7
-# free slots, the size of this family's fingerprint closure): rewrite
-# operators/sessionize.py:_aggregate + sessionize_oracle_sql to these
-# forms (entry bodies unchanged — the streaming twins inherit through
-# the shared operator), update big_customer_alert's HAVING string to
-# the cents-derived sum, delete these drafts + queue, re-run the
-# stream==batch session suites.
-
-from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (  # noqa: E402
-    dynamic_gap_expr as _dyn_gap,
-)
-from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (  # noqa: E402
-    gap_seconds_sql as _gap_sql,
-)
-
-
-def _sessionize_exact(df: DataFrame, gap="30 seconds", key: str = "user_id",
-                      ts: str = "ts", value: str = "value") -> DataFrame:
-    """operators/sessionize.py:_aggregate with the presented doubles
-    derived from exact BIGINT cents (the landing-day replacement)."""
-    cents = F.round(F.col(value) * 100, 0).cast("long")
-    return (
-        df.groupBy(key, F.session_window(ts, gap))
-        .agg(F.sum(cents).alias("_sc"),
-             F.count(F.lit(1)).alias("event_count"))
-        .select(
-            F.col(key),
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            (F.col("_sc") / F.lit(100.0)).alias("session_sum"),
-            F.col("event_count"),
-            # true half-up on the exact rational avg, cents resolution
-            (F.expr("(2 * _sc + event_count) div (2 * event_count)")
-             / F.lit(100.0)).alias("session_avg"),
-        )
-    )
-
-
-def sessionize_exact_oracle_sql(gap_seconds=30, key: str = "user_id",
-                                ts: str = "ts", value: str = "value",
-                                table: str = "events",
-                                tiebreak: str = "event_id",
-                                having: str | None = None) -> str:
-    """sessionize_oracle_sql with the exact-cents presentation (the
-    landing-day replacement; DuckDB SUM(BIGINT) is HUGEINT, so the
-    half-up quotient's cross-products cannot overflow at any scale)."""
-    gap = str(gap_seconds)
-    having_clause = f"HAVING {having}" if having else ""
-    return f"""
-WITH flagged AS (
-  SELECT {key}, {ts} AS _ts,
-         CAST(ROUND({value} * 100, 0) AS BIGINT) AS _c, {tiebreak} AS _tb,
-         CASE WHEN lag({ts}) OVER w IS NULL THEN 1
-              WHEN epoch_us({ts}) - epoch_us(lag({ts}) OVER w) > 1000000 * ({gap}) THEN 1
-              ELSE 0 END AS _new_session
-  FROM {table}
-  WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
-),
-islands AS (
-  SELECT {key}, _ts, _c,
-         SUM(_new_session) OVER (PARTITION BY {key} ORDER BY _ts, _tb
-                                 ROWS UNBOUNDED PRECEDING) AS _sid
-  FROM flagged
-)
-SELECT {key},
-       MIN(_ts) AS session_start,
-       MAX(_ts) + to_seconds(({gap})::BIGINT) AS session_end,
-       SUM(_c) / 100.0 AS session_sum,
-       COUNT(*) AS event_count,
-       ((2 * SUM(_c) + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS session_avg
-FROM islands
-GROUP BY {key}, _sid
-{having_clause}
-"""
-
-
-def _rw_session_fixed_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from windowsession_using_kafka_flink_docker_spark.plans.catalog import _events
-
-    return _sessionize_exact(_events(spark, sf_dir))
-
-
-def _rw_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from windowsession_using_kafka_flink_docker_spark.plans.catalog import _events
-
-    return _sessionize_exact(_events(spark, sf_dir), gap=_dyn_gap("user_id"))
-
-
-def _rw_session_fixed_gap_bucketed(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    from windowsession_using_kafka_flink_docker_spark.sources.bucketed import (
-        bucketed_events,
-    )
-
-    return _sessionize_exact(bucketed_events(spark, sf_dir))
-
-
-def _rw_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _rw_session_fixed_gap(spark, sf_dir).select(
-        "user_id", "session_sum", "session_avg")
-
-
-def _rw_big_customer_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from windowsession_using_kafka_flink_docker_spark.operators.alerts import (
-        big_customer_alerts,
-    )
-    from windowsession_using_kafka_flink_docker_spark.plans.parity import (
-        ALERT_THRESHOLD,
-    )
-
-    return big_customer_alerts(_rw_session_fixed_gap(spark, sf_dir),
-                               threshold=ALERT_THRESHOLD)
-
-
-def _rw_generated_sessionization(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-    from windowsession_using_kafka_flink_docker_spark.sources.generator import (
-        generated_events,
-    )
-
-    return _sessionize_exact(
-        generated_events(spark).select("user_id", "ts", "value"))
-
-
-def _rw_generated_big_customer_alert(spark: SparkSession,
-                                     sf_dir: str) -> DataFrame:
-    from windowsession_using_kafka_flink_docker_spark.operators.alerts import (
-        BIG_CUSTOMER_THRESHOLD,
-        big_customer_alerts,
-    )
-
-    return big_customer_alerts(_rw_generated_sessionization(spark, sf_dir),
-                               threshold=BIG_CUSTOMER_THRESHOLD)
-
-
-def _session_rewrites() -> dict:
-    from windowsession_using_kafka_flink_docker_spark.operators.alerts import (
-        BIG_CUSTOMER_THRESHOLD,
-    )
-    from windowsession_using_kafka_flink_docker_spark.plans.parity import (
-        ALERT_THRESHOLD,
-    )
-    from windowsession_using_kafka_flink_docker_spark.sources.generator import (
-        generated_events_sql,
-    )
-
-    def ranked(sessions_sql: str, pre: str = "") -> str:
-        return f"""
-WITH {pre}sessions AS ({sessions_sql}),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id
-                               ORDER BY session_start, session_end) AS _rn
-  FROM sessions
-)
-SELECT user_id, session_start, session_end, session_sum, event_count, session_avg
-FROM ranked WHERE _rn = 1
-"""
-
-    gen = generated_events_sql()
-    return {
-        "session_fixed_gap": (
-            _rw_session_fixed_gap, sessionize_exact_oracle_sql(30)),
-        "session_dynamic_gap": (
-            _rw_session_dynamic_gap,
-            sessionize_exact_oracle_sql(_gap_sql())),
-        "session_fixed_gap_bucketed": (
-            _rw_session_fixed_gap_bucketed, sessionize_exact_oracle_sql(30)),
-        "session_report": (
-            _rw_session_report,
-            "SELECT user_id, session_sum, session_avg FROM ("
-            + sessionize_exact_oracle_sql(30) + ")"),
-        "big_customer_alert": (
-            _rw_big_customer_alert,
-            ranked(sessionize_exact_oracle_sql(
-                30, having=f"SUM(_c) / 100.0 >= {ALERT_THRESHOLD}"))),
-        "generated_sessionization": (
-            _rw_generated_sessionization,
-            f"WITH events_gen AS ({gen}),\n"
-            f"sessions AS ({sessionize_exact_oracle_sql(30, table='events_gen', tiebreak='transaction_id')})\n"
-            "SELECT * FROM sessions"),
-        "generated_big_customer_alert": (
-            _rw_generated_big_customer_alert,
-            ranked(sessionize_exact_oracle_sql(
-                30, table="events_gen", tiebreak="transaction_id",
-                having=f"SUM(_c) / 100.0 >= {BIG_CUSTOMER_THRESHOLD}"),
-                pre=f"events_gen AS ({gen}),\n")),
-    }
-
-
-REWRITES: dict = _session_rewrites()
-
-
-# The r16 FULL-catalog sf0.1 sweep (197/201 exact) found the same avg
-# half-cent tie once more through the CAPPED sessionizer's own
-# presentation (operators/capped_sessionize.py — a separate fingerprint
-# closure from the 7-entry session_window family). Same exact-e2 cure;
-# queued as the EIGHTH rewrite. Landing split (slot arithmetic): the
-# 7-entry family lands r17 (exactly 7 free slots); this one lands r18
+# REWRITES queue: the 7-entry exact-e2 session-family rewrite (drafted
+# r16) LANDED in r17 — operators/sessionize.py:_aggregate and
+# sessionize_oracle_sql now derive both presented doubles from the
+# exact BIGINT cents sum (sign-correct half-up: the avg CASE keeps the
+# integer-division operands nonnegative, where Spark's truncating
+# ``div`` equals DuckDB's flooring ``//`` — the r16 ADVICE item on
+# negative sums), parity.py's two alert HAVING strings moved to
+# SUM(_c)/100.0, and the streaming twins inherit through
+# streaming/pipeline.py's shared projection. The drafts are deleted;
+# what remains queued is the EIGHTH rewrite the r16 full-catalog sf0.1
+# sweep found (197/201): the same avg half-cent tie through the CAPPED
+# sessionizer's own presentation (operators/capped_sessionize.py — a
+# separate fingerprint closure from the landed family). It lands r18
 # beside the staged promotions, together with its streaming twin
 # (streaming/stateful.py applyInPandasWithState — stream==batch pins
 # must move in the same commit).
 
+REWRITES: dict = {}
+
 
 def _rw_capped_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """capped_sessionize with the exact-cents presentation."""
+    """capped_sessionize with the exact-cents presentation (and the
+    exact integer segment index — r16 ADVICE: the double quotient
+    (us-start)/cap_us could in principle misround within ~8e-9 of a cap
+    multiple; ``div`` on BIGINT microseconds is exact by construction,
+    and nonnegative because ts >= the group's MIN(ts))."""
     from pyspark.sql import Window as W
 
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import _events
@@ -1239,9 +1042,10 @@ def _rw_capped_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     brk = F.when(us - prev_us > gap_us, 1).otherwise(0)
     gs = events.withColumn("_gs", F.sum(brk).over(cum))
     gw = W.partitionBy(key, "_gs")
-    seg = (gs.withColumn("_gs_start", F.min(ts).over(gw))
-           .withColumn("_seg", ((us - F.unix_micros(F.col("_gs_start")))
-                                / F.lit(cap_us)).cast("long")))
+    seg = (gs.withColumn("_gs_start_us",
+                         F.unix_micros(F.min(ts).over(gw)))
+           .withColumn("_seg", F.expr(
+               f"(unix_micros({ts}) - _gs_start_us) div {cap_us}")))
     cents = F.round(F.col(value) * 100, 0).cast("long")
     return (seg.groupBy(key, "_gs", "_seg")
             .agg(F.min(ts).alias("session_start"),
@@ -1251,8 +1055,12 @@ def _rw_capped_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col(key), "session_start", "session_end",
                     (F.col("_sc") / F.lit(100.0)).alias("session_sum"),
                     F.col("event_count"),
-                    (F.expr("(2 * _sc + event_count) div "
-                            "(2 * event_count)")
+                    (F.expr(
+                        "CASE WHEN _sc < 0 "
+                        "THEN -((2 * (-_sc) + event_count) "
+                        "div (2 * event_count)) "
+                        "ELSE (2 * _sc + event_count) "
+                        "div (2 * event_count) END")
                      / F.lit(100.0)).alias("session_avg")))
 
 
@@ -1279,7 +1087,10 @@ SELECT user_id,
        MAX(ts) AS session_end,
        SUM(_c) / 100.0 AS session_sum,
        CAST(COUNT(*) AS BIGINT) AS event_count,
-       ((2 * SUM(_c) + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS session_avg
+       (CASE WHEN SUM(_c) < 0
+             THEN -((2 * (-SUM(_c)) + COUNT(*)) // (2 * COUNT(*)))
+             ELSE (2 * SUM(_c) + COUNT(*)) // (2 * COUNT(*)) END
+       ) / 100.0 AS session_avg
 FROM seg
 GROUP BY user_id, g, s
 """

@@ -32,6 +32,7 @@ from windowsession_using_kafka_flink_docker_spark.operators.alerts import (
     BIG_CUSTOMER_THRESHOLD,
 )
 from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+    _AVG_CENTS_EXPR,
     DEFAULT_GAP,
     dynamic_gap_expr,
 )
@@ -47,31 +48,35 @@ MONOTONOUS_DELAY = "0 seconds"
 
 
 def _project_sessions(agg: DataFrame, key: str) -> DataFrame:
-    """Shared post-aggregation projection (same shape as the batch
-    ``sessionize`` output): start/end, rounded sum, count, derived avg with
-    the reference's ``max(1, count)`` guard (flink_stream_task1.py:72)."""
+    """Shared post-aggregation projection (same shape AND same exact-e2
+    presentation as the batch ``sessionize`` output, so the
+    stream==batch pins hold value-exactly): start/end, sum and half-up
+    avg both derived from the exact BIGINT cents sum (the reference's
+    ``max(1, count)`` guard, flink_stream_task1.py:72, is vacuous —
+    ``event_count >= 1`` by construction)."""
     return agg.select(
         F.col(key),
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),
-        F.round("session_sum", 2).alias("session_sum"),
+        (F.col("_sc") / F.lit(100.0)).alias("session_sum"),
         F.col("event_count"),
-        F.round(
-            F.col("session_sum") / F.greatest(F.col("event_count"), F.lit(1)), 2
-        ).alias("session_avg"),
+        (F.expr(_AVG_CENTS_EXPR) / F.lit(100.0)).alias("session_avg"),
     )
 
 
 def _session_agg(events: DataFrame, gap, watermark_delay: str,
                  key: str, ts: str, value: str) -> DataFrame:
     """Watermark + session-window aggregate, window column retained (the
-    window carries the event-time marker chained stateful operators need)."""
+    window carries the event-time marker chained stateful operators need).
+    Aggregates exact BIGINT cents (``_sc``) — the batch ``_aggregate``'s
+    exact-e2 form, streaming-side."""
+    cents = F.round(F.col(value) * 100, 0).cast("long")
     return (
         events.withWatermark(ts, watermark_delay)
         .groupBy(key, F.session_window(ts, gap))
         .agg(
-            F.sum(value).alias("session_sum"),
-            F.count("*").alias("event_count"),
+            F.sum(cents).alias("_sc"),
+            F.count(F.lit(1)).alias("event_count"),
         )
     )
 
@@ -178,10 +183,11 @@ def streaming_alerts(events: DataFrame,
     operators after the session aggregate, supported since Spark 3.5.
     """
     agg = _session_agg(events, DEFAULT_GAP, watermark_delay, key, ts, value)
-    # Round before comparing: the batch path filters the ROUNDED session_sum
-    # (sessionize projects round(sum, 2)), so a raw-sum comparison here
-    # would disagree with batch for sums in [threshold - 0.005, threshold).
-    qualified = agg.where(F.round(F.col("session_sum"), 2) >= threshold)
+    # Compare the PRESENTED sum (_sc/100.0), exactly the double the batch
+    # path filters (sessionize projects sum_cents/100.0) — a raw-cents
+    # integer comparison against threshold*100 would be equivalent only
+    # for thresholds that are themselves exact cents.
+    qualified = agg.where(F.col("_sc") / F.lit(100.0) >= threshold)
     if dedup_within is not None:
         deduped = qualified.dropDuplicatesWithinWatermark([key])
     else:
