@@ -675,3 +675,168 @@ def test_stream_quarantine_drain_resume_lifecycle(spark, sf_dir,
     want = _rows(_sessions_full(ev.unionByName(c_new)))
     assert _rows(maint2.current()) == want
     assert maint2.dead_letter_backlog() == 0
+
+
+# ---------------------------------------------------------------------
+# r17 frozen/tail split (the write-amplification fix): per batch only
+# the frozen increment (batch-sized) and the per-user tail are written
+# — never the whole history — with the tail version as the commit
+# point and reads scoped to committed-tail-covered increments.
+
+
+def _frozen_listing(state_dir, leaf):
+    d = os.path.join(state_dir, "frozen", leaf)
+    return sorted((f, os.path.getsize(os.path.join(d, f)))
+                  for f in os.listdir(d) if not f.startswith("."))
+
+
+def test_frozen_increments_are_immutable_and_tail_is_per_user(
+        spark, sf_dir, tmp_path_factory):
+    """Write-amplification contract: batch K's frozen increment is
+    never rewritten by later batches (byte-listing identical), the tail
+    holds exactly one row per user, and frozen ∪ tail equals the full
+    recompute."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    mid = ev.where(F.col("ts") < F.lit(cutoff)).agg(
+        F.percentile_approx(F.col("ts").cast("double"), 0.5)).first()[0]
+    import datetime
+    mid_ts = datetime.datetime.fromtimestamp(mid)
+    b0 = ev.where(F.col("ts") < F.lit(mid_ts))
+    b1 = ev.where((F.col("ts") >= F.lit(mid_ts))
+                  & (F.col("ts") < F.lit(cutoff)))
+    b2 = ev.where(F.col("ts") >= F.lit(cutoff))
+
+    state = str(tmp_path_factory.mktemp("frozen_state"))
+    maint = IncrementalSessionStoreMaintainer(spark, state)
+    maint.merge_batch(b0, 0)
+    frozen0 = _frozen_listing(state, "inc=00000")
+    maint.merge_batch(b1, 1)
+    assert _frozen_listing(state, "inc=00000") == frozen0
+    frozen1 = _frozen_listing(state, "inc=00001")
+    maint.merge_batch(b2, 2)
+    assert _frozen_listing(state, "inc=00000") == frozen0
+    assert _frozen_listing(state, "inc=00001") == frozen1
+
+    tail = maint.state.current()
+    assert tail.groupBy("user_id").count().where("count > 1").count() == 0
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+
+
+def test_orphan_frozen_increment_is_invisible_until_redelivery(
+        spark, sf_dir, tmp_path_factory):
+    """Crash between the frozen write and the tail write leaves a
+    committed orphan ``frozen/inc=K`` with no ``v=K``: reads must scope
+    it out (serving exactly the batch-(K-1) state), and the re-delivered
+    batch K overwrites it and commits the tail — converging to the full
+    recompute."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    b0 = ev.where(F.col("ts") < F.lit(cutoff))
+    b1 = ev.where(F.col("ts") >= F.lit(cutoff))
+
+    state = str(tmp_path_factory.mktemp("orphan_state"))
+    maint = IncrementalSessionStoreMaintainer(spark, state)
+    maint.merge_batch(b0, 0)
+    after_b0 = _rows(maint.current())
+    maint.merge_batch(b1, 1)
+    # resurrect the crash point: v=1 gone, frozen inc=00001 committed
+    shutil.rmtree(os.path.join(state, "v=1"))
+    assert "inc=00001" in maint._frozen_leaves()
+    assert _rows(maint.current()) == after_b0  # orphan invisible
+
+    maint.merge_batch(b1, 1)  # redelivery overwrites + commits
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+
+
+def test_compact_every_folds_in_stream_and_preserves_values(
+        spark, sf_dir, tmp_path_factory):
+    """The count trigger folds frozen increments inside merge_batch
+    (leaf count bounded), the maintained table stays exact, and the
+    drain protocol still works on a compacted store."""
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 6
+    slices = [ev.where((F.col("ts") >= F.lit(lo + i * span))
+                       & (F.col("ts") < F.lit(lo + (i + 1) * span))
+                       if i < 5 else (F.col("ts") >= F.lit(lo + i * span)))
+              for i in range(6)]
+
+    state = str(tmp_path_factory.mktemp("trig_state"))
+    maint = IncrementalSessionStoreMaintainer(spark, state,
+                                              compact_every=3)
+    for i, sl in enumerate(slices):
+        maint.merge_batch(sl, i)
+        assert len(maint._frozen_leaves()) <= 3
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+
+
+def test_drain_swap_crash_resumes_frozen_fold(spark, sf_dir,
+                                              tmp_path_factory):
+    """Step-5a crash: tail v=N committed, the staged ``repair_tmp``
+    (committed, with its fold manifest) and the backup both survive.
+    The next drain must finish the frozen swap — delete exactly the
+    manifested leaves, rename the staging to inc=00000 — and converge;
+    re-repairing would be wrong only if it double-counted, so the final
+    store is pinned against the full recompute."""
+    import shutil as sh
+
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    state = maint.state.state_dir
+    letters = maint._dead_letter_batches()
+    saved = str(tmp_path_factory.mktemp("saved_letters2"))
+    for d in letters:
+        sh.copytree(os.path.join(maint.dead_letter_dir, d),
+                    os.path.join(saved, d))
+    pre_leaves = maint._frozen_leaves()
+
+    assert maint.repair_from_dead_letter() > 0
+    want = _rows(_sessions_full(ev))
+    assert _rows(maint.current()) == want
+
+    # resurrect the step-5a crash: letters back, tail backup (with
+    # letters manifest) beside committed v=N, and the frozen staging
+    # still present as a committed repair_tmp whose manifest names the
+    # pre-drain leaves. The post-drain inc=00000 plays the staged
+    # content (identical by construction); the pre-drain leaves are
+    # fabricated empties to prove deletion is manifest-confined.
+    for d in letters:
+        sh.copytree(os.path.join(saved, d),
+                    os.path.join(maint.dead_letter_dir, d))
+    versions = maint.state.versions()
+    pre = os.path.join(state, f"pre_drain_v={versions[-1]}")
+    sh.copytree(os.path.join(state, f"v={versions[-1]}"), pre)
+    with open(os.path.join(pre, "_folded.txt"), "w") as fh:
+        fh.write("\n".join(letters))
+    tmp = os.path.join(state, "frozen", "repair_tmp")
+    os.rename(os.path.join(state, "frozen", "inc=00000"), tmp)
+    with open(os.path.join(tmp, "_folded.txt"), "w") as fh:
+        fh.write("\n".join(pre_leaves))
+    for leaf in pre_leaves:  # fabricated stale leaves the swap must fold
+        d = os.path.join(state, "frozen", leaf)
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame([], maint._SCHEMA).write.mode(
+            "overwrite").parquet(d)
+
+    assert maint.repair_from_dead_letter() == 0  # cleanup only
+    assert _rows(maint.current()) == want
+    assert not os.path.isdir(tmp)
+    assert maint._frozen_leaves() == ["inc=00000"]
+    assert maint.dead_letter_backlog() == 0
+    assert maint._pre_drain_leaf() is None
+
+
+def test_stale_repair_staging_is_discarded(spark, sf_dir,
+                                           tmp_path_factory):
+    """Step-1b crash (staging written, no tail backup yet): the next
+    drain must discard the stale ``repair_tmp`` — nothing was deleted,
+    so redoing the repair from live state is exact."""
+    maint, ev = _quarantined_maintainer(spark, sf_dir, tmp_path_factory)
+    tmp = os.path.join(maint.state.state_dir, "frozen", "repair_tmp")
+    spark.createDataFrame([], maint._SCHEMA).write.parquet(tmp)
+    with open(os.path.join(tmp, "_folded.txt"), "w") as fh:
+        fh.write("\n".join(maint._frozen_leaves()))
+
+    assert maint.repair_from_dead_letter() > 0
+    assert _rows(maint.current()) == _rows(_sessions_full(ev))
+    assert not os.path.isdir(tmp)

@@ -3311,11 +3311,14 @@ class TestMaintainerStatePersistence:
         first.merge_batch(slices[0], 0)
         first.merge_batch(slices[1], 1)
         snap = str(tmp_path_factory.mktemp("sess_snap"))
-        assert first.state.export_to(snap) == 1
+        # maintainer-level export: the store is tail + frozen (r17
+        # split); a tail-only state.export_to would silently drop
+        # every frozen session
+        assert first.export_to(snap) == 1
         del first
 
         revived = cls(spark, str(tmp_path_factory.mktemp("sess_b")))
-        assert revived.state.import_from(snap) == 1
+        assert revived.import_from(snap) == 1
         revived.merge_batch(slices[2], 2)
         assert _rows(revived.current(), exclude_sentinel=False) == want
 

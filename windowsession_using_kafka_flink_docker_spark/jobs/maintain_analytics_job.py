@@ -282,7 +282,8 @@ def main() -> None:
         sess = IncrementalSessionStoreMaintainer(
             spark, os.path.join(args.state_root, "session_store"),
             dead_letter_dir=os.path.join(args.state_root,
-                                         "session_store_dead_letter"))
+                                         "session_store_dead_letter"),
+            compact_every=args.compact_every or None)
         # Drain dead letters left by a previous run BEFORE the stream
         # resumes — the quiescent moment the crash-safe drain protocol
         # is designed for (streaming/session_store.py:
@@ -298,6 +299,17 @@ def main() -> None:
                   "double-count)")
         else:
             print("session_store: dead-letter quarantine empty at start")
+        try:
+            folded = sess.compact_frozen()
+            if folded:
+                print(f"session_store: compacted {folded} frozen "
+                      "increment(s) before resuming")
+        except ValueError as e:
+            # a torn LAST frozen increment is healed by the stream's
+            # redelivery, not by failing the job before it can start
+            print(f"session_store: skipping frozen compaction ({e}); "
+                  "the re-delivered batch will overwrite the torn "
+                  "increment")
         queries.append(streaming_session_store_maintenance(
             events, sess, os.path.join(args.checkpoint_root,
                                        "session_store")))

@@ -26,14 +26,37 @@ users' raw batch events to versioned parquet (``b=<batch_id>``,
 overwrite-mode ⇒ replay-idempotent) and merges the rest, so one late
 file can never wedge the whole job in a crash loop.
 
-Scale: per batch the work is sessionize-the-delta (one ingest), an
-aggregate over two one-row-per-user frames for the guard, and the tail
-merge. State is the session table itself — a maintained OUTPUT, like
-the daily-revenue maintainer's day grid; at 100 TB it would live
-time-partitioned with only tail partitions rewritten per batch (the
-merge touches nothing older), where this sandbox version rewrites the
-versioned-parquet snapshot whole (streaming/analytics_twins.py
-_VersionedState, shared replay/crash semantics).
+Scale (r17, the write-amplification fix): per batch the work is
+sessionize-the-delta (one ingest), an aggregate over two
+one-row-per-user frames for the guard, and the tail merge. State is
+the session table itself — a maintained OUTPUT — split in two:
+
+- ``frozen/inc=<batch_id>`` — append-only increments of sessions that
+  can never change again. Under the per-user monotonicity
+  precondition a batch can merge only with its user's NEWEST-ending
+  session (``merge_session_store`` formalizes this), so every session
+  that is not its user's newest at write time is immutable. Each
+  increment is one batch's newly-closed sessions (batch-sized), with
+  the versioned-index commit discipline (``_SUCCESS`` per leaf,
+  overwrite-on-replay ⇒ replay-idempotent).
+- the TAIL — exactly one row per user (their newest session), a
+  ``_VersionedState`` snapshot ``v=<batch_id>`` (shared replay/crash
+  semantics). The tail write is the COMMIT POINT: the frozen
+  increment is written first, so a crash between them leaves an
+  orphan ``frozen/inc=K`` with no ``v=K`` that the re-delivered batch
+  deterministically overwrites; reads scope frozen leaves to
+  ``inc <= newest tail version``, which is always a consistent
+  snapshot (the orphan is invisible until its tail commits).
+
+Per-batch write cost is O(batch + #users) — previously the WHOLE
+session table was rewritten every batch (O(all sessions ever), the
+"runs at sf0.1, dies at uptime" write-amplification risk). Frozen
+reads grow with the increment count; ``compact_every=N`` folds all
+frozen leaves except the newest into ``inc=00000`` in-stream
+(operators/versioned_index.py — the same count trigger as maintainers
+#25/#26), bounding read amplification on a long-running stream. At
+100 TB the frozen component becomes time-partitioned parquet; the
+layout is already append-only, so nothing about the protocol changes.
 """
 
 from __future__ import annotations
@@ -41,7 +64,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -49,6 +72,9 @@ from windowsession_using_kafka_flink_docker_spark.operators.session_store import
     merge_session_store,
     resessionize_atoms,
     sessions_full,
+)
+from windowsession_using_kafka_flink_docker_spark.operators.versioned_index import (
+    compact_components,
 )
 from windowsession_using_kafka_flink_docker_spark.streaming.analytics_twins import (
     _VersionedState,
@@ -63,17 +89,97 @@ class IncrementalSessionStoreMaintainer:
 
     ``dead_letter_dir=None`` (default) fails fast on a late-arrival
     batch; a configured dir quarantines the late users' raw events to
-    ``dead_letter_dir/b=<batch_id>`` and merges the rest."""
+    ``dead_letter_dir/b=<batch_id>`` and merges the rest.
+
+    ``compact_every=N`` folds the frozen increments whenever their
+    count reaches N (in-stream, inside the foreachBatch thread — the
+    single writer, so the compaction quiescence contract holds); None
+    disables the trigger (restart-only compaction via
+    ``compact_frozen``)."""
 
     _SCHEMA = ("user_id BIGINT, session_start TIMESTAMP, "
                "session_end TIMESTAMP, sum_cents BIGINT, "
                "event_count BIGINT")
+    _FROZEN = "frozen"
+    #: The drain's staging dir for the repaired frozen component —
+    #: deliberately NOT ``compact_tmp`` so compact_components' own
+    #: resume logic never adopts a drain-staged tmp (and vice versa).
+    _REPAIR_TMP = "repair_tmp"
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 dead_letter_dir: str | None = None):
+                 dead_letter_dir: str | None = None,
+                 compact_every: int | None = None):
         self.spark = spark
         self.state = _VersionedState(spark, state_dir, self._SCHEMA)
         self.dead_letter_dir = dead_letter_dir
+        self.compact_every = compact_every
+
+    # -- frozen component -------------------------------------------------
+
+    def _frozen_dir(self) -> str:
+        return os.path.join(self.state.state_dir, self._FROZEN)
+
+    def _repair_tmp(self) -> str:
+        return os.path.join(self._frozen_dir(), self._REPAIR_TMP)
+
+    def _frozen_leaves(self, scope: int | None = None) -> list[str]:
+        """COMMITTED ``inc=`` leaves under the frozen component, in
+        increment order, optionally scoped to batch ids <= ``scope``.
+        An uncommitted (torn) leaf is invisible — its batch's tail
+        never committed, so the stream re-delivers and overwrites it."""
+        d = self._frozen_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for x in os.listdir(d):
+            if not x.startswith("inc="):
+                continue
+            if scope is not None and int(x.split("=")[1]) > scope:
+                continue
+            if os.path.exists(os.path.join(d, x, "_SUCCESS")):
+                out.append(x)
+        return sorted(out)
+
+    def _frozen_frame(self, scope: int | None) -> DataFrame | None:
+        leaves = self._frozen_leaves(scope)
+        if not leaves:
+            return None
+        return self.spark.read.schema(self._SCHEMA).parquet(
+            *[os.path.join(self._frozen_dir(), x) for x in leaves])
+
+    def _split_ranked(self, sessions: DataFrame) -> DataFrame:
+        """Rank each user's sessions newest-first: ``_rn == 1`` is the
+        tail (the only row a future batch can merge with), ``_rn > 1``
+        is immutable and freezes."""
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("session_end"), F.desc("session_start"))
+        return sessions.withColumn("_rn", F.row_number().over(w))
+
+    def _write_state(self, batch_id: int, sessions: DataFrame) -> None:
+        """Persist a batch's live session set: frozen increment FIRST,
+        tail version second (the commit point — see module docstring
+        for the orphan-increment argument), then the count-triggered
+        fold. One materialization serves both writes."""
+        ranked = self._split_ranked(sessions).localCheckpoint()
+        (ranked.where(F.col("_rn") > 1).drop("_rn")
+         .write.mode("overwrite")
+         .parquet(os.path.join(self._frozen_dir(),
+                               f"inc={batch_id:05d}")))
+        self.state.write(batch_id,
+                         ranked.where(F.col("_rn") == 1).drop("_rn"))
+        if self.compact_every \
+                and len(self._frozen_leaves()) >= self.compact_every \
+                and not os.path.isdir(self._repair_tmp()):
+            self.compact_frozen()
+
+    def compact_frozen(self) -> int:
+        """Fold all frozen increments except the newest into
+        ``inc=00000`` (operators/versioned_index.py discipline: tmp →
+        manifest → delete-manifested → rename, every crash point
+        re-entrant). Returns the number of leaves folded."""
+        return compact_components(
+            self.spark, self.state.state_dir, {self._FROZEN: ()},
+            "session_store")
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self.state.guard(batch_id)
@@ -90,9 +196,9 @@ class IncrementalSessionStoreMaintainer:
             # version IS this batch's (possibly repaired) result: skip.
             return
         fresh = sessions_full(batch_df).localCheckpoint()
-        prev = self.state.latest_before(batch_id)
+        prev = self.state.latest_before(batch_id)  # TAIL: 1 row/user
         if prev is None:
-            self.state.write(batch_id, fresh)
+            self._write_state(batch_id, fresh)
             return
         # One materialization serves the guard count AND both joins
         # below (r14 VERDICT minor: the un-checkpointed frame re-ran
@@ -128,7 +234,10 @@ class IncrementalSessionStoreMaintainer:
                   "repair_from_dead_letter() to inspect and drain")
             fresh = (fresh.join(late_users, "user_id", "left_anti")
                      .localCheckpoint())
-        self.state.write(batch_id, merge_session_store(prev, fresh))
+        # The merge sees only the per-user TAIL (1 row/user) — exactly
+        # the rows merge_session_store can touch; frozen rows never
+        # re-read, never rewritten.
+        self._write_state(batch_id, merge_session_store(prev, fresh))
 
     def _dead_letter_batches(self) -> list[str]:
         if not self.dead_letter_dir \
@@ -200,16 +309,22 @@ class IncrementalSessionStoreMaintainer:
         stream's batch ids: the next batch's ``latest_before`` sees the
         repaired store), made safe by a rename protocol:
 
-        1. materialize the repaired table (localCheckpoint — no file
-           dependency on the state dir);
-        2. rename ``v=N`` -> ``pre_drain_v=N`` (atomic; the name does
-           not start with ``v=`` so version listing never parses it;
-           an empty store gets an empty sentinel backup instead);
-        3. record the letters being folded in ``_folded.txt`` INSIDE
-           the backup (underscore prefix: invisible to parquet reads);
-        4. write the repaired table to a fresh ``v=N`` (torn write =>
-           no ``_SUCCESS`` => invisible);
-        5. delete exactly the manifested letter dirs, THEN the backup.
+        1.  materialize the repaired table (localCheckpoint — no file
+            dependency on the state dir), ranked newest-per-user;
+        1b. stage the repaired FROZEN rows (rank > 1) to
+            ``frozen/repair_tmp`` with a manifest naming the committed
+            frozen leaves they replace (scoped <= the tail target, so
+            a torn batch's orphan increment is never folded);
+        2.  rename ``v=N`` -> ``pre_drain_v=N`` (atomic; the name does
+            not start with ``v=`` so version listing never parses it;
+            an empty store gets an empty sentinel backup instead);
+        3.  record the letters being folded in ``_folded.txt`` INSIDE
+            the backup (underscore prefix: invisible to parquet reads);
+        4.  write the repaired TAIL (rank 1) to a fresh ``v=N`` (torn
+            write => no ``_SUCCESS`` => invisible) — the commit point;
+        5a. swap the frozen staging in (delete exactly its manifested
+            leaves, rename ``repair_tmp`` -> ``inc=00000``);
+        5b. delete exactly the manifested letter dirs, THEN the backup.
 
         Every crash point re-enters cleanly on the next drain call: a
         committed ``v=N`` beside a surviving backup+manifest means step
@@ -222,15 +337,23 @@ class IncrementalSessionStoreMaintainer:
         since ``current()`` alone would silently drop the last merged
         batch."""
         pre_leaf = self._pre_drain_leaf()
+        if pre_leaf is None and os.path.isdir(self._repair_tmp()):
+            # crash after staging the repaired frozen (step 1b) but
+            # before the tail backup: nothing was deleted yet and the
+            # staged content belongs to an attempt that never reached
+            # its commit point — discard and redo fresh.
+            shutil.rmtree(self._repair_tmp())
         if pre_leaf is not None:
             target = int(pre_leaf.split("=")[1])
             pre_path = os.path.join(self.state.state_dir, pre_leaf)
             manifest = os.path.join(pre_path, self._FOLDED)
             if target in self.state.versions() \
                     and os.path.exists(manifest):
-                # step-5 crash: the fold committed; delete exactly the
+                # step-5 crash: the fold committed; finish the frozen
+                # swap if it was interrupted, delete exactly the
                 # letters the manifest names, then the backup, then
                 # fall through to drain any newer safe letters fresh.
+                self._finish_frozen_swap()
                 with open(manifest) as fh:
                     folded = [x for x in fh.read().split("\n") if x]
                 for d in folded:
@@ -238,9 +361,13 @@ class IncrementalSessionStoreMaintainer:
                                   ignore_errors=True)
                 shutil.rmtree(pre_path, ignore_errors=True)
             else:
-                # step-3/4 crash: the fold never committed — re-repair
-                # from the backup over the currently-drainable letters
-                # bounded by the original target.
+                # step-3/4 crash: the fold never committed — the staged
+                # frozen (if any) is stale and nothing was deleted, so
+                # discard it and re-repair from the backup over the
+                # currently-drainable letters bounded by the original
+                # target.
+                if os.path.isdir(self._repair_tmp()):
+                    shutil.rmtree(self._repair_tmp())
                 dirs = [d for d in self._dead_letter_batches()
                         if int(d.split("=")[1]) <= target]
                 if not dirs:  # nothing left to fold: restore the backup
@@ -253,23 +380,27 @@ class IncrementalSessionStoreMaintainer:
                         shutil.rmtree(pre_path, ignore_errors=True)
                     return 0
                 if os.path.exists(os.path.join(pre_path, "_SUCCESS")):
-                    base = self.spark.read.schema(self._SCHEMA) \
+                    tail = self.spark.read.schema(self._SCHEMA) \
                         .parquet(pre_path)
                 else:  # empty-store sentinel backup
-                    base = self.spark.createDataFrame([], self._SCHEMA)
+                    tail = self.spark.createDataFrame([], self._SCHEMA)
+                frozen = self._frozen_frame(scope=target)
+                base = tail if frozen is None \
+                    else frozen.unionByName(tail)
                 return self._fold(base, target, pre_path, dirs,
-                                  pre_exists=True)
+                                  pre_exists=True, scope=target)
 
         dirs = self._drainable_batches()
         if not dirs:
             return 0
         versions = self.state.versions()
         target = versions[-1] if versions else 0
-        return self._fold(self.state.current(), target, None, dirs,
-                          pre_exists=False)
+        return self._fold(self.current(), target, None, dirs,
+                          pre_exists=False,
+                          scope=versions[-1] if versions else -1)
 
     def _fold(self, base: DataFrame, target: int, pre_path: str | None,
-              dirs: list[str], pre_exists: bool) -> int:
+              dirs: list[str], pre_exists: bool, scope: int) -> int:
         late = self.spark.read.parquet(
             *[os.path.join(self.dead_letter_dir, d) for d in dirs])
         n_late = late.count()
@@ -281,9 +412,24 @@ class IncrementalSessionStoreMaintainer:
             F.lit(1).cast("long").alias("event_count"))
         touched = base.join(affected, "user_id", "left_semi")
         repaired = resessionize_atoms(touched.unionByName(late_atoms))
-        full = (base.join(affected, "user_id", "left_anti")
-                .unionByName(repaired)
-                .localCheckpoint(eager=True))  # step 1: no state-file deps
+        ranked = self._split_ranked(
+            base.join(affected, "user_id", "left_anti")
+            .unionByName(repaired)
+        ).localCheckpoint(eager=True)  # step 1: no state-file deps
+
+        # step 1b: stage the repaired FROZEN component (everything that
+        # is not its user's newest session) with a manifest naming the
+        # committed leaves it replaces — scoped to <= the tail target,
+        # so an orphan increment of a torn batch (which its redelivery
+        # will overwrite) is never folded into the repair. Nothing is
+        # deleted until after the tail commit (step 4), so a crash
+        # anywhere up to there just discards this staging.
+        leaves = self._frozen_leaves(scope=scope)
+        tmp = self._repair_tmp()
+        (ranked.where(F.col("_rn") > 1).drop("_rn")
+         .write.mode("overwrite").parquet(tmp))
+        with open(os.path.join(tmp, self._FOLDED), "w") as fh:
+            fh.write("\n".join(leaves))
 
         if not pre_exists:
             pre_path = os.path.join(self.state.state_dir,
@@ -295,11 +441,43 @@ class IncrementalSessionStoreMaintainer:
                 os.makedirs(pre_path)  # empty-store sentinel backup
         with open(os.path.join(pre_path, self._FOLDED), "w") as fh:
             fh.write("\n".join(dirs))  # step 3: fold manifest
-        self.state.write(target, full)  # step 4
-        for d in dirs:  # step 5: manifested letters first, backup last
+        self.state.write(target, ranked.where(F.col("_rn") == 1)
+                         .drop("_rn"))  # step 4: commit
+        self._finish_frozen_swap()  # step 5a: frozen swap
+        for d in dirs:  # step 5b: manifested letters first, backup last
             shutil.rmtree(os.path.join(self.dead_letter_dir, d))
         shutil.rmtree(pre_path, ignore_errors=True)
         return n_late
+
+    def _finish_frozen_swap(self) -> None:
+        """Complete a committed frozen-repair staging: delete exactly
+        the manifested leaves, rename ``repair_tmp`` to ``inc=00000``
+        (the repaired frozen is by construction a fold of everything it
+        replaces). Re-entrant at every crash point; a half-written
+        staging (no marker/manifest) is discarded. No-op when no
+        staging exists — e.g. re-entering after the rename already
+        happened."""
+        tmp = self._repair_tmp()
+        if not os.path.isdir(tmp):
+            return
+        manifest = os.path.join(tmp, self._FOLDED)
+        if not (os.path.exists(os.path.join(tmp, "_SUCCESS"))
+                and os.path.exists(manifest)):
+            shutil.rmtree(tmp)  # torn staging: nothing was deleted yet
+            return
+        with open(manifest) as fh:
+            folded = [x for x in fh.read().split("\n") if x]
+        for leaf in folded:
+            try:
+                shutil.rmtree(os.path.join(self._frozen_dir(), leaf))
+            except FileNotFoundError:
+                pass  # already deleted by a prior finish attempt
+        # the manifest rides into inc=00000 through the atomic rename
+        # (removing it first would open a crash window where folded
+        # leaves are gone but the tmp looks torn and gets discarded)
+        os.rename(tmp, os.path.join(self._frozen_dir(), "inc=00000"))
+        os.remove(os.path.join(self._frozen_dir(), "inc=00000",
+                               self._FOLDED))
 
     @staticmethod
     def _late_users(store: DataFrame, fresh: DataFrame) -> DataFrame:
@@ -314,7 +492,44 @@ class IncrementalSessionStoreMaintainer:
                 .select("user_id"))
 
     def current(self) -> DataFrame:
-        return self.state.current()
+        """The full maintained session table: frozen increments (scoped
+        to the newest committed tail version — an orphan increment from
+        a crash between the frozen and tail writes is invisible until
+        its re-delivered batch commits) unioned with the per-user
+        tail."""
+        tail = self.state.current()
+        versions = self.state.versions()
+        frozen = self._frozen_frame(versions[-1]) if versions else None
+        return tail if frozen is None else frozen.unionByName(tail)
+
+    # -- snapshot roundtrip (both components; the tail-only
+    # _VersionedState export would silently drop the frozen rows) ------
+
+    def export_to(self, path: str) -> int:
+        """Snapshot the newest consistent state (tail version + scoped
+        frozen leaves) to ``path``. Returns the exported version."""
+        v = self.state.export_to(path)
+        for leaf in self._frozen_leaves(scope=v):
+            src = os.path.join(self._frozen_dir(), leaf)
+            dst = os.path.join(path, self._FROZEN, leaf)
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(src, dst)
+        return v
+
+    def import_from(self, path: str) -> int:
+        """Adopt an exported snapshot (tail + frozen) into this state
+        dir; the next merge_batch continues from the snapshot's batch
+        version exactly as an uninterrupted run would."""
+        v = self.state.import_from(path)
+        snap_frozen = os.path.join(path, self._FROZEN)
+        if os.path.isdir(snap_frozen):
+            for leaf in sorted(os.listdir(snap_frozen)):
+                if not leaf.startswith("inc="):
+                    continue
+                dst = os.path.join(self._frozen_dir(), leaf)
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.copytree(os.path.join(snap_frozen, leaf), dst)
+        return v
 
 
 def streaming_session_store_maintenance(
