@@ -840,3 +840,35 @@ def test_stale_repair_staging_is_discarded(spark, sf_dir,
     assert maint.repair_from_dead_letter() > 0
     assert _rows(maint.current()) == _rows(_sessions_full(ev))
     assert not os.path.isdir(tmp)
+
+
+def test_import_clears_stale_frozen_leaves(spark, sf_dir,
+                                           tmp_path_factory):
+    """A snapshot import must replace the target's ENTIRE frozen
+    component: a pre-existing leaf absent from the snapshot (divergent
+    earlier run) would otherwise survive the copy and double-serve its
+    rows."""
+    cutoff = _straddle_cutoff(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    b0 = ev.where(F.col("ts") < F.lit(cutoff))
+    b1 = ev.where(F.col("ts") >= F.lit(cutoff))
+
+    donor = IncrementalSessionStoreMaintainer(
+        spark, str(tmp_path_factory.mktemp("imp_donor")))
+    donor.merge_batch(b0, 0)
+    donor.merge_batch(b1, 1)
+    snap = str(tmp_path_factory.mktemp("imp_snap"))
+    assert donor.export_to(snap) == 1
+    want = _rows(donor.current())
+
+    # divergent target: its own batch-0 life left a frozen leaf the
+    # snapshot does not carry (different slicing -> different content)
+    target = IncrementalSessionStoreMaintainer(
+        spark, str(tmp_path_factory.mktemp("imp_target")))
+    target.merge_batch(ev.orderBy("ts").limit(400), 0)
+    assert target._frozen_leaves()  # the stale leaf exists
+    shutil.rmtree(os.path.join(target.state.state_dir, "v=0"))
+    # (behind the snapshot, so the versioned-state guard accepts it)
+
+    assert target.import_from(snap) == 1
+    assert _rows(target.current()) == want

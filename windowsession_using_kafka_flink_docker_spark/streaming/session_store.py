@@ -519,16 +519,20 @@ class IncrementalSessionStoreMaintainer:
     def import_from(self, path: str) -> int:
         """Adopt an exported snapshot (tail + frozen) into this state
         dir; the next merge_batch continues from the snapshot's batch
-        version exactly as an uninterrupted run would."""
+        version exactly as an uninterrupted run would. The target's own
+        frozen component is CLEARED first: a pre-existing leaf absent
+        from the snapshot (a divergent earlier run) would otherwise
+        survive the copy and double-serve its rows — the snapshot is
+        the complete frozen state, not a delta."""
         v = self.state.import_from(path)
+        shutil.rmtree(self._frozen_dir(), ignore_errors=True)
         snap_frozen = os.path.join(path, self._FROZEN)
         if os.path.isdir(snap_frozen):
             for leaf in sorted(os.listdir(snap_frozen)):
                 if not leaf.startswith("inc="):
                     continue
-                dst = os.path.join(self._frozen_dir(), leaf)
-                shutil.rmtree(dst, ignore_errors=True)
-                shutil.copytree(os.path.join(snap_frozen, leaf), dst)
+                shutil.copytree(os.path.join(snap_frozen, leaf),
+                                os.path.join(self._frozen_dir(), leaf))
         return v
 
 
