@@ -66,14 +66,16 @@ def test_staged_plan_shapes(spark, sf_dir):
 # rewrite (the repo's last known cross-engine rounding-tie class).
 
 
-def test_queued_session_rewrites_oracle_exact_and_tie_confined(
-        spark, sf_dir):
-    """Every queued exact-e2 session rewrite must pass its OWN exact
-    oracle, keep the registered entry's schema, and differ from the
-    registered double pipeline ONLY in session_avg and only by one
-    cent (the half-cent tie class; at the driver SFs no tie exists, so
-    this doubles as a value-identity proof at certification scale —
-    the sf0.1 tie counts are quantified in SURVEY 2.111)."""
+def test_queued_rewrites_oracle_exact_and_diff_confined(spark, sf_dir):
+    """Every queued rewrite must pass its OWN oracle and keep the
+    registered entry's schema. The allowed diff vs the registered
+    pipeline depends on the rewrite class: a session-family exact-e2
+    rewrite (a ``session_avg`` column exists) may move avg values only,
+    by exactly one cent (the half-cent tie class — at the driver SFs no
+    tie exists, so this doubles as a value-identity proof at
+    certification scale); any other rewrite (e.g. the bm25_search
+    qf-unification, value-identical on distinct-term queries) must be
+    row-for-row EQUAL to the registered entry."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
     from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import REWRITES
 
@@ -87,6 +89,13 @@ def test_queued_session_rewrites_oracle_exact_and_tie_confined(
         new_df = fn(spark, sf_dir)
         assert old_df.columns == new_df.columns, name
         cols = old_df.columns
+
+        if "session_avg" not in cols:
+            o = sorted(tuple(r) for r in old_df.collect())
+            n = sorted(tuple(r) for r in new_df.collect())
+            assert o == n, f"{name}: rewrite must be value-identical"
+            continue
+
         ai = cols.index("session_avg")
 
         def keyed(df):
@@ -108,6 +117,52 @@ def test_queued_session_rewrites_oracle_exact_and_tie_confined(
                     f"{name}: {a[ai]} -> {b[ai]} not a one-cent tie move"
         assert moved <= max(2, len(o) // 100), \
             f"{name}: {moved} rows moved — more than the tie class"
+
+
+def test_bm25_duplicate_term_unification(spark, sf_dir):
+    """The unified contract (SURVEY 2.105 finding 7): on a
+    DUPLICATE-term query, the staged batch scorer and the live index
+    scorer agree (the divergence this unification closes), the repeated
+    term's doc set keeps an honest df (scores differ from the
+    distinct-term query only through the qf factor), and on
+    distinct-term queries the staged scorer matches the LIVE bm25_topk
+    bit-for-bit (the r18 landing is fingerprint-only for
+    bm25_search)."""
+    import windowsession_using_kafka_flink_docker_spark.operators.bm25_index as B
+    import windowsession_using_kafka_flink_docker_spark.operators.text_analysis as T
+    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+        bm25_topk_unified,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    distinct = ("spark", "stream", "join")
+    dup = ("spark", "spark", "stream", "join")
+
+    def rows(df):
+        return [(r.doc_id, r.bm25) for r in df.collect()]
+
+    # distinct terms: staged == live batch operator, bit-for-bit
+    assert rows(bm25_topk_unified(docs, distinct, k=10)) \
+        == rows(T.bm25_topk(docs, distinct, k=10))
+
+    # duplicate terms: staged batch == live index scorer
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="bm25_unify_")
+    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+        bm25_index_export,
+    )
+    bm25_index_export(spark, docs, idx)
+    got_idx = rows(B.bm25_from_index(spark, idx, dup, 10))
+    got_batch = rows(bm25_topk_unified(docs, dup, k=10))
+    assert got_idx == got_batch, "index vs unified batch on duplicates"
+
+    # and the qf weighting is real: the duplicated query ranks by
+    # 2*contrib(spark) + contrib(stream) + contrib(join) — distinct
+    # and duplicate top-10 must differ unless spark's contribution is
+    # degenerate, which it is not at these SFs
+    assert rows(bm25_topk_unified(docs, distinct, k=10)) != got_batch
 
 
 def _collect_sessions(df):

@@ -140,19 +140,27 @@ def bm25_from_index(spark: SparkSession, path: str,
                     terms: tuple[str, ...], k: int) -> DataFrame:
     """Score a query FROM THE INDEX ALONE — no document text is read.
     The postings scan filters on the partition column ``bucket`` (<=
-    |terms| directories survive pruning per increment) and then on
-    ``tok``; corpus stats (N, avgdl) aggregate the narrow doclens
-    frame (a serving tier keeps them precomputed); df/idf come from
-    the pruned postings. Same score expression + ROUND(.,4)-then-id
-    ordering as operators/text_analysis.py:bm25_topk. Runs the
+    |distinct terms| directories survive pruning per increment) and
+    then on ``tok``; corpus stats (N, avgdl) aggregate the narrow
+    doclens frame (a serving tier keeps them precomputed); df/idf come
+    from the pruned postings. Same score expression + ROUND(.,4)-
+    then-id ordering as operators/text_analysis.py:bm25_topk. Runs the
     torn-index guard first (:func:`check_index_committed`).
 
-    Duplicate query terms are collapsed to SET semantics (the postings
-    filter matches a term once regardless of multiplicity); the batch
-    ``bm25_topk`` operator weights a repeated term's contribution by
-    its query multiplicity instead, so the index==batch equality holds
-    for distinct-term queries — pass distinct terms when comparing."""
-    terms = tuple(dict.fromkeys(terms))
+    Duplicate query terms weight their term's contribution by QUERY
+    MULTIPLICITY (qf) over an HONEST per-doc df (one df count per
+    distinct term) — the unified contract of SURVEY 2.105 finding 7.
+    The scan itself stays distinct-term (a repeated term reads its
+    postings once); only the scored sum picks up the qf factor, so
+    distinct-term queries are bit-identical to the old set-semantics
+    scores. The batch ``bm25_topk`` adopts the same contract via the
+    queued ``bm25_search`` rewrite (plans/staging_r15.py, lands r18:
+    its current behavior on duplicates both double-weights AND
+    double-counts df, which distorts idf — neither honest)."""
+    from collections import Counter
+
+    qf = Counter(terms)
+    terms = tuple(qf)
     incs = check_index_committed(path)
     if not incs:
         # Fresh index, no increments yet: an empty result, not a
@@ -186,11 +194,14 @@ def bm25_from_index(spark: SparkSession, path: str,
     tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
         F.col("tf") + BM25_K1 * (1.0 - BM25_B
                                  + BM25_B * F.col("dl") / F.col("_avgdl")))
+    qf_df = spark.createDataFrame(
+        [(t, float(c)) for t, c in qf.items()], "tok STRING, _qf DOUBLE")
     scored = (postings.join(doclens, "doc_id")
               .join(F.broadcast(dft), "tok")
+              .join(F.broadcast(qf_df), "tok")
               .crossJoin(F.broadcast(stats))
               .groupBy("doc_id")
-              .agg(F.sum(idf * tf_part).alias("_s")))
+              .agg(F.sum(F.col("_qf") * idf * tf_part).alias("_s")))
     return (scored.select("doc_id", F.round("_s", 4).alias("bm25"))
             .orderBy(F.desc("bm25"), "doc_id")
             .limit(k))
