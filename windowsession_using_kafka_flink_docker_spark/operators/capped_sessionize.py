@@ -15,8 +15,23 @@ Definition (deterministic, SQL-expressible):
 1. gap sessions: break where ``ts - lag(ts) > gap`` per key, cumulative-sum
    the breaks;
 2. duration cap: within a gap session starting at ``t0``, segment index is
-   ``(ts - t0) // cap`` — a session is one ``(key, gap_session, segment)``
-   group.
+   ``(ts_us - t0_us) div cap_us`` — a session is one
+   ``(key, gap_session, segment)`` group. The quotient is BIGINT
+   microsecond arithmetic end to end (r16 ADVICE: the former double
+   division could in principle misround within ~8e-9 of a cap multiple;
+   integer ``div`` is exact by construction, and its operands are
+   nonnegative because ``ts >= min(ts)`` over the gap session, so Spark's
+   truncating ``div`` equals DuckDB's flooring ``//``).
+
+Presentation is the exact-e2 form (landed for the ``session_window``
+family in ``operators/sessionize.py`` first): both presented doubles
+derive from the exact BIGINT cents sum — ``session_sum = sum_cents/100.0``
+and ``session_avg`` the sign-correct half-up integer cent quotient
+(``sessionize._AVG_CENTS_EXPR``, one shared definition). This kills the
+``ROUND(sum/count, 2)`` half-cent presentation-tie class the r16 sf0.1
+full-catalog sweep surfaced (the one remaining mismatch, 198th of 201).
+``events.value`` is exact 2-decimal data (|v*100 - round(v*100)| <= 4e-12
+at every SF), so the cents sum is the true sum.
 
 100 TB design: pass 1 and 2 share the same hash partitioning on the key
 (one exchange, two local sorts); the aggregation reuses it. No Python, no
@@ -27,6 +42,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.operators.sessionize import (
+    _AVG_CENTS_EXPR,
+)
 
 DEFAULT_CAP = 120.0  # seconds
 
@@ -46,28 +65,28 @@ def capped_sessionize(events: DataFrame, gap_sec: float = 30.0,
     gs = events.withColumn("_gs", F.sum(brk).over(cum))
     gw = Window.partitionBy(key, "_gs")
     seg = (
-        gs.withColumn("_gs_start", F.min(ts).over(gw))
+        gs.withColumn("_gs_start_us", F.unix_micros(F.min(ts).over(gw)))
         .withColumn(
             "_seg",
-            ((us - F.unix_micros(F.col("_gs_start"))) / F.lit(cap_us)).cast("long"),
+            F.expr(f"(unix_micros({ts}) - _gs_start_us) div {cap_us}"),
         )
     )
+    cents = F.round(F.col(value) * 100, 0).cast("long")
     return (
         seg.groupBy(key, "_gs", "_seg")
         .agg(
             F.min(ts).alias("session_start"),
             F.max(ts).alias("session_end"),
-            F.sum(value).alias("_sum"),
-            F.count("*").alias("event_count"),
+            F.sum(cents).alias("_sc"),
+            F.count(F.lit(1)).alias("event_count"),
         )
         .select(
             F.col(key),
             "session_start",
             "session_end",
-            F.round("_sum", 2).alias("session_sum"),
-            "event_count",
-            F.round(F.col("_sum") / F.greatest("event_count", F.lit(1)), 2)
-            .alias("session_avg"),
+            (F.col("_sc") / F.lit(100.0)).alias("session_sum"),
+            F.col("event_count"),
+            (F.expr(_AVG_CENTS_EXPR) / F.lit(100.0)).alias("session_avg"),
         )
     )
 
@@ -76,7 +95,11 @@ def capped_sessionize_oracle_sql(gap_sec: float = 30.0,
                                  cap_sec: float = DEFAULT_CAP,
                                  table: str = "events") -> str:
     """DuckDB equivalent — same two-pass definition, µs precision (the
-    session_window oracles learned that ms truncation diverges)."""
+    session_window oracles learned that ms truncation diverges), same
+    exact-e2 presentation: DuckDB ``SUM(BIGINT)`` is HUGEINT so the
+    half-up cross-products cannot overflow at any scale, and the avg
+    CASE keeps the ``//`` operands nonnegative so flooring equals
+    Spark's truncating ``div``."""
     gap_us = int(gap_sec * 1_000_000)
     cap_us = int(cap_sec * 1_000_000)
     return f"""
@@ -93,15 +116,19 @@ WITH brk AS (
 ), seg AS (
   SELECT *,
          (epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY user_id, g)))
-           // {cap_us} AS s
+           // {cap_us} AS s,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c
   FROM gs
 )
 SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
-       ROUND(SUM(value), 2) AS session_sum,
+       SUM(_c) / 100.0 AS session_sum,
        CAST(COUNT(*) AS BIGINT) AS event_count,
-       ROUND(SUM(value) / GREATEST(COUNT(*), 1), 2) AS session_avg
+       (CASE WHEN SUM(_c) < 0
+             THEN -((2 * (-SUM(_c)) + COUNT(*)) // (2 * COUNT(*)))
+             ELSE (2 * SUM(_c) + COUNT(*)) // (2 * COUNT(*)) END
+       ) / 100.0 AS session_avg
 FROM seg
 GROUP BY user_id, g, s
 """

@@ -1010,93 +1010,18 @@ STAGED["semantic_rrf_hybrid_search"] = (
 # ``div`` equals DuckDB's flooring ``//`` — the r16 ADVICE item on
 # negative sums), parity.py's two alert HAVING strings moved to
 # SUM(_c)/100.0, and the streaming twins inherit through
-# streaming/pipeline.py's shared projection. The drafts are deleted;
-# what remains queued is the EIGHTH rewrite the r16 full-catalog sf0.1
-# sweep found (197/201): the same avg half-cent tie through the CAPPED
-# sessionizer's own presentation (operators/capped_sessionize.py — a
-# separate fingerprint closure from the landed family). It lands r18
-# beside the staged promotions, together with its streaming twin
-# (streaming/stateful.py applyInPandasWithState — stream==batch pins
-# must move in the same commit).
+# streaming/pipeline.py's shared projection. The EIGHTH rewrite — the
+# same tie class through the CAPPED sessionizer — LANDED next (r18
+# window): operators/capped_sessionize.py now derives both presented
+# doubles from the BIGINT cents sum (sharing sessionize's
+# _AVG_CENTS_EXPR) and computes the segment index in exact BIGINT
+# microseconds (r16 ADVICE: the double quotient could misround within
+# ~8e-9 of a cap multiple); its streaming twin streaming/stateful.py
+# moved in the same commit to BIGINT-cents state (both the
+# applyInPandasWithState fn and the transformWithStateInPandas
+# processor), keeping the stream==batch pins exact.
 
 REWRITES: dict = {}
-
-
-def _rw_capped_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """capped_sessionize with the exact-cents presentation (and the
-    exact integer segment index — r16 ADVICE: the double quotient
-    (us-start)/cap_us could in principle misround within ~8e-9 of a cap
-    multiple; ``div`` on BIGINT microseconds is exact by construction,
-    and nonnegative because ts >= the group's MIN(ts))."""
-    from pyspark.sql import Window as W
-
-    from windowsession_using_kafka_flink_docker_spark.plans.catalog import _events
-
-    events = _events(spark, sf_dir)
-    gap_us, cap_us = 30_000_000, 120_000_000
-    key, ts, value = "user_id", "ts", "value"
-    w = W.partitionBy(key).orderBy(ts)
-    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    us = F.unix_micros(F.col(ts))
-    prev_us = F.unix_micros(F.lag(ts).over(w))
-    brk = F.when(us - prev_us > gap_us, 1).otherwise(0)
-    gs = events.withColumn("_gs", F.sum(brk).over(cum))
-    gw = W.partitionBy(key, "_gs")
-    seg = (gs.withColumn("_gs_start_us",
-                         F.unix_micros(F.min(ts).over(gw)))
-           .withColumn("_seg", F.expr(
-               f"(unix_micros({ts}) - _gs_start_us) div {cap_us}")))
-    cents = F.round(F.col(value) * 100, 0).cast("long")
-    return (seg.groupBy(key, "_gs", "_seg")
-            .agg(F.min(ts).alias("session_start"),
-                 F.max(ts).alias("session_end"),
-                 F.sum(cents).alias("_sc"),
-                 F.count(F.lit(1)).alias("event_count"))
-            .select(F.col(key), "session_start", "session_end",
-                    (F.col("_sc") / F.lit(100.0)).alias("session_sum"),
-                    F.col("event_count"),
-                    (F.expr(
-                        "CASE WHEN _sc < 0 "
-                        "THEN -((2 * (-_sc) + event_count) "
-                        "div (2 * event_count)) "
-                        "ELSE (2 * _sc + event_count) "
-                        "div (2 * event_count) END")
-                     / F.lit(100.0)).alias("session_avg")))
-
-
-CAPPED_SESSIONIZATION_EXACT_ORACLE = """
-WITH brk AS (
-  SELECT user_id, ts, value,
-         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30000000
-              THEN 1 ELSE 0 END AS b
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), gs AS (
-  SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts
-                         ROWS UNBOUNDED PRECEDING) AS g
-  FROM brk
-), seg AS (
-  SELECT *,
-         (epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY user_id, g)))
-           // 120000000 AS s,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS _c
-  FROM gs
-)
-SELECT user_id,
-       MIN(ts) AS session_start,
-       MAX(ts) AS session_end,
-       SUM(_c) / 100.0 AS session_sum,
-       CAST(COUNT(*) AS BIGINT) AS event_count,
-       (CASE WHEN SUM(_c) < 0
-             THEN -((2 * (-SUM(_c)) + COUNT(*)) // (2 * COUNT(*)))
-             ELSE (2 * SUM(_c) + COUNT(*)) // (2 * COUNT(*)) END
-       ) / 100.0 AS session_avg
-FROM seg
-GROUP BY user_id, g, s
-"""
-
-REWRITES["capped_sessionization"] = (
-    _rw_capped_sessionization, CAPPED_SESSIONIZATION_EXACT_ORACLE)
 
 
 # --------------------------------------------------------------------

@@ -9,9 +9,15 @@ timers, Arrow-batched Python. Semantics match
 definition is the oracle; the stream-equals-batch pytest is the gate).
 
 State per key: the one open segment ``(gap-session start, segment index,
-seg min/max ts, running sum/count)`` — O(1) per key, evicted by event-time
-timeout when the watermark passes ``segment end + gap`` (at which point any
-future event would start a new session anyway, so eviction is safe).
+seg min/max ts, running cents sum/count)`` — O(1) per key, evicted by
+event-time timeout when the watermark passes ``segment end + gap`` (at
+which point any future event would start a new session anyway, so eviction
+is safe). The running sum is exact BIGINT cents, the batch operator's
+exact-e2 discipline (see ``operators/sessionize.py:_aggregate``): floats
+accumulate rounding error across micro-batches, cents don't, and the
+presented ``session_sum``/``session_avg`` derive from the cents sum the
+same way the batch plan derives them (``/100.0`` and the sign-correct
+half-up integer cent quotient) so stream == batch holds bit-for-bit.
 
 In-order contract: like the reference's monotonous-watermark jobs, events
 per key are assumed non-decreasing in event time across micro-batches
@@ -37,22 +43,45 @@ OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "session_sum double, event_count long, session_avg double"
 )
-#: (gap-session start µs, segment index, seg min µs, seg max µs, sum, count)
-STATE_SCHEMA = "gs0 long, seg long, s0 long, s1 long, ssum double, scnt long"
+#: (gap-session start µs, segment index, seg min µs, seg max µs,
+#:  cents sum, count)
+STATE_SCHEMA = "gs0 long, seg long, s0 long, s1 long, sc long, scnt long"
 
 _OUT_COLS = ("user_id", "session_start", "session_end", "session_sum",
              "event_count", "session_avg")
 
 
-def _emit(closed: list[tuple[int, int, int, float, int]]) -> pd.DataFrame:
+def _cents(v: float) -> int:
+    """``ROUND(v * 100, 0)`` with Spark's decimal HALF_UP tie-break
+    (away from zero), mirrored exactly: Spark rounds the double's
+    shortest decimal repr, which is what ``Decimal(repr(x))`` holds.
+    On exact 2-decimal data the tie never fires (v*100 is within 4e-12
+    of an integer) — this keeps the rule identical anyway."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(v * 100.0)).quantize(Decimal("1"),
+                                                 rounding=ROUND_HALF_UP))
+
+
+def _avg_cents(sc: int, n: int) -> int:
+    """Sign-correct half-up cent quotient — the Python-int mirror of
+    ``operators/sessionize.py:_AVG_CENTS_EXPR`` (exact ``//`` on
+    nonnegative operands, sign re-applied: half-up is away from zero)."""
+    q = (2 * abs(sc) + n) // (2 * n)
+    return -q if sc < 0 else q
+
+
+def _emit(closed: list[tuple[int, int, int, int, int]]) -> pd.DataFrame:
     rows = {
         "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
         "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
         "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
-        "session_sum": pd.Series([round(c[3], 2) for c in closed], dtype="float64"),
-        "event_count": pd.Series([c[4] for c in closed], dtype="int64"),
-        "session_avg": pd.Series([round(c[3] / max(1, c[4]), 2) for c in closed],
+        "session_sum": pd.Series([c[3] / 100.0 for c in closed],
                                  dtype="float64"),
+        "event_count": pd.Series([c[4] for c in closed], dtype="int64"),
+        "session_avg": pd.Series(
+            [_avg_cents(c[3], c[4]) / 100.0 for c in closed],
+            dtype="float64"),
     }
     return pd.DataFrame(rows, columns=list(_OUT_COLS))
 
@@ -65,12 +94,12 @@ def make_capped_session_fn(gap_sec: float, cap_sec: float,
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         user_id = int(key[0])
-        closed: list[tuple[int, int, int, float, int]] = []
+        closed: list[tuple[int, int, int, int, int]] = []
 
         if state.hasTimedOut:
             if state.exists:
-                _gs0, _seg, s0, s1, ssum, scnt = state.get
-                closed.append((user_id, s0, s1, ssum, scnt))
+                _gs0, _seg, s0, s1, sc, scnt = state.get
+                closed.append((user_id, s0, s1, sc, scnt))
                 state.remove()
             yield _emit(closed)
             return
@@ -79,19 +108,19 @@ def make_capped_session_fn(gap_sec: float, cap_sec: float,
         cur: tuple[Any, ...] | None = state.get if state.exists else None
         for ts_v, val in zip(batch[ts], batch[value]):
             t = int(pd.Timestamp(ts_v).value // 1_000)  # ns -> µs
-            v = float(val)
+            c = _cents(float(val))
             if cur is None:
-                cur = (t, 0, t, t, v, 1)
+                cur = (t, 0, t, t, c, 1)
                 continue
-            gs0, seg, s0, s1, ssum, scnt = cur
+            gs0, seg, s0, s1, sc, scnt = cur
             if t - s1 > gap_us:                      # inactivity gap: new gap session
-                closed.append((user_id, s0, s1, ssum, scnt))
-                cur = (t, 0, t, t, v, 1)
+                closed.append((user_id, s0, s1, sc, scnt))
+                cur = (t, 0, t, t, c, 1)
             elif (t - gs0) // cap_us != seg:         # duration cap: new segment
-                closed.append((user_id, s0, s1, ssum, scnt))
-                cur = (gs0, (t - gs0) // cap_us, t, t, v, 1)
+                closed.append((user_id, s0, s1, sc, scnt))
+                cur = (gs0, (t - gs0) // cap_us, t, t, c, 1)
             else:
-                cur = (gs0, seg, s0, max(s1, t), ssum + v, scnt + 1)
+                cur = (gs0, seg, s0, max(s1, t), sc + c, scnt + 1)
         if cur is not None:
             state.update(cur)
             # evict once the watermark passes segment end + gap (ms API);
@@ -154,24 +183,24 @@ class CappedSessionProcessor:
 
     def handleInputRows(self, key, rows, timerValues):
         user_id = int(key[0])
-        closed: list[tuple[int, int, int, float, int]] = []
+        closed: list[tuple[int, int, int, int, int]] = []
         batch = pd.concat(list(rows)).sort_values(self._ts)
         cur = self._snapshot()
         for ts_v, val in zip(batch[self._ts], batch[self._value]):
             t = int(pd.Timestamp(ts_v).value // 1_000)
-            v = float(val)
+            c = _cents(float(val))
             if cur is None:
-                cur = (t, 0, t, t, v, 1)
+                cur = (t, 0, t, t, c, 1)
                 continue
-            gs0, seg, s0, s1, ssum, scnt = cur
+            gs0, seg, s0, s1, sc, scnt = cur
             if t - s1 > self._gap_us:
-                closed.append((user_id, s0, s1, ssum, scnt))
-                cur = (t, 0, t, t, v, 1)
+                closed.append((user_id, s0, s1, sc, scnt))
+                cur = (t, 0, t, t, c, 1)
             elif (t - gs0) // self._cap_us != seg:
-                closed.append((user_id, s0, s1, ssum, scnt))
-                cur = (gs0, (t - gs0) // self._cap_us, t, t, v, 1)
+                closed.append((user_id, s0, s1, sc, scnt))
+                cur = (gs0, (t - gs0) // self._cap_us, t, t, c, 1)
             else:
-                cur = (gs0, seg, s0, max(s1, t), ssum + v, scnt + 1)
+                cur = (gs0, seg, s0, max(s1, t), sc + c, scnt + 1)
         if cur is not None:
             self._session.update(cur)
             # one live timer per key: replace, don't accumulate
