@@ -120,19 +120,17 @@ def test_queued_rewrites_oracle_exact_and_diff_confined(spark, sf_dir):
 
 
 def test_bm25_duplicate_term_unification(spark, sf_dir):
-    """The unified contract (SURVEY 2.105 finding 7): on a
-    DUPLICATE-term query, the staged batch scorer and the live index
-    scorer agree (the divergence this unification closes), the repeated
-    term's doc set keeps an honest df (scores differ from the
-    distinct-term query only through the qf factor), and on
-    distinct-term queries the staged scorer matches the LIVE bm25_topk
-    bit-for-bit (the r18 landing is fingerprint-only for
-    bm25_search)."""
+    """The unified contract (SURVEY 2.105 finding 7), LIVE in
+    operators/text_analysis.py:bm25_topk since the r18-window landing:
+    on a DUPLICATE-term query the batch scorer and the index scorer
+    agree (the divergence the unification closed — qf-multiplicity
+    weighting over an honest per-distinct-term df), and the qf
+    weighting is real (duplicate and distinct top-10 differ)."""
+    import shutil
+    import tempfile
+
     import windowsession_using_kafka_flink_docker_spark.operators.bm25_index as B
     import windowsession_using_kafka_flink_docker_spark.operators.text_analysis as T
-    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
-        bm25_topk_unified,
-    )
     from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -142,27 +140,20 @@ def test_bm25_duplicate_term_unification(spark, sf_dir):
     def rows(df):
         return [(r.doc_id, r.bm25) for r in df.collect()]
 
-    # distinct terms: staged == live batch operator, bit-for-bit
-    assert rows(bm25_topk_unified(docs, distinct, k=10)) \
-        == rows(T.bm25_topk(docs, distinct, k=10))
-
-    # duplicate terms: staged batch == live index scorer
-    import tempfile
-
     idx = tempfile.mkdtemp(prefix="bm25_unify_")
-    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
-        bm25_index_export,
-    )
-    bm25_index_export(spark, docs, idx)
-    got_idx = rows(B.bm25_from_index(spark, idx, dup, 10))
-    got_batch = rows(bm25_topk_unified(docs, dup, k=10))
-    assert got_idx == got_batch, "index vs unified batch on duplicates"
+    try:
+        B.bm25_index_export(spark, docs, idx)
+        got_idx = rows(B.bm25_from_index(spark, idx, dup, 10))
+        got_batch = rows(T.bm25_topk(docs, dup, k=10))
+        assert got_idx == got_batch, "index vs unified batch on duplicates"
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
-    # and the qf weighting is real: the duplicated query ranks by
+    # the qf weighting is real: the duplicated query ranks by
     # 2*contrib(spark) + contrib(stream) + contrib(join) — distinct
     # and duplicate top-10 must differ unless spark's contribution is
     # degenerate, which it is not at these SFs
-    assert rows(bm25_topk_unified(docs, distinct, k=10)) != got_batch
+    assert rows(T.bm25_topk(docs, distinct, k=10)) != got_batch
 
 
 def _collect_sessions(df):

@@ -119,9 +119,22 @@ def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
     broadcast; the final top-k is orderBy+limit, which Spark executes as
     TakeOrderedAndProject (per-partition heap + driver merge of k rows,
     no global sort). Eager — see _EAGER in tests/test_plan_quality.py.
+
+    Duplicate query terms weight their contribution by QUERY MULTIPLICITY
+    (qf) over an HONEST per-doc df — one df count per distinct term
+    (SURVEY 2.105 finding 7; the unified contract shared with
+    operators/bm25_index.py:bm25_from_index). On distinct-term queries
+    the scores are bit-identical to the pre-unification form (qf = 1 and
+    1.0*x == x in IEEE); the old behavior on duplicates both
+    double-weighted the contribution AND double-counted df, distorting
+    idf — neither set semantics nor qf weighting.
     """
+    from collections import Counter
+
     from pyspark.sql import functions as F
 
+    qf = Counter(query_terms)
+    terms = tuple(qf)
     toks_df = docs.select(
         F.col(id_col),
         F.split(normalized_text(text_col), " ").alias("_toks"),
@@ -135,7 +148,7 @@ def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
     perdoc = toks_df.select(
         id_col,
         F.size("_toks").alias("_dl"),
-        *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(query_terms)],
+        *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
     ).localCheckpoint(eager=True)
     stats = perdoc.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
     tf = (
@@ -145,13 +158,16 @@ def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
             F.explode(
                 F.array(*[
                     F.struct(
-                        F.lit(t).alias("_tok"), F.col(f"_tf_{i}").alias("_tf")
+                        F.lit(t).alias("_tok"),
+                        F.col(f"_tf_{i}").alias("_tf"),
+                        F.lit(float(qf[t])).alias("_qf"),
                     )
-                    for i, t in enumerate(query_terms)
+                    for i, t in enumerate(terms)
                 ])
             ).alias("_e"),
         )
-        .select(id_col, "_dl", F.col("_e._tok").alias("_tok"), F.col("_e._tf").alias("_tf"))
+        .select(id_col, "_dl", F.col("_e._tok").alias("_tok"),
+                F.col("_e._tf").alias("_tf"), F.col("_e._qf").alias("_qf"))
         .where(F.col("_tf") > 0)
     )
     dft = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
@@ -163,7 +179,7 @@ def bm25_topk(docs, query_terms: tuple[str, ...], k: int = 10,
         tf.join(F.broadcast(dft), "_tok")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.sum(idf * tf_part).alias("_s"))
+        .agg(F.sum(F.col("_qf") * idf * tf_part).alias("_s"))
     )
     # Rank by the ROUNDED score: avgdl is a float mean whose summation
     # order differs between engines, so two docs near-tied at the rank-k

@@ -1025,103 +1025,14 @@ REWRITES: dict = {}
 
 
 # --------------------------------------------------------------------
-# NINTH queued rewrite (drafted r17, lands r18): the bm25_topk /
-# bm25_from_index duplicate-query-term UNIFICATION (SURVEY 2.105
-# finding 7, deferred r15→r16→r17 on slot arithmetic each time — the
-# edit flags `bm25_search` changed). Contract: a repeated query term
-# weights its contribution by QUERY MULTIPLICITY (qf) over an HONEST
-# per-doc df (one df count per distinct term). The index side
-# (operators/bm25_index.py:bm25_from_index) adopted it in r17 already
-# — it sits in no registered entry's fingerprint closure; this draft
-# is the BATCH side, landing day = replace the body of
-# operators/text_analysis.py:bm25_topk with this function's semantics
-# (signature unchanged; current behavior on duplicate terms both
-# double-weights the contribution AND double-counts df — distorting
-# idf — which is neither set semantics nor qf weighting). On
-# distinct-term queries — every current call site, including the
-# registered `bm25_search` — the scores are bit-identical (qf=1 and
-# 1.0*x == x in IEEE), so the bm25_search recert is fingerprint-only.
-
-
-def bm25_topk_unified(docs, query_terms: tuple[str, ...], k: int = 10,
-                      k1: float = 1.2, b: float = 0.75,
-                      text_col: str = "text", id_col: str = "doc_id"):
-    """operators/text_analysis.py:bm25_topk with qf-multiplicity
-    weighting over honest per-distinct-term df (the r18 replacement
-    body; same one-pass/localCheckpoint/TakeOrderedAndProject shape)."""
-    from collections import Counter
-
-    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
-        normalized_text,
-    )
-
-    qf = Counter(query_terms)
-    terms = tuple(qf)
-    toks_df = docs.select(
-        F.col(id_col),
-        F.split(normalized_text(text_col), " ").alias("_toks"),
-    )
-
-    def _tf(term: str):
-        return F.size("_toks") - F.size(F.array_remove("_toks", term))
-
-    perdoc = toks_df.select(
-        id_col,
-        F.size("_toks").alias("_dl"),
-        *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
-    ).localCheckpoint(eager=True)
-    stats = perdoc.agg(F.count("*").alias("_n"),
-                       F.avg("_dl").alias("_avgdl"))
-    tf = (
-        perdoc.select(
-            id_col,
-            "_dl",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(t).alias("_tok"),
-                        F.col(f"_tf_{i}").alias("_tf"),
-                        F.lit(float(qf[t])).alias("_qf"),
-                    )
-                    for i, t in enumerate(terms)
-                ])
-            ).alias("_e"),
-        )
-        .select(id_col, "_dl", F.col("_e._tok").alias("_tok"),
-                F.col("_e._tf").alias("_tf"), F.col("_e._qf").alias("_qf"))
-        .where(F.col("_tf") > 0)
-    )
-    dft = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
-    idf = F.log(F.lit(1.0)
-                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
-    tf_part = (F.col("_tf") * (k1 + 1.0)) / (
-        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(dft), "_tok")
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.sum(F.col("_qf") * idf * tf_part).alias("_s"))
-    )
-    return (
-        scored.select(id_col, F.round("_s", 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), id_col)
-        .limit(k)
-    )
-
-
-def _rw_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bm25_search through the unified topk — value-identical to the
-    registered entry (distinct terms), queued purely so the r18 slot
-    arithmetic reserves the fingerprint recert."""
-    return bm25_topk_unified(load_table(spark, sf_dir, "documents"),
-                             ("spark", "stream", "join"))
-
-
-def _bm25_search_oracle() -> str:
-    from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
-
-    return CATALOG["bm25_search"].oracle
-
-
-REWRITES["bm25_search"] = (_rw_bm25_search, _bm25_search_oracle())
+# NINTH queued rewrite — the bm25_topk / bm25_from_index duplicate-
+# query-term UNIFICATION (SURVEY 2.105 finding 7, deferred
+# r15→r16→r17 on slot arithmetic) — LANDED in the r18 window:
+# operators/text_analysis.py:bm25_topk now weights a repeated query
+# term by QUERY MULTIPLICITY (qf) over an HONEST per-doc df (one df
+# count per distinct term), the contract bm25_from_index adopted in
+# r17. On distinct-term queries — every registered call site,
+# including `bm25_search` and `rrf_hybrid_search` — the scores are
+# bit-identical (qf = 1 and 1.0*x == x in IEEE), so the landing is
+# value-neutral at certification; the staged bm25_topk_unified draft
+# and the bm25_search REWRITES reservation are deleted.
