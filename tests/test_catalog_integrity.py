@@ -383,9 +383,9 @@ def test_window_policy_converges_over_projected_rounds():
     certifying each computed window, recompute, and assert no entry's
     certification ever ages past STALENESS_BOUND rounds. This proves the
     mechanism converges — a future snapshot can only make the real test
-    greener, never red. Six projected rounds cover a full rotation cycle
+    greener, never red. Seven projected rounds cover a full rotation cycle
     of the relaxed bound (every entry certified at least once every
-    STALENESS_BOUND+1 = 5 windows) plus one round of slack. The
+    STALENESS_BOUND+1 = 6 windows) plus one round of slack. The
     projection assumes no mid-round edits (empty changed-set); an edit
     only front-loads its entry, which cannot push the schedule past the
     bound while the catalog stays under capacity with the mandated
@@ -401,7 +401,7 @@ def test_window_policy_converges_over_projected_rounds():
     last_green, latest = driver_history()
     last_green = {n: r for n, r in last_green.items() if n in CATALOG}
     names = list(CATALOG)
-    for future_round in range(latest + 1, latest + 7):
+    for future_round in range(latest + 1, latest + 8):
         priority = compute_driver_priority(names, last_green)
         window = set(priority[:DRIVER_WINDOW])
         assert set(PINNED) <= window
@@ -422,9 +422,11 @@ def test_catalog_size_leaves_rotation_headroom():
     through r + STALENESS_BOUND - 1 and must re-enter the window by
     r + STALENESS_BOUND, so the effective cycle is STALENESS_BOUND + 1
     windows and the capacity is N <= (B+1)*W - B*P (B=2 gave 130, B=3
-    gave 170; the round-10 relaxation to B=4 gives 210, paired with the
-    change-aware front-loading so edits never ride the longer age
-    bound). Fail loudly when an added entry
+    gave 170, the round-10 relaxation to B=4 gave 210; the r18-window
+    relaxation to B=5 gives 250, each paired with the change-aware
+    front-loading so edits never ride the longer age bound, plus the
+    r15+ out-of-band sf0.1 full-catalog sweeps). Fail loudly when an
+    added entry
     would make the policy arithmetically impossible, and require >= 5
     entries of headroom so a round's additions never land exactly on the
     ceiling (VERDICT r6 item 1's done-criterion)."""

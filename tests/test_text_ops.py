@@ -181,3 +181,40 @@ class TestBpeTokenizerTrain:
             assert got == self._reference_bpe(word_freq, BPE_MERGES)
 
         check()
+
+
+def test_bm25_duplicate_term_unification(spark, sf_dir):
+    """The unified duplicate-query-term contract (SURVEY 2.105 finding
+    7), LIVE in operators/text_analysis.py:bm25_topk since the
+    r18-window landing: on a DUPLICATE-term query the batch scorer and
+    the index scorer agree (the divergence the unification closed —
+    qf-multiplicity weighting over an honest per-distinct-term df), and
+    the qf weighting is real (duplicate and distinct top-10 differ)."""
+    import shutil
+    import tempfile
+
+    import windowsession_using_kafka_flink_docker_spark.operators.bm25_index as B
+    import windowsession_using_kafka_flink_docker_spark.operators.text_analysis as T
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    distinct = ("spark", "stream", "join")
+    dup = ("spark", "spark", "stream", "join")
+
+    def rows(df):
+        return [(r.doc_id, r.bm25) for r in df.collect()]
+
+    idx = tempfile.mkdtemp(prefix="bm25_unify_")
+    try:
+        B.bm25_index_export(spark, docs, idx)
+        got_idx = rows(B.bm25_from_index(spark, idx, dup, 10))
+        got_batch = rows(T.bm25_topk(docs, dup, k=10))
+        assert got_idx == got_batch, "index vs unified batch on duplicates"
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    # the qf weighting is real: the duplicated query ranks by
+    # 2*contrib(spark) + contrib(stream) + contrib(join) — distinct
+    # and duplicate top-10 must differ unless spark's contribution is
+    # degenerate, which it is not at these SFs
+    assert rows(T.bm25_topk(docs, distinct, k=10)) != got_batch

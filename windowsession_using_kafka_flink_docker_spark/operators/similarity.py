@@ -653,3 +653,31 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, index: PqIndex,
         .where(F.col("rnk") <= k)
         .select("query_id", "match_id", "cosine", "rnk")
     )
+
+
+def ivf_export(index: IvfIndex, spark, path: str) -> None:
+    """Persist an IVF index: centroids as a tiny (cell, center) parquet,
+    assignments PARTITIONED BY cell — the layout a 100 TB serving tier
+    restores from (probes then prune to nprobe cell directories).
+    Promoted from plans/staging_r15.py with ivf_index_persist_roundtrip."""
+    import os
+
+    centers = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(index.centers)],
+        "cell INT, center ARRAY<DOUBLE>")
+    centers.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centers"))
+    (index.assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(path, "assigned")))
+
+
+def ivf_import(spark, path: str, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> IvfIndex:
+    """Rebuild a probe-ready IvfIndex from an export — no retraining."""
+    import os
+
+    rows = (spark.read.parquet(os.path.join(path, "centers"))
+            .orderBy("cell").collect())
+    centers = [list(r.center) for r in rows]
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    return IvfIndex(centers, assigned, id_col=id_col, vec_col=vec_col)

@@ -59,7 +59,17 @@ DRIVER_WINDOW = 50
 #: on untouched code; edits no longer ride it at all. The projection
 #: tests in tests/test_catalog_integrity.py prove the relaxed rotation
 #: still converges with no entry ever aging past the bound.
-STALENESS_BOUND = 4
+#: The r18 window relaxes 4 -> 5 on the same precedent: the six
+#: maintained-index/incremental promotions took the catalog to 207,
+#: past the 4-round policy's mandated-headroom line of 205 (capacity
+#: 210), and the r19 queue (isotonic_monthly_revenue,
+#: semantic_rrf_hybrid_search) would land exactly on the ceiling.
+#: Capacity is now 6*50 - 5*10 = 250. The freshness mechanism is
+#: unchanged — change-aware front-loading covers every source/oracle
+#: edit the round it happens, and the sf0.1 full-catalog sweeps (r15+)
+#: re-verify ALL entries out-of-band each round regardless of window
+#: membership.
+STALENESS_BOUND = 5
 
 #: The 8 core reference-parity rows (SURVEY §2.1-2.10) plus the 2 ANN
 #: exact-identity pins — these must appear in EVERY driver window

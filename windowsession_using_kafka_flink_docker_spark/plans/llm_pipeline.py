@@ -3624,3 +3624,272 @@ def bpe_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "freq")
                .localCheckpoint(eager=True))
     return functools.reduce(lambda a, b: a.unionByName(b), merge_frames)
+
+
+# --------------------------------------------------------------------
+# Maintained-index persistence family — promoted from
+# plans/staging_r15.py (drafted r14, registered in the r18 window):
+# the serving-restart / continuous-ingest contracts for the three
+# maintained indexes (IVF embedding cells, MinHash-LSH near-dup bands,
+# BM25 postings). Index primitives live in operators/ (shared with the
+# streaming maintainers, which must not import the plans layer);
+# scratch-root hygiene in operators/scratch.py.
+
+import os  # noqa: E402
+
+from windowsession_using_kafka_flink_docker_spark.operators.bm25_index import (  # noqa: E402
+    BM25_B as _BM_B,
+    BM25_K1 as _BM_K1,
+    bm25_from_index,
+    bm25_index_append,
+    bm25_index_export,
+)
+from windowsession_using_kafka_flink_docker_spark.operators.neardup_index import (  # noqa: E402
+    MH_BANDS as _MH_BANDS,
+    MH_CAP as _MH_CAP,
+    MH_HASHES as _MH_HASHES,
+    MH_ROWS as _MH_ROWS,
+    MH_THRESHOLD as _MH_THRESHOLD,
+    neardup_index_append,
+    neardup_index_probe,
+)
+from windowsession_using_kafka_flink_docker_spark.operators.scratch import (  # noqa: E402
+    drop_export,
+    scratch_root,
+)
+from windowsession_using_kafka_flink_docker_spark.operators.similarity import (  # noqa: E402
+    ivf_export,
+    ivf_import,
+)
+
+
+def _export_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Per-(app, corpus) export location outside the repo."""
+    leaf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(scratch_root(spark), f"{prefix}_{leaf}")
+
+
+@register(
+    "ivf_index_persist_roundtrip",
+    oracle="""
+SELECT CAST(10 AS BIGINT) AS n_queries,
+       CAST(100 AS BIGINT) AS exact_pairs,
+       CAST(100 AS BIGINT) AS persisted_hits,
+       CAST(100 AS BIGINT) AS fresh_persisted_agree
+""",
+    description="IVF index exported to parquet (KB centroids + "
+                "cell-partitioned assignments), re-imported, probed with "
+                "nprobe == n_cells: must equal the exact cosine scan AND "
+                "the fresh index pair-for-pair — the serving-restart "
+                "contract (recovery re-reads the index, never retrains "
+                "the quantizer).",
+    tags=("llm", "similarity", "ann", "persistence"),
+)
+def ivf_index_persist_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Export -> import -> probe with nprobe == n_cells: the persisted
+    index must reproduce BOTH the exact cosine scan (the
+    ivf_recall_vs_exact identity) and the fresh never-persisted index,
+    pair for pair. Emitted as one scalar row against a pinned oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=10).select("query_id", "match_id")
+
+    fresh_index = S.ivf_build(emb, n_cells=16, seed=42)
+    path = _export_dir(spark, sf_dir, "ivf")
+    ivf_export(fresh_index, spark, path)
+    restored = ivf_import(spark, path)
+
+    fresh = (S.ivf_cosine_topk(None, q, k=10, nprobe=16, index=fresh_index)
+             .select("query_id", "match_id"))
+    persisted = (S.ivf_cosine_topk(None, q, k=10, nprobe=16, index=restored)
+                 .select("query_id", "match_id")
+                 .withColumn("_hit", F.lit(1)))
+    agree = fresh.join(persisted.drop("_hit"), ["query_id", "match_id"],
+                       "left_semi").count()
+    out = (exact.join(persisted, ["query_id", "match_id"], "left")
+           .agg(F.countDistinct("query_id").alias("n_queries"),
+                F.count(F.lit(1)).alias("exact_pairs"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+                .alias("persisted_hits"))
+           .withColumn("fresh_persisted_agree",
+                       F.lit(agree).cast("long"))
+           .localCheckpoint(eager=True))  # 1 row — frees the export
+    drop_export(path)
+    return out
+
+
+#: ~10% of docs arrive as the near-dup delta batch.
+_DELTA_MOD, _DELTA_OFF = 10, 7
+
+
+def neardup_index_export(spark: SparkSession, corpus: DataFrame,
+                         path: str) -> None:
+    """Build the corpus near-dup index as increment 0 (see
+    operators/neardup_index.py for the layout and guard contract)."""
+    neardup_index_append(spark, corpus, path, inc=0)
+
+
+def _nd_perm_values() -> str:
+    return ",\n    ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(D._perm_params(_MH_HASHES)))
+
+
+def _nd_oracle() -> str:
+    # The full-corpus portable pipeline (identical CTE text to the
+    # minhash_recall_vs_exact oracle through the verification step),
+    # restricted to pairs with >= 1 delta member — closed-form proof
+    # that the persisted-index probe equals from-scratch.
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(
+             range(1, GREATEST(len(toks) - 2, 1) + 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+           )
+         ) AS sh
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+),
+perms(j, a, b) AS (VALUES
+    {_nd_perm_values()}
+),
+bh AS (
+  SELECT doc_id,
+         list_transform(sh, s ->
+           ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647) AS hs
+  FROM docs),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM bh),
+pm AS (
+  SELECT doc_id, j, MIN((a * h + b) % 2147483647) AS m
+  FROM ex CROSS JOIN perms GROUP BY doc_id, j),
+sg AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM pm GROUP BY doc_id),
+bd AS (
+  SELECT doc_id, b,
+         md5(array_to_string(
+           list_transform(list_slice(sig, b*{_MH_ROWS} + 1, b*{_MH_ROWS} + {_MH_ROWS}),
+                          x -> CAST(x AS VARCHAR)), ',')) AS bkey
+  FROM sg CROSS JOIN (SELECT unnest(range({_MH_BANDS})) AS b)),
+capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY b, bkey) AS _bsz FROM bd)
+  WHERE _bsz <= {_MH_CAP}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM capped x JOIN capped y ON x.b = y.b AND x.bkey = y.bkey
+  WHERE x.doc_id < y.doc_id),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(da.sh, db.sh)) AS i,
+         len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS u
+  FROM cand c JOIN docs da ON da.doc_id = c.id_a
+              JOIN docs db ON db.doc_id = c.id_b)
+SELECT id_a, id_b,
+       CASE WHEN u = 0 THEN 1.0 ELSE ROUND(i / u, 4) END AS jaccard,
+       (id_a % {_DELTA_MOD} = {_DELTA_OFF})
+         <> (id_b % {_DELTA_MOD} = {_DELTA_OFF}) AS is_cross
+FROM pairs
+WHERE (CASE WHEN u = 0 THEN 1.0 ELSE ROUND(i / u, 4) END) >= {_MH_THRESHOLD}
+  AND (id_a % {_DELTA_MOD} = {_DELTA_OFF}
+       OR id_b % {_DELTA_MOD} = {_DELTA_OFF})
+"""
+
+
+@register(
+    "incremental_neardup_probe",
+    oracle=_nd_oracle(),
+    description="Continuous dedup: the corpus MinHash-LSH index persisted "
+                "to parquet (band tables partitioned by band_id, "
+                "per-bucket counts, shingle store), probed by a ~10% delta "
+                "batch whose signatures alone are computed; the bucket cap "
+                "combines index + delta counts so pruning matches a "
+                "from-scratch run exactly. Oracle: the full portable md5 "
+                "pipeline closed-form, restricted to delta-involving pairs "
+                "— incremental must equal from-scratch, the dedup twin of "
+                "incremental_session_merge.",
+    tags=("llm", "dedup", "minhash", "incremental", "persistence"),
+)
+def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the corpus index (doc_id % 10 != 7), persist it, probe it
+    with the delta (doc_id % 10 == 7): the result must equal the
+    from-scratch full-corpus MinHash-LSH run restricted to pairs with
+    at least one delta member — which is exactly what the oracle
+    computes closed-form (same portable md5 pipeline, same combined
+    bucket-cap arithmetic, same exact-Jaccard verification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % _DELTA_MOD != _DELTA_OFF)
+    delta = docs.where(F.col("doc_id") % _DELTA_MOD == _DELTA_OFF)
+    path = _export_dir(spark, sf_dir, "ndidx")
+    neardup_index_export(spark, corpus, path)
+    out = neardup_index_probe(spark, path, delta)  # eager checkpoint
+    drop_export(path)
+    return out
+
+
+#: ~12.5% of docs arrive late as the BM25 delta increment.
+_BM_DELTA_MOD, _BM_DELTA_OFF = 8, 5
+_BM_TERMS = ("merge", "window", "hash")
+_BM_K = 10
+
+
+def _bm25_serving_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl, t
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents)
+),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, s AS tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS s FROM base)
+  WHERE s IN ({terms})
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         SUM( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({_BM_K1} + 1) / (tf.tf + {_BM_K1} * (1 - {_BM_B} + {_BM_B} * tf.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, ROUND(s, 4) AS bm25
+FROM scored
+ORDER BY ROUND(s, 4) DESC, doc_id
+LIMIT {_BM_K}
+"""
+
+
+@register(
+    "incremental_bm25_search",
+    oracle=_bm25_serving_oracle(),
+    description="Index-backed BM25 serving: the postings index (ALL "
+                "tokens, partitioned by token-hash bucket) persisted from "
+                "the corpus, a ~12.5% delta batch appended as its own "
+                "doc-only increment (corpus never re-tokenized), then "
+                "query {merge, window, hash} scored from the INDEX ALONE "
+                "— postings reads prune to <= |q| bucket directories, no "
+                "document text touched at query time. Oracle: the "
+                "from-scratch single-pass BM25 over all documents; the "
+                "increment must be invisible in the result. Third leg of "
+                "the maintained-index family (session store, LSH near-dup "
+                "index, BM25 postings).",
+    tags=("llm", "text", "retrieval", "incremental", "persistence"),
+)
+def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus index (doc_id % 8 != 5) built and persisted, the delta's
+    increment appended doc-only, then the query scored from the merged
+    index — must equal the from-scratch BM25 over all documents (see
+    operators/bm25_index.py for the pruning contract and torn-index
+    guard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % _BM_DELTA_MOD != _BM_DELTA_OFF)
+    delta = docs.where(F.col("doc_id") % _BM_DELTA_MOD == _BM_DELTA_OFF)
+    path = _export_dir(spark, sf_dir, "bm25")
+    bm25_index_export(spark, corpus, path)
+    bm25_index_append(spark, path, delta)
+    out = bm25_from_index(spark, path, _BM_TERMS,
+                          _BM_K).localCheckpoint(eager=True)  # k rows
+    drop_export(path)
+    return out

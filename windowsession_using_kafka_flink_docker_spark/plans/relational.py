@@ -4419,3 +4419,87 @@ def winsorized_spend_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("s * 100 div n_orders").alias("mean_ce2"),
                     F.expr("ws * 100 div n_orders")
                     .alias("winsorized_mean_ce2")))
+
+
+@register(
+    "event_type_crosscorr",
+    # Promoted from plans/staging_r15.py (drafted r14-r16, registered in
+    # the r18 window). Same engine-agreement discipline as
+    # spend_autocorrelation: exact BIGINT partials, ONE identical IEEE
+    # floor-scaled division — extended from auto- to CROSS-correlation
+    # over the |types| x |days| daily-count grid.
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+paired AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, k.lag AS lag,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(a.y) AS BIGINT) AS sa,
+         CAST(SUM(b.y) AS BIGINT) AS sb,
+         CAST(SUM(a.y * a.y) AS BIGINT) AS saa,
+         CAST(SUM(b.y * b.y) AS BIGINT) AS sbb,
+         CAST(SUM(a.y * b.y) AS BIGINT) AS sab
+  FROM daily a
+  JOIN (SELECT unnest([0, 1, 2]) AS lag) k ON TRUE
+  JOIN daily b ON b.event_type <> a.event_type AND b.x = a.x + k.lag
+  GROUP BY 1, 2, 3)
+SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag, m,
+       CAST(floor(
+         CAST(m * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(m * saa - sa * sa AS DOUBLE)
+                * CAST(m * sbb - sb * sb AS DOUBLE))
+         * 10000) AS BIGINT) AS xcorr_e4
+FROM paired
+WHERE m >= 8 AND m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+""",
+    description="Directed event-type pairs' daily-count cross-correlation "
+                "at lags 0..2 — spend_autocorrelation's exact-BIGINT/one-"
+                "IEEE-division discipline extended from auto- to "
+                "cross-correlation over the |types| x |days| grid; guards "
+                "mirror ACF (m >= 8, positive variances).",
+    tags=("analytics", "timeseries", "window"),
+)
+def event_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does today's type-a count predict today+lag's type-b count?
+    Bounded everywhere: the daily grid is |types| x |days| (never
+    fact-sized), partials are exact BIGINTs (counts <= ~1e4/day, so
+    m*saa <= ~1e14 — far inside int64), and both engines execute ONE
+    identical IEEE floor(num / sqrt(d1 * d2) * 1e4)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False))
+    a = daily.select(F.col("event_type").alias("type_a"),
+                     F.col("x").alias("xa"), F.col("y").alias("ya"))
+    lags = a.select(
+        "type_a", "xa", "ya",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("lag"))
+    b = daily.select(F.col("event_type").alias("type_b"),
+                     F.col("x").alias("xb"), F.col("y").alias("yb"))
+    paired = (lags.join(b, (F.col("type_b") != F.col("type_a"))
+                        & (F.col("xb") == F.col("xa") + F.col("lag")))
+              .groupBy("type_a", "type_b", "lag")
+              .agg(F.count(F.lit(1)).cast("long").alias("m"),
+                   F.sum("ya").cast("long").alias("sa"),
+                   F.sum("yb").cast("long").alias("sb"),
+                   F.sum(F.col("ya") * F.col("ya")).cast("long")
+                   .alias("saa"),
+                   F.sum(F.col("yb") * F.col("yb")).cast("long")
+                   .alias("sbb"),
+                   F.sum(F.col("ya") * F.col("yb")).cast("long")
+                   .alias("sab")))
+    d1 = F.col("m") * F.col("saa") - F.col("sa") * F.col("sa")
+    d2 = F.col("m") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = F.col("m") * F.col("sab") - F.col("sa") * F.col("sb")
+    return (paired
+            .where((F.col("m") >= 8) & (d1 > 0) & (d2 > 0))
+            .select("type_a", "type_b",
+                    F.col("lag").cast("int").alias("lag"), "m",
+                    F.floor(num.cast("double")
+                            / F.sqrt(d1.cast("double") * d2.cast("double"))
+                            * 10000).cast("long").alias("xcorr_e4")))
