@@ -1347,3 +1347,33 @@ class TestMannKendallIdentities:
         r3 = out[3]
         assert r3["s_stat"] == s3
         assert r3["var18"] == var18
+
+
+def test_isotonic_fit_properties(spark, sf_dir):
+    """isotonic_monthly_revenue beyond oracle parity (which already
+    proves PAV == minimax on real data at three SFs): the fitted
+    sequence must be NON-DECREASING over the month index (compared by
+    exact cross-multiplication, never doubles), and PAV must conserve
+    weighted mass — sum(n_m * fitted_m) == sum of all cents — since
+    each pooled block's fitted value is exactly its block mean."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        isotonic_monthly_revenue,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    rows = sorted(isotonic_monthly_revenue(spark, sf_dir).collect(),
+                  key=lambda r: r.month_idx)
+    assert len(rows) >= 3
+    for a, b in zip(rows, rows[1:]):
+        assert a.fitted_num * b.fitted_den <= b.fitted_num * a.fitted_den, (
+            f"fit decreases {a.month_idx} -> {b.month_idx}")
+    mass = sum(Fraction(r.fitted_num, r.fitted_den) * r.n_orders
+               for r in rows)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    total = load_table(spark, sf_dir, "orders").agg(
+        F.sum(cents)).first()[0]
+    assert mass == total

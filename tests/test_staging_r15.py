@@ -1,34 +1,34 @@
-"""Local oracle parity for the STAGED drafts (plans/staging_r15.py)
-— the same gate the driver will apply once they register, run here so
-registration day is a rename, not a debug session. The staging module
-is not imported by the catalog; these tests are the only consumer
-until promotion.
+"""Local oracle parity for STAGED drafts and queued REWRITES
+(plans/staging_r15.py) — the same gate the driver will apply once a
+draft registers, run here so registration day is a rename, not a debug
+session. The staging module is not imported by the catalog; these
+tests are its only consumer until promotion.
 
-Promotion history lives in the staging module's docstring; tests for
-promoted entries moved to tests/test_maintenance_entries.py (r18
-window) and tests/test_plan_quality.py (r15) with their entries.
+Both queues are empty since the r18-window promotions (history in the
+staging module's docstring; promoted-entry tests live with their
+entries in tests/test_maintenance_entries.py, tests/test_analytics.py
+and tests/test_text_ops.py). The gates below iterate whatever the
+queues hold, so the NEXT draft is covered the moment it lands in
+STAGED/REWRITES — no new test wiring needed.
 """
 
 from __future__ import annotations
 
-import pytest
-
-from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import STAGED
+from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+    REWRITES,
+    STAGED,
+)
 from tests.oracle import compare
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_entry_matches_oracle(spark, sf_dir, name):
-    fn, oracle, description, tags = STAGED[name]
-    assert description.strip() and tags, f"{name} must ship documented"
-    ok, msg = compare(fn(spark, sf_dir), oracle, sf_dir)
-    assert ok, f"{name}: {msg}"
-
-
-def test_staged_entries_have_rows(spark, sf_dir):
-    """Non-vacuity: a draft whose result is empty at test scale would
-    pass parity trivially and certify nothing."""
-    for name, (fn, _, _, _) in STAGED.items():
+def test_staged_entries_match_oracle_and_are_non_vacuous(spark, sf_dir):
+    """Every staged draft must pass its own DuckDB oracle AND return
+    rows at test scale (an empty result would pass parity trivially
+    and certify nothing)."""
+    for name, (fn, oracle, description, tags) in STAGED.items():
+        assert description.strip() and tags, f"{name} must ship documented"
+        ok, msg = compare(fn(spark, sf_dir), oracle, sf_dir)
+        assert ok, f"{name}: {msg}"
         assert fn(spark, sf_dir).count() > 0, f"{name} is vacuous"
 
 
@@ -52,10 +52,8 @@ def test_queued_rewrites_oracle_exact_and_diff_confined(spark, sf_dir):
     by exactly one cent (the half-cent tie class — at the driver SFs no
     tie exists, so this doubles as a value-identity proof at
     certification scale); any other rewrite must be row-for-row EQUAL
-    to the registered entry. (Queue empty since the r18-window
-    landings — the gate stands ready for the next rewrite.)"""
+    to the registered entry."""
     from windowsession_using_kafka_flink_docker_spark.plans.catalog import CATALOG
-    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import REWRITES
 
     assert set(REWRITES) <= set(CATALOG), \
         "rewrites must target registered entries"
@@ -95,55 +93,3 @@ def test_queued_rewrites_oracle_exact_and_diff_confined(spark, sf_dir):
                     f"{name}: {a[ai]} -> {b[ai]} not a one-cent tie move"
         assert moved <= max(2, len(o) // 100), \
             f"{name}: {moved} rows moved — more than the tie class"
-
-
-def test_isotonic_fit_properties(spark, sf_dir):
-    """The r16-drafted isotonic draft beyond oracle parity (which
-    already proves PAV == minimax on real data at three SFs): the
-    fitted sequence must be NON-DECREASING over the month index
-    (compared by exact cross-multiplication, never doubles), and PAV
-    must conserve weighted mass — sum(n_m * fitted_m) == sum of all
-    cents — since each pooled block's fitted value is exactly its
-    block mean."""
-    from fractions import Fraction
-
-    from pyspark.sql import functions as F
-
-    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
-        isotonic_monthly_revenue,
-    )
-    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
-
-    rows = sorted(isotonic_monthly_revenue(spark, sf_dir).collect(),
-                  key=lambda r: r.month_idx)
-    assert len(rows) >= 3
-    for a, b in zip(rows, rows[1:]):
-        assert a.fitted_num * b.fitted_den <= b.fitted_num * a.fitted_den, (
-            f"fit decreases {a.month_idx} -> {b.month_idx}")
-    mass = sum(Fraction(r.fitted_num, r.fitted_den) * r.n_orders
-               for r in rows)
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    total = load_table(spark, sf_dir, "orders").agg(
-        F.sum(cents)).first()[0]
-    assert mass == total
-
-
-def test_semantic_rrf_plan_shape_and_fusion(spark, sf_dir):
-    """The semantic-leg draft's scale promises: no cartesian product,
-    no Python stage (the cosine leg is a broadcast of ONE query
-    vector, never a corpus shuffle); and the fusion is non-trivial —
-    the top-10 must contain a doc ranked by only one of the two legs
-    (the whole point of RRF)."""
-    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
-        semantic_rrf_hybrid_search,
-    )
-
-    df = semantic_rrf_hybrid_search(spark, sf_dir)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
-        .fromString("extended")
-    p = df._jdf.queryExecution().explainString(jmode)
-    assert "CartesianProduct" not in p
-    assert "BatchEvalPython" not in p and "MapInPandas" not in p
-    got = df.collect()
-    assert len(got) == 10
-    assert any(r.r_bm25 is None or r.r_sem is None for r in got)

@@ -218,3 +218,24 @@ def test_bm25_duplicate_term_unification(spark, sf_dir):
     # and duplicate top-10 must differ unless spark's contribution is
     # degenerate, which it is not at these SFs
     assert rows(T.bm25_topk(docs, distinct, k=10)) != got_batch
+
+
+def test_semantic_rrf_plan_shape_and_fusion(spark, sf_dir):
+    """semantic_rrf_hybrid_search's scale promises: no cartesian
+    product, no Python stage (the cosine leg is a broadcast of ONE
+    query vector, never a corpus shuffle); and the fusion is
+    non-trivial — the top-10 must contain a doc ranked by only one of
+    the two legs (the whole point of RRF)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+        semantic_rrf_hybrid_search,
+    )
+
+    df = semantic_rrf_hybrid_search(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("extended")
+    p = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    got = df.collect()
+    assert len(got) == 10
+    assert any(r.r_bm25 is None or r.r_sem is None for r in got)

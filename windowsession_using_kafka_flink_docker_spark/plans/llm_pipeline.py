@@ -3893,3 +3893,119 @@ def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                           _BM_K).localCheckpoint(eager=True)  # k rows
     drop_export(path)
     return out
+
+
+_SEM_QUERY_VEC = 0   # the query document (vec_id == doc_id alignment)
+_SEM_TERMS = ("spark", "stream", "join")
+
+
+def _semantic_rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEM_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(t) AS dl, t
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents)
+),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, s AS tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(t) AS s FROM base)
+  WHERE s IN ({terms})
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         SUM( ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) ) AS s
+  FROM tf JOIN dft USING (tok) CROSS JOIN stats
+  GROUP BY doc_id
+),
+bm25_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+         AS r_bm25
+  FROM scored
+  QUALIFY r_bm25 <= 50
+),
+sem AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv), 4) AS cosine
+  FROM embeddings c,
+       (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = {_SEM_QUERY_VEC}) q
+  WHERE c.vec_id <> {_SEM_QUERY_VEC}
+),
+sem_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_sem
+  FROM sem
+  QUALIFY r_sem <= 50
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id, b.r_bm25, s.r_sem,
+         COALESCE(1.0 / (60 + b.r_bm25), 0.0)
+           + COALESCE(1.0 / (60 + s.r_sem), 0.0) AS rrf
+  FROM bm25_rank b FULL OUTER JOIN sem_rank s USING (doc_id)
+)
+SELECT doc_id, r_bm25, r_sem,
+       CAST(floor(rrf * 1000000000) AS BIGINT) AS rrf_e9,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 10
+"""
+
+
+@register(
+    "semantic_rrf_hybrid_search",
+    oracle=_semantic_rrf_oracle(),
+    description="Lexical+semantic hybrid search via reciprocal-rank "
+                "fusion: BM25 top-50 for {spark, stream, join} fused with "
+                "the exact-cosine top-50 around the query document's "
+                "embedding (vec_id == doc_id alignment), score = sum "
+                "1/(60 + rank) added in fixed order. The semantic leg "
+                "broadcasts one query vector and scores scan-side (the "
+                "corpus never shuffles); the fusion is a 50x50 broadcast "
+                "join and the top-10 a TakeOrderedAndProject.",
+    tags=("llm", "retrieval", "similarity", "topk"),
+)
+def semantic_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production RRF shape (rrf_hybrid_search fuses two lexical
+    legs; this adds the embedding leg the testdata's vec_id == doc_id
+    alignment enables): the BM25 top-50 for the query terms fuses with
+    the exact-cosine top-50 around the query document's embedding via
+    reciprocal rank, score = sum 1/(60 + rank).
+
+    Determinism: both legs rank by their ROUND(score, 4) with doc_id
+    tiebreaks (the entries' established engine-stable recipe); the
+    fused score adds at most two 1/(60+rank) doubles in a fixed order
+    (bm25 first), so both engines compute the identical IEEE value.
+    Scale: the semantic leg broadcasts ONE query vector and scores
+    corpus-scan-side (cosine_topk's plan — the corpus never shuffles);
+    both legs are 50 rows after their own cuts, so the fusion join is
+    broadcast-sized and the final top-10 is a TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    w_b = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm25 = (T.bm25_topk(docs, _SEM_TERMS, k=50)
+            .select("doc_id", "bm25")
+            .withColumn("r_bm25", F.row_number().over(w_b).cast("long"))
+            .select("doc_id", "r_bm25"))
+    sem = (S.cosine_topk(emb, emb.where(F.col("vec_id") == _SEM_QUERY_VEC),
+                         k=50)
+           .select(F.col("match_id").alias("doc_id"),
+                   F.col("rnk").cast("long").alias("r_sem")))
+    fused = (bm25.join(sem, "doc_id", "full_outer")
+             .select("doc_id", "r_bm25", "r_sem",
+                     (F.coalesce(1.0 / (60 + F.col("r_bm25")), F.lit(0.0))
+                      + F.coalesce(1.0 / (60 + F.col("r_sem")),
+                                   F.lit(0.0))).alias("rrf")))
+    w_f = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (fused
+            .withColumn("fused_rank",
+                        F.row_number().over(w_f).cast("long"))
+            .where(F.col("fused_rank") <= 10)
+            .select("doc_id", "r_bm25", "r_sem",
+                    F.floor(F.col("rrf") * 1000000000).cast("long")
+                    .alias("rrf_e9"),
+                    "fused_rank"))

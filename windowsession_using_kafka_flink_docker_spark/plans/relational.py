@@ -4503,3 +4503,119 @@ def event_type_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(num.cast("double")
                             / F.sqrt(d1.cast("double") * d2.cast("double"))
                             * 10000).cast("long").alias("xcorr_e4")))
+
+
+@register(
+    "isotonic_monthly_revenue",
+    # Promoted from plans/staging_r15.py (drafted r16, registered in the
+    # r18 window once the staleness relaxation opened slots). Oracle: the
+    # minimax characterization fitted(k) = max_{i<=k} min_{j>=k}
+    # avg(y[i..j]) — a closed-form SQL equivalent of PAV over prefix
+    # sums, every min/max decided by HUGEINT cross-multiplication and
+    # the same gcd reduction canonicalizing tied representatives.
+    # PAV == minimax is the engine-agreement proof.
+    oracle="""
+WITH per AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+pre AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS r,
+         SUM(s) OVER (ORDER BY m) AS ps,
+         SUM(c) OVER (ORDER BY m) AS pc
+  FROM per
+),
+ranges AS (
+  SELECT i.r AS ri, j.r AS rj,
+         CAST(j.ps - COALESCE(ip.ps, 0) AS HUGEINT) AS num,
+         CAST(j.pc - COALESCE(ip.pc, 0) AS HUGEINT) AS den
+  FROM pre i
+  JOIN pre j ON i.r <= j.r
+  LEFT JOIN pre ip ON ip.r = i.r - 1
+),
+minj AS (
+  -- for each start i and position k in [i..]: the minimum over j >= k
+  -- of avg(i..j), decided by exact cross-multiplication; equal-valued
+  -- representatives collapse after gcd reduction
+  SELECT DISTINCT r1.ri, k.r AS k,
+         CAST(r1.num // gcd(r1.num, r1.den) AS BIGINT) AS num,
+         CAST(r1.den // gcd(r1.num, r1.den) AS BIGINT) AS den
+  FROM ranges r1 JOIN pre k ON r1.ri <= k.r AND r1.rj >= k.r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ranges r2
+    WHERE r2.ri = r1.ri AND r2.rj >= k.r
+      AND r2.num * r1.den < r1.num * r2.den)
+),
+fitted AS (
+  -- minimax: fitted(k) = max over i <= k of minj(i, k)
+  SELECT DISTINCT mj.k, mj.num, mj.den
+  FROM minj mj
+  WHERE NOT EXISTS (
+    SELECT 1 FROM minj m2
+    WHERE m2.k = mj.k
+      AND CAST(m2.num AS HUGEINT) * mj.den > CAST(mj.num AS HUGEINT) * m2.den)
+)
+SELECT p.m AS month_idx, per.c AS n_orders, f.num AS fitted_num,
+       f.den AS fitted_den
+FROM fitted f JOIN pre p ON p.r = f.k JOIN per ON per.m = p.m
+""",
+    description="Isotonic regression (non-decreasing mean order price over "
+                "the month index) via Pool-Adjacent-Violators on exact "
+                "BIGINT-cents partials: one distributed aggregation, then "
+                "driver PAV over the bounded month domain with integer "
+                "cross-multiplied comparisons; fitted values emitted as "
+                "gcd-reduced exact rationals. Oracle: the minimax "
+                "characterization max_i min_j avg(i..j) closed-form in "
+                "SQL with HUGEINT cross-products — PAV == minimax is the "
+                "engine-agreement proof.",
+    tags=("analytics", "regression", "exact"),
+)
+def isotonic_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (non-decreasing) regression of mean order price over the
+    absolute month index, fit by Pool-Adjacent-Violators on EXACT
+    integer partials.
+
+    Scale shape: the heavy lift — per-month (sum_cents, count) — is one
+    distributed exact BIGINT aggregation over the fact table; PAV then
+    runs on the DRIVER over the collected per-month partials, a
+    BOUNDED-DOMAIN collect (months in the data span, ~84 at any SF —
+    the IVF-training-sample discipline: the collect is bounded by the
+    domain, never by the data). Pooling compares block means by integer
+    CROSS-MULTIPLICATION (prev.s * cur.c >= cur.s * prev.c — positive
+    denominators), so no IEEE division anywhere; fitted values are
+    emitted as REDUCED exact rationals (num/gcd, den/gcd), which makes
+    the output representation-independent and engine-identical. (At
+    100 TB the oracle's cross-products exceed int64 — DuckDB computes
+    them in HUGEINT; the shipped plan needs no cross-products at all:
+    the driver PAV is arbitrary-precision Python.)"""
+    from math import gcd
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    month = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1) \
+        .cast("long")
+    per = (orders.groupBy(month.alias("month_idx"))
+           .agg(F.sum(cents).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("c"))
+           .orderBy("month_idx").collect())  # bounded: |months in span|
+    blocks: list[list] = []  # [months, sum_cents, count]
+    for r in per:
+        cur = [[r.month_idx], r.s, r.c]
+        # pool while the previous block's mean >= this one's (exact
+        # cross-multiplied comparison; merging on equality is value-
+        # neutral — the pooled mean equals both)
+        while blocks and blocks[-1][1] * cur[2] >= cur[1] * blocks[-1][2]:
+            prev = blocks.pop()
+            cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2] + cur[2]]
+        blocks.append(cur)
+    n_by_month = {r.month_idx: r.c for r in per}
+    rows = []
+    for months, s, c in blocks:
+        g = gcd(s, c)
+        for m in months:
+            rows.append((m, n_by_month[m], s // g, c // g))
+    return spark.createDataFrame(
+        rows, "month_idx BIGINT, n_orders BIGINT, "
+              "fitted_num BIGINT, fitted_den BIGINT")
