@@ -251,7 +251,9 @@ def _sessions_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30 s fixed-gap sessions with EXACT cent sums — the Spark twin of
     ``_SESS_CENTS_CTE``'s ``sess`` table (same session_window semantics
     as operators/sessionize.py, re-aggregated because the public entry
-    emits ROUND(double, 2) sums, which must not feed a ranking)."""
+    PRESENTS doubles — sum_cents/100.0 since the r17 exact-e2 landing —
+    and a ranking must consume the integer cents, never a
+    presentation)."""
     ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
