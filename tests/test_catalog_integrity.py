@@ -320,6 +320,55 @@ def test_fingerprint_sees_module_constants():
         StructType([StructField("cents", LongType())]))
 
 
+def test_fingerprint_v2_sees_module_attribute_and_local_import_refs():
+    """ALGO v2 (SURVEY 2.116 follow-up) must close both v1 blind-spot
+    classes: (a) module-ATTRIBUTE references — bm25_search reaches
+    bm25_topk only as ``T.bm25_topk``, so its v2 closure must carry the
+    text_analysis function a v1 closure missed; (b) function-LOCAL
+    imports — capped_sessionization imports its operator inside the
+    body, recovered from the dotted IMPORT_NAME path. And the
+    version-pinned comparison must hold: a record tagged v1 compares
+    under v1 rules (no mass-invalidation on the algorithm switch), an
+    untagged record defaults to v1."""
+    from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (
+        _source_closure,
+        changed_entries,
+        entry_fingerprint,
+    )
+
+    spec = CATALOG["bm25_search"]
+    v2 = {(m, q) for m, q, _ in _source_closure(spec.spark)[0]}
+    v1 = {(m, q) for m, q, _ in
+          _source_closure(spec.spark, resolve_module_attrs=False)[0]}
+    ta = "windowsession_using_kafka_flink_docker_spark.operators.text_analysis"
+    assert (ta, "bm25_topk") in v2
+    assert (ta, "bm25_topk") not in v1
+
+    capped = CATALOG["capped_sessionization"]
+    v2c = {(m, q) for m, q, _ in _source_closure(capped.spark)[0]}
+    op = "windowsession_using_kafka_flink_docker_spark.operators.capped_sessionize"
+    assert (op, "capped_sessionize") in v2c  # local-import class
+
+    # version-pinned comparison: a v1 record of the CURRENT code is
+    # unchanged under v1 rules even though the v2 hash differs
+    fp_v1 = entry_fingerprint(spec.spark, spec.oracle, algo="v1")
+    fp_v2 = entry_fingerprint(spec.spark, spec.oracle)
+    assert fp_v1 != fp_v2  # the closures genuinely differ
+    rec_v1 = {"bm25_search": {"round": 1, "fingerprint": fp_v1}}
+    rec_v2 = {"bm25_search": {"round": 1, "fingerprint": fp_v2,
+                              "algo": "v2"}}
+    assert "bm25_search" not in changed_entries(
+        {"bm25_search": spec}, rec_v1)
+    assert "bm25_search" not in changed_entries(
+        {"bm25_search": spec}, rec_v2)
+    # and a v1 record compared as if it were v2 WOULD flag — the pin
+    # that the per-record algo dispatch is what prevents it
+    rec_cross = {"bm25_search": {"round": 1, "fingerprint": fp_v1,
+                                 "algo": "v2"}}
+    assert "bm25_search" in changed_entries(
+        {"bm25_search": spec}, rec_cross)
+
+
 def test_certified_record_is_structurally_sound():
     """CERTIFIED_FINGERPRINTS.json must be internally consistent —
     catches a missing, truncated, or hand-mangled record file with
@@ -347,7 +396,9 @@ def test_certified_record_is_structurally_sound():
     hex64 = re.compile(r"^[0-9a-f]{64}$")
     for name, rec in recorded.items():
         assert name in CATALOG, f"record for unknown entry {name}"
-        assert set(rec) == {"round", "fingerprint"}, name
+        assert {"round", "fingerprint"} <= set(rec) \
+            <= {"round", "fingerprint", "algo"}, name
+        assert rec.get("algo", "v1") in ("v1", "v2"), name
         assert isinstance(rec["round"], int) and 1 <= rec["round"] <= latest, \
             (name, rec["round"])
         assert hex64.match(rec["fingerprint"]), name

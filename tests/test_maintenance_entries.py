@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import pytest
 
-from tests.oracle import compare  # noqa: F401  (kept for parity debugging)
-
 
 def _collect_sessions(df):
     return sorted(

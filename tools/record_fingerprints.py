@@ -39,6 +39,7 @@ from windowsession_using_kafka_flink_docker_spark.plans.catalog import (  # noqa
     driver_history,
 )
 from windowsession_using_kafka_flink_docker_spark.plans.fingerprints import (  # noqa: E402
+    ALGO,
     RECORD_FILE,
     entry_fingerprint,
     load_recorded,
@@ -60,10 +61,12 @@ def main() -> int:
     for name, spec in CATALOG.items():
         if last_green.get(name) != latest:
             continue  # not certified by the latest snapshot — keep old
-        fp = entry_fingerprint(spec.spark, spec.oracle)
+        fp = entry_fingerprint(spec.spark, spec.oracle)  # current ALGO
         old = record.get(name)
-        if old is None or old["fingerprint"] != fp or old["round"] != latest:
-            record[name] = {"round": latest, "fingerprint": fp}
+        if old is None or old["fingerprint"] != fp \
+                or old["round"] != latest or old.get("algo", "v1") != ALGO:
+            record[name] = {"round": latest, "fingerprint": fp,
+                            "algo": ALGO}
             updated.append(name)
     out = os.path.join(root, RECORD_FILE)
     if args.dry_run:

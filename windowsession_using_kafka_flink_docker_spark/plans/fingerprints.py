@@ -25,10 +25,33 @@ entry is a two-line composition over module-level helpers (e.g.
 tuples, pyspark schema objects, ...) are hashed too, by deterministic
 repr — editing e.g. a sample-size ``K`` or a state ``StructType``
 changes the entry's behavior without touching any function body, and
-must flag the entry as changed (r10 ADVICE). Blind spots that remain:
+must flag the entry as changed (r10 ADVICE).
+
+Algorithm versions: the bm25_topk qf-unification landing (SURVEY 2.116)
+showed that MODULE-ATTRIBUTE references (``T.bm25_topk(...)`` where
+``T`` is a repo-module alias) were invisible to the v1 closure — the
+name does not resolve in the function's module globals, so the
+attributed function's body never reached the hash, and editing it
+flagged nothing (41 entries exposed, ``tools/closure_blindspots.py``).
+ALGO ``v2`` closes that class: an unresolved name that IS an attribute
+of a repo-module alias visible to the function joins the closure
+(functions/classes recursed, constants hashed by repr) — and the
+module aliases include function-LOCAL imports, recovered from the
+dotted IMPORT_NAME paths ``co_names`` carries, so ``from pkg.mod
+import y`` inside a body attributes ``y`` to ``pkg.mod`` the same way
+(this was the second v1 gap: the capped_sessionization entry's
+operator body never reached its hash). Migration is version-pinned,
+never mass-invalidating: each record in
+``CERTIFIED_FINGERPRINTS.json`` carries the algorithm that produced it,
+:func:`changed_entries` compares every record UNDER ITS OWN algorithm,
+and ``tools/record_fingerprints.py`` writes the current ALGO — so
+pre-existing v1 records keep their change-detection until the next
+round-start re-record upgrades them, and nothing is spuriously flagged
+by the algorithm switch itself. Blind spots that remain in v2:
 third-party modules, data files, and constants whose type has no
 deterministic repr (skipped, listed in :data:`_CONST_TYPES`); the age
-bound is the backstop for those.
+bound and the per-round full-catalog sf0.1 sweeps are the backstop for
+those.
 """
 
 from __future__ import annotations
@@ -37,12 +60,19 @@ import hashlib
 import inspect
 import json
 import os
+import sys
 
 _PACKAGE = "windowsession_using_kafka_flink_docker_spark"
 
+#: Current fingerprint algorithm. "v1": direct-global resolution only.
+#: "v2": additionally resolves repo-module ATTRIBUTE references into
+#: the closure. Records compare under the algorithm that produced them.
+ALGO = "v2"
+
 #: Repo-root file written by ``tools/record_fingerprints.py``. Maps
-#: entry name -> {"round": R, "fingerprint": hex} where R is the round
-#: whose driver snapshot certified exactly this source+oracle content.
+#: entry name -> {"round": R, "fingerprint": hex, "algo": "v2"} where R
+#: is the round whose driver snapshot certified exactly this
+#: source+oracle content (records without "algo" are v1).
 RECORD_FILE = "CERTIFIED_FINGERPRINTS.json"
 
 
@@ -117,15 +147,26 @@ def _const_repr(value, _depth: int = 0) -> str | None:
     return None
 
 
-def _source_closure(fn) -> tuple[list[tuple[str, str, str]],
-                                 list[tuple[str, str, str]]]:
+def _source_closure(fn, resolve_module_attrs: bool = True,
+                    ) -> tuple[list[tuple[str, str, str]],
+                               list[tuple[str, str, str]]]:
     """Deterministic ``(sources, constants)`` for ``fn`` and every
     repo-defined function/class transitively reachable from it through
     global-name references. ``sources`` is ``(module, qualname,
     source)``; ``constants`` is ``(module, name, repr)`` for every
     referenced module-level non-callable with a deterministic repr —
     behavior-bearing values like sample sizes and state schemas live
-    there (r10 ADVICE)."""
+    there (r10 ADVICE).
+
+    With ``resolve_module_attrs`` (ALGO v2), a name that does NOT
+    resolve in the function's module globals is additionally looked up
+    as an attribute of every repo-module alias visible to the function
+    (``T.bm25_topk`` with ``T = operators.text_analysis``): matching
+    repo functions/classes join the closure, matching constants hash
+    under the OWNING module's name. Same safe over-approximation
+    direction as ``_iter_code_names`` — a DataFrame-method name that
+    happens to collide with a repo-module attribute pulls that
+    attribute in spuriously, which can only over-schedule, never miss."""
     seen: dict[tuple[str, str], str] = {}
     consts: dict[tuple[str, str], str] = {}
     stack = [fn]
@@ -157,10 +198,42 @@ def _source_closure(fn) -> tuple[list[tuple[str, str, str]],
         else:
             continue
         module = obj.__module__
+        all_names: list[str] = []
+        for code in codes:
+            all_names.extend(_iter_code_names(code))
+        repo_mods = []
+        if resolve_module_attrs:
+            mods = {val.__name__: val for val in globalns.values()
+                    if inspect.ismodule(val)
+                    and getattr(val, "__name__", "").startswith(_PACKAGE)}
+            # function-LOCAL imports: ``from pkg.mod import y`` compiles
+            # to IMPORT_NAME "pkg.mod" + IMPORT_FROM "y", both in
+            # co_names — the dotted path names the module, and the
+            # attribute fallback below then attributes ``y`` to it
+            # (closes the local-import blind spot, e.g. the
+            # capped_sessionization entry's operator import).
+            for name in all_names:
+                if name.startswith(_PACKAGE) and "." in name:
+                    m = sys.modules.get(name)
+                    if m is not None:
+                        mods[name] = m
+            repo_mods = [mods[k] for k in sorted(mods)]
         for code in codes:
             for name in _iter_code_names(code):
                 target = globalns.get(name)
-                if target is None:
+                if target is None or inspect.ismodule(target):
+                    # v2: unresolved (or module-shadowed) name — try it
+                    # as an attribute of each visible repo-module alias
+                    for m in repo_mods:
+                        tgt = getattr(m, name, None)
+                        if inspect.isfunction(tgt) or inspect.isclass(tgt):
+                            if _is_repo_defined(tgt):
+                                stack.append(tgt)
+                        elif tgt is not None and not callable(tgt) \
+                                and not inspect.ismodule(tgt):
+                            r = _const_repr(tgt)
+                            if r is not None:
+                                consts[(m.__name__, name)] = r
                     continue
                 if inspect.isfunction(target) or inspect.isclass(target):
                     stack.append(target)
@@ -172,11 +245,15 @@ def _source_closure(fn) -> tuple[list[tuple[str, str, str]],
             [(m, n, consts[(m, n)]) for m, n in sorted(consts)])
 
 
-def entry_fingerprint(spark_fn, oracle: str | None) -> str:
+def entry_fingerprint(spark_fn, oracle: str | None, algo: str = ALGO) -> str:
     """sha256 over the entry's transitive repo source closure, the
     referenced module-level constants, and the oracle SQL. Stable across
-    processes (pure text, sorted order, hash-seed-independent reprs)."""
-    sources, constants = _source_closure(spark_fn)
+    processes (pure text, sorted order, hash-seed-independent reprs).
+    ``algo`` selects the closure rules — pass a record's own algorithm
+    when comparing against it (v1 hashes stay byte-identical to the
+    pre-v2 implementation)."""
+    sources, constants = _source_closure(
+        spark_fn, resolve_module_attrs=(algo != "v1"))
     h = hashlib.sha256()
     for module, qualname, src in sources:
         h.update(module.encode())
@@ -214,14 +291,18 @@ def load_recorded(root: str | None = None) -> dict[str, dict]:
 
 def changed_entries(catalog, recorded: dict[str, dict]) -> frozenset[str]:
     """Entries whose CURRENT source+oracle fingerprint differs from the
-    recorded certified fingerprint. Entries with no record (never
-    certified, or pre-bootstrap) are NOT flagged — the never-checked
-    bucket and the age bound cover those."""
+    recorded certified fingerprint — each record compared UNDER ITS OWN
+    algorithm (see ALGO), so an algorithm upgrade never mass-flags the
+    catalog. Entries with no record (never certified, or pre-bootstrap)
+    are NOT flagged — the never-checked bucket and the age bound cover
+    those."""
     changed = set()
     for name, spec in catalog.items():
         rec = recorded.get(name)
         if rec is None:
             continue
-        if entry_fingerprint(spec.spark, spec.oracle) != rec["fingerprint"]:
+        algo = rec.get("algo", "v1")
+        if entry_fingerprint(spec.spark, spec.oracle,
+                             algo=algo) != rec["fingerprint"]:
             changed.add(name)
     return frozenset(changed)
