@@ -69,6 +69,10 @@ _PANDAS_OK = {"media_features", "media_frame_sample",
               "minhash_lsh_neardups", "minhash_recall_vs_exact",
               "cosine_topk", "ann_cosine_topk", "embedding_neardups",
               "ann_recall_vs_exact", "ivf_recall_vs_exact",
+              # the semantic leg IS cosine_topk (one broadcast query
+              # vector scored scan-side by the sanctioned gemm batch);
+              # the lexical leg and the fusion stay native
+              "semantic_rrf_hybrid_search",
               "ann_multiprobe_topk", "ann_multiprobe_recall_vs_exact",
               "knn_degree_assortativity", "knn_neighbor_jaccard",
               "knn_local_clustering"}

@@ -93,3 +93,70 @@ def test_queued_rewrites_oracle_exact_and_diff_confined(spark, sf_dir):
                     f"{name}: {a[ai]} -> {b[ai]} not a one-cent tie move"
         assert moved <= max(2, len(o) // 100), \
             f"{name}: {moved} rows moved — more than the tie class"
+
+
+def test_hll_registers_within_expected_error(spark, sf_dir):
+    """Beyond oracle parity (both engines compute identical registers):
+    the CORRECTED estimate must actually be good. The entry pins only
+    integer-exact columns (raw harmonic estimate + register fill
+    count); the consumer-side small-range correction — linear counting
+    m*ln(m/v) when raw <= 2.5m and empty registers remain — is applied
+    here in Python, and the result must sit within 3.3 sigma of HLL's
+    standard error (1.04/sqrt(512) = 4.6% -> 15%). Register-state
+    consistency: filled_buckets <= min(m, n_exact)."""
+    import math
+
+    from windowsession_using_kafka_flink_docker_spark.plans.staging_r15 import (
+        _HLL_M,
+        hll_ndv_by_event_type,
+    )
+
+    rows = hll_ndv_by_event_type(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        assert 0 < r.filled_buckets <= min(_HLL_M, r.n_exact)
+        v = _HLL_M - r.filled_buckets
+        if r.ndv_hll_raw <= 2.5 * _HLL_M and v > 0:
+            est = _HLL_M * math.log(_HLL_M / v)   # linear counting
+        else:
+            est = float(r.ndv_hll_raw)
+        assert abs(est - r.n_exact) <= 0.15 * r.n_exact, (
+            r.event_type, r.n_exact, r.filled_buckets, r.ndv_hll_raw, est)
+
+
+def test_token_packing_respects_budget_and_isolates_oversized(spark):
+    """The packing invariants the oracle cannot see directly: every
+    multi-doc bin holds <= budget tokens; an oversized doc sits ALONE
+    in its bin; bin ids are contiguous from 0 per shard; packing is
+    order-preserving (first_doc/last_doc ranges of consecutive bins
+    never interleave)."""
+    import windowsession_using_kafka_flink_docker_spark.plans.staging_r15 as M
+
+    # shard = doc_id % 16; keep everything in shard 0 for determinism
+    docs = [
+        (0, "tok " * 1000),     # 1000 tokens
+        (16, "tok " * 1000),    # fits with previous (2000 <= 2048)
+        (32, "tok " * 100),     # would overflow -> opens bin 1
+        (48, "tok " * 5000),    # oversized -> isolates into bin 2
+        (64, "tok " * 10),      # bin 3 (previous bin oversized)
+        (80, "tok " * 10),      # joins bin 3
+        (65, "tok " * 3),       # shard 1: its own fold, bin 0
+    ]
+    ev = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    orig = M.load_table
+    M.load_table = lambda s, sf, name: ev
+    try:
+        out = {(r.shard, r.bin_id): (r.n_docs, r.bin_tokens,
+                                     r.first_doc, r.last_doc)
+               for r in M.token_budget_packing(spark, "x").collect()}
+    finally:
+        M.load_table = orig
+
+    assert out == {
+        (0, 0): (2, 2000, 0, 16),
+        (0, 1): (1, 100, 32, 32),
+        (0, 2): (1, 5000, 48, 48),
+        (0, 3): (2, 20, 64, 80),
+        (1, 0): (1, 3, 65, 65),
+    }

@@ -33,18 +33,269 @@ Promotion history:
   two). Draft tests moved to tests/test_maintenance_entries.py,
   tests/test_analytics.py and tests/test_text_ops.py.
 
-The queue is EMPTY. New drafts register here as
-``STAGED[name] = (spark_fn, oracle_sql, description, tags)`` (the
-exact shape the promotion round's @register call takes) and
-registered-entry rewrites as ``REWRITES[name] = (spark_fn,
-oracle_sql)``; tests/test_staging_r15.py gates both automatically.
+Current drafts (drafted in the r18 window, target r19 — ~36 free
+slots after the staleness relaxation):
+
+1. ``hll_ndv_by_event_type`` — portable HyperLogLog NDV registers over
+   a deterministic md5-derived 60-bit hash, the MERGEABLE distinct
+   sketch the KMV family lacks (KMV audits set algebra; HLL is the
+   production register-merge shape: per-bucket MAX is a map-side
+   partial combine, so 1000 executors merge 512-register states, never
+   rows). Raw estimator, exactness discipline: the harmonic
+   denominator is an exact BIGINT sum of two-powers, ONE IEEE division
+   against a single precomputed constant, integer e4 error.
+2. ``token_budget_packing`` — greedy sequential packing of documents
+   into fixed-token-budget training sequences, the
+   sequence-construction step every LLM data pipeline runs between
+   curation and tokenization. Inherently stateful (a running
+   accumulator RESETS at each bin boundary — not a prefix sum), so
+   batch Spark needs ``applyInPandas`` per shard; the oracle is a
+   DuckDB recursive CTE computing the identical fold.
+
+New drafts register here as ``STAGED[name] = (spark_fn, oracle_sql,
+description, tags)`` (the exact shape the promotion round's @register
+call takes) and registered-entry rewrites as ``REWRITES[name] =
+(spark_fn, oracle_sql)``; tests/test_staging_r15.py gates both
+automatically.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
 #: name -> (spark_fn, oracle_sql, description, tags) — kept OUT of the
 #: catalog until a window has free slots.
 STAGED: dict = {}
+
+
+# --------------------------------------------------------------------
+# HyperLogLog NDV (drafted r18 window, targets r19). Engine-agreement
+# discipline: the hash is the portable md5 pipeline (15 hex chars ->
+# 60-bit nonnegative BIGINT, identical text both engines), the
+# register value rho comes from INTEGER/string ops only (length of the
+# binary representation — no log2, whose floor can misround at power
+# boundaries), the harmonic denominator is an exact BIGINT sum of
+# two-powers (max 512 * 2^52 = 2^61, inside int64), and the estimate
+# is ONE IEEE division of one precomputed double constant by that
+# integer — floor()ed identically on both engines. RAW estimator on
+# both sides: the small-range (linear-counting) correction needs
+# ln(m/v), whose last-ulp can differ across engines and cross a floor
+# boundary — so the entry emits the exact register state
+# (filled_buckets) beside the raw estimate, and the CONSUMER applies
+# linear counting when raw <= 2.5m (tests/test_staging_r15.py does,
+# in Python, and pins the corrected accuracy to HLL's standard
+# error). The sketch state is the mergeable artifact; the correction
+# is presentation.
+
+_HLL_P = 9                      # 2^9 = 512 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 60 - _HLL_P        # suffix bits feeding rho
+_HLL_RMAX = _HLL_WBITS + 1      # rho for w == 0
+#: alpha_m * m^2 * 2^RMAX, one double literal shared by both engines.
+_HLL_C = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * 2.0 ** _HLL_RMAX
+_HLL_EMPTY_TERM = 1 << _HLL_RMAX  # denominator term of an empty register
+
+
+def hll_ndv_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact COUNT(DISTINCT) beside the
+    512-register HLL estimate and the integer e4 relative error.
+
+    Scale shape: ONE scan computes (bucket, rho) per row; the register
+    build is a (type, bucket)-keyed MAX — partial-aggregated map-side,
+    so executors ship 512-row register states, not rows (the whole
+    point of HLL at 100 TB: the sketch is mergeable by per-register
+    max, unlike exact distinct whose shuffle carries every key). The
+    estimate folds the registers per type (<= |types| x 512 rows).
+    The exact count rides the same scan for the audit columns."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    rows = (ev.select("event_type", h.alias("_h"))
+            .select("event_type",
+                    (F.col("_h") % _HLL_M).alias("_b"),
+                    F.expr(f"_h div {_HLL_M}").alias("_w")))
+    rho = (F.when(F.col("_w") == 0, F.lit(_HLL_RMAX))
+           .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin(F.col("_w")))))
+    regs = (rows.withColumn("_rho", rho)
+            .groupBy("event_type", "_b")
+            .agg(F.max("_rho").alias("_r")))
+    per = (regs.groupBy("event_type")
+           .agg(F.sum(F.expr(f"shiftleft(1L, cast({_HLL_RMAX} - _r AS INT))"))
+                .alias("_dobs"),
+                F.count(F.lit(1)).alias("_nb")))
+    denom = (F.col("_dobs")
+             + (F.lit(_HLL_M) - F.col("_nb")) * F.lit(_HLL_EMPTY_TERM))
+    est_i = F.floor(F.lit(_HLL_C) / denom.cast("double")).cast("long")
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    return (exact.join(per.select("event_type",
+                                  F.col("_nb").alias("filled_buckets"),
+                                  est_i.alias("ndv_hll_raw")),
+                       "event_type")
+            .select("event_type", "n_exact", "filled_buckets",
+                    "ndv_hll_raw"))
+
+
+HLL_NDV_BY_EVENT_TYPE_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+b AS (
+  SELECT event_type, h % {_HLL_M} AS bkt, h // {_HLL_M} AS w FROM h
+),
+regs AS (
+  SELECT event_type, bkt,
+         MAX(CASE WHEN w = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(w)) END) AS r
+  FROM b GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         SUM(1::BIGINT << ({_HLL_RMAX} - r))::BIGINT AS dobs,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, nb AS filled_buckets,
+         CAST(floor({_HLL_C!r} / CAST(dobs + ({_HLL_M} - nb)
+              * {_HLL_EMPTY_TERM} AS DOUBLE)) AS BIGINT) AS ndv_hll_raw
+  FROM per
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT x.event_type, x.n_exact, e.filled_buckets, e.ndv_hll_raw
+FROM exact x JOIN est e USING (event_type)
+"""
+
+STAGED["hll_ndv_by_event_type"] = (
+    hll_ndv_by_event_type, HLL_NDV_BY_EVENT_TYPE_ORACLE,
+    "Per-event-type distinct users via 512-register HyperLogLog over "
+    "the portable md5 hash, audited against the exact COUNT(DISTINCT). "
+    "The register build is a (type, bucket) MAX — map-side combinable, "
+    "so executors merge 512-row sketch states instead of shuffling "
+    "keys (the mergeable-NDV shape the KMV family's set-algebra "
+    "audits don't cover); rho uses integer/string ops only (length of "
+    "bin(w), no log2), the harmonic denominator is an exact BIGINT "
+    "two-power sum, and the raw estimate is ONE IEEE division by a "
+    "shared precomputed constant, floor()ed identically on both "
+    "engines. Emits the exact register fill count so consumers apply "
+    "the small-range linear-counting correction downstream (ln's "
+    "last-ulp is engine-dependent, so it stays out of the pinned "
+    "columns; the accuracy test applies it in Python).",
+    ("analytics", "sketch", "distinct", "exact"))
+
+
+# --------------------------------------------------------------------
+# Token-budget document packing (drafted r18 window, targets r19): the
+# training-sequence construction step between curation and
+# tokenization. Greedy sequential fold per shard: docs in doc_id order
+# accumulate into the current bin until the next doc would exceed the
+# budget, which RESETS the accumulator — not a prefix sum, so the
+# declarative API cannot express it (the capped-sessionize precedent);
+# batch Spark runs the fold in applyInPandas per shard, and the oracle
+# is a DuckDB recursive CTE computing the identical fold in lockstep
+# across shards. Oversized docs (> budget) isolate into their own bin
+# by the same rule, never split.
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 16
+
+
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into training sequences of <= 2048 whitespace
+    tokens, 16-way sharded by doc_id for parallelism (at 100 TB the
+    shard count scales with the cluster; each shard's fold is O(docs
+    in shard) in one Arrow-batched pass, and the per-bin aggregation
+    that follows is map-side combinable). Emits one row per bin:
+    (shard, bin_id, n_docs, bin_tokens, first_doc, last_doc)."""
+    import pandas as pd
+
+    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("toks"),
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, bin_id, cur, first = [], 0, 0, True
+        for t in pdf["toks"]:
+            t = int(t)
+            if not first and cur + t > _PACK_BUDGET:
+                bin_id += 1
+                cur = 0
+            cur += t
+            first = False
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["shard", "bin_id", "doc_id", "toks"]]
+
+    packed = toks.groupBy("shard").applyInPandas(
+        pack, "shard long, bin_id long, doc_id long, toks long")
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").alias("bin_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+def _packing_oracle() -> str:
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+        _TOKC_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, CAST({_TOKC_SQL} AS BIGINT) AS toks,
+         doc_id % {_PACK_SHARDS} AS shard,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+folded AS (
+  SELECT shard, rn, doc_id, toks, 0::BIGINT AS bin_id, toks AS cum
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.toks,
+         CASE WHEN f.cum + d.toks > {_PACK_BUDGET}
+              THEN f.bin_id + 1 ELSE f.bin_id END,
+         CASE WHEN f.cum + d.toks > {_PACK_BUDGET}
+              THEN d.toks ELSE f.cum + d.toks END
+  FROM folded f JOIN docs d ON d.shard = f.shard AND d.rn = f.rn + 1
+)
+SELECT shard, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM folded
+GROUP BY 1, 2
+"""
+
+
+STAGED["token_budget_packing"] = (
+    token_budget_packing, _packing_oracle(),
+    "Greedy sequential packing of documents into <= 2048-token "
+    "training sequences, 16-way sharded by doc_id — the sequence-"
+    "construction step between curation and tokenization. The running "
+    "accumulator RESETS at each bin boundary (not a prefix sum), so "
+    "the fold runs in applyInPandas per shard (one Arrow pass, the "
+    "capped-sessionize class of semantics); oversized docs isolate "
+    "into their own bin by the same rule. Oracle: a DuckDB recursive "
+    "CTE computing the identical fold across shards in lockstep; the "
+    "per-bin aggregation after the fold is map-side combinable.",
+    ("llm", "text", "stateful", "packing"))
 
 #: Registered-entry rewrites queued for a future window: name ->
 #: (spark_fn, oracle_sql). Landing day replaces the registered entry's
