@@ -3953,3 +3953,84 @@ class TestEmptyBatchMerges:
             after = _rows(m.current(), exclude_sentinel=False)
             assert after == before, label
             assert m.state.versions()[-1] == 1, label  # version advanced
+
+
+class TestStreamingHllMaintenance:
+    """HLL register state (streaming/analytics_twins.py
+    IncrementalHllMaintainer, #27): the maintained per-(event_type,
+    bucket) registers must equal the batch register build bit-for-bit
+    after user-sliced micro-batch arrival — per-bucket MAX is
+    commutative, idempotent and associative, so ANY interleaving (and
+    any replay) converges to the same state — and current() must equal
+    the batch fold through the shared operators/hll.py code path."""
+
+    def test_stream_equals_batch_registers_and_fold(
+            self, spark, sf_dir, tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.operators.hll import (
+            hll_fold,
+            hll_registers,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalHllMaintainer,
+            streaming_hll_maintenance,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming.sources import (
+            file_events_source,
+        )
+
+        base = str(tmp_path_factory.mktemp("hll_events"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_type", "value")
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            d = os.path.join(base, f"c{i}")
+            ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i) \
+                .coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalHllMaintainer(
+            spark, str(tmp_path_factory.mktemp("hll_state")))
+        stream = file_events_source(
+            spark, flat,
+            schema="ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+                   "value DOUBLE",
+            max_files_per_trigger=1)
+        q = streaming_hll_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("hll_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+
+        got_regs = _rows(maint.state.current(), exclude_sentinel=False)
+        want_regs = _rows(hll_registers(ev), exclude_sentinel=False)
+        assert got_regs == want_regs
+
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(hll_fold(hll_registers(ev)), exclude_sentinel=False)
+        assert got == want
+
+    def test_replay_is_idempotent_and_guarded(self, spark, sf_dir,
+                                              tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalHllMaintainer,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_type", "value")
+        maint = IncrementalHllMaintainer(
+            spark, str(tmp_path_factory.mktemp("hll_replay")))
+        maint.merge_batch(ev, 0)
+        maint.merge_batch(ev, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(ev, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(ev, 0)

@@ -71,7 +71,12 @@ fixed-memory token-state variant):
   per-user spend partials serving the Gini inequality report and the
   Welch-t / Mann-Whitney experiment readouts
   (``gini_spend_inequality`` / ``welch_t_spend_ab`` /
-  ``mann_whitney_spend_ab``).
+  ``mann_whitney_spend_ab``);
+- ``IncrementalHllMaintainer`` (#27) on the same events stream — the
+  per-(event_type, bucket) HyperLogLog register state (mergeable by
+  per-bucket max, bounded by |types| x 512 rows) serving the NDV
+  presentation through the same operators/hll.py fold as the batch
+  audit.
 
 All states are key-space-bounded (calendar days / column domain /
 category grid / type x supplier / source x lang / users /
@@ -106,6 +111,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalTokenFrequencyMaintainer,
     IncrementalCupedMaintainer,
     IncrementalFeatureMomentsMaintainer,
+    IncrementalHllMaintainer,
     IncrementalBm25IndexMaintainer,
     IncrementalJpegFingerprintMaintainer,
     IncrementalNearDupIndexMaintainer,
@@ -116,6 +122,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_contingency_maintenance,
     streaming_daily_revenue_maintenance,
     streaming_hhi_maintenance,
+    streaming_hll_maintenance,
     streaming_source_mix_maintenance,
     streaming_quantile_maintenance,
     streaming_order_count_maintenance,
@@ -259,13 +266,20 @@ def main() -> None:
             orders, cuped, os.path.join(args.checkpoint_root, "cuped")))
     if args.events:
         events = (spark.readStream
-                  .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+                  .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE, "
+                          "event_type STRING")
                   .parquet(args.events))
         spend = IncrementalUserSpendMaintainer(
             spark, os.path.join(args.state_root, "user_spend"))
         queries.append(streaming_user_spend_maintenance(
             events, spend, os.path.join(args.checkpoint_root,
                                         "user_spend")))
+        # maintainer #27 shares the events stream: the per-(event_type,
+        # bucket) HLL register state — the mergeable-NDV sketch
+        hll = IncrementalHllMaintainer(
+            spark, os.path.join(args.state_root, "hll_ndv"))
+        queries.append(streaming_hll_maintenance(
+            events, hll, os.path.join(args.checkpoint_root, "hll_ndv")))
         # maintainer #20 shares the events stream: the per-(user, day)
         # daily-cents grid behind the OLS trend report
         trend = IncrementalTrendMaintainer(

@@ -72,36 +72,29 @@ STAGED: dict = {}
 
 
 # --------------------------------------------------------------------
-# HyperLogLog NDV (drafted r18 window, targets r19). Engine-agreement
-# discipline: the hash is the portable md5 pipeline (15 hex chars ->
-# 60-bit nonnegative BIGINT, identical text both engines), the
-# register value rho comes from INTEGER/string ops only (length of the
-# binary representation — no log2, whose floor can misround at power
-# boundaries), the harmonic denominator is an exact BIGINT sum of
-# two-powers (max 512 * 2^52 = 2^61, inside int64), and the estimate
-# is ONE IEEE division of one precomputed double constant by that
-# integer — floor()ed identically on both engines. RAW estimator on
-# both sides: the small-range (linear-counting) correction needs
-# ln(m/v), whose last-ulp can differ across engines and cross a floor
-# boundary — so the entry emits the exact register state
-# (filled_buckets) beside the raw estimate, and the CONSUMER applies
-# linear counting when raw <= 2.5m (tests/test_staging_r15.py does,
-# in Python, and pins the corrected accuracy to HLL's standard
-# error). The sketch state is the mergeable artifact; the correction
-# is presentation.
+# HyperLogLog NDV (drafted r18 window, targets r19). The register
+# pipeline lives in operators/hll.py (portable-hash discipline,
+# integer-only rho, exact BIGINT harmonic denominator, ONE IEEE
+# division, RAW estimator with the register fill count emitted so the
+# consumer applies linear counting downstream — see that module's
+# docstring) — shared with the streaming register maintainer #27
+# (streaming/analytics_twins.py IncrementalHllMaintainer), so
+# stream == batch is one code path. Constants re-exported for the
+# oracle and the tests.
 
-_HLL_P = 9                      # 2^9 = 512 registers
-_HLL_M = 1 << _HLL_P
-_HLL_WBITS = 60 - _HLL_P        # suffix bits feeding rho
-_HLL_RMAX = _HLL_WBITS + 1      # rho for w == 0
-#: alpha_m * m^2 * 2^RMAX, one double literal shared by both engines.
-_HLL_C = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * 2.0 ** _HLL_RMAX
-_HLL_EMPTY_TERM = 1 << _HLL_RMAX  # denominator term of an empty register
+from windowsession_using_kafka_flink_docker_spark.operators.hll import (  # noqa: E402
+    HLL_C as _HLL_C,
+    HLL_EMPTY_TERM as _HLL_EMPTY_TERM,
+    HLL_M as _HLL_M,
+    HLL_RMAX as _HLL_RMAX,
+    hll_fold,
+    hll_registers,
+)
 
 
 def hll_ndv_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users: exact COUNT(DISTINCT) beside the
-    512-register HLL estimate and the integer e4 relative error.
+    512-register HLL raw estimate and register fill count.
 
     Scale shape: ONE scan computes (bucket, rho) per row; the register
     build is a (type, bucket)-keyed MAX — partial-aggregated map-side,
@@ -111,30 +104,10 @@ def hll_ndv_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate folds the registers per type (<= |types| x 512 rows).
     The exact count rides the same scan for the audit columns."""
     ev = load_table(spark, sf_dir, "events")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-               16, 10).cast("long")
-    rows = (ev.select("event_type", h.alias("_h"))
-            .select("event_type",
-                    (F.col("_h") % _HLL_M).alias("_b"),
-                    F.expr(f"_h div {_HLL_M}").alias("_w")))
-    rho = (F.when(F.col("_w") == 0, F.lit(_HLL_RMAX))
-           .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin(F.col("_w")))))
-    regs = (rows.withColumn("_rho", rho)
-            .groupBy("event_type", "_b")
-            .agg(F.max("_rho").alias("_r")))
-    per = (regs.groupBy("event_type")
-           .agg(F.sum(F.expr(f"shiftleft(1L, cast({_HLL_RMAX} - _r AS INT))"))
-                .alias("_dobs"),
-                F.count(F.lit(1)).alias("_nb")))
-    denom = (F.col("_dobs")
-             + (F.lit(_HLL_M) - F.col("_nb")) * F.lit(_HLL_EMPTY_TERM))
-    est_i = F.floor(F.lit(_HLL_C) / denom.cast("double")).cast("long")
+    folded = hll_fold(hll_registers(ev))
     exact = (ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n_exact")))
-    return (exact.join(per.select("event_type",
-                                  F.col("_nb").alias("filled_buckets"),
-                                  est_i.alias("ndv_hll_raw")),
-                       "event_type")
+    return (exact.join(folded, "event_type")
             .select("event_type", "n_exact", "filled_buckets",
                     "ndv_hll_raw"))
 
@@ -195,7 +168,10 @@ STAGED["hll_ndv_by_event_type"] = (
 # --------------------------------------------------------------------
 # Token-budget document packing (drafted r18 window, targets r19): the
 # training-sequence construction step between curation and
-# tokenization. Greedy sequential fold per shard: docs in doc_id order
+# tokenization. PROMOTION-DAY NOTE: the registered entry must join
+# tests/test_plan_quality.py's sanctioned-Python list (the fold is a
+# deliberate applyInPandas stage, the capped-sessionize class — the
+# generic no-Python gate would flag it otherwise). Greedy sequential fold per shard: docs in doc_id order
 # accumulate into the current bin until the next doc would exceed the
 # budget, which RESETS the accumulator — not a prefix sum, so the
 # declarative API cannot express it (the capped-sessionize precedent);
