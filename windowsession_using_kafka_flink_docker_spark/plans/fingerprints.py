@@ -57,10 +57,10 @@ those.
 from __future__ import annotations
 
 import hashlib
+import importlib
 import inspect
 import json
 import os
-import sys
 
 _PACKAGE = "windowsession_using_kafka_flink_docker_spark"
 
@@ -211,12 +211,18 @@ def _source_closure(fn, resolve_module_attrs: bool = True,
             # co_names — the dotted path names the module, and the
             # attribute fallback below then attributes ``y`` to it
             # (closes the local-import blind spot, e.g. the
-            # capped_sessionization entry's operator import).
+            # capped_sessionization entry's operator import). IMPORT the
+            # module rather than peeking at sys.modules: the hash must
+            # not depend on what happens to be imported already (a
+            # lazily-imported module would drop out of the closure in
+            # one process and join it in another, flipping the
+            # fingerprint between identical trees).
             for name in all_names:
                 if name.startswith(_PACKAGE) and "." in name:
-                    m = sys.modules.get(name)
-                    if m is not None:
-                        mods[name] = m
+                    try:
+                        mods[name] = importlib.import_module(name)
+                    except ImportError:
+                        pass  # dynamic/dead path — age bound covers it
             repo_mods = [mods[k] for k in sorted(mods)]
         for code in codes:
             for name in _iter_code_names(code):
