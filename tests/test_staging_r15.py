@@ -160,3 +160,23 @@ def test_token_packing_respects_budget_and_isolates_oversized(spark):
         (0, 3): (2, 20, 64, 80),
         (1, 0): (1, 3, 65, 65),
     }
+
+
+def test_hll_register_build_is_partial_aggregated(spark, sf_dir):
+    """The 100 TB claim the SCALING entry makes: the register build
+    plans ONE hash exchange with a partial max BEFORE it — the shuffle
+    carries per-task register states (<= |types| x 512 rows), never
+    raw keys. No Python anywhere."""
+    from windowsession_using_kafka_flink_docker_spark.operators.hll import (
+        hll_registers,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    plan = (hll_registers(load_table(spark, sf_dir, "events"))
+            ._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple")))
+    assert plan.count("Exchange hashpartitioning") == 1
+    pre_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_max" in pre_exchange
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
