@@ -4034,3 +4034,94 @@ class TestStreamingHllMaintenance:
         assert _rows(maint.current(), exclude_sentinel=False) == once
         with pytest.raises(ValueError, match="reset together"):
             maint.merge_batch(ev, 0)
+
+
+class TestStreamingPackingMaintenance:
+    """Training-sequence bins (streaming/analytics_twins.py
+    IncrementalPackingMaintainer, #28): maintained bins must equal the
+    batch from-scratch packing after doc_id-ASCENDING micro-batch
+    arrival (the in-order contract — range slices, not modulo: a shard
+    must never see a doc below its stored tail), replay must be
+    idempotent behind the lifecycle guard, and an out-of-order batch
+    must fail LOUDLY, never diverge silently."""
+
+    def test_stream_equals_batch_bins(self, spark, sf_dir,
+                                      tmp_path_factory):
+        import glob
+        import shutil
+
+        from windowsession_using_kafka_flink_docker_spark.operators.packing import (
+            bins_from_packed,
+            pack_documents,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalPackingMaintainer,
+            streaming_packing_maintenance,
+        )
+        from windowsession_using_kafka_flink_docker_spark.streaming.sources import (
+            file_events_source,
+        )
+
+        base = str(tmp_path_factory.mktemp("pack_docs"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        cuts = (hi // 3, 2 * hi // 3)
+        flat = os.path.join(base, "flat")
+        os.makedirs(flat)
+        slices = (
+            F.col("doc_id") <= cuts[0],
+            (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1]),
+            F.col("doc_id") > cuts[1],
+        )
+        for i, cond in enumerate(slices):
+            d = os.path.join(base, f"c{i}")
+            docs.where(cond).coalesce(1).write.parquet(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                shutil.copy(f, os.path.join(flat, f"{i:02d}.parquet"))
+        maint = IncrementalPackingMaintainer(
+            spark, str(tmp_path_factory.mktemp("pack_state")))
+        stream = file_events_source(
+            spark, flat, schema="doc_id BIGINT, text STRING",
+            max_files_per_trigger=1)
+        q = streaming_packing_maintenance(
+            stream, maint, str(tmp_path_factory.mktemp("pack_ckpt")))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(maint.state.versions()) == 2  # pruned to cur+prev
+
+        got = _rows(maint.current(), exclude_sentinel=False)
+        want = _rows(bins_from_packed(pack_documents(docs)),
+                     exclude_sentinel=False)
+        assert got == want
+
+    def test_replay_idempotent_and_out_of_order_rejected(
+            self, spark, sf_dir, tmp_path_factory):
+        import pytest
+
+        from windowsession_using_kafka_flink_docker_spark.streaming import (
+            IncrementalPackingMaintainer,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        hi = docs.agg(F.max("doc_id")).first()[0]
+        lo_half = docs.where(F.col("doc_id") <= hi // 2)
+        hi_half = docs.where(F.col("doc_id") > hi // 2)
+
+        maint = IncrementalPackingMaintainer(
+            spark, str(tmp_path_factory.mktemp("pack_replay")))
+        maint.merge_batch(lo_half, 0)
+        maint.merge_batch(hi_half, 1)
+        once = _rows(maint.current(), exclude_sentinel=False)
+        maint.merge_batch(hi_half, 1)  # crash-replay of batch 1
+        assert _rows(maint.current(), exclude_sentinel=False) == once
+        with pytest.raises(ValueError, match="reset together"):
+            maint.merge_batch(hi_half, 0)
+
+        # out-of-order: re-delivering the LOW half as a new batch must
+        # fail loudly (every shard's tail is past those doc_ids)
+        with pytest.raises(ValueError, match="ascending doc_id"):
+            maint.merge_batch(lo_half, 2)

@@ -76,7 +76,12 @@ fixed-memory token-state variant):
   per-(event_type, bucket) HyperLogLog register state (mergeable by
   per-bucket max, bounded by |types| x 512 rows) serving the NDV
   presentation through the same operators/hll.py fold as the batch
-  audit.
+  audit;
+- ``IncrementalPackingMaintainer`` (#28) on the documents stream —
+  training-sequence bins maintained as docs arrive (only a shard's
+  last bin is open; closed bins immutable), the same
+  operators/packing.py greedy fold as the batch entry, with a loud
+  in-order guard (ascending doc_id per shard across batches).
 
 All states are key-space-bounded (calendar days / column domain /
 category grid / type x supplier / source x lang / users /
@@ -112,6 +117,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     IncrementalCupedMaintainer,
     IncrementalFeatureMomentsMaintainer,
     IncrementalHllMaintainer,
+    IncrementalPackingMaintainer,
     IncrementalBm25IndexMaintainer,
     IncrementalJpegFingerprintMaintainer,
     IncrementalNearDupIndexMaintainer,
@@ -123,6 +129,7 @@ from windowsession_using_kafka_flink_docker_spark.streaming import (
     streaming_daily_revenue_maintenance,
     streaming_hhi_maintenance,
     streaming_hll_maintenance,
+    streaming_packing_maintenance,
     streaming_source_mix_maintenance,
     streaming_quantile_maintenance,
     streaming_order_count_maintenance,
@@ -344,6 +351,12 @@ def main() -> None:
             queries.append(streaming_token_frequency_maintenance(
                 docs, freq,
                 os.path.join(args.checkpoint_root, "token_freq")))
+        # maintainer #28 shares the documents stream: training-sequence
+        # bins maintained from the per-shard tail (closed bins immutable)
+        packm = IncrementalPackingMaintainer(
+            spark, os.path.join(args.state_root, "packing"))
+        queries.append(streaming_packing_maintenance(
+            docs, packm, os.path.join(args.checkpoint_root, "packing")))
         # maintainer #13 shares the documents stream: domain-mix state
         mix = IncrementalSourceMixMaintainer(
             spark, os.path.join(args.state_root, "source_mix"))

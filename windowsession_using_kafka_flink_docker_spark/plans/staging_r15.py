@@ -180,8 +180,15 @@ STAGED["hll_ndv_by_event_type"] = (
 # across shards. Oversized docs (> budget) isolate into their own bin
 # by the same rule, never split.
 
-_PACK_BUDGET = 2048
-_PACK_SHARDS = 16
+# The greedy fold lives in operators/packing.py (shared with the
+# streaming bins maintainer #28, which must not import the plans
+# layer); constants re-exported for the oracle and the tests.
+from windowsession_using_kafka_flink_docker_spark.operators.packing import (  # noqa: E402
+    PACK_BUDGET as _PACK_BUDGET,
+    PACK_SHARDS as _PACK_SHARDS,
+    bins_from_packed,
+    pack_documents,
+)
 
 
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,39 +198,8 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     in shard) in one Arrow-batched pass, and the per-bin aggregation
     that follows is map-side combinable). Emits one row per bin:
     (shard, bin_id, n_docs, bin_tokens, first_doc, last_doc)."""
-    import pandas as pd
-
-    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
-        token_count,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        token_count("text").cast("long").alias("toks"),
-        (F.col("doc_id") % _PACK_SHARDS).alias("shard"))
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, bin_id, cur, first = [], 0, 0, True
-        for t in pdf["toks"]:
-            t = int(t)
-            if not first and cur + t > _PACK_BUDGET:
-                bin_id += 1
-                cur = 0
-            cur += t
-            first = False
-            bins.append(bin_id)
-        pdf["bin_id"] = pd.Series(bins, dtype="int64")
-        return pdf[["shard", "bin_id", "doc_id", "toks"]]
-
-    packed = toks.groupBy("shard").applyInPandas(
-        pack, "shard long, bin_id long, doc_id long, toks long")
-    return (packed.groupBy("shard", "bin_id")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("toks").alias("bin_tokens"),
-                 F.min("doc_id").alias("first_doc"),
-                 F.max("doc_id").alias("last_doc")))
+    return bins_from_packed(pack_documents(docs))
 
 
 def _packing_oracle() -> str:

@@ -1416,6 +1416,102 @@ def streaming_hll_maintenance(
                                "hll_maintenance")
 
 
+class IncrementalPackingMaintainer:
+    """Streaming twin of the (staged) ``token_budget_packing`` batch
+    entry — maintainer #28: training-sequence bins maintained as
+    documents arrive, history never re-packed. Only a shard's LAST bin
+    is open (the greedy fold's accumulator IS that bin's token total),
+    so each batch folds ITS OWN docs from the stored per-shard tail —
+    the ``operators/packing.py:greedy_fold`` resumption rule makes the
+    concatenated fold equal the from-scratch fold — and the merge
+    combines at most one boundary bin per shard (aggregates sum/min/
+    max; closed bins are immutable, the session-store frozen/tail
+    insight applied to packing).
+
+    In-order contract (the ledger maintainer's class): each shard's
+    doc_ids must arrive strictly ascending across batches — the
+    append-only corpus drop-dir shape. Violations fail LOUDLY (a late
+    doc would belong inside an already-closed bin; silently appending
+    it would diverge from batch): merge_batch audits the batch's
+    per-shard min doc_id against the stored tail before folding.
+
+    ``current()`` is the bins table itself — asserted equal to the
+    batch entry's from-scratch packing in tests.
+    """
+
+    _SCHEMA = ("shard BIGINT, bin_id BIGINT, n_docs BIGINT, "
+               "bin_tokens BIGINT, first_doc BIGINT, last_doc BIGINT")
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.state = _VersionedState(spark, state_dir, self._SCHEMA)
+
+    def merge_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from windowsession_using_kafka_flink_docker_spark.operators.packing import (
+            PACKED_SCHEMA,
+            bins_from_packed,
+            doc_tokens,
+            pack_group,
+        )
+
+        self.state.guard(batch_id)
+        toks = doc_tokens(batch_df)
+        prev = self.state.latest_before(batch_id)
+        if prev is not None:
+            w = Window.partitionBy("shard").orderBy(F.desc("bin_id"))
+            tails = (prev.withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") == 1)
+                     .select("shard",
+                             F.col("bin_id").alias("t_bin"),
+                             F.col("bin_tokens").alias("t_cum"),
+                             F.col("last_doc").alias("t_last")))
+            viol = (toks.groupBy("shard")
+                    .agg(F.min("doc_id").alias("_mn"))
+                    .join(tails, "shard")
+                    .where(F.col("_mn") <= F.col("t_last")).count())
+            if viol:
+                raise ValueError(
+                    "packing maintainer requires strictly ascending "
+                    f"doc_id per shard across batches; {viol} shard(s) "
+                    "received a doc at or before the stored tail — a "
+                    "late doc belongs inside a closed bin and cannot "
+                    "be appended without diverging from the batch fold")
+            toks = toks.join(F.broadcast(tails), "shard", "left")
+        else:
+            toks = (toks
+                    .withColumn("t_bin", F.lit(None).cast("long"))
+                    .withColumn("t_cum", F.lit(None).cast("long"))
+                    .withColumn("t_last", F.lit(None).cast("long")))
+
+        def _continue(pdf):
+            has_tail = pdf["t_bin"].notna().any()
+            sb = int(pdf["t_bin"].iloc[0]) if has_tail else 0
+            sc = int(pdf["t_cum"].iloc[0]) if has_tail else 0
+            return pack_group(pdf, sb, sc, bool(has_tail))
+
+        packed = toks.groupBy("shard").applyInPandas(
+            _continue, PACKED_SCHEMA)
+        delta = bins_from_packed(packed)
+        merged = (prev.unionByName(delta) if prev is not None else delta)
+        merged = (merged.groupBy("shard", "bin_id")
+                  .agg(F.sum("n_docs").alias("n_docs"),
+                       F.sum("bin_tokens").alias("bin_tokens"),
+                       F.min("first_doc").alias("first_doc"),
+                       F.max("last_doc").alias("last_doc")))
+        self.state.write(batch_id, merged)
+
+    def current(self) -> DataFrame:
+        return self.state.current()
+
+
+def streaming_packing_maintenance(
+        docs: DataFrame, maintainer: IncrementalPackingMaintainer,
+        checkpoint_dir: str) -> StreamingQuery:
+    return _maintenance_stream(docs, maintainer, checkpoint_dir,
+                               "packing_maintenance")
+
+
 __all__ = [
     "IncrementalFeatureMomentsMaintainer",
     "streaming_feature_moments_maintenance",
@@ -1459,4 +1555,6 @@ __all__ = [
     "streaming_jpeg_fingerprint_maintenance",
     "IncrementalHllMaintainer",
     "streaming_hll_maintenance",
+    "IncrementalPackingMaintainer",
+    "streaming_packing_maintenance",
 ]
