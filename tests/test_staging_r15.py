@@ -180,3 +180,53 @@ def test_hll_register_build_is_partial_aggregated(spark, sf_dir):
     pre_exchange = plan.split("Exchange hashpartitioning")[1]
     assert "partial_max" in pre_exchange
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_late_packing_repair_crafted_and_conserving(spark, sf_dir):
+    """Crafted: a late doc prepended mid-shard reshapes that shard's
+    bins (bins_after > bins_before here) while an untouched shard
+    never appears in the audit; and at SF scale the audit conserves
+    token mass — tokens_added equals the late docs' own token sum per
+    shard (packing repartitions tokens into bins, never creates or
+    loses them)."""
+    from pyspark.sql import functions as F
+
+    import windowsession_using_kafka_flink_docker_spark.plans.staging_r15 as M
+    from windowsession_using_kafka_flink_docker_spark.operators.text_analysis import (
+        token_count,
+    )
+    from windowsession_using_kafka_flink_docker_spark.sources.batch import load_table
+
+    # _PACK_LATE_MOD=23, OFF=7 -> id 7 is late; shard = id % 16 -> 7.
+    # Ontime shard-7 docs are ids 23 and 39 (1500 tokens each: two
+    # bins). With the late 1000-token id 7 folded in front, packing
+    # becomes 1000 | 1500 | 1500 -> three bins, 1000 tokens added.
+    docs = [
+        (7, "tok " * 1000),
+        (23, "tok " * 1500),
+        (39, "tok " * 1500),
+        (0, "tok " * 5),      # untouched shard-0 control
+    ]
+    ev = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    orig = M.load_table
+    M.load_table = lambda s, sf, name: ev
+    try:
+        audit = {r.shard: (r.late_docs, r.bins_before, r.bins_after,
+                           r.tokens_added)
+                 for r in M.late_doc_packing_repair(spark, "x").collect()}
+    finally:
+        M.load_table = orig
+    assert audit == {7: (1, 2, 3, 1000)}
+
+    # SF-scale conservation
+    real = M.late_doc_packing_repair(spark, sf_dir)
+    late_toks = (load_table(spark, sf_dir, "documents")
+                 .where(F.col("doc_id") % M._PACK_LATE_MOD
+                        == M._PACK_LATE_OFF)
+                 .groupBy((F.col("doc_id") % M._PACK_SHARDS)
+                          .alias("shard"))
+                 .agg(F.sum(token_count("text").cast("long"))
+                      .alias("want")))
+    bad = (real.join(late_toks, "shard")
+           .where(F.col("tokens_added") != F.col("want")).count())
+    assert bad == 0

@@ -249,6 +249,158 @@ STAGED["token_budget_packing"] = (
     "per-bin aggregation after the fold is map-side combinable.",
     ("llm", "text", "stateful", "packing"))
 
+# --------------------------------------------------------------------
+# Late-doc packing repair (drafted r18 window, targets r19): the
+# repair leg of the packing family — the late_event_session_repair
+# symmetry applied to training-sequence bins. The streaming maintainer
+# #28 REJECTS out-of-order docs loudly (a late doc belongs inside a
+# closed bin); this batch entry is what the operator of that pipeline
+# runs to fold the rejects in: re-pack ONLY the shards the late batch
+# touches (per-shard recompute — bins are shard-local, so nothing
+# corpus-wide moves), emit the per-shard repair audit. Oracle: both
+# packings replayed closed-form (the recursive-CTE fold twice,
+# restricted to affected shards).
+
+#: Deterministic late plant: every 23rd doc (offset 7) arrives late.
+_PACK_LATE_MOD, _PACK_LATE_OFF = 23, 7
+
+
+def late_doc_packing_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-affected-shard repair audit: late doc count, bin count
+    before/after the repack, and token mass added (equals the late
+    docs' own token sum by conservation — packing repartitions tokens
+    into bins, never creates or loses them).
+
+    Scale: affected shards are the late batch's distinct shards; each
+    repack is one shard-local Arrow fold over that shard's docs
+    (fetched by a semi join on the shard key — shard-partitioned
+    layouts prune the scan); untouched shards' bins are never read
+    past the semi join."""
+    from windowsession_using_kafka_flink_docker_spark.operators.packing import (
+        bins_from_packed,
+        pack_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_late = F.col("doc_id") % _PACK_LATE_MOD == _PACK_LATE_OFF
+    late = docs.where(is_late)
+    ontime = docs.where(~is_late)
+
+    affected = (late.select((F.col("doc_id") % _PACK_SHARDS)
+                            .alias("shard")).distinct())
+    before = (bins_from_packed(pack_documents(ontime))
+              .join(affected, "shard", "left_semi")
+              .groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("bins_before"),
+                   F.sum("bin_tokens").alias("tokens_before")))
+    docs_aff = docs.where((F.col("doc_id") % _PACK_SHARDS)
+                          .isin([r.shard for r in affected.collect()]))
+    after = (bins_from_packed(pack_documents(docs_aff))
+             .groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("bins_after"),
+                  F.sum("bin_tokens").alias("tokens_after")))
+    late_counts = (late.groupBy((F.col("doc_id") % _PACK_SHARDS)
+                                .alias("shard"))
+                   .agg(F.count(F.lit(1)).cast("long").alias("late_docs")))
+    return (late_counts
+            .join(after, "shard")
+            .join(before, "shard", "left")
+            .select("shard", "late_docs",
+                    F.coalesce(F.col("bins_before"), F.lit(0))
+                    .cast("long").alias("bins_before"),
+                    F.col("bins_after").cast("long").alias("bins_after"),
+                    (F.col("tokens_after")
+                     - F.coalesce(F.col("tokens_before"), F.lit(0)))
+                    .cast("long").alias("tokens_added")))
+
+
+def _packing_repair_oracle() -> str:
+    from windowsession_using_kafka_flink_docker_spark.plans.llm_pipeline import (
+        _TOKC_SQL,
+    )
+
+    fold = """
+  SELECT doc_id, CAST({tokc} AS BIGINT) AS toks,
+         doc_id % {shards} AS shard,
+         row_number() OVER (PARTITION BY doc_id % {shards}
+                            ORDER BY doc_id) AS rn
+  FROM {src}
+  WHERE doc_id % {shards} IN (SELECT shard FROM affected)
+"""
+    return f"""
+WITH RECURSIVE affected AS (
+  SELECT DISTINCT doc_id % {_PACK_SHARDS} AS shard FROM documents
+  WHERE doc_id % {_PACK_LATE_MOD} = {_PACK_LATE_OFF}
+),
+docs_b AS ({fold.format(tokc=_TOKC_SQL, shards=_PACK_SHARDS,
+                        src=f'''(SELECT * FROM documents
+           WHERE doc_id % {_PACK_LATE_MOD} <> {_PACK_LATE_OFF})''')}),
+folded_b AS (
+  SELECT shard, rn, toks, 0::BIGINT AS bin_id, toks AS cum
+  FROM docs_b WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.toks,
+         CASE WHEN f.cum + d.toks > {_PACK_BUDGET}
+              THEN f.bin_id + 1 ELSE f.bin_id END,
+         CASE WHEN f.cum + d.toks > {_PACK_BUDGET}
+              THEN d.toks ELSE f.cum + d.toks END
+  FROM folded_b f JOIN docs_b d ON d.shard = f.shard AND d.rn = f.rn + 1
+),
+before AS (
+  SELECT shard, CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS bins_before,
+         CAST(SUM(toks) AS BIGINT) AS tokens_before
+  FROM folded_b GROUP BY shard
+),
+docs_a AS ({fold.format(tokc=_TOKC_SQL, shards=_PACK_SHARDS,
+                        src='documents')}),
+folded_a AS (
+  SELECT shard, rn, toks, 0::BIGINT AS bin_id, toks AS cum
+  FROM docs_a WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.toks,
+         CASE WHEN f.cum + d.toks > {_PACK_BUDGET}
+              THEN f.bin_id + 1 ELSE f.bin_id END,
+         CASE WHEN f.cum + d.toks > {_PACK_BUDGET}
+              THEN d.toks ELSE f.cum + d.toks END
+  FROM folded_a f JOIN docs_a d ON d.shard = f.shard AND d.rn = f.rn + 1
+),
+after AS (
+  SELECT shard, CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS bins_after,
+         CAST(SUM(toks) AS BIGINT) AS tokens_after
+  FROM folded_a GROUP BY shard
+),
+late AS (
+  SELECT doc_id % {_PACK_SHARDS} AS shard,
+         CAST(COUNT(*) AS BIGINT) AS late_docs
+  FROM documents
+  WHERE doc_id % {_PACK_LATE_MOD} = {_PACK_LATE_OFF}
+  GROUP BY 1
+)
+SELECT l.shard, l.late_docs,
+       COALESCE(b.bins_before, 0) AS bins_before,
+       a.bins_after,
+       a.tokens_after - COALESCE(b.tokens_before, 0) AS tokens_added
+FROM late l
+JOIN after a ON a.shard = l.shard
+LEFT JOIN before b ON b.shard = l.shard
+"""
+
+
+STAGED["late_doc_packing_repair"] = (
+    late_doc_packing_repair, _packing_repair_oracle(),
+    "Late-doc packing repair: re-pack ONLY the shards a late batch "
+    "touches (bins are shard-local, so the repair is a per-shard "
+    "Arrow fold over that shard's docs — nothing corpus-wide moves; "
+    "untouched shards' bins are never read past the semi join) and "
+    "emit the per-shard audit (late count, bins before/after, token "
+    "mass added — equal to the late docs' own tokens by "
+    "conservation). The batch repair leg for the docs the streaming "
+    "bins maintainer (#28) rejects as out-of-order. Oracle: both "
+    "packings replayed closed-form via the recursive-CTE fold, "
+    "restricted to affected shards.",
+    ("llm", "text", "stateful", "packing", "incremental"))
+
+
 #: Registered-entry rewrites queued for a future window: name ->
 #: (spark_fn, oracle_sql). Landing day replaces the registered entry's
 #: body/oracle and clears the queue slot.
