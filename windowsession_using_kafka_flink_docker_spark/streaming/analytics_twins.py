@@ -1456,7 +1456,10 @@ class IncrementalPackingMaintainer:
         )
 
         self.state.guard(batch_id)
-        toks = doc_tokens(batch_df)
+        # The in-order audit and the fold both consume the token
+        # counts; materialize the regex scan once (the
+        # incremental_session_merge twice-consumed-frame discipline).
+        toks = doc_tokens(batch_df).localCheckpoint(eager=True)
         prev = self.state.latest_before(batch_id)
         if prev is not None:
             w = Window.partitionBy("shard").orderBy(F.desc("bin_id"))
