@@ -230,3 +230,32 @@ def test_late_packing_repair_crafted_and_conserving(spark, sf_dir):
     bad = (real.join(late_toks, "shard")
            .where(F.col("tokens_added") != F.col("want")).count())
     assert bad == 0
+
+
+def test_greedy_fold_resumption_property():
+    """The algebra maintainer #28 rides: folding a token sequence in
+    two parts — the second resumed from the first's returned tail —
+    must equal folding it at once, for EVERY split point. Randomized
+    over sizes spanning far-below to far-above the budget (oversized
+    docs included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from windowsession_using_kafka_flink_docker_spark.operators.packing import (
+        greedy_fold,
+    )
+
+    toks = st.lists(st.integers(min_value=0, max_value=5000),
+                    min_size=0, max_size=60)
+
+    @settings(max_examples=200, deadline=None)
+    @given(xs=toks, frac=st.floats(min_value=0.0, max_value=1.0))
+    def check(xs, frac):
+        k = int(frac * len(xs))
+        full, fb, fc, ff = greedy_fold(xs)
+        a, b1, c1, f1 = greedy_fold(xs[:k])
+        b, b2, c2, f2 = greedy_fold(xs[k:], b1, c1, f1)
+        assert a + b == full
+        assert (b2, c2, f2) == (fb, fc, ff)
+
+    check()
