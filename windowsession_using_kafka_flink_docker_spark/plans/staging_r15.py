@@ -401,6 +401,85 @@ STAGED["late_doc_packing_repair"] = (
     ("llm", "text", "stateful", "packing", "incremental"))
 
 
+# --------------------------------------------------------------------
+# Corpus snapshot diff (drafted r18 window, targets r19): dataset
+# versioning for training corpora — the audit a pipeline runs between
+# two corpus snapshots before retraining ("what changed since the
+# last crawl?"). Deterministic two-version plant over the one
+# documents table: v1 excludes every 13th doc (offset 5 — those are
+# ADDED in v2), v2 excludes every 19th (offset 11 — REMOVED) and
+# rewrites every 17th's text (offset 2 — CHANGED, detected by content
+# hash, never by text comparison). Full outer join on doc_id, md5
+# content compare, unchanged rows dropped.
+
+_DIFF_ADD_MOD, _DIFF_ADD_OFF = 13, 5     # in v2 only
+_DIFF_DEL_MOD, _DIFF_DEL_OFF = 19, 11    # in v1 only
+_DIFF_EDIT_MOD, _DIFF_EDIT_OFF = 17, 2   # text rewritten in v2
+_DIFF_EDIT_SUFFIX = " [rev2]"
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per non-identical doc across the two snapshots:
+    (doc_id, change in {'added','removed','changed'}).
+
+    Scale: both sides reduce to (doc_id, md5) before the join — a
+    16-byte hash per doc, never the text; on a doc_id-bucketed layout
+    the full outer join co-locates with ZERO exchanges (the bucketed-
+    sessionization escape hatch applies verbatim), and added/removed
+    detection is the join's null pattern, not an anti-join pass. A doc
+    edited AND re-added keeps one class per doc by construction
+    (classes come from id presence + hash inequality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = (docs.where(F.col("doc_id") % _DIFF_ADD_MOD != _DIFF_ADD_OFF)
+          .select("doc_id", F.md5("text").alias("_h1")))
+    edited = F.when(F.col("doc_id") % _DIFF_EDIT_MOD == _DIFF_EDIT_OFF,
+                    F.concat(F.col("text"), F.lit(_DIFF_EDIT_SUFFIX))
+                    ).otherwise(F.col("text"))
+    v2 = (docs.where(F.col("doc_id") % _DIFF_DEL_MOD != _DIFF_DEL_OFF)
+          .select("doc_id", F.md5(edited).alias("_h2")))
+    joined = v1.join(v2, "doc_id", "full_outer")
+    change = (F.when(F.col("_h1").isNull(), F.lit("added"))
+              .when(F.col("_h2").isNull(), F.lit("removed"))
+              .when(F.col("_h1") != F.col("_h2"), F.lit("changed")))
+    return (joined.select("doc_id", change.alias("change"))
+            .where(F.col("change").isNotNull()))
+
+
+CORPUS_SNAPSHOT_DIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents
+  WHERE doc_id % {_DIFF_ADD_MOD} <> {_DIFF_ADD_OFF}
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {_DIFF_EDIT_MOD} = {_DIFF_EDIT_OFF}
+                  THEN text || '{_DIFF_EDIT_SUFFIX}' ELSE text END) AS h2
+  FROM documents
+  WHERE doc_id % {_DIFF_DEL_MOD} <> {_DIFF_DEL_OFF}
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE (CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed' END) IS NOT NULL
+"""
+
+STAGED["corpus_snapshot_diff"] = (
+    corpus_snapshot_diff, CORPUS_SNAPSHOT_DIFF_ORACLE,
+    "Dataset-versioning diff between two corpus snapshots: one row "
+    "per added/removed/changed doc, change detected by md5 content "
+    "hash (both sides reduce to (doc_id, hash) before the full outer "
+    "join — 16 bytes per doc, never the text; a doc_id-bucketed "
+    "layout co-locates the join with zero exchanges). The audit a "
+    "training pipeline runs between crawls before retraining; "
+    "deterministic two-version plant over the documents table "
+    "(every 13th added, every 19th removed, every 17th edited).",
+    ("llm", "curation", "versioning", "dedup"))
+
+
 #: Registered-entry rewrites queued for a future window: name ->
 #: (spark_fn, oracle_sql). Landing day replaces the registered entry's
 #: body/oracle and clears the queue slot.
