@@ -567,6 +567,31 @@ def test_q4_exists_as_semi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def _assert_semi_probe_is_preaggregated_fact(plan: str) -> None:
+    """r17 optimization pin for the EXISTS-as-MAX rewrites
+    (q4_priority_late_shipments, semi_join_late_orders): the lineitem
+    side of the semi join must be a per-orderkey max(l_shipdate)
+    aggregate — the fact table collapses to one slim row per order via
+    map-side partial aggregation BEFORE any exchange/broadcast, never a
+    raw 2-column fact projection shipped whole into the join."""
+    assert "max(l_shipdate" in plan, plan
+    # the aggregate's partial pass must sit directly on the lineitem scan
+    # (below the join and below its exchange): find the lineitem scan
+    # node id and require a partial_max HashAggregate referencing it.
+    assert "partial_max(l_shipdate" in plan, plan
+
+
+def test_q4_semi_probe_preaggregated(spark, sf_dir):
+    plan = _plan(spark, "q4_priority_late_shipments", sf_dir, "formatted")
+    _assert_semi_probe_is_preaggregated_fact(plan)
+
+
+def test_semi_join_late_orders_probe_preaggregated(spark, sf_dir):
+    plan = _plan(spark, "semi_join_late_orders", sf_dir, "formatted")
+    assert "LeftSemi" in plan, plan
+    _assert_semi_probe_is_preaggregated_fact(plan)
+
+
 def test_q9_part_filter_before_fact_join(spark, sf_dir):
     """q9_product_type_profit promises: the name filter prunes the part
     side before the fact join, ONE lineitem scan, one (nation, year)

@@ -3555,13 +3555,16 @@ GROUP BY o_orderpriority
                 "no commit/receipt dates, so lateness is ship-vs-order "
                 "date; the decorrelation is identical). Scale shape: the "
                 "quarter filter prunes the orders scan; the EXISTS "
-                "renders as ONE left-semi join on orderkey whose "
-                "cross-table date predicate rides the join condition — "
-                "the semi-join deduplicates multi-line matches inside "
-                "the join (never a distinct over an inner-join blowup) — "
-                "and the per-priority count is a 5-row aggregate. Both "
-                "engines evaluate the same exact timestamp arithmetic "
-                "(+60 days on microsecond timestamps).",
+                "renders as ONE left-semi join on orderkey against a "
+                "per-order MAX(l_shipdate) pre-aggregate (r17: "
+                "EXISTS(ship > d+60) == MAX(ship) > d+60, so the fact "
+                "side collapses map-side to one slim row per order "
+                "before any exchange — the previous plan broadcast the "
+                "whole 2-column lineitem projection, which cannot fire "
+                "at 100 TB) — and the per-priority count is a 5-row "
+                "aggregate. Both engines evaluate the same exact "
+                "timestamp arithmetic (+60 days on microsecond "
+                "timestamps).",
     tags=("relational", "subquery", "join", "sql"),
 )
 def q4_priority_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3569,11 +3572,18 @@ def q4_priority_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = od.where((F.col("o_orderdate") >= "1996-07-01")
                  & (F.col("o_orderdate") < "1996-10-01"))
+    # EXISTS over a `>` predicate depends only on MAX(l_shipdate): the
+    # pre-aggregate is one slim row per order (map-side partials collapse
+    # multi-line orders before the exchange) and the semi join's
+    # dedup work disappears with it. max() ignores NULL ship dates and a
+    # NULL comparison rejects the row in both forms — exactly EXISTS.
+    mx = (li.select("l_orderkey", "l_shipdate")
+          .groupBy("l_orderkey")
+          .agg(F.max("l_shipdate").alias("_max_ship")))
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
-        (F.col("l_shipdate")
+        (F.col("_max_ship")
          > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-    return (o.join(li.select("l_orderkey", "l_shipdate"), late,
-                   "left_semi")
+    return (o.join(mx, late, "left_semi")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).cast("long").alias("order_count")))
 

@@ -689,17 +689,32 @@ GROUP BY o_orderpriority
 """,
     description="EXISTS / left-semi join (TPC-H Q4 shape): orders with at "
                 "least one lineitem shipped after the order date, counted "
-                "by priority. Semi join keeps one probe per order — no "
-                "row multiplication, no distinct needed.",
+                "by priority. The fact side is pre-aggregated to one "
+                "MAX(l_shipdate) row per order before the semi join "
+                "(EXISTS(l_shipdate > d) == MAX(l_shipdate) > d, both "
+                "null-rejecting): the map-side partial aggregate shrinks "
+                "the shuffled/broadcast side from every line to one slim "
+                "row per order (r17 optimization — previously the planner "
+                "broadcast a hash relation of the whole 2-column lineitem "
+                "projection, a fact-table broadcast that cannot fire at "
+                "100 TB).",
     bench=True,
     tags=("relational", "join", "semi"),
 )
 def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # EXISTS(line shipped after order date) depends only on the latest
+    # ship date per order: aggregate lineitem first (partial aggregation
+    # collapses ~4 lines/order map-side), then ONE slim row per order
+    # crosses the exchange. max() ignores NULLs and a NULL comparison
+    # rejects the row in both forms, so the rewrite is exactly EXISTS.
+    mx = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_shipdate")
+          .groupBy("l_orderkey")
+          .agg(F.max("l_shipdate").alias("_max_ship")))
     late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        mx,
+        (orders.o_orderkey == mx.l_orderkey) & (mx._max_ship > orders.o_orderdate),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
@@ -1695,6 +1710,19 @@ def resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg((F.floor(F.avg("value") * 10000) / 10000.0).alias("v"))
     span = hourly.groupBy("user_id").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi"))
+    # Explosion-blind AQE fix (r17, guide §2.5 input skew): every stage
+    # downstream of the span aggregate — grid explode (~hundreds of rows
+    # per span row), the hourly join and BOTH fill windows — inherits the
+    # span exchange's partitioning, and AQE sizes that exchange from the
+    # tiny PRE-explosion span bytes, collapsing the whole pipeline onto
+    # one task (measured 1.48 s single-task window stage at sf0.1).
+    # Checkpointing span (keyspace-bounded: one 16-byte row per user)
+    # breaks the partitioning inheritance so the explicit conf-parallel
+    # repartition survives (a bare repartition(n, user_id) on the
+    # aggregate is optimizer-removed as redundant and re-coalesced);
+    # measured 1.89 s -> 1.24 s at sf0.1.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    span = span.localCheckpoint(eager=True).repartition(n_part, "user_id")
     grid = span.select(
         "user_id",
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"))
