@@ -106,6 +106,23 @@ class TestTextNearDups:
         pairs = {(r.id_a, r.id_b) for r in D.simhash_near_dups(doc_df).collect()}
         assert (1, 2) in pairs
 
+    def test_banding_checkpoint_is_deterministic(self, spark, doc_df):
+        """r17 internals pin: minhash/simhash stage their banding/chunk
+        index through an EAGER localCheckpoint (one computation — the old
+        lazy persist let the concurrently-submitted bucket-count and
+        self-join-side builds race past the unfilled cache and re-run the
+        whole signature pipeline per consumer). Two invocations must emit
+        identical pair sets: the checkpoint barrier is deterministic and
+        changes nothing semantically. (Checkpoint blocks are
+        ContextCleaner-owned — they appear in getPersistentRDDs until
+        GC, so a count-based leak check would false-positive here.)"""
+        mh1 = {tuple(r) for r in D.minhash_lsh_pairs(doc_df).collect()}
+        mh2 = {tuple(r) for r in D.minhash_lsh_pairs(doc_df).collect()}
+        sh1 = {tuple(r) for r in D.simhash_near_dups(doc_df).collect()}
+        sh2 = {tuple(r) for r in D.simhash_near_dups(doc_df).collect()}
+        assert mh1 == mh2 and sh1 == sh2
+        assert mh1 and sh1  # non-vacuous: the planted pair is present
+
     def test_exact_dedup_groups(self, spark):
         df = spark.createDataFrame(
             [(1, "same"), (2, "same"), (3, "diff")], "doc_id BIGINT, text STRING"

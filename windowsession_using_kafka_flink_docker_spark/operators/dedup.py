@@ -271,10 +271,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         )
         for b in range(bands)
     ])
+    # EAGER materialization, not a lazy persist (r17): the banding table
+    # has four consumers in one plan (the big-bucket count build and both
+    # self-join sides, each planned as a concurrently-submitted
+    # broadcast/shuffle build), and a lazy persist lets those concurrent
+    # builds RACE past the unfilled cache — the whole signature pipeline
+    # (shingle hash + 64-permutation MinHash UDF + banding) was measured
+    # running 4x per query at sf0.1 (4 stages x 5.6-13.7 s executor time
+    # apiece). The checkpoint barrier computes it exactly once; blocks are
+    # released by the ContextCleaner when the frame is collected.
     banded = (
         sig_df.select("_id", F.explode(band_cols).alias("bh"))
         .select("_id", "bh.band_id", "bh.band_hash")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # Drop degenerate buckets (e.g., boilerplate collisions) before the
@@ -318,7 +327,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     result = result.localCheckpoint(eager=True)
     if owns_shingles:
         docs.unpersist()
-    banded.unpersist()
     return result
 
 
@@ -520,8 +528,12 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                  .bitwiseAND(F.lit(chunk_mask)).alias("chunk"))
         for c in range(4)
     ])
+    # Eager checkpoint, not lazy persist: three consumers (bucket-count
+    # build + both self-join sides) race past an unfilled cache and re-run
+    # the SimHash signature UDF per consumer — same fix and evidence as
+    # minhash_lsh_pairs' banding table (r17).
     blocked = docs.select("_id", "_sig", F.explode(chunks).alias("c")).select(
-        "_id", "_sig", "c.chunk_id", "c.chunk").persist()
+        "_id", "_sig", "c.chunk_id", "c.chunk").localCheckpoint(eager=True)
     big_buckets = (
         blocked.groupBy("chunk_id", "chunk").count()
         .where(F.col("count") > max_bucket_size)
@@ -544,7 +556,6 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select("id_a", "id_b", "hamming")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
-    blocked.unpersist()
     return result
 
 

@@ -369,6 +369,12 @@ def _zigzag_order() -> list:
 
 JPEG_ZIGZAG = _zigzag_order()
 
+#: Vector index form of the zigzag for whole-image batched transforms
+#: (r17): quant[:, _ZZ_R, _ZZ_C] zigzags every block of an image in one
+#: numpy gather instead of a 64-iteration Python loop per block.
+_ZZ_R = np.array([r for r, c in JPEG_ZIGZAG])
+_ZZ_C = np.array([c for r, c in JPEG_ZIGZAG])
+
 #: Orthonormal DCT-II basis: B[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
 _DCT_BASIS = np.array([
     [(0.5 if u else 0.5 / np.sqrt(2.0)) * np.cos((2 * x + 1) * u * np.pi / 16)
@@ -448,10 +454,22 @@ def _encode_block(bw: "_BitWriter", block: np.ndarray, q: np.ndarray,
                   pred: int, dc_tab: dict, ac_tab: dict) -> int:
     """Forward-DCT, quantize, and entropy-code one level-shifted 8x8
     block (differential DC, run-length AC with ZRL/EOB). Returns the
-    new DC predictor. Shared by the grayscale and 4:2:0 encoders."""
+    new DC predictor. Used by the 4:2:0 interleaved encoder (whose MCU
+    order hops between planes); the grayscale encoder batches the
+    transform half over every block at once (r17) and shares only
+    :func:`_encode_zz`."""
     coef = np.rint(_DCT_BASIS @ block @ _DCT_BASIS.T).astype(np.int64)
     quant = _quantize_rha(coef, q)
     zz = [int(quant[r, c]) for r, c in JPEG_ZIGZAG]
+    return _encode_zz(bw, zz, pred, dc_tab, ac_tab)
+
+
+def _encode_zz(bw: "_BitWriter", zz: list, pred: int,
+               dc_tab: dict, ac_tab: dict) -> int:
+    """Entropy-code one zigzagged quantized block (python ints):
+    differential DC, run-length AC with ZRL/EOB. Returns the new DC
+    predictor — the sequential half shared by the batched grayscale
+    encoder and the per-block 4:2:0 encoder."""
     diff = zz[0] - pred
     pred = zz[0]
     cat, bits = _magnitude(diff)
@@ -498,10 +516,22 @@ def encode_jpeg_gray(width: int, height: int, gray: np.ndarray,
     bw = _BitWriter()
     pred = 0
     px = gray.astype(np.float64) - 128.0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            block = px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-            pred = _encode_block(bw, block, q, pred, dc_tab, ac_tab)
+    # Batched transform half (r17): DCT + quantize + zigzag for EVERY
+    # block in three numpy calls instead of per-block Python. Block
+    # order (by-major, bx-minor) and float evaluation order
+    # ((B @ block) @ B.T, rint, then integer quantization) are identical
+    # to the old per-block loop — np.matmul broadcasts the same 2-D
+    # kernel over the stacked blocks — so the bitstream is bit-for-bit
+    # unchanged (pinned against a pre-change snapshot and the DuckDB
+    # closed-form oracle). Entropy coding stays sequential by spec
+    # (differential DC chains through the scan).
+    blocks = (px.reshape(height // 8, 8, width // 8, 8)
+              .swapaxes(1, 2).reshape(-1, 8, 8))
+    coef = np.rint(np.matmul(np.matmul(_DCT_BASIS, blocks),
+                             _DCT_BASIS.T)).astype(np.int64)
+    zzs = _quantize_rha(coef, q)[:, _ZZ_R, _ZZ_C].tolist()
+    for zz in zzs:
+        pred = _encode_zz(bw, zz, pred, dc_tab, ac_tab)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -681,20 +711,33 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, np.ndarray]:
     w, h, q = info["width"], info["height"], info["quant"]
     dc_tab, ac_tab = info["huff"][(0, 0)], info["huff"][(1, 0)]
     br = _BitReader(info["scan"])
-    out = np.zeros((h, w), dtype=np.uint8)
+    # Sequential entropy half (differential DC chains through the scan),
+    # then ONE batched dequantize + IDCT + snap over every block (r17):
+    # the old loop paid a 64-iteration Python dezigzag, an 8x8 matmul
+    # pair, and a clip PER BLOCK — 40% of decode time in _decode_block
+    # Python overhead (cProfile). Per-slice float evaluation order is
+    # unchanged ((B.T @ coef) @ B), so pixels are bit-identical (pinned
+    # against a pre-change snapshot and the closed-form oracle).
+    n = (h // 8) * (w // 8)
+    zz_rows = []
     pred = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            block, pred = _decode_block(br, dc_tab, ac_tab, pred, q)
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    for _ in range(n):
+        zz, pred = _decode_zz(br, dc_tab, ac_tab, pred)
+        zz_rows.append(zz)
+    coef = np.zeros((n, 8, 8), dtype=np.float64)
+    coef[:, _ZZ_R, _ZZ_C] = np.asarray(zz_rows, dtype=np.int64) * q[_ZZ_R, _ZZ_C]
+    blocks = np.matmul(np.matmul(_DCT_BASIS.T, coef), _DCT_BASIS)
+    px = np.clip(np.floor(blocks + 128.5), 0, 255).astype(np.uint8)
+    out = (px.reshape(h // 8, w // 8, 8, 8)
+           .swapaxes(1, 2).reshape(h, w))
     return w, h, out
 
 
-def _decode_block(br: "_BitReader", dc_tab: dict, ac_tab: dict,
-                  pred: int, q: np.ndarray) -> tuple[np.ndarray, int]:
-    """Entropy-decode, dequantize, and inverse-DCT one 8x8 block.
-    Returns (uint8 pixel block, new DC predictor). Shared by the
-    grayscale and 4:2:0 decoders."""
+def _decode_zz(br: "_BitReader", dc_tab: dict, ac_tab: dict,
+               pred: int) -> tuple[list, int]:
+    """Entropy-decode one block's zigzagged coefficients (python ints).
+    Returns (zz list, new DC predictor) — the sequential half shared by
+    the batched grayscale decoder and the per-block 4:2:0 decoder."""
     zz = [0] * 64
     cat = _read_symbol(br, dc_tab)
     pred += _extend(br.read_bits(cat), cat)
@@ -712,6 +755,16 @@ def _decode_block(br: "_BitReader", dc_tab: dict, ac_tab: dict,
             raise ValueError("JPEG AC run overflows block")
         zz[k] = _extend(br.read_bits(sym & 0x0F), sym & 0x0F)
         k += 1
+    return zz, pred
+
+
+def _decode_block(br: "_BitReader", dc_tab: dict, ac_tab: dict,
+                  pred: int, q: np.ndarray) -> tuple[np.ndarray, int]:
+    """Entropy-decode, dequantize, and inverse-DCT one 8x8 block.
+    Returns (uint8 pixel block, new DC predictor). Used by the 4:2:0
+    interleaved decoder; the grayscale decoder batches the transform
+    half (r17) and shares only :func:`_decode_zz`."""
+    zz, pred = _decode_zz(br, dc_tab, ac_tab, pred)
     coef = np.zeros((8, 8), dtype=np.float64)
     for kk, (r, c) in enumerate(JPEG_ZIGZAG):
         coef[r, c] = zz[kk] * q[r, c]

@@ -22,6 +22,18 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Floor for AQE's coalesced partitions (parameterized; Spark default
+    # 1m). With parallelismFirst (default on) AQE targets
+    # max(totalBytes/parallelism, THIS), so on many-core nodes running
+    # CPU-heavy window/HOF stages over MB-scale exchanges the 1 MiB floor
+    # serializes the stage onto 1-2 tasks. At production shuffle sizes
+    # (GB+) the floor is never the binding term, so lowering it only
+    # affects the small-exchange regime; raise the env var on clusters
+    # whose small-shuffle stages are I/O-bound rather than CPU-bound.
+    # Full-bench A/B at sf0.1 (OPTIMIZATION_r17.md): 64k vs 1m = median
+    # per-query ratio 0.93, sum 85.6 -> 79.7 s, worst regression +0.3 s.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
