@@ -553,6 +553,12 @@ def test_q16_anti_join_single_distinct(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "Expand" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # r17: no standalone pair-distinct exchange — COUNT(DISTINCT)'s own
+    # partial/final pair is the only shuffle pair left (3 -> 2 shuffle
+    # Exchange nodes; the pre-.distinct() duplicated the dedup work).
+    import re as _re
+    shuffles = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert shuffles <= 2, f"{shuffles} shuffle exchanges:\n{plan}"
 
 
 def test_q4_exists_as_semi_join(spark, sf_dir):

@@ -357,9 +357,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # re-touching document strings. xxhash64 collisions would perturb a
     # Jaccard by ~2^-64 per shingle pair — far below the rounded output
     # precision (and the oracle gate would catch any realized collision).
+    # Eager checkpoint, not lazy persist (r17): the hashed-shingle frame
+    # has three consumers in one plan (the inverted index and BOTH
+    # verify-side broadcast builds), and the concurrently-submitted
+    # broadcast builds raced past the unfilled cache, re-running the
+    # shingle hash per consumer — same fix and evidence as
+    # minhash_lsh_pairs' banding table (measured 2.16 -> 1.91 s median
+    # at sf0.1 with the duplicate scan-side recompute gone).
     docs = (
         base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"), F.size("_sh").alias("_n"))
     inv = docs.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
@@ -406,7 +413,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select("id_a", "id_b", "jaccard")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
-    docs.unpersist()
     if owns_shingles:
         base.unpersist()
     return result
@@ -634,9 +640,11 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     """
     owns = shingles is None
     base = shingle_table(df, text_col, id_col, k, unit) if owns else shingles
+    # Eager checkpoint, not lazy persist — same racing-broadcast-consumer
+    # fix as ngram_jaccard_pairs (r17).
     docs = (
         base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"),
                         F.size("_sh").alias("_n"))
@@ -683,7 +691,6 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                 F.col("id_b").alias("container_id"), "containment")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
-    docs.unpersist()
     if owns:
         base.unpersist()
     return result
