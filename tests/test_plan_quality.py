@@ -343,6 +343,12 @@ def test_q21_top_k_and_dimension_broadcasts(spark, sf_dir):
     plan = _plan(spark, "q21_waiting_suppliers", sf_dir, "formatted")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+    # r17: the per-order aggregate carries the unique late supplier's key
+    # and late-line count, so the pair frame has ONE consumer — the old
+    # filter + re-join shape scanned/joined lineitem twice (exchange
+    # reuse never fired on the duplicated pair aggregation).
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
 
 
 def test_cramers_v_margins_broadcast_no_fact_self_join(spark, sf_dir):

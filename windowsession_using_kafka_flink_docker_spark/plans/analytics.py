@@ -1635,19 +1635,28 @@ LIMIT 100
                 "definitional correlated form; the Spark plan runs the "
                 "DECORRELATED rewrite a 100 TB engine wants — a "
                 "(orderkey, suppkey) pair-level combine (late_any flag "
-                "+ late-line count), then a per-order aggregate over "
-                "the PAIR frame, and the semi/anti pair collapses into "
-                "two integer predicates (n_supp >= 2, n_late_supp = 1) "
-                "— so lineitem reduces once and never re-joins at line "
-                "grain; the pair-level form replaced the original "
-                "double-countDistinct after measurement (countDistinct "
-                "x2 plans an Expand that duplicates every fact row "
-                "through the aggregate — 1.45 -> 1.18 s interleaved "
-                "medians at sf0.1, and strictly less shuffle data at "
-                "any scale); hash equality against the EXISTS form is "
-                "the proof the rewrite is sound. Supplier/nation "
-                "broadcast; deterministic top-100 via (numwait DESC, "
-                "s_name) total order.",
+                "+ late-line count), then ONE per-order aggregate over "
+                "the PAIR frame that also carries the unique late "
+                "supplier's key and late-line count (r17: under the "
+                "n_late_supp = 1 predicate exactly one pair row per "
+                "qualifying order is late, so max(when late_any=1, "
+                "suppkey) / sum(when late_any=1, n_late_lines) make the "
+                "old pair-side filter + re-join redundant — the "
+                "previous plan consumed the pair frame twice, and "
+                "exchange reuse did not fire, re-running the whole "
+                "lineitem join + pair aggregation per consumer; "
+                "measured 2.67 -> 2.25 s median at sf0.1 with one "
+                "lineitem scan chain instead of two). The semi/anti "
+                "pair collapses into two integer predicates "
+                "(n_supp >= 2, n_late_supp = 1) — so lineitem reduces "
+                "once and never re-joins at line grain; the pair-level "
+                "form replaced the original double-countDistinct after "
+                "measurement (countDistinct x2 plans an Expand that "
+                "duplicates every fact row through the aggregate); "
+                "hash equality against the EXISTS form is the proof "
+                "the rewrite is sound. Supplier/nation broadcast; "
+                "deterministic top-100 via (numwait DESC, s_name) "
+                "total order.",
     bench=True,
     tags=("relational", "analytics", "join", "decision_support"),
 )
@@ -1668,15 +1677,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("late").cast("int")).alias("late_any"),
         F.sum(F.col("late").cast("long")).alias("n_late_lines"))
+    # One pass over the pair frame: the n_late_supp == 1 gate below means
+    # exactly one pair row per qualifying order is late, so that
+    # supplier's key and late-line count ride this same aggregate —
+    # filtering the pair frame and re-joining it (the pre-r17 shape)
+    # consumed `pair` twice, and with exchange reuse not firing the whole
+    # lineitem join + pair aggregation executed once per consumer.
     per_order = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_supp"),
-        F.sum("late_any").cast("long").alias("n_late_supp"))
-    qualifying = (pair.where(F.col("late_any") == 1)
-                  .join(per_order.where((F.col("n_supp") >= 2)
-                                        & (F.col("n_late_supp") == 1)),
-                        "l_orderkey"))
-    numwait = qualifying.groupBy("l_suppkey").agg(
-        F.sum("n_late_lines").cast("long").alias("numwait"))
+        F.sum("late_any").cast("long").alias("n_late_supp"),
+        F.max(F.when(F.col("late_any") == 1, F.col("l_suppkey")))
+        .alias("l_suppkey"),
+        F.sum(F.when(F.col("late_any") == 1, F.col("n_late_lines"))
+              .otherwise(F.lit(0))).cast("long").alias("_late_lines"))
+    numwait = (per_order.where((F.col("n_supp") >= 2)
+                               & (F.col("n_late_supp") == 1))
+               .groupBy("l_suppkey").agg(
+                   F.sum("_late_lines").cast("long").alias("numwait")))
     return (numwait
             .join(F.broadcast(supplier.select("s_suppkey", "s_name",
                                               "s_nationkey")),
