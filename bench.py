@@ -76,6 +76,27 @@ def _calibrate(spark) -> float:
     return round(statistics.median(times), 3)
 
 
+def _calibrate_scaling(spark) -> float:
+    """Core-SENSITIVE probe (median of 3): the same arithmetic sum but
+    over a FIXED 64-partition split, so the task count never follows
+    ``defaultParallelism``. At 32 cores this is 2 task waves; at 8 cores
+    it is 8 — the wall ratio tracks the core ratio, unlike
+    ``_calibrate`` whose range splits into exactly one wave at any core
+    count (that core-blindness is what made the driver's r17 scaling
+    block flag ``suspect_cpus_ignored`` on a bench that DOES honor
+    $SPARK_GRAFT_CPUS — VERDICT r17 item 2b). Emitted as
+    ``calibration_scaling_sec`` next to the core-blind host-speed probe,
+    which keeps its name and meaning for cross-round comparability."""
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        spark.range(0, 320_000_000, 1, 64).selectExpr(
+            "sum(id * 2 + (id % 7)) AS s").collect()
+        if i:
+            times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -106,6 +127,7 @@ def main() -> None:
     # to exactly these one-offs ramping inside pass 1.
     clear_stage_caches()
     calib_pre = _calibrate(spark)
+    calib_scale_pre = _calibrate_scaling(spark)
     for name in names:
         fns[name](spark, sf_dir) \
             .write.format("noop").mode("overwrite").save()
@@ -137,6 +159,7 @@ def main() -> None:
               for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
     tpch_timings = {n: medians[n] for n in tpch}
+    sc = spark.sparkContext
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -149,10 +172,28 @@ def main() -> None:
         # host-speed probes bracketing the measured passes; see
         # _calibrate. post >> pre means a load wave arrived mid-run.
         "calibration_sec": {"pre": calib_pre, "post": _calibrate(spark)},
+        # core-sensitive probe (fixed 64-task split; see
+        # _calibrate_scaling): its 8-vs-32-core ratio verifies that the
+        # bench really ran at $SPARK_GRAFT_CPUS.
+        "calibration_scaling_sec": {"pre": calib_scale_pre,
+                                    "post": _calibrate_scaling(spark)},
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "default_parallelism": sc.defaultParallelism,
+        "master": sc.master,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(result))
     _persist_full_result(result, sf)
+    # The one-line result contract, printed LAST and kept SHORT: the
+    # driver archives only a 2,000-char tail of this process's output,
+    # and the r16 line (full per-query + tpch + spread dicts, >2,000
+    # chars) was truncated past parseability, losing the r16->r17
+    # per-query comparison (VERDICT r17 item 2a). The headline "queries"
+    # dict (the contract) plus scalars is ~1.7k chars; the tpch/spread
+    # per-query dicts live in BENCH_LOCAL_r{N}.json (path printed above),
+    # which keeps every number previously printed.
+    compact = {k: v for k, v in result.items()
+               if k not in ("tpch", "spread_max_over_median")}
+    print(json.dumps(compact), flush=True)
 
 
 def _persist_full_result(result: dict, sf: str) -> None:
@@ -179,7 +220,13 @@ def _persist_full_result(result: dict, sf: str) -> None:
         # evidence across BENCH_LOCAL_r5 / BENCH_LOCAL_r05 — normalize to
         # the same :02d format the computed path uses.
         rnd = f"{int(rnd):02d}" if rnd.isdigit() else rnd
-    out = os.path.join(root, f"BENCH_LOCAL_r{rnd}.json")
+    # Reduced-core runs (the driver's scaling pass) persist under a
+    # _c{cpus} suffix so they can never squat on the round's sealed
+    # 32-core evidence slot (VERDICT r17 item 2c: the driver's 8-core
+    # r17 run landed in BENCH_LOCAL_r18.json, the next round's slot).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    suffix = "" if cpus == "32" else f"_c{cpus}"
+    out = os.path.join(root, f"BENCH_LOCAL_r{rnd}{suffix}.json")
     if os.path.exists(out):
         # r12 ADVICE: a second sf0.1 run in the same round silently
         # replaced the sealed evidence. Keep the newest run (it reflects
