@@ -107,21 +107,44 @@ class TestTextNearDups:
         assert (1, 2) in pairs
 
     def test_banding_checkpoint_is_deterministic(self, spark, doc_df):
-        """r17 internals pin: minhash/simhash stage their banding/chunk
-        index through an EAGER localCheckpoint (one computation — the old
-        lazy persist let the concurrently-submitted bucket-count and
-        self-join-side builds race past the unfilled cache and re-run the
-        whole signature pipeline per consumer). Two invocations must emit
-        identical pair sets: the checkpoint barrier is deterministic and
-        changes nothing semantically. (Checkpoint blocks are
-        ContextCleaner-owned — they appear in getPersistentRDDs until
-        GC, so a count-based leak check would false-positive here.)"""
+        """r17 internals pin (mechanism updated r18): minhash/simhash
+        stage their banding/chunk index through an EAGER materialization
+        barrier — r17 used localCheckpoint, r18 uses
+        eager_filled_persist (fill-then-share, keeping lineage and
+        spillability; see its docstring) — because the old lazy persist
+        let the concurrently-submitted bucket-count and self-join-side
+        builds race past the unfilled cache and re-run the whole
+        signature pipeline per consumer. Two invocations must emit
+        identical pair sets: the barrier is deterministic and changes
+        nothing semantically."""
         mh1 = {tuple(r) for r in D.minhash_lsh_pairs(doc_df).collect()}
         mh2 = {tuple(r) for r in D.minhash_lsh_pairs(doc_df).collect()}
         sh1 = {tuple(r) for r in D.simhash_near_dups(doc_df).collect()}
         sh2 = {tuple(r) for r in D.simhash_near_dups(doc_df).collect()}
         assert mh1 == mh2 and sh1 == sh2
         assert mh1 and sh1  # non-vacuous: the planted pair is present
+
+    def test_eager_filled_persist_fills_then_shares(self, spark):
+        """r18 internals pin: eager_filled_persist returns a frame whose
+        cache is (a) registered and (b) FILLED before any consumer runs
+        — the barrier property that kills the racing-broadcast-build
+        recompute — with a storage level that can spill to disk (the
+        scale-safety argument for preferring it over localCheckpoint on
+        corpus-proportional frames), and the frame stays recomputable
+        (lineage intact), so an explicit unpersist is safe."""
+        df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+        shared = D.eager_filled_persist(df)
+        lvl = shared.storageLevel
+        assert lvl.useMemory and lvl.useDisk  # spillable, not memory-pinned
+        # the fill already happened at construction: the RDD reports
+        # cached partitions without any consumer having run yet
+        jsc = spark.sparkContext._jsc.sc()
+        rdd_infos = [i for i in jsc.getRDDStorageInfo()
+                     if i.numCachedPartitions() > 0]
+        assert rdd_infos, "persist was not filled eagerly"
+        assert shared.count() == 1000  # consumers read the filled cache
+        shared.unpersist()
+        assert not shared.storageLevel.useMemory  # deterministic release
 
     def test_exact_dedup_groups(self, spark):
         df = spark.createDataFrame(

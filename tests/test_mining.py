@@ -40,6 +40,26 @@ def test_copurchase_matches_bruteforce(spark, sf_dir):
     assert got == want
 
 
+def test_basket_stage_is_shared_and_releasable(spark, sf_dir):
+    """r18 internals pin (VERDICT r17 item 7): copurchase_pairs and
+    association_rules consume ONE memoized basket stage per (app, sf) —
+    the second call must return the identical persisted frames, and
+    clear_basket_cache must release them deterministically (the bench
+    clears between passes, so no pass ever reads a prior pass's cache)."""
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        basket_stage, clear_basket_cache,
+    )
+    clear_basket_cache()
+    st1 = basket_stage(spark, sf_dir)
+    st2 = basket_stage(spark, sf_dir)
+    assert st1["arrs"] is st2["arrs"] and st1["freq"] is st2["freq"]
+    lvl = st1["arrs"].storageLevel
+    assert lvl.useMemory and lvl.useDisk  # spillable persist, filled eagerly
+    clear_basket_cache()
+    assert not st1["arrs"].storageLevel.useMemory
+    assert not st1["freq"].storageLevel.useMemory
+
+
 def _brute_sessions(events):
     """Union-of-intervals sessionization: events = [(user, ts_us, gap_s,
     value)]; returns {(user, start_us, end_us): (sum, count)}. New session

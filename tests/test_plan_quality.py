@@ -349,6 +349,13 @@ def test_q21_top_k_and_dimension_broadcasts(spark, sf_dir):
     # reuse never fired on the duplicated pair aggregation).
     assert plan.count("lineitem.parquet") == 1, plan
     assert plan.count("orders.parquet") == 1, plan
+    # r18: one fact exchange for BOTH the pair and per-order aggregates —
+    # the up-front hash(l_orderkey) repartition satisfies each aggregate's
+    # clustering (subset of its group keys), so only the per-supplier
+    # aggregate adds a second shuffle (2 total, was 3).
+    n_shuffles = sum(1 for ln in plan.splitlines()
+                     if ln.lstrip().lstrip(":+- ").startswith("Exchange ("))
+    assert n_shuffles <= 2, (n_shuffles, plan)
 
 
 def test_cramers_v_margins_broadcast_no_fact_self_join(spark, sf_dir):
@@ -413,6 +420,12 @@ def test_q20_single_fact_scan_and_windowed_totals(spark, sf_dir):
                   if ln.lstrip().startswith("(") and "Scan parquet" in ln)
     assert n_scans <= 4, (n_scans, plan)
     assert "BroadcastHashJoin" in plan, plan
+    # r18: one fact exchange feeds BOTH the (part, supplier) aggregate and
+    # the per-part window (hash(l_partkey) satisfies both), so only the
+    # final supplier-grain aggregate adds a second shuffle (2 total, was 3).
+    n_shuffles = sum(1 for ln in plan.splitlines()
+                     if ln.lstrip().lstrip(":+- ").startswith("Exchange ("))
+    assert n_shuffles <= 2, (n_shuffles, plan)
 
 
 def test_q15_stages_revenue_once_and_broadcasts_winners(spark, sf_dir):

@@ -41,6 +41,30 @@ def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def eager_filled_persist(df: DataFrame) -> DataFrame:
+    """Materialization barrier for a frame with CONCURRENT consumers:
+    ``persist()`` (MEMORY_AND_DISK — spills instead of OOMing) followed by
+    a synchronous fill, so consumers planned as concurrently-submitted
+    broadcast/shuffle builds can never race past an unfilled cache and
+    re-run the producing pipeline (the r17 bug: 2-4x duplicated signature
+    chains per query).
+
+    Chosen over ``localCheckpoint(eager=True)`` for corpus-proportional
+    frames (VERDICT r17 item 4 / ADVICE): a checkpoint truncates lineage —
+    an executor loss after it FAILS the job instead of recomputing (spot
+    nodes, dynamic allocation) — and its blocks are pinned until
+    ContextCleaner GC, which for a banding/shingle table proportional to
+    the corpus is real memory pressure at 100 TB. The filled persist keeps
+    lineage (recomputable), spills under pressure, and the caller
+    unpersists it deterministically once the (small) result frame is
+    materialized. The ``count()`` scans every partition of the cached
+    plan, so the fill is complete, not partial — same barrier the eager
+    checkpoint provided, without the lineage/memory caveats."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by md5 digest; keeps the smallest id as the
     canonical representative. Returns (keep_id, n_dups)."""
@@ -278,12 +302,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # builds RACE past the unfilled cache — the whole signature pipeline
     # (shingle hash + 64-permutation MinHash UDF + banding) was measured
     # running 4x per query at sf0.1 (4 stages x 5.6-13.7 s executor time
-    # apiece). The checkpoint barrier computes it exactly once; blocks are
-    # released by the ContextCleaner when the frame is collected.
-    banded = (
+    # apiece). r18: eager_filled_persist (not localCheckpoint) — same
+    # barrier, but lineage survives executor loss, blocks spill, and the
+    # frame is unpersisted deterministically below.
+    banded = eager_filled_persist(
         sig_df.select("_id", F.explode(band_cols).alias("bh"))
         .select("_id", "bh.band_id", "bh.band_hash")
-        .localCheckpoint(eager=True)
     )
 
     # Drop degenerate buckets (e.g., boilerplate collisions) before the
@@ -325,6 +349,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # so repeated builder calls in a long-lived session don't accumulate
     # cached blocks the caller never knew it had to unpersist.
     result = result.localCheckpoint(eager=True)
+    banded.unpersist()
     if owns_shingles:
         docs.unpersist()
     return result
@@ -357,16 +382,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # re-touching document strings. xxhash64 collisions would perturb a
     # Jaccard by ~2^-64 per shingle pair — far below the rounded output
     # precision (and the oracle gate would catch any realized collision).
-    # Eager checkpoint, not lazy persist (r17): the hashed-shingle frame
+    # Eager barrier, not lazy persist (r17): the hashed-shingle frame
     # has three consumers in one plan (the inverted index and BOTH
     # verify-side broadcast builds), and the concurrently-submitted
     # broadcast builds raced past the unfilled cache, re-running the
     # shingle hash per consumer — same fix and evidence as
     # minhash_lsh_pairs' banding table (measured 2.16 -> 1.91 s median
-    # at sf0.1 with the duplicate scan-side recompute gone).
-    docs = (
+    # at sf0.1 with the duplicate scan-side recompute gone). r18:
+    # eager_filled_persist (see its docstring) replaces the checkpoint.
+    docs = eager_filled_persist(
         base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
-        .localCheckpoint(eager=True)
     )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"), F.size("_sh").alias("_n"))
     inv = docs.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
@@ -377,7 +402,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     freq = inv.groupBy("s").agg(F.count("*").alias("_df"))
     from pyspark.sql import Window
     w = Window.partitionBy("_id").orderBy("_df", "s")
-    prefix = (
+    # The prefix index feeds BOTH sides of the candidate self-join, and
+    # the planner wraps one side in a BroadcastExchange — a different
+    # subtree, so exchange reuse can NEVER fire and the whole chain
+    # (explode -> df aggregate -> freq join -> window) executed twice per
+    # query (r18 measured plan: two freq Exchanges + two window Exchanges,
+    # operators 22-38 duplicated as 42-58). Same racing/duplicated-
+    # consumer class as the r17 banding fix; the filled persist computes
+    # it once and both join sides scan the cache.
+    prefix = eager_filled_persist(
         inv.join(freq, "s")
         .withColumn("_rn", F.row_number().over(w))
         # prefix length L = |S| - ceil(t*|S|) + 1
@@ -413,6 +446,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select("id_a", "id_b", "jaccard")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
+    prefix.unpersist()
+    docs.unpersist()
     if owns_shingles:
         base.unpersist()
     return result
@@ -534,12 +569,14 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                  .bitwiseAND(F.lit(chunk_mask)).alias("chunk"))
         for c in range(4)
     ])
-    # Eager checkpoint, not lazy persist: three consumers (bucket-count
+    # Eager barrier, not lazy persist: three consumers (bucket-count
     # build + both self-join sides) race past an unfilled cache and re-run
     # the SimHash signature UDF per consumer — same fix and evidence as
-    # minhash_lsh_pairs' banding table (r17).
-    blocked = docs.select("_id", "_sig", F.explode(chunks).alias("c")).select(
-        "_id", "_sig", "c.chunk_id", "c.chunk").localCheckpoint(eager=True)
+    # minhash_lsh_pairs' banding table (r17). r18: eager_filled_persist
+    # (see its docstring) replaces the checkpoint.
+    blocked = eager_filled_persist(
+        docs.select("_id", "_sig", F.explode(chunks).alias("c")).select(
+            "_id", "_sig", "c.chunk_id", "c.chunk"))
     big_buckets = (
         blocked.groupBy("chunk_id", "chunk").count()
         .where(F.col("count") > max_bucket_size)
@@ -562,6 +599,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select("id_a", "id_b", "hamming")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
+    blocked.unpersist()
     return result
 
 
@@ -640,11 +678,10 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     """
     owns = shingles is None
     base = shingle_table(df, text_col, id_col, k, unit) if owns else shingles
-    # Eager checkpoint, not lazy persist — same racing-broadcast-consumer
-    # fix as ngram_jaccard_pairs (r17).
-    docs = (
+    # Eager barrier, not lazy persist — same racing-broadcast-consumer
+    # fix as ngram_jaccard_pairs (r17; r18: eager_filled_persist).
+    docs = eager_filled_persist(
         base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
-        .localCheckpoint(eager=True)
     )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"),
                         F.size("_sh").alias("_n"))
@@ -691,6 +728,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                 F.col("id_b").alias("container_id"), "containment")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
+    docs.unpersist()
     if owns:
         base.unpersist()
     return result

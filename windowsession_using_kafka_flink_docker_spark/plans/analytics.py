@@ -234,9 +234,12 @@ CROSS JOIN n_b
                 "lift on top of the a-priori-pruned co-purchase counts "
                 "(same support floors as copurchase_pairs: item >= 20, "
                 "pair >= 3, basket cap 50 so no mega-basket goes "
-                "quadratic). The Spark shape mirrors copurchase_pairs — "
-                "sorted per-basket array + in-row HOF expansion of ordered "
-                "pairs, NO self-join — then joins the broadcast frequent-"
+                "quadratic). The Spark shape SHARES copurchase_pairs' "
+                "basket stage (one lineitem scan + distinct per session) "
+                "and expands only triangular a<b pairs with an in-row HOF "
+                "— NO self-join — mirroring to the ordered form after the "
+                "support aggregate (counts are symmetric over sorted-"
+                "distinct baskets), then joins the broadcast frequent-"
                 "item supports and the broadcast 1-row basket total to "
                 "derive confidence = P(b|a) and lift = P(a,b)/(P(a)P(b)). "
                 "All inputs to the ratios are exact BIGINTs; each ratio is "
@@ -245,29 +248,37 @@ CROSS JOIN n_b
     tags=("relational", "mining", "aggregate", "audit"),
 )
 def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (load_table(spark, sf_dir, "lineitem")
-               .select("l_orderkey", "l_partkey").distinct())
-    n_b = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n"))
-    freq = (baskets.groupBy("l_partkey")
-            .agg(F.count(F.lit(1)).alias("n_item"))
-            .where(F.col("n_item") >= 20))
-    arrs = (
-        baskets.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
-        .where(F.size("parts").between(2, 50))
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        basket_stage,
     )
-    # ordered (a, b) pairs a != b via in-row HOF — no self-join
-    pairs = (
+    st = basket_stage(spark, sf_dir)
+    freq, arrs, n_b = st["freq"], st["arrs"], st["n_b"]
+    # Triangular (a < b) pairs via in-row HOF (no self-join), mirrored to
+    # the ordered form AFTER the support aggregate (r18, VERDICT item 5):
+    # the parts arrays are sorted+distinct, so the ordered-pair count
+    # n_ab(a, b) is symmetric and equals the triangular count — emitting
+    # one direction halves the dominant pairs exchange (24.9 MB measured
+    # r17), and the post-agg mirror is an in-row 2-element explode on the
+    # support-filtered (small) aggregate, so no subtree or broadcast is
+    # duplicated (the r17-rejected pre-join union doubled the downstream
+    # broadcasts; this form keeps them single).
+    pairs_tri = (
         arrs.select(F.explode(F.expr(
-            "flatten(transform(parts, x -> "
-            "transform(filter(parts, y -> y != x), "
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts) - i - 1), "
             "y -> struct(x AS part_a, y AS part_b))))")).alias("p"))
         .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 3)
+    )
+    pairs = (
+        pairs_tri.select(F.explode(F.array(
+            F.struct("part_a", "part_b", "n_ab"),
+            F.struct(F.col("part_b").alias("part_a"),
+                     F.col("part_a").alias("part_b"),
+                     "n_ab"))).alias("p"))
+        .select("p.part_a", "p.part_b", "p.n_ab")
     )
     fa = freq.select(F.col("l_partkey").alias("part_a"),
                      F.col("n_item").alias("n_a"))
@@ -1667,10 +1678,23 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     fo = (orders.where(F.col("o_orderstatus") == "F")
           .select("o_orderkey", "o_orderdate"))
+    # ONE fact exchange for BOTH aggregates (r18, guide §2.4): hash-
+    # partitioning the joined lines by l_orderkey up front satisfies the
+    # clustering requirement of the (orderkey, suppkey) pair aggregate
+    # (partitioning on a subset of the group keys co-locates every group)
+    # AND of the per-order aggregate, so neither plans its own Exchange —
+    # 3 fact shuffles became 2 (pair-agg + per-order exchanges collapsed
+    # into this one; the suppkey aggregate below still needs its own).
+    # Measured same-JVM at sf0.1: 2.18 -> 1.79 s median, rows identical.
+    # At 100 TB the orders join is an SMJ already keyed on l_orderkey and
+    # this repartition collapses into it (same key, conf partition
+    # count); the old form's two pair-grain exchanges cost strictly more.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     lines = (li.join(fo, li.l_orderkey == fo.o_orderkey)
              .select("l_orderkey", "l_suppkey",
                      (F.col("l_shipdate")
-                      > F.date_add(F.col("o_orderdate"), 90)).alias("late")))
+                      > F.date_add(F.col("o_orderdate"), 90)).alias("late"))
+             .repartition(n_part, "l_orderkey"))
     # pair-level combine: ONE (orderkey, suppkey) aggregate replaces both
     # countDistincts (whose 2-distinct form plans an Expand duplicating
     # every line through the shuffle) and carries the late-line counts
@@ -2517,10 +2541,19 @@ def q20_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = (load_table(spark, sf_dir, "part")
            .where(F.col("p_name").like("%red%"))
            .select("p_partkey"))
+    # ONE fact exchange for the pair aggregate AND the per-part window
+    # (r18, guide §2.4): hash(l_partkey) satisfies the (partkey, suppkey)
+    # group clustering (subset of the keys) and the window partitioning,
+    # so neither plans its own Exchange — 3 shuffles became 2. Measured
+    # same-JVM at sf0.1: 2.32 -> 2.01 s median, rows identical. (q20 was
+    # also the worst 64k-AQE-floor regression, 1.31x; fewer tiny
+    # exchanges makes it floor-insensitive.)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pair = (
         li.where((F.col("l_shipdate") >= "1996-01-01")
                  & (F.col("l_shipdate") < "1997-01-01"))
         .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .repartition(n_part, "l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
              .alias("pair_qty")))

@@ -174,6 +174,12 @@ def clear_stage_caches() -> None:
     _SHINGLE_CACHE.clear()
     _NGRAM_PAIRS_CACHE.clear()
     _CONTAINMENT_PAIRS_CACHE.clear()
+    # the basket stage shared by copurchase_pairs/association_rules rides
+    # the same between-pass release discipline (r18, VERDICT item 7)
+    from windowsession_using_kafka_flink_docker_spark.plans.relational import (
+        clear_basket_cache,
+    )
+    clear_basket_cache()
 
 
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

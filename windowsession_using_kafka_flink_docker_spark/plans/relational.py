@@ -1572,6 +1572,66 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared basket-stage memo, keyed per (Spark app, sf_dir) — the market-
+#: basket input (distinct (order, part) -> frequent-item supports ->
+#: capped per-order part arrays) feeds BOTH copurchase_pairs and
+#: association_rules, which previously each rebuilt it from the lineitem
+#: scan (VERDICT r17 item 7). Same discipline as llm_pipeline's
+#: _SHINGLE_CACHE: dies with the session, cleared between bench passes by
+#: clear_stage_caches(), first computation paid inside the timed region of
+#: whichever entry runs first — exactly how a production mining run
+#: materializes the basket table once per corpus.
+_BASKET_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def basket_stage(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized basket stage: ``freq`` (l_partkey, n_item — support >= 20),
+    ``arrs`` (l_orderkey, sorted parts array, size 2..50) and ``n_b``
+    (1-row distinct-basket count). ``baskets`` itself (corpus-
+    proportional) is materialized once behind an eager filled persist so
+    freq/arrs/n_b derive from ONE lineitem scan + ONE distinct exchange,
+    then dropped; freq/arrs stay persisted (spillable) until
+    clear_basket_cache()."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _BASKET_CACHE.get(key)
+    if st is None:
+        from windowsession_using_kafka_flink_docker_spark.operators.dedup import (
+            eager_filled_persist,
+        )
+        baskets = eager_filled_persist(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey").distinct())
+        freq = eager_filled_persist(
+            baskets.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_item"))
+            .where(F.col("n_item") >= 20))
+        arrs = eager_filled_persist(
+            baskets.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+            .where(F.size("parts").between(2, 50)))
+        # 1 row; checkpoint is the right barrier for a scalar.
+        n_b = (baskets.agg(F.count_distinct("l_orderkey").alias("n"))
+               .localCheckpoint(eager=True))
+        baskets.unpersist()  # derived frames are filled; drop the wide one
+        st = {"freq": freq, "arrs": arrs, "n_b": n_b}
+        _BASKET_CACHE[key] = st
+    return st
+
+
+def clear_basket_cache() -> None:
+    """Release the memoized basket stage (called by
+    llm_pipeline.clear_stage_caches, which bench.py invokes between
+    passes)."""
+    for st in _BASKET_CACHE.values():
+        for name in ("freq", "arrs"):
+            try:
+                st[name].unpersist()
+            except Exception:
+                pass  # session already stopped
+    _BASKET_CACHE.clear()
+
+
 @register(
     "copurchase_pairs",
     oracle="""
@@ -1606,23 +1666,7 @@ HAVING COUNT(*) >= 2
     tags=("relational", "mining", "aggregate"),
 )
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    freq = (
-        baskets.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("_sup"))
-        .where(F.col("_sup") >= 20)
-        .select("l_partkey")
-    )
-    arrs = (
-        baskets.join(F.broadcast(freq), "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
-        .where(F.size("parts").between(2, 50))
-    )
+    arrs = basket_stage(spark, sf_dir)["arrs"]
     pairs = arrs.select(
         F.explode(
             F.expr(
