@@ -54,7 +54,9 @@ def test_basket_stage_is_shared_and_releasable(spark, sf_dir):
     st2 = basket_stage(spark, sf_dir)
     assert st1["arrs"] is st2["arrs"] and st1["freq"] is st2["freq"]
     lvl = st1["arrs"].storageLevel
-    assert lvl.useMemory and lvl.useDisk  # spillable persist, filled eagerly
+    assert lvl.useMemory and lvl.useDisk  # spillable persist
+    lvl_f = st1["freq"].storageLevel
+    assert lvl_f.useMemory and lvl_f.useDisk  # eager-filled (2 racing consumers)
     clear_basket_cache()
     assert not st1["arrs"].storageLevel.useMemory
     assert not st1["freq"].storageLevel.useMemory

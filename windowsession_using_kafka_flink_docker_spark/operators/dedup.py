@@ -302,12 +302,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # builds RACE past the unfilled cache — the whole signature pipeline
     # (shingle hash + 64-permutation MinHash UDF + banding) was measured
     # running 4x per query at sf0.1 (4 stages x 5.6-13.7 s executor time
-    # apiece). r18: eager_filled_persist (not localCheckpoint) — same
-    # barrier, but lineage survives executor loss, blocks spill, and the
-    # frame is unpersisted deterministically below.
-    banded = eager_filled_persist(
+    # apiece). Mechanism tradeoff (r18, measured): the filled-persist
+    # barrier used elsewhere (see eager_filled_persist) costs this table
+    # +14% query wall at sf0.1 (1.92 -> 2.18 s full-bench A/B; columnar
+    # encode/decode of the 4-consumer scan dominates), so the checkpoint
+    # stays. Scale caveats, stated: lineage is truncated (an executor
+    # loss after the checkpoint fails the job instead of recomputing) and
+    # blocks are pinned until ContextCleaner GC — measured 0.8 MB at
+    # sf0.1 (~8 GB/PB of corpus, spread across executors, short-lived:
+    # released when the result frame below is collected). On clusters
+    # where lineage-loss matters (spot nodes), swap this line for
+    # eager_filled_persist — semantics are pinned identical
+    # (test_banding_checkpoint_is_deterministic).
+    banded = (
         sig_df.select("_id", F.explode(band_cols).alias("bh"))
         .select("_id", "bh.band_id", "bh.band_hash")
+        .localCheckpoint(eager=True)
     )
 
     # Drop degenerate buckets (e.g., boilerplate collisions) before the
@@ -349,7 +359,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # so repeated builder calls in a long-lived session don't accumulate
     # cached blocks the caller never knew it had to unpersist.
     result = result.localCheckpoint(eager=True)
-    banded.unpersist()
     if owns_shingles:
         docs.unpersist()
     return result
@@ -569,14 +578,15 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                  .bitwiseAND(F.lit(chunk_mask)).alias("chunk"))
         for c in range(4)
     ])
-    # Eager barrier, not lazy persist: three consumers (bucket-count
+    # Eager checkpoint, not lazy persist: three consumers (bucket-count
     # build + both self-join sides) race past an unfilled cache and re-run
-    # the SimHash signature UDF per consumer — same fix and evidence as
-    # minhash_lsh_pairs' banding table (r17). r18: eager_filled_persist
-    # (see its docstring) replaces the checkpoint.
-    blocked = eager_filled_persist(
-        docs.select("_id", "_sig", F.explode(chunks).alias("c")).select(
-            "_id", "_sig", "c.chunk_id", "c.chunk"))
+    # the SimHash signature UDF per consumer — same fix, evidence, and
+    # r18 checkpoint-vs-filled-persist tradeoff as minhash_lsh_pairs'
+    # banding table (persist measured +12% query wall at sf0.1, 2.28 ->
+    # 2.56 s full-bench A/B; checkpoint blocks measured 0.2 MB at sf0.1,
+    # GC-released once `result` below is collected).
+    blocked = docs.select("_id", "_sig", F.explode(chunks).alias("c")).select(
+        "_id", "_sig", "c.chunk_id", "c.chunk").localCheckpoint(eager=True)
     big_buckets = (
         blocked.groupBy("chunk_id", "chunk").count()
         .where(F.col("count") > max_bucket_size)
@@ -599,7 +609,6 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select("id_a", "id_b", "hamming")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
-    blocked.unpersist()
     return result
 
 
