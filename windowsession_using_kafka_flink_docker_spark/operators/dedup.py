@@ -49,17 +49,19 @@ def eager_filled_persist(df: DataFrame) -> DataFrame:
     re-run the producing pipeline (the r17 bug: 2-4x duplicated signature
     chains per query).
 
-    Chosen over ``localCheckpoint(eager=True)`` for corpus-proportional
-    frames (VERDICT r17 item 4 / ADVICE): a checkpoint truncates lineage —
-    an executor loss after it FAILS the job instead of recomputing (spot
-    nodes, dynamic allocation) — and its blocks are pinned until
-    ContextCleaner GC, which for a banding/shingle table proportional to
-    the corpus is real memory pressure at 100 TB. The filled persist keeps
-    lineage (recomputable), spills under pressure, and the caller
-    unpersists it deterministically once the (small) result frame is
-    materialized. The ``count()`` scans every partition of the cached
-    plan, so the fill is complete, not partial — same barrier the eager
-    checkpoint provided, without the lineage/memory caveats."""
+    Versus ``localCheckpoint(eager=True)``: the checkpoint truncates
+    lineage — an executor loss after it FAILS the job instead of
+    recomputing (spot nodes, dynamic allocation) — and its blocks are
+    pinned until ContextCleaner GC; the filled persist keeps lineage,
+    spills under pressure, and the caller unpersists deterministically.
+    The ``count()`` scans every partition of the cached plan, so the
+    fill is complete, not partial. The r18 measurements picked the
+    mechanism per site: the basket stage (plans/relational.py) uses this
+    helper (its frames are re-read across queries), while the dedup
+    mid-frames above keep the checkpoint — columnar cache encode/decode
+    across their 3-4 same-plan consumer scans measured 8-14% of query
+    wall at sf0.1, more than the checkpoint's caveats cost locally (the
+    tradeoffs are stated at each site)."""
     df = df.persist()
     df.count()
     return df
@@ -391,16 +393,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # re-touching document strings. xxhash64 collisions would perturb a
     # Jaccard by ~2^-64 per shingle pair — far below the rounded output
     # precision (and the oracle gate would catch any realized collision).
-    # Eager barrier, not lazy persist (r17): the hashed-shingle frame
+    # Eager checkpoint, not lazy persist (r17): the hashed-shingle frame
     # has three consumers in one plan (the inverted index and BOTH
     # verify-side broadcast builds), and the concurrently-submitted
     # broadcast builds raced past the unfilled cache, re-running the
     # shingle hash per consumer — same fix and evidence as
     # minhash_lsh_pairs' banding table (measured 2.16 -> 1.91 s median
-    # at sf0.1 with the duplicate scan-side recompute gone). r18:
-    # eager_filled_persist (see its docstring) replaces the checkpoint.
-    docs = eager_filled_persist(
+    # at sf0.1 with the duplicate scan-side recompute gone). r18 measured
+    # the eager_filled_persist alternative in a same-JVM 3-way A/B:
+    # checkpoint 2.28 s vs docs-persist 2.42 s vs docs+prefix persists
+    # 2.53 s median — columnar cache encode/decode of the shingle arrays
+    # loses to row-block checkpoints here, so the checkpoint stays (see
+    # the banding-table comment for the stated lineage/GC tradeoff).
+    docs = (
         base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
+        .localCheckpoint(eager=True)
     )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"), F.size("_sh").alias("_n"))
     inv = docs.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
@@ -411,15 +418,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     freq = inv.groupBy("s").agg(F.count("*").alias("_df"))
     from pyspark.sql import Window
     w = Window.partitionBy("_id").orderBy("_df", "s")
-    # The prefix index feeds BOTH sides of the candidate self-join, and
-    # the planner wraps one side in a BroadcastExchange — a different
-    # subtree, so exchange reuse can NEVER fire and the whole chain
-    # (explode -> df aggregate -> freq join -> window) executed twice per
-    # query (r18 measured plan: two freq Exchanges + two window Exchanges,
-    # operators 22-38 duplicated as 42-58). Same racing/duplicated-
-    # consumer class as the r17 banding fix; the filled persist computes
-    # it once and both join sides scan the cache.
-    prefix = eager_filled_persist(
+    # Prefix-chain duplication, examined r18 and left to exchange reuse:
+    # when the planner BROADCASTS one candidate self-join side (small
+    # inputs, e.g. sf0.01), the whole prefix chain (explode -> df
+    # aggregate -> freq join -> window) executes once per side — the
+    # BroadcastExchange wrapper defeats reuse. In the shuffle regime
+    # (sf0.1 and up — the 100 TB shape) the two sides share ONE exchange
+    # (reuse fires on identical subtrees; stage-table verified), so a
+    # materialization barrier here only costs: same-JVM 3-way A/B at
+    # sf0.1 measured 2.28 s (no barrier) vs 2.53 s (persisted prefix).
+    # The duplicate only exists where it is cheap; the barrier would tax
+    # the regime that matters.
+    prefix = (
         inv.join(freq, "s")
         .withColumn("_rn", F.row_number().over(w))
         # prefix length L = |S| - ceil(t*|S|) + 1
@@ -455,8 +465,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select("id_a", "id_b", "jaccard")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
-    prefix.unpersist()
-    docs.unpersist()
     if owns_shingles:
         base.unpersist()
     return result
@@ -687,10 +695,12 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     """
     owns = shingles is None
     base = shingle_table(df, text_col, id_col, k, unit) if owns else shingles
-    # Eager barrier, not lazy persist — same racing-broadcast-consumer
-    # fix as ngram_jaccard_pairs (r17; r18: eager_filled_persist).
-    docs = eager_filled_persist(
+    # Eager checkpoint, not lazy persist — same racing-broadcast-consumer
+    # fix (r17) and same r18 checkpoint-vs-persist measurement as
+    # ngram_jaccard_pairs (see the comment there).
+    docs = (
         base.select("_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_sh"))
+        .localCheckpoint(eager=True)
     )
     sized = docs.select("_id", F.col("_sh").alias("_sh_full"),
                         F.size("_sh").alias("_n"))
@@ -737,7 +747,6 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                 F.col("id_b").alias("container_id"), "containment")
     )
     result = result.localCheckpoint(eager=True)  # see minhash_lsh_pairs note
-    docs.unpersist()
     if owns:
         base.unpersist()
     return result
